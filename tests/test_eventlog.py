@@ -1,0 +1,139 @@
+"""Unit tests for the reference pipeline semantics (SURVEY.md §2.2-2.4).
+
+Golden-row tests over a hand-built EVENTLOG fixture mirroring FIXTURES.md §1:
+each flag combination's expected output is derivable by hand.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.operators import filters as Fi
+from mobsos_event_log_generator_spark.operators.traces import assemble_traces, global_time_bounds, is_empty, trace_stats
+from mobsos_event_log_generator_spark.plans.eventlog import EventLogParams, build_eventlog, resolve_and_build_for_bot
+from mobsos_event_log_generator_spark.schema import (
+    EVENTLOG_SCHEMA,
+    XES_ACTIVITY,
+    XES_CASE,
+    XES_LIFECYCLE,
+    XES_TIMESTAMP,
+)
+
+ROWS = [
+    # EVENT_TYPE, CASE_ID, ACTIVITY, TIME_STAMP, LIFECYCLE, RESOURCE, RESOURCE_TYPE, REMARKS
+    ("SERVICE_CUSTOM_MESSAGE_1", "c1", "requestMenu", datetime(2024, 1, 1, 10, 0, 0), "complete", "r1", "bot", '{"user": "u1"}'),
+    ("SERVICE_CUSTOM_MESSAGE_2", "c1", "botReply", datetime(2024, 1, 1, 10, 0, 5), "complete", "r1", "bot", '{"user": "u1", "intent": "menu"}'),
+    ("SERVICE_CUSTOM_MESSAGE_3", "c1", "getMenu", datetime(2024, 1, 1, 10, 0, 9), "start", "r1", "bot", '{"serviceEndpoint": "/menu"}'),
+    ("SERVICE_CUSTOM_MESSAGE_3", "c1", "getMenu", datetime(2024, 1, 1, 10, 0, 10), None, "r1", "bot", '{"in-service-context": true}'),
+    ("SERVICE_MESSAGE", "c2", "other", datetime(2024, 1, 2, 9, 0, 0), "complete", "r2", "service", "not-json"),
+    ("SERVICE_CUSTOM_MESSAGE_1", None, "requestMenu", datetime(2024, 1, 2, 9, 30, 0), "complete", "r2", "service", "{}"),
+    ("SERVICE_CUSTOM_MESSAGE_1", "c3", "orderFood", datetime(2024, 1, 3, 12, 0, 0), "complete", "r2", "service", '{"user": "u2"}'),
+]
+
+
+@pytest.fixture(scope="module")
+def eventlog(spark):
+    return spark.createDataFrame(ROWS, EVENTLOG_SCHEMA).cache()
+
+
+def test_default_flags_pipeline(eventlog):
+    """Default flags: bot messages excluded, lifecycle starts excluded."""
+    out = build_eventlog(eventlog, EventLogParams()).orderBy(XES_TIMESTAMP).collect()
+    # c1: USER_MESSAGE kept; BOT_MESSAGE dropped (F6); start dropped (F4);
+    # NULL lifecycle dropped (F4 3VL, matching the reference's SQL);
+    # SERVICE_MESSAGE dropped (F6 keep-list); NULL case dropped (F1).
+    assert [(r[XES_CASE], r["EVENT_TYPE"], r[XES_LIFECYCLE]) for r in out] == [
+        ("c1", "USER_MESSAGE", "complete"),
+        ("c3", "USER_MESSAGE", "complete"),
+    ]
+
+
+def test_all_flags_on_keeps_and_fills(eventlog):
+    params = EventLogParams(include_bot_messages=True, include_life_cycle_start=True)
+    out = build_eventlog(eventlog, params)
+    rows = {(r[XES_CASE], r[XES_ACTIVITY], r[XES_LIFECYCLE], r["EVENT_TYPE"]) for r in out.collect()}
+    # NULL lifecycle filled to 'complete' (P4); start kept; bot kept; recode applied.
+    assert ("c1", "getMenu", "complete", "SERVICE_REQUEST") in rows
+    assert ("c1", "getMenu", "start", "SERVICE_REQUEST") in rows
+    assert ("c1", "botReply", "complete", "BOT_MESSAGE") in rows
+    assert ("c2", "other", "complete", "SERVICE_MESSAGE") in rows  # unmapped passes through
+    assert out.count() == 6  # only the NULL-case row dropped
+
+
+def test_resource_and_date_filters(eventlog):
+    params = EventLogParams(
+        resource_ids=["r2"],
+        start_date=datetime(2024, 1, 2),
+        end_date=datetime(2024, 1, 2, 23, 59, 59),
+        include_bot_messages=True,
+        include_life_cycle_start=True,
+    )
+    out = build_eventlog(eventlog, params).collect()
+    assert {r[XES_CASE] for r in out} == {"c2"}
+
+
+def test_remarks_flatten(eventlog):
+    params = EventLogParams(
+        include_bot_messages=True,
+        include_life_cycle_start=True,
+        deserialize_remarks=True,
+        remarks_keys=["user", "intent", "serviceEndpoint"],
+    )
+    out = build_eventlog(eventlog, params)
+    rows = {r[XES_ACTIVITY]: r for r in out.collect()}
+    assert rows["botReply"]["intent"] == "menu"
+    assert rows["botReply"]["user"] == "u1"
+    # P4 fills missing serviceEndpoint with '' (event_reader.py:37-40)
+    assert {r["serviceEndpoint"] for r in out.collect() if r[XES_ACTIVITY] == "getMenu"} == {"/menu", ""}
+    assert rows["other"]["user"] == ""  # malformed JSON -> NULL -> filled ''
+
+
+def test_trace_assembly_ordering(eventlog):
+    params = EventLogParams(include_bot_messages=True, include_life_cycle_start=True)
+    traces = assemble_traces(build_eventlog(eventlog, params))
+    c1 = traces.filter(F.col("case") == "c1").collect()[0]
+    assert c1["num_events"] == 4
+    assert [e["activity"] for e in c1["events"]] == ["requestMenu", "botReply", "getMenu", "getMenu"]
+    assert c1["trace_start"] == datetime(2024, 1, 1, 10, 0, 0)
+    assert c1["trace_end"] == datetime(2024, 1, 1, 10, 0, 10)
+
+
+def test_trace_stats_path(eventlog):
+    params = EventLogParams(include_bot_messages=True, include_life_cycle_start=True)
+    stats = trace_stats(build_eventlog(eventlog, params))
+    row = {r["case"]: r for r in stats.collect()}["c1"]
+    assert row["activity_path"] == "requestMenu,botReply,getMenu,getMenu"
+    assert row["duration_us"] == 10_000_000
+
+
+def test_global_bounds_and_empty(spark, eventlog):
+    bounds = global_time_bounds(eventlog, "TIME_STAMP").collect()[0]
+    assert bounds["min_ts"] == datetime(2024, 1, 1, 10, 0, 0)
+    assert bounds["max_ts"] == datetime(2024, 1, 3, 12, 0, 0)
+    assert not is_empty(eventlog)
+    assert is_empty(eventlog.filter(F.col("CASE_ID") == "nope"))
+
+
+def test_bot_resolution_e3(eventlog):
+    """E3: bot name → resource ids → E2 pipeline (app.py:130-170)."""
+    payload = {
+        "r1": {"name": "menuBot", "version": 1},
+        "r2": {"name": "otherBot"},
+        "r3": "not-a-dict",
+        "r4": {"noname": True},
+    }
+    out = resolve_and_build_for_bot(eventlog, "menuBot", payload, EventLogParams())
+    assert {r["RESOURCE"] for r in out.collect()} == {"r1"}
+    with pytest.raises(ValueError):
+        resolve_and_build_for_bot(eventlog, "ghostBot", payload, EventLogParams())
+
+
+def test_large_inlist_uses_semi_join(spark, eventlog):
+    """F2 scale path: >threshold id lists become a broadcast left-semi join."""
+    ids = [f"r{i}" for i in range(1, 20_002)]
+    out = Fi.filter_resources(eventlog, ids)
+    assert "LeftSemi" in out._jdf.queryExecution().optimizedPlan().toString()
+    assert out.count() == 7
