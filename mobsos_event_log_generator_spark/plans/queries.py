@@ -270,3 +270,40 @@ def event_type_recode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 recode distribution (all types kept) — isolates the recode operator."""
     df = _normalized_eventlog(spark, sf_dir, include_bot_messages=True, include_life_cycle_start=True)
     return df.groupBy(F.col("EVENT_TYPE").alias("event_type")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# XES sink (S5) — the serialized trace XML itself, oracle-checked
+# --------------------------------------------------------------------------
+
+
+@register(
+    "xes_trace_xml",
+    _ORACLE_EVENTLOG_CTE
+    + """
+SELECT "case:concept:name" AS "case",
+       chr(9) || '<trace>' || chr(10)
+       || chr(9) || chr(9) || '<string key="concept:name" value="' || "case:concept:name" || '"/>' || chr(10)
+       || string_agg(
+            chr(9) || chr(9) || '<event>' || chr(10)
+            || chr(9) || chr(9) || chr(9) || '<string key="concept:name" value="' || "concept:name" || '"/>' || chr(10)
+            || chr(9) || chr(9) || chr(9) || '<date key="time:timestamp" value="' || strftime("time:timestamp", '%Y-%m-%dT%H:%M:%S.%f') || 'Z"/>' || chr(10)
+            || chr(9) || chr(9) || chr(9) || '<string key="lifecycle:transition" value="' || "lifecycle:transition" || '"/>' || chr(10)
+            || chr(9) || chr(9) || chr(9) || '<string key="EVENT_TYPE" value="' || "EVENT_TYPE" || '"/>' || chr(10)
+            || chr(9) || chr(9) || '</event>' || chr(10),
+            '' ORDER BY "time:timestamp", "concept:name", "lifecycle:transition", "EVENT_TYPE")
+       || chr(9) || '</trace>' || chr(10) AS xml
+FROM kept
+GROUP BY 1
+""",
+)
+def xes_trace_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — per-trace XES XML, built entirely JVM-side (sinks/xes.py). The
+    oracle reconstructs the exact same template in SQL, proving the
+    serializer's grouping, ordering, and formatting byte-for-byte."""
+    from mobsos_event_log_generator_spark.sinks.xes import traces_to_xml
+
+    df = _normalized_eventlog(spark, sf_dir).select(
+        XES_CASE, XES_ACTIVITY, XES_TIMESTAMP, XES_LIFECYCLE, "EVENT_TYPE"
+    )
+    return traces_to_xml(df, event_attrs=[XES_LIFECYCLE, "EVENT_TYPE"])

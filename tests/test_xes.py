@@ -1,0 +1,74 @@
+"""XES sink round-trip tests (SURVEY.md §5): write → parse XML → re-derive
+structure → equality modulo trace order. pm4py parse runs when available."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from datetime import datetime
+
+import pytest
+
+from mobsos_event_log_generator_spark.plans.eventlog import EventLogParams, build_eventlog
+from mobsos_event_log_generator_spark.schema import EVENTLOG_SCHEMA, XES_CASE
+from mobsos_event_log_generator_spark.sinks.xes import read_xes, write_xes
+
+ROWS = [
+    ("SERVICE_CUSTOM_MESSAGE_1", "c1", "ask <&> \"q\"", datetime(2024, 1, 1, 10, 0, 0), "complete", "r1", "bot", '{"user": "u1"}'),
+    ("SERVICE_CUSTOM_MESSAGE_3", "c1", "getMenu", datetime(2024, 1, 1, 10, 0, 5), "complete", "r1", "bot", None),
+    ("SERVICE_CUSTOM_MESSAGE_1", "c2", "orderFood", datetime(2024, 1, 2, 12, 0, 0), "complete", "r2", "service", '{"user": "u2"}'),
+]
+
+
+@pytest.fixture(scope="module")
+def normalized(spark):
+    df = spark.createDataFrame(ROWS, EVENTLOG_SCHEMA)
+    return build_eventlog(df, EventLogParams()).cache()
+
+
+def test_single_file_roundtrip(normalized, tmp_path):
+    path = str(tmp_path / "log.xes")
+    write_xes(normalized, path, single_file=True)
+    # Well-formed XML with XES structure
+    root = ET.parse(path).getroot()
+    assert root.tag.endswith("log")
+    traces = read_xes(path)
+    assert {t["attrs"]["concept:name"] for t in traces} == {"c1", "c2"}
+    c1 = next(t for t in traces if t["attrs"]["concept:name"] == "c1")
+    assert [e["concept:name"] for e in c1["events"]] == ['ask <&> "q"', "getMenu"]
+    ev = c1["events"][0]
+    assert ev["time:timestamp"].startswith("2024-01-01T10:00:00")
+    assert ev["lifecycle:transition"] == "complete"
+    assert ev["EVENT_TYPE"] == "USER_MESSAGE"
+    # NULL REMARKS attribute omitted, present on the other event
+    assert "REMARKS" not in c1["events"][1]
+    assert c1["events"][0]["REMARKS"] == '{"user": "u1"}'
+
+
+def test_sharded_write_each_file_valid(normalized, tmp_path):
+    out = str(tmp_path / "shards")
+    write_xes(normalized, out, single_file=False, num_shards=4)
+    files = [f for f in os.listdir(out) if f.endswith(".xes")]
+    assert files, "no shards written"
+    all_cases = set()
+    for f in files:
+        traces = read_xes(os.path.join(out, f))  # each shard independently parseable
+        all_cases |= {t["attrs"]["concept:name"] for t in traces}
+    assert all_cases == {"c1", "c2"}
+
+
+def test_xml_stays_jvm_side(normalized):
+    """The trace→XML expression must compile to JVM ops (no BatchEvalPython)."""
+    from mobsos_event_log_generator_spark.sinks.xes import traces_to_xml
+
+    plan = traces_to_xml(normalized)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pm4py_parse_if_available(normalized, tmp_path):
+    pm4py = pytest.importorskip("pm4py")
+    path = str(tmp_path / "log.xes")
+    write_xes(normalized, path, single_file=True)
+    log = pm4py.read_xes(path)
+    assert len(log[XES_CASE].unique()) == 2
