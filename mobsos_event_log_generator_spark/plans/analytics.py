@@ -1,0 +1,293 @@
+"""Relational analytics coverage: the "full engine" operator classes the
+reference lacks but a complete engine must expose (SURVEY.md §2.5 — joins,
+windows, grouping sets, set ops, distinct aggs, top-k). All built-in DataFrame
+API so Catalyst picks physical strategies (broadcast-hash for dims, sort-merge
+for fact-fact, partial aggregation map-side).
+
+Scale notes baked into each query:
+* dims (region/nation/supplier/customer) are broadcast — verified in tests.
+* fact aggregations run map-side partial first (HashAggregate x2 in plan).
+* top-k is window + filter (no driver-side sort); deterministic tie-breaks on
+  a key column so results are stable under any parallelism.
+* double sums are rounded to 2 decimals in BOTH engines (fp addition isn't
+  associative across partitionings; cents-rounding makes the hash stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mobsos_event_log_generator_spark.plans.queries import register
+from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate; partial agg combines map-side so
+    the shuffle carries ~|groups| rows, not |lineitem|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+WITH rev AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, revenue
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rn FROM rev)
+WHERE rn <= 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim (customer segment) broadcast into a
+    fact-fact join, then deterministic top-10 via window (no driver sort)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    # Deterministic global top-10: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-k, then merge of k-sized heaps)
+    # — never a single-partition global window sort.
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority", "revenue")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; region/nation/supplier broadcast, the
+    customer-orders-lineitem chain shuffles on its join keys once each."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+         CAST(row_number() OVER (PARTITION BY c.c_custkey
+                                 ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rn
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+)
+WHERE rn <= 2
+""",
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-group top-k with deterministic tie-break. The
+    window partitioning reuses the join's hash partitioning on c_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "rollup_order_priority",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / rollup: hierarchical totals in one pass (Spark expands
+    to a single Expand + aggregate — no N re-scans)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "distinct_agg_customers",
+    """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+)
+def distinct_agg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expands to two-phase agg under AQE)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "setop_urgent_not_low",
+    """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+)
+def setop_urgent_not_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT (distinct semantics), compiled to
+    left-semi / left-anti hash joins."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(open_).exceptAll(low.distinct())
+
+
+@register(
+    "antijoin_parts_never_shipped",
+    """
+SELECT p.p_partkey, p.p_name
+FROM part p
+ANTI JOIN (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00') l
+  ON p.p_partkey = l.l_partkey
+""",
+)
+def antijoin_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS shape): parts with no shipments since 2001."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+@register(
+    "events_sessionization",
+    """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM sess
+GROUP BY 1, 2
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch analogue of the streaming session_window (SURVEY.md §7 step 5).
+    One shuffle on user_id shared by both window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("is_new_session", is_new).withColumn(
+        "session_id",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+    )

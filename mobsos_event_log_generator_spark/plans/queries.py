@@ -307,3 +307,8 @@ def xes_trace_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         XES_CASE, XES_ACTIVITY, XES_TIMESTAMP, XES_LIFECYCLE, "EVENT_TYPE"
     )
     return traces_to_xml(df, event_attrs=[XES_LIFECYCLE, "EVENT_TYPE"])
+
+
+# Register the extended operator families (import side effect populates the
+# registry; placed at module end to avoid circular imports).
+from mobsos_event_log_generator_spark.plans import analytics  # noqa: E402,F401
