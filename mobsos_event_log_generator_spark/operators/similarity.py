@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same API:
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus; cosine is a JVM fold (``aggregate``/``zip_with``) so the
+  scan stays in codegen. Exact, O(|Q|·|corpus|) — the correctness baseline.
+* ``bucketed_ann_topk`` — the scale path: a deterministic coarse quantizer
+  (sign pattern of the leading dimensions — an 8-bit hypercube code, i.e. a
+  fixed-hyperplane LSH) buckets the corpus; queries only scan their own
+  bucket. At 100 TB the bucket key is the shuffle/partition key, turning ANN
+  into an equi-join instead of a cross product.
+
+Determinism contract: cosine is computed as left-to-right double folds
+(dot, norms) and rounded to 6 decimals; ranking ties break on vec_id — so
+Spark and the DuckDB oracle produce identical top-k sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+CODE_BITS = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Rounded cosine similarity (6 dp) of two float vectors."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def hypercube_code(vec: Column, bits: int = CODE_BITS) -> Column:
+    """Deterministic coarse-quantizer bucket: bit j = sign(vec[j]).
+
+    A fixed-axis LSH — no trained centroids or RNG to ship; the same vector
+    always lands in the same of 2^bits buckets on any engine."""
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.element_at(vec, j + 1) >= 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (query_id, neighbor_id, cosine, rank);
+    self-matches excluded. The query side is broadcast — corpus never shuffles."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = CODE_BITS,
+) -> DataFrame:
+    """ANN top-k probing only the query's hypercube bucket (recall < 1 by
+    design; bucket equi-join instead of cross product)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hypercube_code(F.col(vec_col), bits).alias("code"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hypercube_code(F.col(vec_col), bits).alias("code"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="code")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col(block_col).alias("block"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col(block_col).alias("block"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

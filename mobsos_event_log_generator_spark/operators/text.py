@@ -1,0 +1,136 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north star).
+
+All pure Column algebra — tokenization, shingling, language-ID scoring,
+quality metrics, and fingerprints run JVM-side in whole-stage codegen. Each
+helper has an exact SQL mirror in ``plans/llm.py`` so the DuckDB oracle checks
+byte-identical semantics.
+
+Tokenization contract (shared with the oracle): tokens are maximal runs of
+non-whitespace, i.e. ``split(text, '\\s+')`` minus empty strings. Keep this in
+lock-step with ``TOKENIZE_SQL``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker sets for the n-gram/stopword language-ID heuristic.
+# Deliberately tiny: language ID at 100 TB must stay in codegen; a real model
+# (fastText etc.) would slot in as a pandas UDF behind the same API.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "los", "que", "es", "y", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word token estimate: alpha runs / digits / punct as atoms, alpha
+    runs charged ceil(len/4) tokens (the ~4-chars-per-BPE-token rule)."""
+    atoms = F.expr(rf"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]', 0)")
+    return F.aggregate(
+        atoms,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.floor((F.length(w) + F.lit(3)) / F.lit(4)).cast("long"),
+    )
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (empty array when fewer than n words)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])  # noqa: E731
+    return F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(F.array().cast("array<string>"))
+
+
+def marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrence count (not distinct) of marker words."""
+    return F.size(F.filter(words, lambda w: w.isin(*markers))).cast("long")
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    return {lang: marker_hits(words, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(words: Column) -> Column:
+    """Argmax over marker-hit counts, ties broken by language code order;
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(words)
+    expr = F.lit("und")
+    expr_score = F.lit(0).cast("long")
+    for lang in reversed(sorted(LANG_MARKERS)):  # build right-to-left; leftmost wins ties via >
+        s = scores[lang]
+        expr = F.when(s > expr_score, F.lit(lang)).otherwise(expr)
+        expr_score = F.greatest(s, expr_score)
+    return expr
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    """Non-alnum/space chars over total chars (0 for empty text)."""
+    total = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(words: Column) -> Column:
+    n = F.size(words)
+    return F.when(n > 0, marker_hits(words, STOPWORDS).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(words: Column) -> Column:
+    n = F.size(words)
+    total = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Heuristic document quality in [0,1]: length band + word-shape band +
+    stopword presence + punctuation sanity (Gopher/C4-style rule scoring)."""
+    w = tokens(text_col)
+    n = F.size(w)
+    len_ok = F.when((n >= 50) & (n <= 100_000), 1.0).otherwise(0.0)
+    mwl = mean_word_length(w)
+    shape_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(w) >= 0.01, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text_col) <= 0.2, 1.0).otherwise(0.0)
+    return F.round((len_ok + shape_ok + stop_ok + punct_ok) / 4.0, 4)
+
+
+def doc_fingerprint(text_col: str = "text") -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized text."""
+    return F.md5(F.array_join(tokens(text_col), " "))
+
+
+def rolling_min_fingerprint(words: Column, n: int = 3) -> Column:
+    """Content-defined fingerprint: lexicographic min of shingle hashes (a
+    1-permutation minhash — robust to local edits, unlike whole-doc md5)."""
+    return F.array_min(F.transform(word_shingles(words, n), F.md5))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats block."""
+    w = tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_tokens_bpe": bpe_ish_token_count(text_col),
+            "mean_word_len": F.round(mean_word_length(w), 6),
+            "stopword_ratio": F.round(stopword_ratio(w), 6),
+            "punct_ratio": F.round(punct_ratio(text_col), 6),
+            "lang_pred": lang_id(w),
+            "quality": quality_score(text_col),
+            "fingerprint": doc_fingerprint(text_col),
+        }
+    )

@@ -1,0 +1,380 @@
+"""LLM-data-pipeline queries: text analysis, dedup family, similarity search,
+multimodal metadata — each a (Spark, DuckDB-oracle) pair over the driver's
+``documents``/``embeddings`` fixtures.
+
+The oracle SQL re-implements the SAME deterministic algorithms (tokenization,
+md5 hash families, left-to-right double folds, 6-dp rounding), so the gate
+proves algorithmic equivalence — for fuzzy dedup the oracle is the exhaustive
+ground truth, i.e. it also proves the LSH path loses no pairs on this data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.operators import dedup as D
+from mobsos_event_log_generator_spark.operators import similarity as S
+from mobsos_event_log_generator_spark.operators import text as X
+from mobsos_event_log_generator_spark.plans.queries import register
+from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments (lock-step mirrors of operators/text.py)
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+SQL_SHINGLES3 = (
+    "CASE WHEN len(words) >= 3 THEN "
+    "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) "
+    "ELSE [] END"
+)
+
+
+def _sql_marker_count(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(words, w -> w IN ({inlist})))"
+
+
+def _sql_lang_pred() -> str:
+    langs = sorted(X.LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        later = [f"s_{l}" for l in langs[i + 1 :]] + ["0"]
+        clauses.append(f"WHEN s_{lang} > greatest({', '.join(later)}) THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, text, {SQL_WORDS} AS words FROM documents
+),
+scored AS (
+  SELECT doc_id, text, words,
+         {_sql_marker_count(X.LANG_MARKERS['de'])} AS s_de,
+         {_sql_marker_count(X.LANG_MARKERS['en'])} AS s_en,
+         {_sql_marker_count(X.LANG_MARKERS['es'])} AS s_es,
+         {_sql_marker_count(X.LANG_MARKERS['fr'])} AS s_fr,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'),
+             a -> (length(a) + 3) // 4)), 0) AS BIGINT) AS n_tokens_bpe,
+         CASE WHEN len(words) > 0
+              THEN round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0
+              THEN round(CAST({_sql_marker_count(X.STOPWORDS)} AS DOUBLE) / len(words), 6)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN length(text) > 0
+              THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6)
+              ELSE 0.0 END AS punct_ratio
+  FROM w
+)
+SELECT doc_id, n_tokens, n_tokens_bpe, mean_word_len, stopword_ratio, punct_ratio,
+       {_sql_lang_pred()} AS lang_pred,
+       round(((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mean_word_len_raw >= 3.0 AND mean_word_len_raw <= 10.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN stopword_ratio_raw >= 0.01 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio_raw <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality,
+       md5(array_to_string(words, ' ')) AS fingerprint
+FROM (
+  SELECT *,
+         CASE WHEN len(words) > 0
+              THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+              ELSE 0.0 END AS mean_word_len_raw,
+         CASE WHEN len(words) > 0
+              THEN CAST({_sql_marker_count(X.STOPWORDS)} AS DOUBLE) / len(words)
+              ELSE 0.0 END AS stopword_ratio_raw,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct_ratio_raw
+  FROM scored
+)
+"""
+
+
+@register("text_stats_docs", _TEXT_STATS_ORACLE)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis block: token counts (whitespace + BPE-ish),
+    word-shape stats, stopword/punct ratios, language-ID, quality score,
+    fingerprint — all codegen'd Column algebra, zero Python in the row path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "lang_pred",
+        "quality",
+        "fingerprint",
+    )
+
+
+@register(
+    "dedup_exact_prefix",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
+SELECT md5(array_to_string(words[1:10], ' ')) AS digest,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS members
+FROM w
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (hash-groupBy, one shuffle). Keyed on the
+    10-word-prefix fingerprint — the crawl-style leading-content digest (the
+    fixture has no full-text exact dups; full-text mode is unit-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.array_join(F.slice(X.tokens("text"), 1, 10), " ")).alias("digest")
+    )
+    return (
+        keyed.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",").alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH fuzzy dedup
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLE_CTE = f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+)
+"""
+
+_MINHASH_COLS_SQL = ",\n       ".join(
+    f"min(md5('s{i}|' || shingle)) AS mh{i}" for i in range(D.NUM_MINHASHES)
+)
+
+
+@register(
+    "minhash_signatures",
+    _SQL_SHINGLE_CTE
+    + f"""
+SELECT doc_id,
+       {_MINHASH_COLS_SQL}
+FROM sh
+GROUP BY doc_id
+""",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 12-hash minhash signature (hash family: lexicographic min of
+    md5(seed || shingle)) — single explode→groupBy, map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(D.doc_shingles(docs))
+
+
+@register(
+    "dedup_minhash_lsh",
+    _SQL_SHINGLE_CTE
+    + """
+, c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter), 6) AS jaccard
+FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup pairs: shingle → minhash → LSH band buckets → candidates →
+    exact Jaccard ≥ 0.8. The oracle is the EXHAUSTIVE all-pairs ground truth,
+    so a pass proves the LSH bucketing has full recall on this data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(docs, threshold=0.8)
+
+
+_SIMHASH_TERMS_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(words, x -> CASE WHEN substr(md5(x), {j + 1}, 1) "
+    f"IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END)"
+    for j in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_docs",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
+SELECT doc_id,
+       CAST({_SIMHASH_TERMS_SQL} AS BIGINT) AS simhash
+FROM w
+""",
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (occurrence-weighted md5-nibble votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(X.tokens("text")).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH w AS (SELECT doc_id, lang, {SQL_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter), 6) AS jaccard
+FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup within a language block (the quadratic
+    baseline; blocking bounds the pair space)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
+
+
+def _sql_sqnorm(a: str, dim: int = 64) -> str:
+    return " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
+
+
+_SQL_CODE8 = " + ".join(f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(S.CODE_BITS))
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= 5
+""",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (every 50th id): broadcast query
+    set, corpus scanned once, JVM fold for the dot product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_topk_ann_bucketed",
+    f"""
+WITH coded AS (SELECT vec_id, embedding, {_SQL_CODE8} AS code FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, code FROM coded WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, code FROM coded),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
+  FROM q JOIN c USING (code) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= 5
+""",
+)
+def similarity_topk_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5: deterministic 8-bit hypercube code (sign LSH) buckets the
+    corpus; the query probes only its own bucket — equi-join, no cross
+    product. The oracle runs the same quantizer, proving the bucket routing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.bucketed_ann_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+WITH a AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT x.vec_id AS id1, y.vec_id AS id2,
+       round(({_sql_dot('x.embedding', 'y.embedding')}) /
+             (sqrt({_sql_sqnorm('x.embedding')}) * sqrt({_sql_sqnorm('y.embedding')})), 6) AS cosine
+FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE round(({_sql_dot('x.embedding', 'y.embedding')}) /
+            (sqrt({_sql_sqnorm('x.embedding')}) * sqrt({_sql_sqnorm('y.embedding')})), 6) >= 0.35
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label block (cosine ≥ 0.35;
+    the fixture's max is ~0.475 with a clean gap at the threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, block_col="label", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_sha256,
+       'text/plain' AS mime
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload as BinaryType + typed metadata
+    (byte length, content hash, mime). The pattern for image/audio/video
+    columns — payload stays opaque, metadata is queryable."""
+    from mobsos_event_log_generator_spark.operators.multimodal import attach_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = attach_binary_payload(docs, text_col="text")
+    return with_bin.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.content_sha256").alias("content_sha256"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@register("multimodal_decode_stub")  # rows-only: mapInPandas plumbing demo
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stub over the binary payload (deterministic fake
+    decoder — real image/audio libs are stubbed per environment contract).
+    Proves the mapInPandas schema/batch plumbing end-to-end."""
+    from mobsos_event_log_generator_spark.operators.multimodal import attach_binary_payload, fake_decode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_decode(attach_binary_payload(docs, text_col="text"))

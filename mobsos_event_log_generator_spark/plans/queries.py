@@ -312,3 +312,4 @@ def xes_trace_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register the extended operator families (import side effect populates the
 # registry; placed at module end to avoid circular imports).
 from mobsos_event_log_generator_spark.plans import analytics  # noqa: E402,F401
+from mobsos_event_log_generator_spark.plans import llm  # noqa: E402,F401

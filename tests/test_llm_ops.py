@@ -1,0 +1,137 @@
+"""Unit tests for the LLM-data-pipeline operators: dedup family, similarity
+search, text analysis, multimodal plumbing — semantic assertions on hand-built
+fixtures (the registry-level DuckDB parity runs in test_queries_parity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.operators import dedup as D
+from mobsos_event_log_generator_spark.operators import similarity as S
+from mobsos_event_log_generator_spark.operators import text as X
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank now", "en"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles", "en"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),  # exact dup of 1
+    (5, "tiny", "en"),  # fewer than 3 words -> no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1
+    assert groups[0]["members"] == "1,4"
+
+
+def test_minhash_lsh_finds_near_and_exact_dups(docs):
+    pairs = {(r["id1"], r["id2"]): r["jaccard"] for r in D.minhash_lsh_dedup(docs, threshold=0.8).collect()}
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8  # near dup (one word changed)
+    assert (2, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_signature_shape(docs):
+    sig = D.minhash_signatures(D.doc_shingles(docs))
+    rows = sig.collect()
+    assert len(rows) == 4  # doc 5 has no shingles
+    assert all(len(r) == 1 + D.NUM_MINHASHES for r in rows)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["mh0"] == by_id[4]["mh0"]  # identical text -> identical signature
+
+
+def test_simhash_identical_for_exact_dups(docs):
+    sigs = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", D.simhash(X.tokens("text")).alias("sh")).collect()}
+    assert sigs[1] == sigs[4]
+    assert 0 <= sigs[1] < 2**32
+    # near-dup differs in few bits from its source
+    ham = bin(sigs[1] ^ sigs[2]).count("1")
+    assert ham <= 8
+    assert bin(sigs[1] ^ sigs[3]).count("1") > ham
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = {(r["id1"], r["id2"]) for r in D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.8).collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = S.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [2, 3, 4]
+    top = next(r for r in out if r["rank"] == 1)
+    assert abs(top["cosine"] - 0.9 / math.sqrt(0.82)) < 1e-5
+
+
+def test_hypercube_bucket_routing(spark):
+    vecs = [
+        (1, [1.0] * 8 + [0.0] * 56),
+        (2, [1.0] * 8 + [0.5] * 56),    # same bucket as 1
+        (3, [-1.0] * 8 + [0.0] * 56),   # different bucket
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = S.bucketed_ann_topk(df, df.filter(F.col("vec_id") == 1), k=5).collect()
+    assert {r["neighbor_id"] for r in out} == {2}  # 3 is never probed
+
+
+def test_text_stats_fields(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog! 42 times."), (2, "der hund und die katze und der vogel")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in X.text_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 7
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "de"
+    assert rows[1]["punct_ratio"] > 0
+    assert rows[1]["fingerprint"] == rows[1]["fingerprint"]  # deterministic
+    # bpe-ish: 'the cat and the dog ! 42 ...' atoms charged ceil(len/4)
+    assert rows[1]["n_tokens_bpe"] >= rows[1]["n_tokens"]
+
+
+def test_multimodal_plumbing(spark):
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        attach_binary_payload,
+        fake_decode,
+        frame_sample,
+    )
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "another doc")], "doc_id long, text string")
+    wb = attach_binary_payload(df)
+    meta = {r["doc_id"]: r["meta"] for r in wb.collect()}
+    assert meta[1]["byte_len"] == len(b"hello world")
+    assert len(meta[1]["content_sha256"]) == 64
+    decoded = fake_decode(wb)
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert set(rows) == {1, 2}
+    assert 64 <= rows[1]["width"] <= 64 + 255
+    # deterministic across runs
+    rows2 = {r["doc_id"]: r for r in fake_decode(wb).collect()}
+    assert rows[1] == rows2[1]
+    frames = frame_sample(decoded, every_nth=2).collect()
+    assert all(f["frame_idx"] % 2 == 0 for f in frames)
+
+
+def test_decode_image_is_stubbed():
+    from mobsos_event_log_generator_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
