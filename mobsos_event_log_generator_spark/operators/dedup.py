@@ -53,9 +53,16 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (docs with < n words drop
-    out — they have no shingle set to compare)."""
+    out — they have no shingle set to compare).
+
+    The tokenization is materialized through a projection BEFORE shingling:
+    ``word_shingles`` references its input array ~5x (size guard + one
+    element_at per gram position), and if that input is the raw
+    split-expression each reference re-tokenizes the document — O(words²)
+    regex work per doc (measured 8.4s → 0.5s at sf0.1)."""
+    words = df.select(F.col(id_col), tokens(text_col).alias("words"))
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(tokens(text_col), n)).alias("shingle"))
+        words.select(F.col(id_col), F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -139,8 +146,17 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: shingle → minhash → LSH buckets → candidate
-    pairs → exact Jaccard verify. Returns (id1, id2, jaccard) near-dup pairs."""
-    sh = doc_shingles(df, id_col, text_col)
+    pairs → exact Jaccard verify. Returns (id1, id2, jaccard) near-dup pairs.
+
+    The shingle table feeds four consumers (signatures, both sides of the
+    intersection join, the size counts); persisting it turns 4 re-derivations
+    (tokenize+shingle+distinct each time) into one. MEMORY_AND_DISK so a
+    100 TB corpus spills instead of OOMing; on a cluster this is the
+    materialize-intermediate pattern every industrial fuzzy-dedup run uses.
+    """
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
     return jaccard_verify(cand, sh, id_col, threshold)
@@ -149,17 +165,59 @@ def minhash_lsh_dedup(
 def simhash(words: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over a word array: bit j is the sign of the sum over words of
     ±1 votes taken from md5 hex nibble j (occurrence-weighted). Returns a
-    non-negative bigint (bits 0..31)."""
-    def vote(j: int):
-        return lambda acc, w: acc + F.when(
-            F.substring(F.md5(w), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
-        ).otherwise(-1)
+    non-negative bigint (bits 0..31).
 
-    votes = [F.aggregate(words, F.lit(0).cast("long"), vote(j)) for j in range(bits)]
-    out = F.lit(0).cast("long")
-    for j, v in enumerate(votes):
-        out = out + F.when(v > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    Single pass: each word is md5'd ONCE, its ±1 vote vector folded into a
+    running count array (``zip_with``); the bit pattern then folds against a
+    power-of-two array. (A per-bit-aggregate formulation re-hashes every word
+    per bit — 32x the hash cost.)
+    """
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    hashes = F.transform(words, F.md5)  # md5 once per word, before the fold
+
+    def hash_votes(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda j: F.when(F.substring(h, j, 1).isin(*high), 1).otherwise(-1),
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, hash_votes(h), lambda a, b: a + b),
+    )
+    powers = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc simhash as explode → hash-once projection → codegen'd hash
+    aggregate (32 conditional sums). Same semantics as ``simhash`` (the
+    Column form), but the hot path stays in whole-stage codegen instead of
+    interpreted nested higher-order functions — ~4x faster measured.
+    Docs with zero words get simhash 0 (left join back)."""
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    hashed = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).select(
+        id_col, F.md5("w").alias("h")
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.substring("h", j + 1, 1).isin(*high), 1).otherwise(-1)).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(bits)),
+        start=F.lit(0).cast("long"),
+    )
+    sigs = votes.select(F.col(id_col), sig.alias("simhash"))
+    return df.select(id_col).join(sigs, id_col, "left").select(
+        id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -186,8 +244,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard within a blocking key (honest quadratic baseline;
     blocks must be bounded — at scale prefer minhash_lsh_dedup)."""
+    words = df.select(F.col(id_col), F.col(block_col).alias("block"), tokens(text_col).alias("words"))
     sh = (
-        df.select(F.col(id_col), F.col(block_col).alias("block"), F.explode(word_shingles(tokens(text_col), n)).alias("shingle"))
+        words.select(F.col(id_col), F.col("block"), F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
         .distinct()
     )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

@@ -95,10 +95,13 @@ def mean_word_length(words: Column) -> Column:
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def quality_score(text_col: str = "text") -> Column:
+def quality_score(text_col: str = "text", words: Column | None = None) -> Column:
     """Heuristic document quality in [0,1]: length band + word-shape band +
-    stopword presence + punctuation sanity (Gopher/C4-style rule scoring)."""
-    w = tokens(text_col)
+    stopword presence + punctuation sanity (Gopher/C4-style rule scoring).
+
+    Pass ``words`` as a materialized attribute column when calling repeatedly —
+    inlining the split expression here multiplies the tokenization cost."""
+    w = tokens(text_col) if words is None else words
     n = F.size(w)
     len_ok = F.when((n >= 50) & (n <= 100_000), 1.0).otherwise(0.0)
     mwl = mean_word_length(w)
@@ -120,17 +123,25 @@ def rolling_min_fingerprint(words: Column, n: int = 3) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass per-document stats block."""
-    w = tokens(text_col)
-    return df.withColumns(
-        {
-            "n_tokens": token_count(text_col),
-            "n_tokens_bpe": bpe_ish_token_count(text_col),
-            "mean_word_len": F.round(mean_word_length(w), 6),
-            "stopword_ratio": F.round(stopword_ratio(w), 6),
-            "punct_ratio": F.round(punct_ratio(text_col), 6),
-            "lang_pred": lang_id(w),
-            "quality": quality_score(text_col),
-            "fingerprint": doc_fingerprint(text_col),
-        }
+    """One-pass per-document stats block.
+
+    Tokenization is materialized through a projection first; every metric
+    then references the bound ``__words`` attribute (a single split per row
+    instead of one per metric reference)."""
+    w = F.col("__words")
+    return (
+        df.withColumn("__words", tokens(text_col))
+        .withColumns(
+            {
+                "n_tokens": F.size(w).cast("long"),
+                "n_tokens_bpe": bpe_ish_token_count(text_col),
+                "mean_word_len": F.round(mean_word_length(w), 6),
+                "stopword_ratio": F.round(stopword_ratio(w), 6),
+                "punct_ratio": F.round(punct_ratio(text_col), 6),
+                "lang_pred": lang_id(w),
+                "quality": quality_score(text_col, words=w),
+                "fingerprint": F.md5(F.array_join(w, " ")),
+            }
+        )
+        .drop("__words")
     )

@@ -17,7 +17,7 @@ from mobsos_event_log_generator_spark.operators import dedup as D
 from mobsos_event_log_generator_spark.operators import similarity as S
 from mobsos_event_log_generator_spark.operators import text as X
 from mobsos_event_log_generator_spark.plans.queries import register
-from mobsos_event_log_generator_spark.sources.parquet import load_table
+from mobsos_event_log_generator_spark.sources.parquet import ensure_min_partitions, load_table
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB fragments (lock-step mirrors of operators/text.py)
@@ -102,7 +102,7 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis block: token counts (whitespace + BPE-ish),
     word-shape stats, stopword/punct ratios, language-ID, quality score,
     fingerprint — all codegen'd Column algebra, zero Python in the row path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return X.text_stats(docs).select(
         "doc_id",
         "n_tokens",
@@ -133,7 +133,7 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest (hash-groupBy, one shuffle). Keyed on the
     10-word-prefix fingerprint — the crawl-style leading-content digest (the
     fixture has no full-text exact dups; full-text mode is unit-tested)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     keyed = docs.select(
         "doc_id", F.md5(F.array_join(F.slice(X.tokens("text"), 1, 10), " ")).alias("digest")
     )
@@ -178,7 +178,7 @@ GROUP BY doc_id
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 12-hash minhash signature (hash family: lexicographic min of
     md5(seed || shingle)) — single explode→groupBy, map-side combined."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return D.minhash_signatures(D.doc_shingles(docs))
 
 
@@ -202,7 +202,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup pairs: shingle → minhash → LSH band buckets → candidates →
     exact Jaccard ≥ 0.8. The oracle is the EXHAUSTIVE all-pairs ground truth,
     so a pass proves the LSH bucketing has full recall on this data."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return D.minhash_lsh_dedup(docs, threshold=0.8)
 
 
@@ -223,9 +223,10 @@ FROM w
 """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (occurrence-weighted md5-nibble votes)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash(X.tokens("text")).alias("simhash"))
+    """32-bit SimHash per document (occurrence-weighted md5-nibble votes),
+    computed via the codegen-friendly explode→groupBy formulation."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return D.simhash_table(docs)
 
 
 @register(
@@ -251,7 +252,7 @@ WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup within a language block (the quadratic
     baseline; blocking bounds the pair space)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.8)
 
 
@@ -289,7 +290,7 @@ WHERE rn <= 5
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per query vector (every 50th id): broadcast query
     set, corpus scanned once, JVM fold for the dot product."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk(emb, queries, k=5)
 
@@ -314,7 +315,7 @@ def similarity_topk_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5: deterministic 8-bit hypercube code (sign LSH) buckets the
     corpus; the query probes only its own bucket — equi-join, no cross
     product. The oracle runs the same quantizer, proving the bucket routing."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.bucketed_ann_topk(emb, queries, k=5)
 
@@ -334,7 +335,7 @@ WHERE round(({_sql_dot('x.embedding', 'y.embedding')}) /
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label block (cosine ≥ 0.35;
     the fixture's max is ~0.475 with a clean gap at the threshold)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return S.embedding_near_dup_pairs(emb, block_col="label", threshold=0.35)
 
 
@@ -359,7 +360,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns — payload stays opaque, metadata is queryable."""
     from mobsos_event_log_generator_spark.operators.multimodal import attach_binary_payload
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     with_bin = attach_binary_payload(docs, text_col="text")
     return with_bin.select(
         "doc_id",
@@ -376,5 +377,5 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Proves the mapInPandas schema/batch plumbing end-to-end."""
     from mobsos_event_log_generator_spark.operators.multimodal import attach_binary_payload, fake_decode
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return fake_decode(attach_binary_payload(docs, text_col="text"))

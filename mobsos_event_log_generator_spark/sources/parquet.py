@@ -48,6 +48,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Guard against pathological input layout (one giant/few files): if the
+    scan yields fewer partitions than requested, round-robin repartition so
+    downstream per-row-heavy operators use the whole cluster. A no-op on
+    well-laid-out lake tables (thousands of splits), so it costs nothing at
+    100 TB but un-serializes small local fixtures."""
+    min_partitions = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = KNOWN_TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
 
