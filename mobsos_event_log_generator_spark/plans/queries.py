@@ -313,3 +313,4 @@ def xes_trace_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry; placed at module end to avoid circular imports).
 from mobsos_event_log_generator_spark.plans import analytics  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import llm  # noqa: E402,F401
+from mobsos_event_log_generator_spark.plans import streaming_queries  # noqa: E402,F401

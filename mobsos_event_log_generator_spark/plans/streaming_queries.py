@@ -1,0 +1,83 @@
+"""Streaming queries for the driver gate.
+
+``streaming_sessionize_events`` runs the real Structured Streaming pipeline
+(file source → watermark → session_window → memory sink, Trigger.AvailableNow)
+and returns the emitted result as a batch DataFrame. The DuckDB oracle
+replicates BOTH the session semantics (new session when the gap ≥ 30 min —
+session windows are half-open) AND the append-mode emission rule (a session is
+emitted only once the watermark passes its window end: window_end ≤ max(ts) -
+1 h delay), so the gate checks the actual streaming behavior, not a batch
+approximation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.plans.queries import TS_FMT_DUCK, TS_FMT_SPARK, register
+
+_STREAM_SESSION_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+),
+sess AS (
+  SELECT user_id AS "case", sid,
+         CAST(count(*) AS BIGINT) AS n_events,
+         strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+         strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+         max(ts) + INTERVAL 30 MINUTE AS wend,
+         string_agg(event_type, ',' ORDER BY ts, event_type) AS activity_path
+  FROM s
+  GROUP BY 1, 2
+),
+m AS (SELECT max(ts) AS mx FROM events)
+SELECT "case", n_events, session_start, session_end,
+       strftime(wend, '{TS_FMT_DUCK}') AS window_end, activity_path
+FROM sess, m
+WHERE wend <= mx - INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_sessionize_events", _STREAM_SESSION_ORACLE)
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session-window trace assembly as a REAL streaming query
+    (Trigger.AvailableNow, append mode, checkpointed) — the Spark-native
+    replacement for the reference's batch pull-per-request (SURVEY.md §7.5)."""
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+    from mobsos_event_log_generator_spark.streaming.sessionize import sessionized_traces
+
+    events = stream_events(spark, f"{sf_dir}/events.parquet")
+    traces = sessionized_traces(events, gap="30 minutes", watermark_delay="1 hour")
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        traces.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        "case",
+        "n_events",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        F.date_format("window_end", TS_FMT_SPARK).alias("window_end"),
+        "activity_path",
+    )

@@ -1,0 +1,120 @@
+"""Structured Streaming tests: session-window trace assembly, incremental
+catch-up across restarts, foreachBatch XES sink, JDBC-style watermark poller."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.streaming.ingest import JdbcIncrementalSource, stream_events
+from mobsos_event_log_generator_spark.streaming.sessionize import (
+    run_available_now,
+    sessionized_traces,
+    stream_xes_sink,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_streaming_equals_batch_sessionization(spark, tmp_path):
+    """AvailableNow streaming session_window == batch gap-sessionization for
+    every session the watermark has finalized."""
+    traces = sessionized_traces(stream_events(spark, SRC))
+    out = run_available_now(traces, str(tmp_path / "ck"), queryName="t_batch_eq")
+
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = (
+        ev.withColumn("ns", F.when(gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1).otherwise(0))
+        .withColumn("sid", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    finalized = sess.filter(F.col("en") + F.expr("INTERVAL 30 MINUTES") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+    assert out.count() == finalized.count()
+    got = {(r["case"], r["session_start"], r["n_events"]) for r in out.collect()}
+    want = {(r["user_id"], r["st"], r["n"]) for r in finalized.collect()}
+    assert got == want
+
+
+def test_incremental_catchup_across_restarts(spark, tmp_path):
+    """Checkpointed AvailableNow: a second run after new files arrive emits
+    only the newly-finalized sessions (no duplicates, no loss) — the
+    exactly-once incremental contract."""
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    ck = str(tmp_path / "ck")
+
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").orderBy("ts")
+    first, second = ev.limit(600), ev.subtract(ev.limit(600))
+    first.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "batch1"))
+
+    def run_once(qname):
+        stream = sessionized_traces(
+            stream_events(spark, str(src_dir) + "/*", ts_is_nanos=False), watermark_delay="1 hour"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once("r1")
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    second.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "batch2"))
+    run_once("r2")
+    out = spark.read.parquet(str(tmp_path / "out"))
+    n2 = out.count()
+    assert n2 > n1
+    # no duplicate (case, session_start) pairs across restarts
+    assert out.groupBy("case", "session_start").count().filter("count > 1").count() == 0
+
+
+def test_stream_xes_sink_writes_parseable_shards(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sinks.xes import read_xes
+
+    traces = sessionized_traces(stream_events(spark, SRC))
+    q = stream_xes_sink(
+        traces,
+        out_dir=str(tmp_path / "xes"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    files = glob.glob(str(tmp_path / "xes" / "batch=*" / "*.xes"))
+    assert files
+    total_traces = sum(len(read_xes(f)) for f in files)
+    assert total_traces == 944  # == finalized sessions
+
+
+def test_jdbc_incremental_source_watermark(spark, tmp_path):
+    """High-watermark poller: successive polls see only new rows; commit
+    advances the watermark atomically."""
+    ev = spark.read.parquet(SRC).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def loader(hwm):
+        return ev.filter(F.col("ts") > F.lit(hwm)) if hwm else ev
+
+    src = JdbcIncrementalSource(checkpoint_path=str(tmp_path / "hwm.json"), ts_col="ts", load_slice=loader)
+    s1 = src.poll()
+    assert s1.count() == 1000  # first poll: everything
+    mid = ev.orderBy("ts").limit(500).agg(F.max("ts")).collect()[0][0]
+    src.write_watermark(str(mid))
+    s2 = src.poll()
+    assert s2.count() == 500  # only rows after the watermark
+    src.commit(s2)
+    assert src.poll().count() == 0  # fully caught up
