@@ -1,0 +1,93 @@
+"""As-of and range joins — temporal operators Spark lacks natively, built as
+compositions of DataFrame ops (SURVEY.md custom-operator rule (a): never a
+Python UDF when algebra can express it).
+
+* ``asof_join`` — "latest reference row at or before each probe row, per
+  key". The distributed-correct pattern is NOT probe×ref join + agg (that's
+  quadratic per key); it is the union + ordered-window sweep: tag both sides,
+  union, single shuffle on the key, one ordered window pass carrying the last
+  reference seen. O(n log n) per partition, one shuffle total — survives any
+  key cardinality / 100 TB.
+* ``banded_range_join`` — "pairs within a time band, per key". Naive range
+  predicates force a per-key cross product; bucketing time into band-width
+  buckets and equi-joining each probe to its {-1, 0, +1} neighbor buckets
+  turns it into an equi-join with a 3x fan-out, then an exact band filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probes: DataFrame,
+    refs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    ref_payload: list[str],
+) -> DataFrame:
+    """For each probe row: the reference row with the greatest (ts, tie) that
+    is <= the probe's ts (equal timestamps match — references sort before
+    probes at the same instant). Probe rows keep all their columns; reference
+    payload columns arrive as ``ref_<name>`` (NULL when no reference
+    precedes). ``tie_col`` makes same-timestamp ordering deterministic."""
+    ref_struct = F.struct(
+        F.col(ts_col).alias("__ts"), F.col(tie_col).alias("__tie"), *[F.col(c) for c in ref_payload]
+    )
+    tagged_refs = refs.select(
+        F.col(key_col), F.col(ts_col), F.col(tie_col), F.lit(0).alias("__side"), ref_struct.alias("__ref")
+    )
+    probe_cols = probes.columns
+    tagged_probes = probes.select(
+        *probe_cols, F.lit(1).alias("__side"), F.lit(None).cast(tagged_refs.schema["__ref"].dataType).alias("__ref")
+    )
+    unioned = tagged_probes.unionByName(tagged_refs, allowMissingColumns=True)
+    # refs (side 0) sort before probes (side 1) at equal ts: "at or before".
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("__side"), F.col(tie_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = unioned.withColumn("__last_ref", F.last("__ref", ignorenulls=True).over(w))
+    out = swept.filter(F.col("__side") == 1).select(
+        *probe_cols,
+        *[F.col("__last_ref")[c].alias(f"ref_{c}") for c in ["__ts", *ref_payload]],
+    )
+    return out.withColumnRenamed("ref___ts", "ref_ts")
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    band_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with the same key and |left.ts - right.ts| <=
+    band. Left columns keep their names; right columns arrive ``r_<name>``.
+
+    Implementation: bucket = floor(epoch / band); each left row explodes to
+    its {bucket-1, bucket, bucket+1} neighborhood and equi-joins right on
+    (key, bucket) — any in-band pair shares one of those buckets — then the
+    exact |dt| filter prunes the corners."""
+    band_us = band_seconds * 1_000_000
+    r_cols = [c for c in right.columns]
+    # Integer div for exact bucketing (double division could misround at
+    # bucket boundaries).
+    bucket = lambda c: F.expr(f"unix_micros(`{c}`) div {band_us}")  # noqa: E731
+    lefted = left.withColumn(
+        "__lbucket", F.explode(F.array(bucket(ts_col) - 1, bucket(ts_col), bucket(ts_col) + 1))
+    )
+    righted = right.select(
+        F.col(key_col).alias("__rkey"),
+        bucket(ts_col).alias("__rbucket"),
+        *[F.col(c).alias(f"r_{c}") for c in r_cols],
+    )
+    joined = lefted.join(
+        righted, (F.col(key_col) == F.col("__rkey")) & (F.col("__lbucket") == F.col("__rbucket")), "inner"
+    )
+    dt = F.unix_micros(F.col(f"r_{ts_col}")) - F.unix_micros(F.col(ts_col))
+    return joined.filter(F.abs(dt) <= band_us).drop("__lbucket", "__rbucket", "__rkey")

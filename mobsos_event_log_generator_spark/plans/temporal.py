@@ -1,0 +1,87 @@
+"""Temporal join queries: as-of and banded range joins over the events table,
+oracle-checked against window/range SQL formulations in DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.operators.asof import asof_join, banded_range_join
+from mobsos_event_log_generator_spark.plans.queries import TS_FMT_DUCK, TS_FMT_SPARK, register
+from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+
+@register(
+    "asof_last_click_before_purchase",
+    f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+swept AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+           OVER w AS ref_ts,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS ref_event_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       ref_event_id,
+       strftime(ref_ts, '{TS_FMT_DUCK}') AS ref_ts,
+       epoch_us(ts) - epoch_us(ref_ts) AS lag_us
+FROM swept WHERE side = 1
+""",
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's latest click at-or-before it
+    (union + ordered-window sweep — one shuffle, no per-key cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purchases, clicks, key_col="user_id", ts_col="ts", tie_col="event_id", ref_payload=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        "ref_event_id",
+        F.date_format("ref_ts", TS_FMT_SPARK).alias("ref_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ref_ts"))).alias("lag_us"),
+    )
+
+
+@register(
+    "range_join_events_near_errors",
+    f"""
+SELECT e.event_id,
+       CAST(count(n.event_id) AS BIGINT) AS n_neighbors
+FROM events e
+LEFT JOIN events n
+  ON n.user_id = e.user_id
+ AND n.event_id <> e.event_id
+ AND abs(epoch_us(n.ts) - epoch_us(e.ts)) <= 300000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""",
+)
+def range_join_events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per error event, how many same-user events fall
+    within ±5 minutes — time-bucketed equi-join (3x fan-out) instead of a
+    per-user cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    others = ev.select("event_id", "user_id", "ts")
+    pairs = banded_range_join(errors, others, key_col="user_id", ts_col="ts", band_seconds=300)
+    pairs = pairs.filter(F.col("r_event_id") != F.col("event_id"))
+    return (
+        errors.join(
+            pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")), "event_id", "left"
+        )
+        .select("event_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_neighbors"))
+    )

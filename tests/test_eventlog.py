@@ -137,3 +137,26 @@ def test_large_inlist_uses_semi_join(spark, eventlog):
     out = Fi.filter_resources(eventlog, ids)
     assert "LeftSemi" in out._jdf.queryExecution().optimizedPlan().toString()
     assert out.count() == 7
+
+
+def test_message_table_bot_resolver(spark):
+    """S3/P6/F8 — resolve bot resource ids from the MESSAGE table
+    (event_reader.py:93-116)."""
+    from mobsos_event_log_generator_spark.sources.message import (
+        bot_resource_ids_df,
+        resolve_bot_resources_from_messages,
+    )
+
+    messages = spark.createDataFrame(
+        [
+            ('{"botName": "menuBot", "agentId": "a1"}',),
+            ('{"botName": "menuBot", "agentId": "a2"}',),
+            ('{"botName": "menuBot", "agentId": "a1"}',),  # dup -> distinct
+            ('{"botName": "menuBot"}',),  # null agentId -> F8 drop
+            ('{"botName": "otherBot", "agentId": "a9"}',),
+            ("not-json",),
+        ],
+        "REMARKS string",
+    )
+    assert sorted(resolve_bot_resources_from_messages(messages, "menuBot")) == ["a1", "a2"]
+    assert bot_resource_ids_df(messages, "ghost").count() == 0

@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the scale properties each query claims
+must be visible in its executedPlan (SURVEY.md: "explain and iterate until
+it's the plan you'd want"). These lock in pushdown, pruning, broadcast
+strategy, map-side partial aggregation, distributed top-k, and the
+no-Python-in-the-row-path rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from mobsos_event_log_generator_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """F5's timestamp range + derived not-null predicates must appear as scan
+    DataFilters (Catalyst's PushDownPredicates doing what the reference did
+    by hand-building SQL, event_reader.py:59-69)."""
+    plan = plan_of(spark, sf_dir, "eventlog_resource_window")
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan and "DataFilters: [" in scan[0]
+    assert "isnotnull" in scan[0]
+
+
+def test_column_pruning_drops_unused_columns(spark, sf_dir):
+    """eventlog_minmax touches only ts/case derivation inputs — the scan must
+    NOT read props/value (ColumnPruning)."""
+    plan = plan_of(spark, sf_dir, "eventlog_minmax")
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "props" not in scan
+    assert "value" not in scan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: partial_sum before the exchange, final after."""
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_dims_and_distributes_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_no_cartesian_and_broadcast_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_in_hot_paths(spark, sf_dir):
+    """Text analysis, dedup, XES serialization, eventlog pipeline: all must
+    compile to JVM expressions — no (Arrow)BatchEvalPython operators."""
+    for q in ["text_stats_docs", "simhash_docs", "dedup_minhash_lsh", "xes_trace_xml", "eventlog_normalize"]:
+        plan = plan_of(spark, sf_dir, q)
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+
+
+def test_lsh_candidates_is_equijoin_not_cross(spark, sf_dir):
+    """LSH candidate generation must be a hash equi-join on the bucket key."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_banded_equijoin(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "range_join_events_near_errors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of sweep shuffles once on the key (plus AQE reads); it must not
+    contain a join operator at all — it's a window over a union."""
+    plan = plan_of(spark, sf_dir, "asof_last_click_before_purchase")
+    assert "Join" not in plan  # no join operators: union + window only
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """After execution (AQE finalized), the aggregation pipeline must sit
+    inside WholeStageCodegen spans and the scan must be vectorized."""
+    df = QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan  # WholeStageCodegen stage markers
+    assert "Batched: true" in plan  # vectorized parquet reader
+    assert "AQEShuffleRead" in plan  # adaptive shuffle coalescing engaged
