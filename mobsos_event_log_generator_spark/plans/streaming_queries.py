@@ -81,3 +81,35 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_end", TS_FMT_SPARK).alias("window_end"),
         "activity_path",
     )
+
+
+@register("streaming_capped_sessions")  # rows-only: genuinely stateful op
+def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom applyInPandasWithState sessionizer: gap sessions that ALSO close
+    early at a max event count (runaway-case guard). Iterative per-key state —
+    not SQL-expressible, so the driver records the weaker rows-only check;
+    tests prove equivalence with session_window when the cap is inert."""
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+    from mobsos_event_log_generator_spark.streaming.stateful import capped_sessions
+
+    events = stream_events(spark, f"{sf_dir}/events.parquet")
+    sess = capped_sessions(events, gap_seconds=1800, max_events=5, watermark_delay="1 hour")
+    name = f"capped_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        "case",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "closed_by",
+    )

@@ -1,0 +1,70 @@
+"""Lake-table layout for the event log at scale (SURVEY.md §7.4.5).
+
+At 100 TB the event table must be date-partitioned so the reference's
+ubiquitous time-range queries (F5) prune whole directories instead of
+scanning: ``events/event_date=YYYY-MM-DD/part-*.parquet``. This module owns
+that layout:
+
+* ``write_events_partitioned`` — lands an EVENTLOG/events DataFrame
+  partitioned by the UTC date of its timestamp. Within a partition, rows are
+  sorted by the case key so per-case data co-locates in row groups (better
+  compression + row-group skipping for resource/case filters).
+* ``read_events_partitioned`` — reads the layout back; any ``event_date``
+  filter (or a timestamp range rewritten onto it) becomes partition pruning,
+  visible as ``PartitionFilters`` in the scan.
+* ``prune_to_date_range`` — rewrites a timestamp closed interval into the
+  redundant-but-prunable ``event_date`` predicate (Catalyst cannot infer
+  ``date(ts) BETWEEN`` from ``ts BETWEEN`` across a partition column).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "event_date"
+
+
+def write_events_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    case_col: str | None = None,
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    out = df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+    if case_col is not None:
+        # Co-locate each case's rows within files (row-group locality).
+        out = out.repartition(F.col(PARTITION_COL)).sortWithinPartitions(PARTITION_COL, case_col, ts_col)
+    writer = out.write.mode("overwrite").partitionBy(PARTITION_COL)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def prune_to_date_range(
+    df: DataFrame,
+    start: datetime | str | None,
+    end: datetime | str | None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apply a closed timestamp interval AND its date-partition projection.
+
+    The ``event_date`` bounds are derivable from the ts bounds (date truncation
+    is monotone), so adding them is semantics-preserving — but only the
+    explicit date predicate prunes partitions at plan time."""
+    if start is not None:
+        df = df.filter(
+            (F.col(ts_col) >= F.lit(start)) & (F.col(PARTITION_COL) >= F.date_format(F.lit(start), "yyyy-MM-dd"))
+        )
+    if end is not None:
+        df = df.filter(
+            (F.col(ts_col) <= F.lit(end)) & (F.col(PARTITION_COL) <= F.date_format(F.lit(end), "yyyy-MM-dd"))
+        )
+    return df
