@@ -128,3 +128,57 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized brute-force top-k: the pandas-UDF escape hatch for
+    kernels the Column algebra can't express efficiently (here: a BLAS matmul
+    per Arrow batch instead of a per-element fold).
+
+    The query matrix is closed over (it is small — the broadcast-dim rule);
+    each corpus partition streams through ``mapInPandas`` once, computing
+    cosines for the whole batch with one normalized matmul. Per-partition
+    top-k then a global window keeps shuffle traffic at O(k * |Q|) per
+    partition. Same contract as ``cosine_topk``; ranking ties broken on
+    neighbor id with cosines rounded to 6 dp (numpy's pairwise summation can
+    differ from a sequential fold in the last ulp, so the rounded value is
+    the canonical one)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = mat @ q_norm.T  # (batch, |Q|)
+            for qi, qid in enumerate(q_ids):
+                col = cos[:, qi]
+                mask = ids != qid
+                # per-partition top-k preselection bounds the shuffle
+                sel = np.argsort(-col[mask])[: k * 4]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[mask][sel],
+                        "cosine": np.round(col[mask][sel], 6),
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)

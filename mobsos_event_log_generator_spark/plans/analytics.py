@@ -291,3 +291,26 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
     )
+
+
+@register(
+    "events_daily_histogram",
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 date bucketing + grouped agg: the day-granularity activity histogram
+    (date_format is the strftime('%Y-%m-%d') analogue, event_reader.py:27-29)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

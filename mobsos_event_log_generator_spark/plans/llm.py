@@ -379,3 +379,79 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return fake_decode(attach_binary_payload(docs, text_col="text"))
+
+
+# ---------------------------------------------------------------------------
+# Composite corpus preparation (the end-to-end training-data filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_prep",
+    f"""
+WITH w AS (SELECT doc_id, text, {SQL_WORDS} AS words FROM documents),
+stats AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CASE WHEN len(words) > 0
+              THEN CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(words) > 0
+              THEN CAST({_sql_marker_count(X.STOPWORDS)} AS DOUBLE) / len(words)
+              ELSE 0.0 END AS swr,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr
+  FROM w
+),
+quality AS (
+  SELECT doc_id, n_tokens,
+         round(((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality
+  FROM stats
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dup_inferior AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN c c1 ON a.doc_id = c1.doc_id JOIN c c2 ON b.doc_id = c2.doc_id
+  GROUP BY a.doc_id, b.doc_id, c1.n, c2.n
+  HAVING CAST(count(*) AS DOUBLE) / (c1.n + c2.n - count(*)) >= 0.8
+)
+SELECT q.doc_id, q.n_tokens, q.quality
+FROM quality q
+ANTI JOIN dup_inferior d ON q.doc_id = d.doc_id
+WHERE q.quality >= 0.8
+""",
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus filter: quality gate (Gopher/C4-style rule
+    score ≥ 0.8) + fuzzy-dedup survivorship (drop every doc that has a
+    smaller-id near-duplicate at Jaccard ≥ 0.8, via MinHash-LSH). The oracle
+    recomputes quality identically and uses the EXHAUSTIVE pair set, so the
+    gate also re-proves LSH recall inside a composite pipeline."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    stats = X.text_stats(docs).select("doc_id", "n_tokens", "quality")
+    dups = D.minhash_lsh_dedup(docs, threshold=0.8).select("id2").distinct()
+    return (
+        stats.filter(F.col("quality") >= 0.8)
+        .join(dups, stats.doc_id == dups.id2, "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+@register("similarity_topk_arrow")  # rows-only: BLAS kernel, last-ulp fp variance
+def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS brute-force top-k (mapInPandas matmul). Rows-only check:
+    numpy's pairwise summation can differ from a sequential SQL fold in the
+    last ulp, so exact-hash parity is asserted against the JVM path in unit
+    tests instead (test_arrow_topk_matches_jvm_topk)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk_arrow(emb, queries, k=5)

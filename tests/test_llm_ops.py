@@ -135,3 +135,17 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_arrow_topk_matches_jvm_topk(spark):
+    """The pandas-UDF (BLAS) path and the Column-algebra path must agree on
+    the top-k sets and ranks over the fixture."""
+    from mobsos_event_log_generator_spark.sources.parquet import ensure_min_partitions, load_table
+
+    emb = ensure_min_partitions(load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    jvm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in S.cosine_topk(emb, queries, k=5).collect()}
+    arrow = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in S.cosine_topk_arrow(emb, queries, k=5).collect()}
+    assert jvm == arrow
+    plan = S.cosine_topk_arrow(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan  # the Arrow path is real
