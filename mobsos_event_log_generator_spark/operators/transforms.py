@@ -86,3 +86,25 @@ def flatten_remarks(
 def format_date(col: Column) -> Column:
     """P7 — ``strftime('%Y-%m-%d')`` analogue (event_reader.py:27,29)."""
     return F.date_format(col, "yyyy-MM-dd")
+
+
+def infer_remarks_keys(df: DataFrame, remarks_col: str = "REMARKS", sample: int = 1000) -> list[str]:
+    """Two-pass dynamic-schema discovery for the REMARKS payload (SURVEY.md
+    §7.4.2): sample rows, union their JSON keys, return them sorted. The
+    caller feeds the result to ``flatten_remarks`` for typed projection —
+    replacing the reference's per-row ``json_data.keys()`` merge
+    (event_reader.py:119-126) with one bounded driver-side pass."""
+    import json
+
+    keys: set[str] = set()
+    for row in df.select(remarks_col).limit(sample).collect():
+        raw = row[0]
+        if not raw:
+            continue
+        try:
+            data = json.loads(raw)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(data, dict):
+            keys.update(str(k) for k in data)
+    return sorted(keys)

@@ -455,3 +455,29 @@ def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk_arrow(emb, queries, k=5)
+
+
+@register(
+    "remarks_key_inventory",
+    """
+SELECT k AS key, CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT unnest(json_keys(props)) AS k
+  FROM events WHERE props IS NOT NULL AND json_valid(props)
+)
+GROUP BY 1
+""",
+)
+def remarks_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 canonical form — the dynamic-key inventory of the JSON payload via
+    ``from_json`` to map<string,string> + exploded keys (the lossless
+    representation SURVEY §1.2 mandates; malformed JSON rows drop out as NULL
+    maps on both engines)."""
+    from mobsos_event_log_generator_spark.operators.transforms import remarks_as_map
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.explode(F.map_keys(remarks_as_map("props"))).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -1,0 +1,36 @@
+"""Misc operator/source unit tests: JDBC option construction, remarks schema
+inference."""
+
+from __future__ import annotations
+
+from mobsos_event_log_generator_spark.operators.transforms import infer_remarks_keys
+from mobsos_event_log_generator_spark.sources.jdbc import jdbc_reader_options
+
+
+def test_jdbc_options_partitioned():
+    opts = jdbc_reader_options(
+        url="jdbc:mysql://db:3306/LAS2PEERMON",
+        table="LAS2PEERMON.EVENTLOG",
+        user="u",
+        password="p",
+        lower_bound="2024-01-01 00:00:00",
+        upper_bound="2024-02-01 00:00:00",
+        num_partitions=64,
+    )
+    assert opts["partitionColumn"] == "TIME_STAMP"
+    assert opts["numPartitions"] == "64"
+    assert opts["pushDownAggregate"] == "true"
+    assert opts["driver"] == "com.mysql.cj.jdbc.Driver"
+
+
+def test_jdbc_options_unpartitioned_without_bounds():
+    opts = jdbc_reader_options(url="jdbc:mysql://db/x", table="t", user="u", password="p")
+    assert "partitionColumn" not in opts
+
+
+def test_infer_remarks_keys(spark):
+    df = spark.createDataFrame(
+        [('{"user": "u1", "intent": "menu"}',), ('{"user": "u2", "stateLabel": "s"}',), ("not-json",), (None,)],
+        "REMARKS string",
+    )
+    assert infer_remarks_keys(df) == ["intent", "stateLabel", "user"]
