@@ -97,9 +97,26 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id", num_bands: int = NU
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs from shared LSH buckets (equi-join on the
-    bucket key — the only place two documents ever meet)."""
+    bucket key — the only place two documents ever meet).
+
+    ``max_bucket_size`` is the hot-bucket guard for huge corpora: a bucket
+    with B members yields B² join rows, and a degenerate band value (e.g. a
+    boilerplate shingle pattern shared by millions of docs) turns the join
+    quadratic. Dropping buckets above the cap bounds the worst case at
+    cap²·n_buckets; pairs in a dropped bucket usually still meet in one of
+    their other NUM_BANDS-1 buckets. Off by default — small corpora want
+    exact behavior (and the exhaustive-oracle gate requires it)."""
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("__bsize"))
+        bands = (
+            bands.join(sizes, ["band", "band_hash"])
+            .filter(F.col("__bsize") <= max_bucket_size)
+            .drop("__bsize")
+        )
     a = bands.select(F.col(id_col).alias("id1"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id2"), "band", "band_hash")
     return (

@@ -481,3 +481,57 @@ def remarks_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "similarity_ann_recall",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+bf_pairs AS (
+  SELECT query_id, neighbor_id,
+         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+),
+bf AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM bf_pairs)
+  WHERE rn <= 5
+),
+coded AS (SELECT vec_id, embedding, {_SQL_CODE8} AS code FROM embeddings),
+aq AS (SELECT vec_id AS query_id, embedding AS qv, code FROM coded WHERE vec_id % 50 = 0),
+ac AS (SELECT vec_id AS neighbor_id, embedding AS cv, code FROM coded),
+ann_pairs AS (
+  SELECT query_id, neighbor_id,
+         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
+  FROM aq JOIN ac USING (code) WHERE query_id <> neighbor_id
+),
+ann AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM ann_pairs)
+  WHERE rn <= 5
+)
+SELECT CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM ann JOIN bf USING (query_id, neighbor_id)) AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM ann JOIN bf USING (query_id, neighbor_id)) AS DOUBLE)
+             / (SELECT count(*) FROM bf), 6) AS recall_at_5
+""",
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the bucketed ANN against the exact brute force — the
+    quality metric that justifies (or indicts) the bucketing at scale. Both
+    top-k sets are deterministic, so the recall itself is oracle-checkable."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ann = S.bucketed_ann_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    hits = ann.join(bf, ["query_id", "neighbor_id"])
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+        .crossJoin(bf.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"),
+        )
+    )
