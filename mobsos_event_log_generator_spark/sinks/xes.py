@@ -50,10 +50,20 @@ _ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 def _xml_escape(col: Column) -> Column:
-    """XML attribute-value escaping as JVM string ops (codegen-friendly)."""
-    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    """XML attribute-value escaping as JVM string ops (codegen-friendly).
+
+    Also strips the control characters XML 1.0 forbids entirely (C0 except
+    tab/newline/carriage-return) — they cannot be represented even escaped,
+    and pm4py's parser rejects documents containing them."""
+    out = F.regexp_replace(col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    out = F.replace(out, F.lit("&"), F.lit("&amp;"))
     for raw, esc in (("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")):
         out = F.replace(out, F.lit(raw), F.lit(esc))
+    # Whitespace other than plain space is legal in attributes but gets
+    # normalized to spaces by conforming parsers; character references
+    # survive round-trips.
+    for raw, ref in (("\n", "&#10;"), ("\t", "&#9;"), ("\r", "&#13;")):
+        out = F.replace(out, F.lit(raw), F.lit(ref))
     return out
 
 
