@@ -22,6 +22,8 @@ HEADLINE = [
     "eventlog_traces",
     "xes_trace_xml",
     "events_sessionization",
+    "asof_last_click_before_purchase",
+    "range_join_events_near_errors",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -29,7 +31,9 @@ HEADLINE = [
     "text_stats_docs",
     "dedup_minhash_lsh",
     "simhash_docs",
+    "corpus_prep",
     "similarity_topk_bruteforce",
+    "similarity_topk_ann_bucketed",
 ]
 
 

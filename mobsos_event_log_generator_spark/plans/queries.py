@@ -315,3 +315,39 @@ from mobsos_event_log_generator_spark.plans import analytics  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import llm  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import streaming_queries  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import temporal  # noqa: E402,F401
+
+
+@register(
+    "eventlog_keep_starts_no_bots",
+    _ORACLE_EVENTLOG_CTE.replace(
+        """    AND "LIFECYCLE_PHASE" <> 'start'
+""",
+        "",
+    ).replace(
+        """    AND "lifecycle:transition" = 'complete'
+""",
+        "",
+    )
+    + f"""
+SELECT "case:concept:name", "concept:name",
+       strftime("time:timestamp", '{TS_FMT_DUCK}') AS "time:timestamp",
+       COALESCE("lifecycle:transition", 'complete') AS "lifecycle:transition",
+       "EVENT_TYPE", "RESOURCE", "RESOURCE_TYPE", "REMARKS"
+FROM kept
+""",
+)
+def eventlog_keep_starts_no_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining flag quadrant in the gate: lifecycle starts KEPT (F4/F7
+    off, NULLs filled 'complete' by P4) while bot messages stay excluded
+    (F3+F6 on)."""
+    df = _normalized_eventlog(spark, sf_dir, include_life_cycle_start=True)
+    return df.select(
+        F.col(XES_CASE),
+        F.col(XES_ACTIVITY),
+        _fmt_ts(XES_TIMESTAMP).alias(XES_TIMESTAMP),
+        F.col(XES_LIFECYCLE),
+        "EVENT_TYPE",
+        "RESOURCE",
+        "RESOURCE_TYPE",
+        "REMARKS",
+    )
