@@ -535,3 +535,51 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "udaf_source_token_totals",
+    """
+WITH w AS (SELECT source, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT source,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM w GROUP BY 1
+""",
+)
+def udaf_source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF (Arrow-batched) — the
+    UDAF surface. Integer token sums are order-insensitive and exact, so even
+    the Python-side aggregate is oracle-checkable."""
+    from mobsos_event_log_generator_spark.operators.udafs import total_tokens_udaf
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    with_counts = docs.select("source", X.token_count("text").alias("n_tokens"))
+    # Pandas UDAFs cannot mix with JVM aggregates in one agg(); n_docs rides
+    # along as a second pandas aggregate via count of the same series.
+    totals = with_counts.groupBy("source").agg(
+        total_tokens_udaf(F.col("n_tokens")).alias("total_tokens")
+    )
+    counts = with_counts.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.join(counts, "source")
+
+
+@register("grouped_map_source_zscore")  # rows-only: fp reduction order varies
+def grouped_map_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-source z-score normalization of document
+    length — the whole-group-at-once pandas surface (each source's docs
+    arrive as one pdf). Rows-only in the gate (mean/std are fp reductions
+    whose order differs across engines); the unit test asserts semantics."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu, sigma = pdf["n_chars"].mean(), pdf["n_chars"].std(ddof=0)
+        pdf = pdf[["doc_id", "source", "n_chars"]].copy()
+        pdf["z_len"] = 0.0 if sigma == 0 else (pdf["n_chars"] - mu) / sigma
+        return pdf
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").applyInPandas(
+        zscore, "doc_id long, source string, n_chars long, z_len double"
+    )

@@ -149,3 +149,14 @@ def test_arrow_topk_matches_jvm_topk(spark):
     assert jvm == arrow
     plan = S.cosine_topk_arrow(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan  # the Arrow path is real
+
+
+def test_grouped_map_zscore_semantics(spark):
+    """applyInPandas grouped-map: z-scores are centered per group."""
+    from mobsos_event_log_generator_spark.plans.llm import grouped_map_source_zscore
+
+    out = grouped_map_source_zscore(spark, "/root/testdata/sf0.001").toPandas()
+    by_src = out.groupby("source")["z_len"]
+    assert (by_src.mean().abs() < 1e-9).all()  # centered
+    stds, counts = by_src.std(ddof=0), by_src.count()
+    assert (((stds - 1.0).abs() < 1e-9) | (counts == 1)).all()
