@@ -314,3 +314,63 @@ def events_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "subquery_parts_above_brand_avg",
+    """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+""",
+)
+def subquery_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front end — Catalyst
+    decorrelates it into an aggregate + join (the rewrite class the reference
+    could never express). Uses spark.sql to exercise the SQL API surface.
+    Comparison against a raw avg is fp-safe here: a value can only sit ON the
+    group mean when every group member is identical, in which case it is not
+    strictly greater in either engine."""
+    from mobsos_event_log_generator_spark.sources.parquet import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "subquery_exists_multi_supplier_orders",
+    """
+SELECT o_orderkey, o_orderpriority
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey
+  HAVING count(DISTINCT l.l_suppkey) >= 3
+)
+""",
+)
+def subquery_exists_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS subquery with aggregation (orders touching >= 3 suppliers) —
+    compiles to an aggregate + left-semi join."""
+    from mobsos_event_log_generator_spark.sources.parquet import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+          GROUP BY l.l_orderkey
+          HAVING count(DISTINCT l.l_suppkey) >= 3
+        )
+        """
+    )
