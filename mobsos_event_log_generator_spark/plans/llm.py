@@ -583,3 +583,52 @@ def grouped_map_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").applyInPandas(
         zscore, "doc_id long, source string, n_chars long, z_len double"
     )
+
+
+def _sql_multitable_codes(num_tables: int = 16, bits: int = 4, dim: int = 64) -> str:
+    """DuckDB list of [tbl, code] pairs mirroring multitable_codes."""
+    entries = []
+    for l in range(num_tables):
+        terms = " + ".join(
+            f"(CASE WHEN embedding[{(l * bits + j) % dim + 1}] >= 0 THEN {2**j} ELSE 0 END)"
+            for j in range(bits)
+        )
+        entries.append(f"[{l}, {terms}]")
+    return "[" + ", ".join(entries) + "]"
+
+
+@register(
+    "similarity_topk_ann_multitable",
+    f"""
+WITH coded AS (
+  SELECT vec_id, embedding, unnest({_sql_multitable_codes()}) AS tc
+  FROM embeddings
+),
+flat AS (SELECT vec_id, embedding, tc[1] AS tbl, tc[2] AS code FROM coded),
+q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, code FROM flat WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, tbl, code FROM flat),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM q JOIN c USING (tbl, code)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(({_sql_dot('e1.embedding', 'e2.embedding')}) /
+               (sqrt({_sql_sqnorm('e1.embedding')}) * sqrt({_sql_sqnorm('e2.embedding')})), 6) AS cosine
+  FROM cand
+  JOIN embeddings e1 ON e1.vec_id = cand.query_id
+  JOIN embeddings e2 ON e2.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 5
+""",
+)
+def similarity_topk_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (L=16 tables x 4 sign bits): recall@5 0.92 on the
+    fixture vs 0.02 for the single 8-bit table — the measured recall/prune
+    tradeoff is documented on the operator."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.multitable_ann_topk(emb, queries, k=5)

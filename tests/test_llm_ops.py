@@ -160,3 +160,17 @@ def test_grouped_map_zscore_semantics(spark):
     assert (by_src.mean().abs() < 1e-9).all()  # centered
     stds, counts = by_src.std(ddof=0), by_src.count()
     assert (((stds - 1.0).abs() < 1e-9) | (counts == 1)).all()
+
+
+def test_multitable_ann_beats_single_table_recall(spark):
+    """L=16x4-bit multi-table LSH must recover far more of the exact top-5
+    than the single 8-bit table on this near-random fixture."""
+    from mobsos_event_log_generator_spark.sources.parquet import ensure_min_partitions, load_table
+
+    emb = ensure_min_partitions(load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, queries, k=5).collect()}
+    single = {(r["query_id"], r["neighbor_id"]) for r in S.bucketed_ann_topk(emb, queries, k=5).collect()}
+    multi = {(r["query_id"], r["neighbor_id"]) for r in S.multitable_ann_topk(emb, queries, k=5).collect()}
+    assert len(multi & bf) > len(single & bf)
+    assert len(multi & bf) / len(bf) >= 0.7
