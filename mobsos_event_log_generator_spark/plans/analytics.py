@@ -374,3 +374,43 @@ def subquery_exists_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> D
         )
         """
     )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-on-sum semi-filter (the 'big orders' set) fed
+    back into a fact join — aggregate-then-semi-join, all one shuffle chain
+    on l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150).select("l_orderkey")
+    return (
+        li.join(big, "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
