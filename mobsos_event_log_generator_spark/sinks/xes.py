@@ -192,3 +192,62 @@ def read_xes(path: str) -> list[dict]:
             t["events"].append(attrs(ev))
         traces.append(t)
     return traces
+
+
+def read_xes_distributed(spark, path: str):
+    """Distributed XES source: each (complete, independently-parseable) XES
+    file in ``path`` is parsed in parallel — the read-back pair of the
+    sharded writer. One executor task parses one file via the binaryFile
+    source + Arrow-batched mapInPandas; output is the flat event-log shape
+    (one row per event with its trace id).
+
+    For the single-giant-file layout use the driver-side ``read_xes`` —
+    XML has no split points, so a monolithic file cannot parallelize (which
+    is why the scale path writes shards in the first place).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("trace", T.StringType()),
+            T.StructField("activity", T.StringType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+
+    def parse_files(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                root = ET.fromstring(bytes(content).decode("utf-8"))
+                ns = {"x": "http://www.xes-standard.org/"}
+
+                def attrs_of(el):
+                    out = {}
+                    for child in el:
+                        tag = child.tag.split("}")[-1]
+                        if tag in ("string", "date", "int", "float", "boolean"):
+                            out[child.get("key")] = child.get("value")
+                    return out
+
+                for tr in root.findall("x:trace", ns) or root.findall("trace"):
+                    t_attrs = attrs_of(tr)
+                    trace_id = t_attrs.get("concept:name", "")
+                    for ev in tr.findall("x:event", ns) or tr.findall("event"):
+                        a = attrs_of(ev)
+                        rows.append(
+                            {
+                                "trace": trace_id,
+                                "activity": a.get("concept:name"),
+                                "ts": a.get("time:timestamp"),
+                                "attrs": a,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["trace", "activity", "ts", "attrs"])
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.xes").load(path)
+    return files.select("content").mapInPandas(parse_files, out_schema)

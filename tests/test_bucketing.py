@@ -1,0 +1,55 @@
+"""Bucketed-table co-located join: writing both fact tables bucketed by the
+join key lets Spark join them with NO shuffle exchange — the pre-partitioning
+technique for repeated fact-fact joins at 100 TB (SURVEY.md 'bucketing for
+co-located joins')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bkt"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bkt"))
+    yield spark.table("orders_bkt"), spark.table("lineitem_bkt")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    o, li = bucketed_tables
+    # Force a shuffle-based strategy decision: disable broadcast so the only
+    # way to avoid an Exchange is the bucket layout itself.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # The join itself must not introduce exchanges on either side; the
+        # only allowed Exchange is the one for the final groupBy.
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, join_section[:2000]
+        # correctness unchanged vs the unbucketed join
+        base_o = load_table(spark, "/root/testdata/sf0.001", "orders")
+        base_li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        want = {
+            (r["o_orderpriority"], r["n"])
+            for r in base_li.join(base_o, base_li.l_orderkey == base_o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {(r["o_orderpriority"], r["n"]) for r in joined.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

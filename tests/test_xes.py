@@ -72,3 +72,19 @@ def test_pm4py_parse_if_available(normalized, tmp_path):
     write_xes(normalized, path, single_file=True)
     log = pm4py.read_xes(path)
     assert len(log[XES_CASE].unique()) == 2
+
+
+def test_distributed_xes_reader_roundtrip(spark, normalized, tmp_path):
+    """Sharded write → distributed read-back: every event survives with its
+    trace identity (the XES source pair of the sink)."""
+    from mobsos_event_log_generator_spark.sinks.xes import read_xes_distributed
+
+    out = str(tmp_path / "shards")
+    write_xes(normalized, out, single_file=False, num_shards=4)
+    back = read_xes_distributed(spark, out)
+    rows = back.collect()
+    assert len(rows) == normalized.count()
+    assert {r["trace"] for r in rows} == {"c1", "c2"}
+    c1_events = sorted((r["ts"], r["activity"]) for r in rows if r["trace"] == "c1")
+    assert [a for _, a in c1_events] == ['ask <&> "q"', "getMenu"]
+    assert all(r["attrs"]["lifecycle:transition"] == "complete" for r in rows)
