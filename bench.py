@@ -52,24 +52,27 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # one broken query must not kill the record
+            errors[name] = str(ex)[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
