@@ -414,3 +414,57 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@register(
+    "window_cumulative_customer_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(o_totalprice) OVER w, 2) AS cum_revenue,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta_vs_prev,
+       CAST(row_number() OVER w AS BIGINT) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_cumulative_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame breadth: running sum + lag with default + sequence number
+    over one shared window spec (single shuffle on the partition key)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(wo), 2).alias("delta_vs_prev"),
+        F.row_number().over(wo).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "median_price_by_priority",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1
+""",
+)
+def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, so the rounded
+    values hash-match."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
