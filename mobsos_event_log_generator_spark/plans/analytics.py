@@ -468,3 +468,40 @@ def median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "pivot_user_event_matrix",
+    """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+FROM events
+GROUP BY 1
+""",
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix via groupBy().pivot() with an
+    explicit value list (no extra distinct-values job; one aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0)
+    )
+
+
+@register("sketch_distinct_users_daily")  # rows-only: HLL estimates are impl-specific
+def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface: HyperLogLog++ approximate distinct users per day
+    (rsd 2%). Estimates are implementation-specific so the gate records
+    rows-only; the unit test bounds the error against the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

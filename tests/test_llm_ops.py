@@ -174,3 +174,19 @@ def test_multitable_ann_beats_single_table_recall(spark):
     multi = {(r["query_id"], r["neighbor_id"]) for r in S.multitable_ann_topk(emb, queries, k=5).collect()}
     assert len(multi & bf) > len(single & bf)
     assert len(multi & bf) / len(bf) >= 0.7
+
+
+def test_hll_sketch_error_bound(spark):
+    from mobsos_event_log_generator_spark.plans.analytics import sketch_distinct_users_daily
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    approx = {r["event_date"]: r["approx_users"] for r in sketch_distinct_users_daily(spark, "/root/testdata/sf0.01").collect()}
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = {
+        r["event_date"]: r["n"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n in exact.items():
+        assert abs(approx[day] - n) / n <= 0.10, (day, approx[day], n)
