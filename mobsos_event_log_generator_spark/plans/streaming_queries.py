@@ -113,3 +113,57 @@ def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "closed_by",
     )
+
+
+@register(
+    "streaming_interval_join_attribution",
+    f"""
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase')
+SELECT c.click_id, p.purchase_id, c.user_id,
+       strftime(c.click_ts, '{TS_FMT_DUCK}') AS click_ts,
+       strftime(p.purchase_ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 3600 SECONDS
+""",
+)
+def streaming_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within 1 h):
+    both sides watermarked so join state stays bounded; over the finite input
+    the emitted pairs equal the batch range join, so the oracle is exact."""
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+    from mobsos_event_log_generator_spark.streaming.joins import interval_join
+
+    clicks = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = interval_join(clicks, purchases, key="user_id", window_seconds=3600)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("r_ts", TS_FMT_SPARK).alias("purchase_ts"),
+    )
