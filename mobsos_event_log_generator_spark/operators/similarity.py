@@ -243,3 +243,11 @@ def multitable_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def normalize_vector(vec: Column) -> Column:
+    """L2-normalize a float vector (JVM fold for the norm + transform for the
+    scale) — the standard ANN preprocessing so dot product == cosine.
+    Zero vectors pass through unchanged."""
+    norm = _norm(vec)
+    return F.when(norm > 0, F.transform(vec, lambda x: (x.cast("double") / norm).cast("float"))).otherwise(vec)

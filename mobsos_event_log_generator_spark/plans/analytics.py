@@ -505,3 +505,23 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "cube_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^k subtotal combinations in one Expand +
+    aggregate pass (complements the ROLLUP query)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )

@@ -190,3 +190,14 @@ def test_hll_sketch_error_bound(spark):
     }
     for day, n in exact.items():
         assert abs(approx[day] - n) / n <= 0.10, (day, approx[day], n)
+
+
+def test_normalize_vector(spark):
+    from mobsos_event_log_generator_spark.operators.similarity import normalize_vector
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r["n"] for r in df.select("vec_id", normalize_vector(F.col("embedding")).alias("n")).collect()}
+    assert abs(rows[1][0] - 0.6) < 1e-6 and abs(rows[1][1] - 0.8) < 1e-6
+    assert rows[2] == [0.0, 0.0]  # zero vector passes through
