@@ -111,6 +111,47 @@ def bucketed_ann_topk(
     )
 
 
+def multiprobe_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = CODE_BITS,
+) -> DataFrame:
+    """Multi-probe ANN top-k: each query probes its own hypercube bucket PLUS
+    every Hamming-distance-1 neighbor bucket (flip one sign bit) — the classic
+    multi-probe LSH recall recovery without extra hash tables or index copies.
+
+    Scale shape: the corpus is coded ONCE (one code per row, no explosion);
+    only the small broadcast query side fans out ×(bits+1). Probe codes are
+    pairwise distinct, so a (query, neighbor) pair matches at most one probe —
+    no dedup pass needed before scoring.
+    """
+    code = hypercube_code(F.col(vec_col), bits)
+    probes = F.array(
+        code, *[code.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(bits)]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("code"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        code.alias("code"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="code")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block_col: str,

