@@ -525,3 +525,181 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-aggregate. Every predicate is a parquet
+    pushdown (`PushedFilters` on shipdate/discount/quantity), the projection
+    prunes to 4 columns, and the agg is a map-side partial + 1-row merge —
+    zero shuffle of data rows. The plan-shape canary for scan efficiency."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — lineitem is
+    never widened into the output, each order contributes once regardless of
+    match multiplicity, and the non-equi part (l_shipdate > o_orderdate)
+    rides on the semi-join condition."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, nation, revenue
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rn FROM rev)
+WHERE rn <= 20
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join filtered on both sides, broadcast dim
+    enrichment, then deterministic top-20 by aggregated revenue via
+    TakeOrderedAndProject (ties broken on custkey AFTER cent-rounding so both
+    engines rank identically)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+WITH sums AS (
+  SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS promo_rev,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT promo_rev, total_rev,
+       round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+FROM sums
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside sum) over a
+    broadcast part join — one pass computes both the filtered and total sums;
+    the ratio is taken on the cent-rounded sums so it is bit-stable across
+    partitionings and engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2).alias("promo_rev"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+    )
+    return sums.select(
+        "promo_rev",
+        "total_rev",
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 35)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate. Catalyst extracts the
+    common p_partkey equi-key so the join stays hash-based (broadcast here),
+    with the disjunction evaluated as a residual filter; the per-side
+    conjuncts (p_brand/p_size on part, l_quantity on lineitem) are pushed
+    beneath the join by CNF conversion where derivable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 35))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

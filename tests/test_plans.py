@@ -93,3 +93,32 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(1)" in plan  # WholeStageCodegen stage markers
     assert "Batched: true" in plan  # vectorized parquet reader
     assert "AQEShuffleRead" in plan  # adaptive shuffle coalescing engaged
+
+
+def test_q6_pure_pushdown_scan_agg(spark, sf_dir):
+    """Q6 is the scan-efficiency canary: every predicate pushed to parquet
+    (PushedFilters), projection pruned to the 4 touched columns, partial agg
+    before the single-row exchange."""
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "PushedFilters: [" in scan and "IsNotNull" in scan
+    assert "GreaterThanOrEqual(l_shipdate" in scan or "l_shipdate" in scan.split("PushedFilters")[1]
+    for unused in ("l_tax", "l_returnflag", "l_partkey"):
+        assert unused not in scan
+    assert "partial_sum" in plan
+    assert "Exchange" in plan  # exactly the 1-row partial→final merge
+
+
+def test_q4_semi_join_not_inner(spark, sf_dir):
+    """EXISTS must decorrelate to LeftSemi — lineitem rows never multiply
+    orders."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_stays_hash_join(spark, sf_dir):
+    """OR-of-ANDs predicate must not defeat the equi-join extraction."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
