@@ -67,8 +67,37 @@ def _xml_escape(col: Column) -> Column:
     return out
 
 
-def _event_xml(event: Column, attr_fields: list[str]) -> Column:
+def _xes_tag(dtype: str) -> str:
+    """Spark dtype name → XES attribute element tag (IEEE 1849-2016 types).
+
+    The reference emits only string/date (pm4py defaults); typed int/float/
+    boolean attributes are the standard's full set and round-trip losslessly
+    through conforming tools."""
+    if dtype in ("byte", "tinyint", "short", "smallint", "int", "integer", "long", "bigint"):
+        return "int"
+    if dtype in ("float", "double") or dtype.startswith("decimal"):
+        return "float"
+    if dtype == "boolean":
+        return "boolean"
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return "date"
+    return "string"
+
+
+def _attr_value(col: Column, tag: str) -> Column:
+    """Render an attribute value for its XES tag (all JVM-side casts).
+
+    ``boolean`` casts to ``true``/``false`` and ``date`` to ISO-8601 — both
+    exactly what the XES schema requires; numeric casts are Spark's canonical
+    decimal renderings."""
+    if tag == "date":
+        return F.date_format(col, _ISO_FMT)
+    return _xml_escape(col.cast("string"))
+
+
+def _event_xml(event: Column, attr_fields: list[str], attr_tags: dict[str, str] | None = None) -> Column:
     """One ``<event>`` element from a sorted event struct (ts, activity, ...)."""
+    attr_tags = attr_tags or {}
     parts: list[Column] = [F.lit("\t\t<event>\n")]
     parts.append(
         F.concat(
@@ -85,12 +114,13 @@ def _event_xml(event: Column, attr_fields: list[str]) -> Column:
         )
     )
     for name in attr_fields:
+        tag = attr_tags.get(name, "string")
         parts.append(
             F.when(
                 event[name].isNotNull(),
                 F.concat(
-                    F.lit(f'\t\t\t<string key="{html.escape(name, quote=True)}" value="'),
-                    _xml_escape(event[name].cast("string")),
+                    F.lit(f'\t\t\t<{tag} key="{html.escape(name, quote=True)}" value="'),
+                    _attr_value(event[name], tag),
                     F.lit('"/>\n'),
                 ),
             ).otherwise(F.lit(""))
@@ -110,8 +140,10 @@ def traces_to_xml(
     complete ``<trace>...</trace>`` XML in column ``xml`` (all JVM-side)."""
     if event_attrs is None:
         event_attrs = [c for c in df.columns if c not in (case_col, ts_col, activity_col)]
+    dtypes = dict(df.dtypes)
+    attr_tags = {name: _xes_tag(dtypes.get(name, "string")) for name in event_attrs}
     traces = assemble_traces(df, case_col, ts_col, activity_col, event_cols=[ts_col, activity_col, *event_attrs])
-    event_xml = F.array_join(F.transform(F.col("events"), lambda e: _event_xml(e, event_attrs)), "")
+    event_xml = F.array_join(F.transform(F.col("events"), lambda e: _event_xml(e, event_attrs, attr_tags)), "")
     trace_xml = F.concat(
         F.lit("\t<trace>\n"),
         F.lit('\t\t<string key="concept:name" value="'),
@@ -169,9 +201,26 @@ def write_xes(
     xml_df.repartition(int(shards), "case").rdd.mapPartitionsWithIndex(_emit).count()
 
 
-def read_xes(path: str) -> list[dict]:
+def _convert_xes_value(tag: str, value: str):
+    """XES element tag → native Python value (int/float/boolean typed attrs;
+    date and string stay strings — timestamps re-enter Spark via to_timestamp)."""
+    if tag == "int":
+        return int(value)
+    if tag == "float":
+        return float(value)
+    if tag == "boolean":
+        return value == "true"
+    return value
+
+
+def read_xes(path: str, typed: bool = False) -> list[dict]:
     """Parse an XES file back to a list of trace dicts (driver-side; for
-    round-trip tests and small-log interop, not a distributed source)."""
+    round-trip tests and small-log interop, not a distributed source).
+
+    ``typed=True`` converts ``<int>``/``<float>``/``<boolean>`` attribute
+    values to native Python types; default keeps every value a string (the
+    historical behavior, and what the distributed map<string,string> reader
+    mirrors)."""
     import xml.etree.ElementTree as ET
 
     ns = {"x": "http://www.xes-standard.org/"}
@@ -182,7 +231,8 @@ def read_xes(path: str) -> list[dict]:
         for child in el:
             tag = child.tag.split("}")[-1]
             if tag in ("string", "date", "int", "float", "boolean"):
-                out[child.get("key")] = child.get("value")
+                v = child.get("value")
+                out[child.get("key")] = _convert_xes_value(tag, v) if typed else v
         return out
 
     traces = []
@@ -214,6 +264,7 @@ def read_xes_distributed(spark, path: str):
             T.StructField("activity", T.StringType()),
             T.StructField("ts", T.StringType()),
             T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("attr_types", T.MapType(T.StringType(), T.StringType())),
         ]
     )
 
@@ -227,27 +278,31 @@ def read_xes_distributed(spark, path: str):
                 ns = {"x": "http://www.xes-standard.org/"}
 
                 def attrs_of(el):
-                    out = {}
+                    out, tags = {}, {}
                     for child in el:
                         tag = child.tag.split("}")[-1]
                         if tag in ("string", "date", "int", "float", "boolean"):
                             out[child.get("key")] = child.get("value")
-                    return out
+                            tags[child.get("key")] = tag
+                    return out, tags
 
                 for tr in root.findall("x:trace", ns) or root.findall("trace"):
-                    t_attrs = attrs_of(tr)
+                    t_attrs, _ = attrs_of(tr)
                     trace_id = t_attrs.get("concept:name", "")
                     for ev in tr.findall("x:event", ns) or tr.findall("event"):
-                        a = attrs_of(ev)
+                        a, tags = attrs_of(ev)
                         rows.append(
                             {
                                 "trace": trace_id,
                                 "activity": a.get("concept:name"),
                                 "ts": a.get("time:timestamp"),
                                 "attrs": a,
+                                # values stay strings; the tag map lets the
+                                # caller re-type columns losslessly
+                                "attr_types": tags,
                             }
                         )
-            yield pd.DataFrame(rows, columns=["trace", "activity", "ts", "attrs"])
+            yield pd.DataFrame(rows, columns=["trace", "activity", "ts", "attrs", "attr_types"])
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.xes").load(path)
     return files.select("content").mapInPandas(parse_files, out_schema)

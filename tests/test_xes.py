@@ -88,3 +88,55 @@ def test_distributed_xes_reader_roundtrip(spark, normalized, tmp_path):
     c1_events = sorted((r["ts"], r["activity"]) for r in rows if r["trace"] == "c1")
     assert [a for _, a in c1_events] == ['ask <&> "q"', "getMenu"]
     assert all(r["attrs"]["lifecycle:transition"] == "complete" for r in rows)
+
+
+def test_typed_attributes_roundtrip(spark, tmp_path):
+    """int/float/boolean attr columns serialize as typed XES elements and
+    round-trip to native Python values via read_xes(typed=True)."""
+    rows = [
+        ("c1", "a1", datetime(2024, 1, 1, 10, 0, 0), 3, 1.5, True),
+        ("c1", "a2", datetime(2024, 1, 1, 10, 0, 5), -7, 0.25, False),
+        ("c2", "a3", datetime(2024, 1, 2, 12, 0, 0), 0, 2.0, True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`case:concept:name` string, `concept:name` string, `time:timestamp` timestamp, "
+        "n_items long, score double, is_bot boolean",
+    )
+    path = str(tmp_path / "typed.xes")
+    write_xes(df, path, single_file=True)
+    xml = open(path).read()
+    assert '<int key="n_items" value="3"/>' in xml
+    assert '<float key="score" value="1.5"/>' in xml
+    assert '<boolean key="is_bot" value="true"/>' in xml
+    assert '<boolean key="is_bot" value="false"/>' in xml
+
+    traces = read_xes(path, typed=True)
+    c1 = next(t for t in traces if t["attrs"]["concept:name"] == "c1")
+    ev = c1["events"][0]
+    assert ev["n_items"] == 3 and isinstance(ev["n_items"], int)
+    assert ev["score"] == 1.5 and isinstance(ev["score"], float)
+    assert ev["is_bot"] is True
+    # untyped read keeps the historical all-strings contract
+    ev_s = read_xes(path)[0]["events"][0]
+    assert ev_s["n_items"] == "3" and ev_s["is_bot"] == "true"
+
+
+def test_distributed_reader_exposes_attr_types(spark, tmp_path):
+    """The distributed reader's attr_types map carries each key's XES tag so
+    callers can re-type columns losslessly."""
+    from mobsos_event_log_generator_spark.sinks.xes import read_xes_distributed
+
+    rows = [("c1", "a1", datetime(2024, 1, 1, 10, 0, 0), 3, True)]
+    df = spark.createDataFrame(
+        rows,
+        "`case:concept:name` string, `concept:name` string, `time:timestamp` timestamp, "
+        "n_items long, is_bot boolean",
+    )
+    out = str(tmp_path / "typed_shards")
+    write_xes(df, out, single_file=False, num_shards=2)
+    back = read_xes_distributed(spark, out).collect()
+    assert len(back) == 1
+    tags = back[0]["attr_types"]
+    assert tags["n_items"] == "int" and tags["is_bot"] == "boolean"
+    assert tags["concept:name"] == "string" and tags["time:timestamp"] == "date"
