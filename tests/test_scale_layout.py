@@ -65,3 +65,34 @@ def test_salted_sum_matches_plain(spark):
     plain = {r["user_id"]: round(r["s"], 6) for r in ev.groupBy("user_id").agg(F.sum("value").alias("s")).collect()}
     salted = {r["user_id"]: round(r["total"], 6) for r in salted_sum(ev, ["user_id"], "value").collect()}
     assert plain == salted
+
+
+def test_detect_heavy_hitters_finds_planted_hot_key(spark):
+    from mobsos_event_log_generator_spark.operators.skew import detect_heavy_hitters
+
+    # 40k rows: key 7 owns half of them, everything else is uniform over 10k keys
+    hot = spark.range(20_000).select(F.lit(7).alias("k"))
+    cold = spark.range(20_000).select((F.col("id") % 10_000 + 100).alias("k"))
+    df = hot.unionByName(cold)
+    found = detect_heavy_hitters(df, ["k"], threshold_fraction=0.01, sample_fraction=0.5, min_sample_rows=1_000)
+    assert (7,) in found
+    assert len(found) <= 3  # nothing cold crosses 1%
+
+    # below the minimum sample size nothing is reported
+    assert detect_heavy_hitters(df.limit(100), ["k"], sample_fraction=0.5) == []
+
+
+def test_adaptive_group_count_matches_plain(spark):
+    from mobsos_event_log_generator_spark.operators.skew import adaptive_group_count
+
+    hot = spark.range(20_000).select(F.lit(7).alias("k"))
+    cold = spark.range(20_000).select((F.col("id") % 113 + 100).alias("k"))
+    df = hot.unionByName(cold)
+    plain = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    adaptive = {
+        r["k"]: r["n"]
+        for r in adaptive_group_count(
+            df, ["k"], threshold_fraction=0.01, sample_fraction=0.5, min_sample_rows=1_000
+        ).collect()
+    }
+    assert plain == adaptive
