@@ -167,3 +167,34 @@ def streaming_interval_join_attribution(spark: SparkSession, sf_dir: str) -> Dat
         F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
         F.date_format("r_ts", TS_FMT_SPARK).alias("purchase_ts"),
     )
+
+
+@register(
+    "streaming_dedup_events",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time streaming dedup (``dropDuplicatesWithinWatermark``): state
+    is bounded by the 1 h watermark horizon instead of growing forever. Over
+    this finite input the file source forms ONE AvailableNow micro-batch
+    (state never expires mid-batch), so the emitted first-occurrences project
+    exactly to DISTINCT keys — which is what the oracle checks. Output is
+    projected to the key columns because WHICH duplicate survives (its other
+    columns) is partition-order dependent."""
+    from mobsos_event_log_generator_spark.streaming.dedup_stream import dedup_exact_stream
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+
+    events = stream_events(spark, f"{sf_dir}/events.parquet")
+    deduped = dedup_exact_stream(events, key_cols=["user_id", "event_type"], watermark_delay="1 hour")
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")
