@@ -285,3 +285,23 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    fingerprint: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: drop new docs whose fingerprint already
+    exists in the historical corpus (LEFT ANTI join on the digest).
+
+    The scale shape of continuous corpus building: the historical side
+    reduces to DISTINCT digests (one narrow column, far smaller than the
+    corpus), the new batch is typically small — so the anti-join broadcasts
+    whichever side is under the threshold and nothing ever re-reads
+    historical text. ``fingerprint`` is any deterministic digest Column
+    (full-text md5, prefix digest, simhash band...)."""
+    new_keyed = new_docs.withColumn("__fp", fingerprint)
+    seen = corpus.select(fingerprint.alias("__fp")).distinct()
+    return new_keyed.join(seen, "__fp", "left_anti").drop("__fp")

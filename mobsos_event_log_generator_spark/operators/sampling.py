@@ -1,0 +1,60 @@
+"""Reproducible corpus splitting and sampling (LLM-data-pipeline ops).
+
+``hash_split`` is the scale-correct train/val/test split: membership is a
+pure function of the id (md5 bucket), so it is stable under re-runs,
+repartitioning, incremental appends, and engine changes — no global shuffle,
+no sampling state, no seed file to ship. ``sampleBy``-style stratified
+sampling is also exposed for when approximate per-stratum fractions are what
+is wanted (its row picks are engine/partition-dependent, so it is gated by
+statistical tests, not a value oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, num_buckets: int = 100) -> Column:
+    """Deterministic bucket 0..num_buckets-1 from md5 of the value's string
+    form (first 8 hex chars → int). Identical hex → identical buckets in any
+    engine that speaks md5 — the cross-engine reproducibility contract."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % num_buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, int] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket (weights sum to 100).
+
+    A narrow projection — no shuffle, no state; appending new rows later
+    never reassigns existing ones."""
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {splits}")
+    bucket = hash_bucket(F.col(id_col))
+    expr: Column | None = None
+    edge = 0
+    *head, (last_name, _) = splits.items()
+    for name, weight in head:
+        edge += weight
+        expr = F.when(bucket < edge, F.lit(name)) if expr is None else expr.when(bucket < edge, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): approximate fractions,
+    deterministic for a fixed seed+partitioning but not across engines —
+    use ``hash_split`` when exact reproducible membership matters."""
+    return df.sampleBy(strata_col, fractions, seed)

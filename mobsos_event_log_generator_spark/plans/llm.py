@@ -665,3 +665,145 @@ def similarity_topk_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFram
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.multitable_ann_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Corpus splitting / vocabulary / TF-IDF / incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_hash_split",
+    """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b
+""",
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 hash bucket of the
+    doc id — membership is a pure function of the id (stable under re-runs,
+    appends, repartitioning; no shuffle, no sampling state). The oracle
+    recomputes the same buckets, proving exact cross-engine membership."""
+    from mobsos_event_log_generator_spark.operators.sampling import hash_split
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "vocabulary_topk",
+    f"""
+WITH w AS (SELECT {SQL_WORDS} AS words FROM documents),
+t AS (SELECT unnest(words) AS word FROM w),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+SELECT word, n, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, word) AS rn FROM c)
+WHERE rn <= 50
+""",
+)
+def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (tokenizer-building /
+    corpus-inspection primitive). explode → partial-agg count → distributed
+    top-k; the rank column is attached after the 50-row limit, so the window
+    never sees more than k rows in one partition."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("word")).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+n AS (SELECT count(*) AS n_docs FROM w),
+tf AS (
+  SELECT doc_id, unnest(words) AS term FROM w
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS cnt FROM tf GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS doc_len FROM w),
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tfc GROUP BY 1),
+scored AS (
+  SELECT tfc.doc_id, tfc.term,
+         round((CAST(cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+  FROM tfc JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (keyword extraction / quality
+    signals). One explode feeds BOTH the per-doc term counts and the
+    document frequencies; the idf factor joins back broadcast (|vocab| ≪
+    corpus at scale the df table is still tiny relative to text). Scores
+    rounded to 6 dp so the rank order is identical cross-engine."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = docs.select("doc_id", F.size(X.tokens("text")).cast("long").alias("doc_len"))
+    df_tbl = tfc.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    scored = (
+        tfc.join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(df_tbl), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 3)
+
+
+_NEW_SOURCES = "('src0','src1','src2','src3','src4')"
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""
+WITH w AS (
+  SELECT doc_id, source,
+         md5(array_to_string(({SQL_WORDS})[1:10], ' ')) AS digest
+  FROM documents
+),
+hist AS (SELECT DISTINCT digest FROM w WHERE source NOT IN {_NEW_SOURCES})
+SELECT doc_id, source
+FROM w
+WHERE source IN {_NEW_SOURCES}
+  AND digest NOT IN (SELECT digest FROM hist)
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the 'new batch' (sources src0-4) anti-joined
+    against the historical corpus's prefix digests — the continuous
+    corpus-building shape where history collapses to a distinct-digest set
+    and new text never joins old text."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    fingerprint = F.md5(F.array_join(F.slice(X.tokens("text"), 1, 10), " "))
+    new_batch = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    hist = docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    return D.dedup_against_corpus(new_batch, hist, fingerprint).select("doc_id", "source")

@@ -201,3 +201,57 @@ def test_normalize_vector(spark):
     rows = {r["vec_id"]: r["n"] for r in df.select("vec_id", normalize_vector(F.col("embedding")).alias("n")).collect()}
     assert abs(rows[1][0] - 0.6) < 1e-6 and abs(rows[1][1] - 0.8) < 1e-6
     assert rows[2] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from mobsos_event_log_generator_spark.operators.sampling import hash_bucket, hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # hash buckets are roughly uniform → splits land near 80/10/10
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # membership is a pure function of the id: re-running reassigns nothing
+    again = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    # appending rows never moves existing ones
+    bigger = hash_split(spark.range(4000).withColumnRenamed("id", "doc_id"), "doc_id")
+    sub = {r["doc_id"]: r["split"] for r in bigger.filter(F.col("doc_id") < 2000).collect()}
+    assert sub == first
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 50, "test": 40})
+
+    buckets = [r[0] for r in df.select(hash_bucket(F.col("doc_id"), 10)).collect()]
+    assert set(buckets) <= set(range(10))
+
+
+def test_dedup_against_corpus_drops_only_seen(spark):
+    from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame([(1, "aaa"), (2, "bbb")], "doc_id long, text string")
+    new = spark.createDataFrame([(10, "aaa"), (11, "ccc"), (12, "bbb"), (13, "ddd")], "doc_id long, text string")
+    kept = dedup_against_corpus(new, corpus, F.md5(F.col("text")))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    assert kept.columns == ["doc_id", "text"]  # fingerprint column does not leak
+
+
+def test_stratified_sample_fractions(spark):
+    from mobsos_event_log_generator_spark.operators.sampling import stratified_sample
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2 == 0).cast("string").alias("stratum")
+    )
+    out = stratified_sample(df, "stratum", {"true": 0.5, "false": 0.1})
+    counts = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.4 < counts["true"] / 5000 < 0.6
+    assert 0.05 < counts["false"] / 5000 < 0.15
+    # same seed → same picks
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, "stratum", {"true": 0.5, "false": 0.1}).collect())
+    assert a == b
