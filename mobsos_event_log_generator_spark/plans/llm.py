@@ -807,3 +807,47 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
     hist = docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
     return D.dedup_against_corpus(new_batch, hist, fingerprint).select("doc_id", "source")
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS node, min(dst) AS component
+FROM reach GROUP BY 1
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: near-dup PAIRS (minhash-LSH, Jaccard ≥
+    0.8) → connected components → canonical min-id component per doc (the
+    keep-one-per-cluster step pairs alone cannot express: A~B, B~C ⇒ {A,B,C}).
+    The oracle computes true reachability with a recursive CTE, proving the
+    distributed min-label fixpoint exact."""
+    from mobsos_event_log_generator_spark.operators.graph import connected_components
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("id1", "id2")
+    return connected_components(pairs)

@@ -255,3 +255,26 @@ def test_stratified_sample_fractions(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in stratified_sample(df, "stratum", {"true": 0.5, "false": 0.1}).collect())
     assert a == b
+
+
+def test_connected_components_chain_cycle_and_islands(spark):
+    from mobsos_event_log_generator_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), cycle 10-11-12-10, island pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id1 long, id2 long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from mobsos_event_log_generator_spark.operators.graph import connected_components
+
+    # a 6-chain cannot finish in 1 iteration of 1-hop min propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "id1 long, id2 long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
