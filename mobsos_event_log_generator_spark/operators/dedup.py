@@ -81,10 +81,20 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: 
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_bands(signatures: DataFrame, id_col: str = "doc_id", num_bands: int = NUM_BANDS) -> DataFrame:
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = NUM_BANDS,
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
     """Band rows: (doc, band, band_hash) where band_hash folds r consecutive
-    minhashes. Docs agreeing on any band become join candidates."""
-    r = NUM_MINHASHES // num_bands
+    minhashes. Docs agreeing on any band become join candidates.
+
+    b bands × r rows-per-band (r = num_hashes // num_bands) sets the match
+    curve: P(candidate) = 1 - (1 - j^r)^b for true Jaccard j — more bands =
+    higher recall AND more candidate pairs to verify. Tune per corpus via the
+    ``minhash_lsh_dedup`` passthroughs."""
+    r = num_hashes // num_bands
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -161,6 +171,10 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = NUM_MINHASHES,
+    num_bands: int = NUM_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: shingle → minhash → LSH buckets → candidate
     pairs → exact Jaccard verify. Returns (id1, id2, jaccard) near-dup pairs.
@@ -174,9 +188,11 @@ def minhash_lsh_dedup(
     100 TB corpus can persist the ``doc_shingles`` output themselves and pass
     it via the lower-level functions (``minhash_signatures`` +
     ``lsh_candidate_pairs`` + ``jaccard_verify``)."""
-    sh = doc_shingles(df, id_col, text_col)
-    sig = minhash_signatures(sh, id_col)
-    cand = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
+    sh = doc_shingles(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(
+        lsh_bands(sig, id_col, num_bands, num_hashes), id_col, max_bucket_size
+    )
     return jaccard_verify(cand, sh, id_col, threshold)
 
 

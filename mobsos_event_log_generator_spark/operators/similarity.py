@@ -286,6 +286,146 @@ def multitable_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_seed_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer seeds: the ``num_centroids`` corpus
+    vectors with the smallest md5(id) — a pseudo-random sample with no RNG
+    state, reproducible on any engine. ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject (per-partition top-k, no global sort shuffle).
+    Returns (cid, cvec) with cvec as rounded doubles."""
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("sid"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("h", "sid")
+        .limit(num_centroids)
+    )
+    w = Window.orderBy("h", "sid")
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cid"),
+        F.transform("v", lambda x: F.round(x.cast("double"), 6)).alias("cvec"),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (``nprobe`` = 1) or probe lists
+    (``nprobe`` > 1): broadcast nested-loop against the tiny centroid table,
+    rank by rounded squared-L2 distance with cid tie-break. The corpus never
+    shuffles — one codegen'd pass computes all k distances per row."""
+    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", F.round(_sqdist(F.col(vec_col), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic seeds + ``iters`` Lloyd
+    refinements. Each iteration is one broadcast assignment pass plus one
+    groupBy(cid) computing the per-dimension mean (map-side combined — the
+    shuffle carries k×dim partial sums per partition, not the corpus).
+    Means are rounded to 6 dp so the refined centroids are engine-portable.
+    Seeds that attract no vectors drop out (standard empty-cluster shrink)."""
+    cents = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+        cents = (
+            corpus.join(assigned, id_col)
+            .groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), 6).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select("cid", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"))
+        )
+    return cents
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN top-k: train a coarse quantizer, build inverted lists
+    (corpus → nearest centroid), probe each query's ``nprobe`` nearest
+    cells, exact cosine + top-k inside the probed cells only.
+
+    Scale shape: the trained centroid table is tiny and broadcast; the
+    corpus is scanned once for list assignment (its partitioning key at
+    100 TB — write the lists bucketed by cid and probes become pruned
+    scans); per-query work is |corpus| × nprobe/num_centroids instead of
+    |corpus|. Unlike the fixed-axis LSH variants the cells adapt to the
+    data distribution via the Lloyd refinement — on clustered real-world
+    embeddings that is the difference between probing a fixed 1/2^bits of
+    space and probing the actual neighborhood."""
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    inv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
+        ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), "cid"
+        ),
+        "neighbor_id",
+    )
+    probes = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
+        F.broadcast(
+            ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+                F.col(id_col).alias("query_id"), "cid"
+            )
+        ),
+        "query_id",
+    )
+    # nprobe probes of one query are distinct cids and a neighbor lives in
+    # exactly one cell, so a (query, neighbor) pair matches at most once.
+    scored = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
 def normalize_vector(vec: Column) -> Column:
     """L2-normalize a float vector (JVM fold for the norm + transform for the
     scale) — the standard ANN preprocessing so dot product == cosine.

@@ -61,6 +61,22 @@ def test_simhash_identical_for_exact_dups(docs):
     assert bin(sigs[1] ^ sigs[3]).count("1") > ham
 
 
+def test_minhash_lsh_tunables(docs):
+    # r=1 (8 bands x 1 row/band) maximizes candidate recall; the exact
+    # Jaccard verify keeps precision regardless of the banding choice.
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in D.minhash_lsh_dedup(
+            docs, threshold=0.8, shingle_n=2, num_hashes=8, num_bands=8
+        ).collect()
+    }
+    assert {(1, 2), (1, 4), (2, 4)} <= pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+    # hot-bucket guard passthrough: cap 1 drops every shared bucket, so no
+    # candidate pair survives to verification.
+    assert D.minhash_lsh_dedup(docs, threshold=0.8, max_bucket_size=1).count() == 0
+
+
 def test_ngram_jaccard_blocked(docs):
     pairs = {(r["id1"], r["id2"]) for r in D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.8).collect()}
     assert (1, 4) in pairs and (1, 2) in pairs
@@ -90,6 +106,35 @@ def test_hypercube_bucket_routing(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     out = S.bucketed_ann_topk(df, df.filter(F.col("vec_id") == 1), k=5).collect()
     assert {r["neighbor_id"] for r in out} == {2}  # 3 is never probed
+
+
+def test_ivf_full_probe_matches_bruteforce(spark):
+    # deterministic, mildly clustered vectors
+    vecs = [(i, [math.sin(i * 7 + j) + (1.5 if i % 3 == 0 else -1.5) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in S.cosine_topk(df, q, k=3).collect()}
+    # probing every cell degenerates IVF to an exact scan
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ivf_ann_topk(df, q, k=3, num_centroids=4, nprobe=4, iters=1, dim=8).collect()
+    }
+    assert full == brute
+    # partial probe returns a subset whose cosines agree with the exact path
+    part = S.ivf_ann_topk(df, q, k=3, num_centroids=4, nprobe=1, iters=1, dim=8).collect()
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in S.cosine_topk(df, q, k=40).collect()}
+    assert 0 < len(part) <= len(brute)
+    assert all(exact[(r["query_id"], r["neighbor_id"])] == r["cosine"] for r in part)
+
+
+def test_ivf_train_shapes(spark):
+    vecs = [(i, [float((i * 13 + j * 5) % 7) - 3.0 for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = S.ivf_train(df, num_centroids=4, iters=1, dim=8).collect()
+    assert 1 <= len(cents) <= 4
+    assert all(len(r["cvec"]) == 8 for r in cents)
+    assigned = S.ivf_assign(df, S.ivf_train(df, 4, 1, dim=8), nprobe=1)
+    assert assigned.count() == 30  # every vector lands in exactly one cell
 
 
 def test_text_stats_fields(spark):
