@@ -703,3 +703,300 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the same dimension table joined TWICE
+    under different roles (supplier nation vs customer nation) with a
+    disjunctive cross-role predicate. Both nation sides broadcast; the
+    fact-fact joins (lineitem-orders-customer) stay shuffled on their keys;
+    year bucketing happens after the joins on the surviving rows only."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS nation_rev,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
+       round(round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                            THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
+             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6) AS mkt_share
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE p.p_type = 'ECONOMY'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY 1
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-table join where one
+    nation role routes through region for a geographic filter and the other
+    provides the share predicate inside a conditional sum — the share is a
+    ratio of two aggregates computed in ONE pass (no second scan or
+    self-join). Ratio is taken on cent-rounded sums for cross-engine
+    stability."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    agged = joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))), 2).alias(
+            "nation_rev"
+        ),
+        F.round(F.sum(rev), 2).alias("total_rev"),
+    )
+    return agged.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): outer join whose
+    RIGHT-side filter rides on the join condition (so unmatched customers
+    survive with count 0 — pushing it into a WHERE would silently turn the
+    join inner), followed by a two-level aggregation: per-customer order
+    count, then the histogram of those counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): a correlated scalar AVG
+    subquery, hand-decorrelated to a per-partkey aggregate joined back to the
+    fact — the rewrite Catalyst itself applies to the SQL form (the oracle
+    keeps the correlated form, so the gate proves the equivalence). The brand
+    filter semi-restricts the fact FIRST, so the avg aggregate runs over the
+    surviving parts' lineitems only, never the full table. Threshold rounded
+    to 6 dp on both engines before the comparison."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    thresh = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qty_thresh")
+    )
+    return (
+        li_brand.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+SELECT s_name, numwait FROM (
+  SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+  FROM supplier s
+  JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+  JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY s.s_name
+)
+QUALIFY row_number() OVER (ORDER BY numwait DESC, s_name) <= 5
+""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (sole-fault supplier): the same fact referenced three
+    times — base scan, EXISTS (left SEMI self-join: some OTHER supplier in
+    the order), NOT EXISTS (left ANTI self-join: no other supplier also
+    returned) — both correlations carrying a non-equi conjunct. Adapted to
+    this schema: 'returned item in a finalized order' replaces the
+    receipt-after-commit predicate (reference columns absent). Top-5 with
+    s_name tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    base = (
+        l1.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+    )
+    got_peer = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_fault = got_peer.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    counts = sole_fault.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    return counts.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(5)
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    """
+WITH avg_bal AS (
+  SELECT round(avg(c_acctbal), 6) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey AS cntrykey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND c.c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-07-01 00:00:00')
+GROUP BY c.c_nationkey
+""",
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated scalar
+    aggregate (global average balance, broadcast as a 1-row cross join)
+    gating the base scan, plus a NOT EXISTS against orders expressed as a
+    left ANTI join. Adapted to this schema: nation-key IN-list replaces the
+    phone-prefix codes and the dormancy window replaces 'no orders ever'
+    (every sf0.01 customer has at least one order). Anti-join side is
+    pre-filtered to the window, so the join input is a fraction of orders."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    )
+    avg_bal = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("ab"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-07-01 00:00:00").cast("timestamp")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy(F.col("c_nationkey").alias("cntrykey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

@@ -122,3 +122,42 @@ def test_q19_stays_hash_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive_revenue")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    """The right-side priority filter must ride on the LEFT OUTER join
+    condition, not collapse it to inner (count-0 customers are the point)."""
+    plan = plan_of(spark, sf_dir, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # two aggregation levels, each partial+final
+
+
+def test_q21_semi_and_anti_self_joins(spark, sf_dir):
+    """EXISTS/NOT EXISTS over the same fact must become one LeftSemi and one
+    LeftAnti — lineitem is never widened into the output."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_single_pass_share(spark, sf_dir):
+    """The market-share ratio must come from ONE aggregation pass (conditional
+    sum), not a self-join of two aggregates; dims broadcast."""
+    plan = plan_of(spark, sf_dir, "tpch_q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # one partial+final pair over the joined fact — no second scan of lineitem
+    assert plan.count("FileScan parquet") == len(
+        ["part", "lineitem", "orders", "customer", "nation", "region", "supplier", "nation2"]
+    )
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """The global-average gate is a broadcast of a 1-row aggregate (nested
+    loop on a scalar is fine); dormancy is a LeftAnti on pre-filtered
+    orders."""
+    plan = plan_of(spark, sf_dir, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "orders" in ln]
+    assert any("PushedFilters: [" in s and "o_orderdate" in s for s in scans)
