@@ -122,6 +122,74 @@ def rolling_min_fingerprint(words: Column, n: int = 3) -> Column:
     return F.array_min(F.transform(word_shingles(words, n), F.md5))
 
 
+# PII redaction patterns, applied in order (URL before EMAIL so addresses
+# inside URLs are already collapsed; IP before PHONE so dotted quads are not
+# half-eaten as phone numbers). Restricted to syntax with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: Column | str = "text") -> Column:
+    """Replace emails / URLs / IPv4s / phone-shaped digit runs with typed
+    placeholder tokens — the standard pre-training scrub, as chained
+    JVM-side regexp_replace (codegen; no Python in the row path)."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document over word n-grams:
+    total/distinct gram counts, duplicate-gram fraction (1 - distinct/total)
+    and the most frequent gram with its share of all grams.
+
+    Scale shape: explode → two-level aggregation, both map-side combined;
+    the top gram comes from a per-doc window over the (doc, gram) counts —
+    state per doc is its distinct grams, never the corpus. Docs with < n
+    words keep zero stats (left join back). Ties on the top gram break
+    lexicographically so results are engine-portable."""
+    from pyspark.sql.window import Window
+
+    words = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    grams = words.select(F.col(id_col), F.explode(word_shingles(F.col("__w"), n)).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_fraction"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gram"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("gram").alias("top_gram"), F.col("c").alias("top_count"))
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("dup_fraction", F.lit(0.0)).alias("dup_fraction"),
+            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+            F.coalesce("top_count", F.lit(0)).cast("long").alias("top_count"),
+            F.coalesce(
+                F.round(F.col("top_count") / F.col("n_grams"), 6), F.lit(0.0)
+            ).alias("top_fraction"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats block.
 

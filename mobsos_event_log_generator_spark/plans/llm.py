@@ -116,6 +116,77 @@ def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BIGRAMS = "list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])"
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+g AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS gram FROM w),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_distinct,
+         round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_fraction
+  FROM c GROUP BY 1
+),
+top AS (
+  SELECT doc_id, gram AS top_gram, CAST(c AS BIGINT) AS top_count
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn FROM c)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_distinct, 0) AS n_distinct,
+       coalesce(s.dup_fraction, 0.0) AS dup_fraction,
+       coalesce(t.top_gram, '') AS top_gram,
+       coalesce(t.top_count, 0) AS top_count,
+       coalesce(round(t.top_count * 1.0 / s.n_grams, 6), 0.0) AS top_fraction
+FROM documents d LEFT JOIN stats s USING (doc_id) LEFT JOIN top t USING (doc_id)
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-bigram
+    fraction and most-frequent-bigram share — the filters that catch
+    boilerplate and degenerate repetition before pre-training."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return X.repetition_stats(docs, n=2)
+
+
+def _pii_oracle_sql() -> str:
+    expr = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR)"
+        " || '?x=1 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 call +49 171 ' || CAST(1000000 + doc_id AS VARCHAR)"
+    )
+    for pattern, token in X.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
+@register("text_pii_redaction", _pii_oracle_sql())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: the query synthesizes a deterministic
+    email + URL + IPv4 + phone per document (the fixture text itself is
+    PII-free) and redacts them to typed placeholder tokens; the oracle
+    applies the exact same regex chain in DuckDB (RE2), proving the
+    patterns are engine-portable."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?x=1 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +49 171 "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    return docs.select("doc_id", X.redact_pii(synth).alias("redacted"))
+
+
 @register(
     "dedup_exact_prefix",
     f"""

@@ -152,6 +152,38 @@ def test_text_stats_fields(spark):
     assert rows[1]["n_tokens_bpe"] >= rows[1]["n_tokens"]
 
 
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (2, "see https://a.example.com/path?q=1#frag for docs"),
+        (3, "server at 192.168.0.1 and phone +1 555-123-4567"),
+        (4, "no pii here at all"),
+        (5, "v1.2.3.4000 is a version not an ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["red"] for r in df.select("doc_id", X.redact_pii("text").alias("red")).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "see <URL> for docs"
+    assert out[3] == "server at <IP> and phone <PHONE>"
+    assert out[4] == "no pii here at all"
+    assert "<IP>" not in out[5]  # 4000 exceeds an octet; \b guards the quad
+
+
+def test_repetition_stats_signals(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),           # one bigram repeated 4x
+        (2, "all words here are fully distinct"),  # no repeated bigram
+        (3, "one"),                                # < n words -> zero stats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in X.repetition_stats(df, n=2).collect()}
+    assert out[1]["n_grams"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["dup_fraction"] == 0.75 and out[1]["top_fraction"] == 1.0
+    assert out[1]["top_gram"] == "spam spam"
+    assert out[2]["dup_fraction"] == 0.0 and out[2]["top_count"] == 1
+    assert out[3]["n_grams"] == 0 and out[3]["top_gram"] == "" and out[3]["top_fraction"] == 0.0
+
+
 def test_multimodal_plumbing(spark):
     from mobsos_event_log_generator_spark.operators.multimodal import (
         attach_binary_payload,
