@@ -58,3 +58,36 @@ def stratified_sample(
     deterministic for a fixed seed+partitioning but not across engines —
     use ``hash_split`` when exact reproducible membership matters."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    num_shards: int = 8,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are (conceptually) concatenated
+    in deterministic id order and chunked into fixed ``budget``-token bins;
+    each doc is assigned the bin where its first token lands (docs may
+    straddle bin boundaries — concat-and-chunk semantics).
+
+    Scale shape: packing is done independently per hash shard
+    (``id % num_shards``), so the running-sum window parallelizes across
+    shards instead of forcing a single global sort; a bin is identified by
+    (shard, bin). Within a shard the running sum is one window fold over
+    id-ordered rows. Deterministic: bin membership is a pure function of the
+    id ordering and token counts — stable across engines and re-runs."""
+    from pyspark.sql.window import Window
+
+    shard = (F.col(id_col) % num_shards).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("start_offset", F.sum(n_tokens_col).over(w) - F.col(n_tokens_col))
+        .withColumn("bin", F.floor(F.col("start_offset") / F.lit(float(budget))).cast("long"))
+    )

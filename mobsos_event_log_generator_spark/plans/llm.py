@@ -846,6 +846,39 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len({SQL_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS bin
+FROM o
+""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: concat-and-chunk docs into
+    512-token bins, sharded 8 ways so the running-sum window parallelizes
+    (one sort per shard, never a global one). Bin membership is a pure
+    function of (id order, token counts) — the oracle replays it exactly."""
+    from mobsos_event_log_generator_spark.operators.sampling import pack_sequences
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    with_tok = docs.select("doc_id", X.token_count("text").alias("n_tokens"))
+    return pack_sequences(with_tok, "doc_id", "n_tokens", budget=512, num_shards=8).select(
+        "doc_id", "shard", "n_tokens", "start_offset", "bin"
+    )
+
+
+@register(
     "vocabulary_topk",
     f"""
 WITH w AS (SELECT {SQL_WORDS} AS words FROM documents),

@@ -198,3 +198,60 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
+
+
+_SLIDING_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, ts, time_bucket(INTERVAL 15 MINUTE, ts) AS b FROM events
+),
+x AS (
+  SELECT event_type, ts, b AS wstart FROM e
+  UNION ALL
+  SELECT event_type, ts, b - INTERVAL 15 MINUTE AS wstart FROM e
+),
+agg AS (
+  SELECT wstart, event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM x GROUP BY 1, 2
+),
+m AS (SELECT max(ts) AS mx FROM events)
+SELECT strftime(wstart, '{TS_FMT_DUCK}') AS window_start,
+       strftime(wstart + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS window_end,
+       event_type, n_events
+FROM agg, m
+WHERE wstart + INTERVAL 30 MINUTE <= mx - INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_sliding_counts", _SLIDING_ORACLE)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (30 min window / 15 min hop) event counts as a real
+    watermarked streaming aggregation. The oracle expands each event into its
+    two containing epoch-aligned windows (time_bucket matches Spark's window
+    alignment) and applies the append-mode emission cutoff (window_end ≤
+    max(ts) − 1 h delay) — checking both the window algebra and the
+    streaming emission rule."""
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+    from mobsos_event_log_generator_spark.streaming.sessionize import sliding_window_counts
+
+    events = stream_events(spark, f"{sf_dir}/events.parquet")
+    counts = sliding_window_counts(
+        events, window="30 minutes", slide="15 minutes", watermark_delay="1 hour"
+    )
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        F.date_format("window_end", TS_FMT_SPARK).alias("window_end"),
+        "event_type",
+        "n_events",
+    )

@@ -129,3 +129,32 @@ def stream_xes_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark_delay: str = "1 hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (overlapping hopping windows):
+    each event lands in window/slide windows; append mode emits a window only
+    once the watermark passes its end, so late events inside the delay still
+    count and state stays bounded at O(open windows × keys).
+
+    The scale point vs tumbling: the window key IS the shuffle key, so an
+    event fans out window/slide ways map-side and each copy partial-aggregates
+    before the exchange — no per-event state, just per-(window,key) sums."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )

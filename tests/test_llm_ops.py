@@ -355,3 +355,17 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "id1 long, id2 long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_pack_sequences_chunk_semantics(spark):
+    from mobsos_event_log_generator_spark.operators.sampling import pack_sequences
+
+    # doc_ids 0/8/16 share shard 0; 1 is alone on shard 1
+    rows = [(0, 300), (8, 300), (16, 300), (1, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=512, num_shards=8).collect()}
+    assert [out[i]["shard"] for i in (0, 8, 16, 1)] == [0, 0, 0, 1]
+    assert [out[i]["start_offset"] for i in (0, 8, 16)] == [0, 300, 600]
+    # doc 8 straddles the 512 boundary but is binned by its START offset
+    assert [out[i]["bin"] for i in (0, 8, 16)] == [0, 0, 1]
+    assert out[1]["start_offset"] == 0 and out[1]["bin"] == 0

@@ -118,3 +118,25 @@ def test_jdbc_incremental_source_watermark(spark, tmp_path):
     assert s2.count() == 500  # only rows after the watermark
     src.commit(s2)
     assert src.poll().count() == 0  # fully caught up
+
+
+def test_sliding_window_fanout_and_alignment(spark):
+    from datetime import datetime
+
+    from mobsos_event_log_generator_spark.streaming.sessionize import sliding_window_counts
+
+    rows = [
+        (datetime(2026, 1, 1, 0, 7), "click"),
+        (datetime(2026, 1, 1, 0, 20), "click"),
+        (datetime(2026, 1, 1, 0, 20), "view"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    # batch mode: withWatermark is a no-op, so every window is emitted
+    out = sliding_window_counts(df, window="30 minutes", slide="15 minutes").collect()
+    # every event lands in exactly window/slide = 2 hopping windows
+    assert sum(r["n_events"] for r in out) == 2 * len(rows)
+    by_key = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in out}
+    # the [00:00, 00:30) window holds both clicks; [00:15, 00:45) only the second
+    assert by_key[("2026-01-01 00:00:00", "click")] == 2
+    assert by_key[("2026-01-01 00:15:00", "click")] == 1
+    assert by_key[("2026-01-01 00:15:00", "view")] == 1
