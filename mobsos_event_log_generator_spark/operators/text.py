@@ -122,6 +122,34 @@ def rolling_min_fingerprint(words: Column, n: int = 3) -> Column:
     return F.array_min(F.transform(word_shingles(words, n), F.md5))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Context-window chunking: split each document into ``chunk_tokens``-word
+    chunks every ``stride`` words (overlapping when stride < chunk_tokens) —
+    the long-document → training-sample expansion step.
+
+    Pure Column algebra: one tokenize, a ``sequence`` of chunk starts, one
+    explode, and per-chunk ``slice``/``array_join`` — all codegen'd, rows only
+    fan out by ceil(n_words/stride). Empty docs produce no chunks."""
+    words = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    n = F.size("__w")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return words.select(F.col(id_col), F.col("__w"), F.explode(starts).alias("start")).select(
+        F.col(id_col),
+        F.floor(F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_token"),
+        F.least(F.lit(chunk_tokens), F.size("__w") - F.col("start")).cast("long").alias("n_chunk_tokens"),
+        F.array_join(F.slice(F.col("__w"), F.col("start") + 1, chunk_tokens), " ").alias("chunk_text"),
+    )
+
+
 # PII redaction patterns, applied in order (URL before EMAIL so addresses
 # inside URLs are already collapsed; IP before PHONE so dotted quads are not
 # half-eaten as phone numbers). Restricted to syntax with identical semantics

@@ -846,6 +846,42 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_chunk_documents",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+s AS (
+  SELECT doc_id, words,
+         unnest(CASE WHEN len(words) > 0 THEN range(0, len(words), 32) ELSE [] END) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start // 32 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(least(64, len(words) - start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(words[start + 1 : start + 64], ' ') AS chunk_text
+FROM s
+""",
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token chunks, 32-token stride): the
+    long-document → training-sample expansion as pure codegen'd Column
+    algebra (sequence of starts → explode → slice)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return X.chunk_documents(docs, chunk_tokens=64, stride=32)
+
+
+@register("corpus_chunk_documents_udtf")  # rows-only: Python UDTF surface
+def corpus_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunking through the Python UDTF escape hatch (LATERAL table
+    function) — rows-only gated here; exact equality with the JVM path is
+    unit-tested (`test_llm_ops.py::test_chunk_udtf_matches_jvm`)."""
+    from mobsos_event_log_generator_spark.operators.udtfs import chunk_documents_udtf
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return chunk_documents_udtf(spark, docs, chunk_tokens=64, stride=32)
+
+
+@register(
     "corpus_pack_sequences",
     f"""
 WITH t AS (

@@ -369,3 +369,30 @@ def test_pack_sequences_chunk_semantics(spark):
     # doc 8 straddles the 512 boundary but is binned by its START offset
     assert [out[i]["bin"] for i in (0, 8, 16)] == [0, 0, 1]
     assert out[1]["start_offset"] == 0 and out[1]["bin"] == 0
+
+
+def test_chunk_documents_semantics(spark):
+    rows = [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 -> 4 chunks; last is the 1-word tail
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start_token"] for r in c1] == [0, 3, 6, 9]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # stride < chunk -> overlap
+    assert c1[-1]["chunk_text"] == "w9" and c1[-1]["n_chunk_tokens"] == 1
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc  # empty doc -> no chunks
+
+
+def test_chunk_udtf_matches_jvm(spark):
+    from mobsos_event_log_generator_spark.operators.udtfs import chunk_documents_udtf
+
+    rows = [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {tuple(r) for r in X.chunk_documents(df, chunk_tokens=4, stride=3).collect()}
+    py = {tuple(r) for r in chunk_documents_udtf(spark, df, chunk_tokens=4, stride=3).collect()}
+    assert jvm == py and len(jvm) > 0
