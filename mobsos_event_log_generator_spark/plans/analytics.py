@@ -1000,3 +1000,119 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "tpch_q2_cheapest_supplier",
+    """
+SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice AS price
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a correlated scalar MIN
+    subquery selecting the row(s) that attain a per-group aggregate —
+    decorrelated to a per-partkey min joined back on equality (ties keep all
+    attaining rows, identically in both engines since the compared doubles
+    are raw stored values, never arithmetic). The brand filter semi-restricts
+    the fact before the aggregate, as in q17."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    mins = li_brand.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li_brand.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("p_partkey", "l_suppkey", F.col("l_extendedprice").alias("price"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): an aggregated view consumed twice —
+    once as the join input and once reduced to a scalar MAX that gates it
+    (the classic view + scalar-subquery-on-same-view pattern). The 1-row max
+    is broadcast; ties would all survive, deterministically, because the
+    compared revenues are cent-rounded before MAX and equality."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "quality_constraints_events",
+    """
+WITH a AS (
+  SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS r0,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN event_type IS NULL
+                       OR event_type NOT IN ('click', 'view', 'purchase') THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         CAST(sum(CASE WHEN ts IS NOT NULL AND NOT (ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+                                                           AND TIMESTAMP '2024-01-15 23:59:59') THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+         CAST(sum(CASE WHEN value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 100.0) THEN 1 ELSE 0 END) AS BIGINT) AS r4
+  FROM events
+)
+SELECT 'unique:event_id' AS rule, r0 AS n_violations FROM a
+UNION ALL SELECT 'not_null:user_id', r1 FROM a
+UNION ALL SELECT 'domain:event_type', r2 FROM a
+UNION ALL SELECT 'range:ts', r3 FROM a
+UNION ALL SELECT 'range:value', r4 FROM a
+""",
+)
+def quality_constraints_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over the events stream: uniqueness,
+    nullability, value-domain, and range rules — all compiled into ONE
+    aggregation pass (conditional sums + a distinct-count delta), then
+    unpivoted to (rule, n_violations). The pre-training pre-flight gate."""
+    from mobsos_event_log_generator_spark.operators import validate as V
+
+    ev = load_table(spark, sf_dir, "events")
+    return V.check_constraints(
+        ev,
+        {
+            "unique:event_id": V.unique("event_id"),
+            "not_null:user_id": V.not_null("user_id"),
+            "domain:event_type": V.in_set("event_type", ("click", "view", "purchase")),
+            "range:ts": V.in_range(
+                "ts",
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-15 23:59:59").cast("timestamp"),
+            ),
+            "range:value": V.in_range("value", 0.0, 100.0),
+        },
+    )

@@ -34,3 +34,28 @@ def test_infer_remarks_keys(spark):
         "REMARKS string",
     )
     assert infer_remarks_keys(df) == ["intent", "stateLabel", "user"]
+
+
+def test_check_constraints_report(spark):
+    from mobsos_event_log_generator_spark.operators import validate as V
+
+    rows = [
+        (1, "a", 5.0),
+        (1, "b", -2.0),   # dup id, out-of-range value
+        (2, None, 50.0),  # null name
+        (3, "zz", 200.0), # out-of-domain name, out-of-range value
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, v double")
+    report = {
+        r["rule"]: r["n_violations"]
+        for r in V.check_constraints(
+            df,
+            {
+                "unique:id": V.unique("id"),
+                "not_null:name": V.not_null("name"),
+                "domain:name": V.in_set("name", ("a", "b")),
+                "range:v": V.in_range("v", 0.0, 100.0),
+            },
+        ).collect()
+    }
+    assert report == {"unique:id": 1, "not_null:name": 1, "domain:name": 2, "range:v": 2}
