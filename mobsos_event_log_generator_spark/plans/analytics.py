@@ -1116,3 +1116,47 @@ def quality_constraints_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "range:value": V.in_range("value", 0.0, 100.0),
         },
     )
+
+
+@register(
+    "window_rank_functions",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         round(sum(o.o_totalprice), 2) AS revenue
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_custkey, segment, revenue,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prank,
+       CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+       round(cume_dist()  OVER w, 6) AS cdist
+FROM rev
+WINDOW w AS (PARTITION BY segment ORDER BY revenue DESC, c_custkey)
+""",
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family over one per-segment window: rank,
+    dense_rank, percent_rank, ntile quartiles, cume_dist. The ORDER BY
+    carries a custkey tie-break because ntile splits ties by row order —
+    without the total order its buckets are partition-order dependent."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return rev.select(
+        "c_custkey",
+        "segment",
+        "revenue",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
