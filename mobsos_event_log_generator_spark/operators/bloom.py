@@ -1,0 +1,91 @@
+"""Distributed Bloom-filter sketch as pure DataFrame algebra.
+
+This PySpark build ships neither ``DataFrame.stat.bloomFilter`` nor a public
+``bloom_filter_agg``, so the sketch is built from first principles: k md5
+positions per key, folded into a bitmap of 32-bit words with ``bit_or`` —
+one shuffle of (word, bits) partial bitmaps, map-side combined. Words are
+32-bit, not 64: DuckDB's ``<<`` overflow-checks ``1 << 63``, so capping the
+shift at 31 keeps every shifted value positive and engine-portable. The
+bitmap is a tiny (num_bits/32)-row DataFrame: broadcast it and membership
+probing is a broadcast join, never a shuffle of the probe side.
+
+The 100 TB use case: semi-join pre-filtering. Instead of shipping a huge
+build-side key set to every probe partition (or shuffling the probe fact),
+ship the fixed-size bitmap; definite-miss rows drop immediately and only
+"maybe" rows pay the real join. False positives are a deterministic function
+of (keys, seeds, num_bits) — md5 everywhere — so the DuckDB oracle reproduces
+the sketch bit-for-bit, including which absent keys false-positive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_BITS = 4096
+NUM_HASHES = 4
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> Column:
+    """Array of k deterministic bit positions: md5('b{i}|' || key) first 8
+    hex chars as an int, mod num_bits — the same engine-portable hash family
+    as ``sampling.hash_bucket``."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{i}|"), key.cast("string"))), 1, 8), 16, 10
+            ).cast("long")
+            % num_bits
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Build the bitmap: (word, bits) rows, one per 32-bit word that has any
+    bit set. DISTINCT keys first (a duplicate key sets the same bits), then
+    explode positions and bit_or per word — partial aggregation keeps the
+    shuffle at O(words) per partition."""
+    pos = (
+        df.select(F.col(key_col)).distinct()
+        .select(F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"))
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / 32).cast("long").alias("word"),
+            (F.col("pos") % 32).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits"))
+    )
+
+
+def might_contain(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Probe: candidates + a ``bloom_hit`` flag (true = maybe present, with
+    the sketch's deterministic false-positive rate; false = definitely
+    absent). The bitmap side is broadcast — the probe side never shuffles."""
+    cpos = candidates.select(
+        F.col(key_col), F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos")
+    ).select(
+        F.col(key_col),
+        F.floor(F.col("pos") / 32).cast("long").alias("word"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    probed = cpos.join(F.broadcast(bloom), "word", "left").withColumn(
+        "hit",
+        F.when(
+            F.col("bits").isNotNull() & F.expr("((shiftright(bits, bit)) & 1) = 1"), 1
+        ).otherwise(0),
+    )
+    return probed.groupBy(key_col).agg((F.sum("hit") == num_hashes).alias("bloom_hit"))

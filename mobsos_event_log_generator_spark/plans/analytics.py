@@ -1160,3 +1160,65 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+def _bloom_pos_sql(key: str, num_bits: int = 4096, num_hashes: int = 4) -> str:
+    """DuckDB mirror of bloom._positions (same md5 family, same mod)."""
+    return ", ".join(
+        f"('0x' || substr(md5('b{i}|' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {num_bits}"
+        for i in range(num_hashes)
+    )
+
+
+@register(
+    "bloom_semijoin_parts",
+    f"""
+WITH src AS (
+  SELECT DISTINCT l_partkey AS key FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+),
+pos AS (SELECT unnest([{_bloom_pos_sql('key')}]) AS pos FROM src),
+bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM pos GROUP BY 1
+),
+cpos AS (SELECT p_partkey, unnest([{_bloom_pos_sql('p_partkey')}]) AS pos FROM part),
+probed AS (
+  SELECT p_partkey,
+         CASE WHEN b.bits IS NOT NULL
+               AND ((b.bits >> CAST(c.pos % 32 AS INTEGER)) & 1) = 1 THEN 1 ELSE 0 END AS hit
+  FROM cpos c LEFT JOIN bloom b ON b.word = c.pos // 32
+),
+bh AS (SELECT p_partkey, (sum(hit) = 4) AS bloom_hit FROM probed GROUP BY 1),
+ex AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+)
+SELECT bh.p_partkey, bh.bloom_hit, (ex.l_partkey IS NOT NULL) AS exact_hit
+FROM bh LEFT JOIN ex ON ex.l_partkey = bh.p_partkey
+""",
+)
+def bloom_semijoin_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-screen: build a 4096-bit / 4-hash bitmap
+    over the partkeys shipped in Jan-1996, probe every part against it, and
+    report the bloom verdict next to exact membership. No false negatives by
+    construction; the false positives are a deterministic function of the md5
+    positions, so the oracle reproduces the bitmap — and the exact same
+    false-positive set — bit for bit. At scale the bitmap replaces shipping
+    a giant IN-list: definite misses drop before the real join."""
+    from mobsos_event_log_generator_spark.operators.bloom import build_bloom, might_contain
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    bloom = build_bloom(li, "l_partkey")
+    parts = load_table(spark, sf_dir, "part").select("p_partkey")
+    flags = might_contain(parts, bloom, "p_partkey")
+    exact = li.select("l_partkey").distinct()
+    return flags.join(exact, flags.p_partkey == exact.l_partkey, "left").select(
+        "p_partkey", "bloom_hit", F.col("l_partkey").isNotNull().alias("exact_hit")
+    )

@@ -59,3 +59,21 @@ def test_check_constraints_report(spark):
         ).collect()
     }
     assert report == {"unique:id": 1, "not_null:name": 1, "domain:name": 2, "range:v": 2}
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from mobsos_event_log_generator_spark.operators.bloom import build_bloom, might_contain
+
+    present = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k long")
+    bloom = build_bloom(present, "k", num_bits=512, num_hashes=4)
+    probes = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    flags = {r["k"]: r["bloom_hit"] for r in might_contain(probes, bloom, "k", 512, 4).collect()}
+    # no false negatives, ever
+    assert all(flags[i] for i in range(0, 200, 2))
+    # the 512-bit / 100-key sketch must still reject most absent keys
+    fp = sum(1 for i in range(1, 200, 2) if flags[i])
+    assert fp < 50
+    # determinism: rebuilding yields the identical bitmap
+    a = sorted(tuple(r) for r in bloom.collect())
+    b = sorted(tuple(r) for r in build_bloom(present, "k", 512, 4).collect())
+    assert a == b
