@@ -1222,3 +1222,44 @@ def bloom_semijoin_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.join(exact, flags.p_partkey == exact.l_partkey, "left").select(
         "p_partkey", "bloom_hit", F.col("l_partkey").isNotNull().alias("exact_hit")
     )
+
+
+@register(
+    "cms_user_frequencies",
+    """
+WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cells AS (
+  SELECT r.row,
+         ('0x' || substr(md5('c' || r.row || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS col
+  FROM events, rows_ r
+),
+cms AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id, r.row,
+         ('0x' || substr(md5('c' || r.row || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS col
+  FROM keys, rows_ r
+),
+est AS (
+  SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+  FROM probes LEFT JOIN cms USING (row, col) GROUP BY 1
+),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt FROM events GROUP BY 1)
+SELECT e.user_id, est.est, e.exact_cnt
+FROM exact e JOIN est USING (user_id)
+""",
+)
+def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation per user (4 x 64 grid —
+    deliberately undersized for the 150-key domain so collision inflation is
+    visible) next to the exact counts. est >= exact always; the oracle
+    reproduces every counter and every collision, so the comparison is
+    exact, not statistical."""
+    from mobsos_event_log_generator_spark.operators.cms import build_cms, estimate_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = build_cms(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").distinct()
+    est = estimate_counts(keys, cms, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return exact.join(est, "user_id").select("user_id", "est", "exact_cnt")

@@ -77,3 +77,19 @@ def test_bloom_filter_no_false_negatives(spark):
     a = sorted(tuple(r) for r in bloom.collect())
     b = sorted(tuple(r) for r in build_bloom(present, "k", 512, 4).collect())
     assert a == b
+
+
+def test_cms_overestimates_only(spark):
+    from mobsos_event_log_generator_spark.operators.cms import build_cms, estimate_counts
+
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]]
+    df = spark.createDataFrame(rows, "k string")
+    cms = build_cms(df, "k", depth=3, width=8)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["est"] for r in estimate_counts(keys, cms, "k", 3, 8).collect()}
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1}
+    assert all(est[k] >= exact[k] for k in exact)  # never underestimates
+    # an unseen key can only collide upward from zero
+    unseen = spark.createDataFrame([("zzz",)], "k string")
+    z = estimate_counts(unseen, cms, "k", 3, 8).collect()[0]["est"]
+    assert z >= 0
