@@ -255,3 +255,31 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@register(
+    "streaming_totals_complete_mode",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1",
+)
+def streaming_totals_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key totals in COMPLETE output mode — the third output
+    mode (append and update are covered elsewhere): every trigger re-emits
+    the full aggregate state, no watermark required. Over the finite
+    AvailableNow input the final emission equals the batch GROUP BY, which
+    is what the oracle checks."""
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+
+    events = stream_events(spark, f"{sf_dir}/events.parquet")
+    totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"totals_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_type", "n_events")

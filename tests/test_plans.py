@@ -161,3 +161,12 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "LeftAnti" in plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "orders" in ln]
     assert any("PushedFilters: [" in s and "o_orderdate" in s for s in scans)
+
+
+def test_sketch_probes_broadcast_no_probe_shuffle(spark, sf_dir):
+    """Bloom/CMS probes must join against a BROADCAST sketch — the probe
+    side (the big table at scale) never shuffles for the membership check."""
+    for q in ["bloom_semijoin_parts", "cms_user_frequencies"]:
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
