@@ -1263,3 +1263,84 @@ def cms_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = estimate_counts(keys, cms, "user_id", depth=4, width=64)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return exact.join(est, "user_id").select("user_id", "est", "exact_cnt")
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-count by part attributes): negated predicates
+    (<>, NOT IN) on the dim, a NOT IN subquery excluding a supplier set
+    (expressed as a LEFT ANTI join — key is non-null so the semantics
+    coincide), and COUNT(DISTINCT) per 3-column group. Adapted: lineitem is
+    the part-supplier bridge (no partsupp table in this schema) and
+    negative-balance suppliers stand in for the complaints filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """
+SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#2'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > (SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey
+                              AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                              AND l2.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+)
+""",
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers): an IN subquery whose HAVING
+    carries a correlated scalar aggregate over a second scan of the same
+    fact — decorrelated to per-(supplier, part) sums joined against
+    per-part totals, semi-joined back to supplier. Dominance threshold:
+    a supplier who shipped > half a part's yearly volume. Quantity sums are
+    integral doubles, so the > comparison is exact on both engines."""
+    window = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(window)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_sp = li_b.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("sp_qty"))
+    per_p = li_b.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("l_quantity").alias("p_qty")
+    )
+    excess = (
+        per_sp.join(per_p, per_sp.l_partkey == per_p.t_partkey)
+        .filter(F.col("sp_qty") > 0.5 * F.col("p_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
