@@ -85,3 +85,43 @@ def range_join_events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("event_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_neighbors"))
     )
+
+
+@register(
+    "events_ohlc_resample",
+    f"""
+SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '{TS_FMT_DUCK}') AS bucket_start,
+       event_type,
+       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS vsum
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to 6-hour bars per event type: open/close by
+    a total-order min_by/max_by (no window function, no per-bucket sort —
+    one hash aggregation, map-side combined), high/low/count/sum alongside.
+    DuckDB's arg_min/arg_max over the same padded ordering key reproduces
+    first/last exactly."""
+    from mobsos_event_log_generator_spark.operators.resample import resample_ohlc
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = resample_ohlc(ev, bucket="6 hours")
+    return bars.select(
+        F.date_format("bucket_start", TS_FMT_SPARK).alias("bucket_start"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+        "vsum",
+    )

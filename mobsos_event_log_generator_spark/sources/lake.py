@@ -44,8 +44,20 @@ def write_events_partitioned(
     writer.parquet(path)
 
 
-def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_events_partitioned(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Read the layout back. ``merge_schema=True`` reconciles schema
+    evolution across partitions (columns added over the table's lifetime):
+    the unified schema is the union of all file schemas and early files
+    surface the late-added columns as NULL. Off by default — schema merging
+    footers across a 100 TB table is a planning-time cost you opt into, and
+    writers should evolve additively (never retype a column: parquet footer
+    merging refuses conflicting types)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def prune_to_date_range(

@@ -93,3 +93,23 @@ def test_cms_overestimates_only(spark):
     unseen = spark.createDataFrame([("zzz",)], "k string")
     z = estimate_counts(unseen, cms, "k", 3, 8).collect()[0]["est"]
     assert z >= 0
+
+
+def test_resample_ohlc_tiebreak(spark):
+    from datetime import datetime
+
+    from mobsos_event_log_generator_spark.operators.resample import resample_ohlc
+
+    t = datetime(2024, 1, 1, 0, 5)
+    rows = [
+        (1, t, "k", 10.0),
+        (2, t, "k", 20.0),                      # same ts: id breaks the tie
+        (3, datetime(2024, 1, 1, 5, 59), "k", 5.0),
+        (4, datetime(2024, 1, 1, 6, 1), "k", 7.0),  # next 6h bucket
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    bars = {str(r["bucket_start"]): r for r in resample_ohlc(df).collect()}
+    b0 = bars["2024-01-01 00:00:00"]
+    assert b0["open"] == 10.0 and b0["close"] == 5.0  # open = lower event_id at equal ts
+    assert b0["high"] == 20.0 and b0["low"] == 5.0 and b0["n"] == 3
+    assert bars["2024-01-01 06:00:00"]["open"] == 7.0

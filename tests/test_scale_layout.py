@@ -96,3 +96,33 @@ def test_adaptive_group_count_matches_plain(spark):
         ).collect()
     }
     assert plain == adaptive
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution across partitions: late-added columns
+    surface as NULL on early partitions under mergeSchema."""
+    from mobsos_event_log_generator_spark.sources.lake import read_events_partitioned
+
+    base = str(tmp_path / "evolved")
+    v1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10), "u1")], "event_id long, ts timestamp, user_id string"
+    )
+    v1.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "event_date"
+    ).parquet(base)
+    v2 = spark.createDataFrame(
+        [(2, datetime(2024, 1, 2, 10), "u2", "mobile")],
+        "event_id long, ts timestamp, user_id string, channel string",
+    )
+    v2.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd")).write.mode("append").partitionBy(
+        "event_date"
+    ).parquet(base)
+
+    merged = read_events_partitioned(spark, base, merge_schema=True)
+    assert "channel" in merged.columns
+    rows = {r["event_id"]: r for r in merged.collect()}
+    assert rows[1]["channel"] is None   # pre-evolution partition -> NULL
+    assert rows[2]["channel"] == "mobile"
+    # without merging, the picked footer may omit the late column entirely
+    plain = read_events_partitioned(spark, base)
+    assert plain.count() == 2
