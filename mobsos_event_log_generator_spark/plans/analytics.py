@@ -1344,3 +1344,26 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+)
+""",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide numeric columns to long (key, metric, value)
+    rows — the inverse of pivot_user_event_matrix, via the native
+    ``unpivot`` operator (a zero-shuffle generate, not a UNION of scans:
+    one pass reads the table once however many metrics melt)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.col("p_size").cast("double").alias("size"),
+                 F.col("p_retailprice").alias("retailprice"))
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    )
