@@ -89,3 +89,11 @@ def might_contain(
         ).otherwise(0),
     )
     return probed.groupBy(key_col).agg((F.sum("hit") == num_hashes).alias("bloom_hit"))
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two bitmaps built with identical (num_bits, num_hashes): bit_or
+    per word. Exactly equals building one bloom over the union of key sets —
+    the property that makes the sketch incrementally maintainable: build per
+    partition/day/batch, merge instead of rebuilding."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))

@@ -81,3 +81,12 @@ def estimate_counts(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("est"))
     )
+
+
+def merge_cms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two grids built with identical (depth, width): counters add.
+    Exactly equals building one sketch over the concatenated input (counts
+    are linear), so sketches can be maintained per batch and merged."""
+    return a.unionByName(b).groupBy("row", "col").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

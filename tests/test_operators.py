@@ -113,3 +113,22 @@ def test_resample_ohlc_tiebreak(spark):
     assert b0["open"] == 10.0 and b0["close"] == 5.0  # open = lower event_id at equal ts
     assert b0["high"] == 20.0 and b0["low"] == 5.0 and b0["n"] == 3
     assert bars["2024-01-01 06:00:00"]["open"] == 7.0
+
+
+def test_sketch_merges_equal_bulk_build(spark):
+    from mobsos_event_log_generator_spark.operators.bloom import build_bloom, merge_blooms
+    from mobsos_event_log_generator_spark.operators.cms import build_cms, merge_cms
+
+    d1 = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    d2 = spark.createDataFrame([(i,) for i in range(30, 90)], "k long")
+    both = d1.union(d2)
+
+    merged = sorted(tuple(r) for r in merge_blooms(
+        build_bloom(d1, "k", 512, 4), build_bloom(d2, "k", 512, 4)).collect())
+    bulk = sorted(tuple(r) for r in build_bloom(both, "k", 512, 4).collect())
+    assert merged == bulk
+
+    m2 = sorted(tuple(r) for r in merge_cms(
+        build_cms(d1, "k", 3, 32), build_cms(d2, "k", 3, 32)).collect())
+    b2 = sorted(tuple(r) for r in build_cms(both, "k", 3, 32).collect())
+    assert m2 == b2
