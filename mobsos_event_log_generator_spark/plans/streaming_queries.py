@@ -283,3 +283,49 @@ def streaming_totals_complete_mode(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name).select("event_type", "n_events")
+
+
+@register(
+    "streaming_static_enrichment",
+    f"""
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '{TS_FMT_DUCK}') AS ts,
+       e.event_type, c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard production pattern the
+    other streaming queries don't cover: each micro-batch joins against a
+    static dimension (broadcast; re-resolvable per batch, so a slowly
+    changing dim picks up updates between triggers). Stateless, so append
+    mode needs no watermark and the finite-input emission equals the batch
+    join, which the oracle checks."""
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+
+    events = stream_events(spark, f"{sf_dir}/events.parquet")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    enriched = events.join(F.broadcast(dim), events.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "ts", "event_type",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        "event_type", "segment", "nationkey",
+    )
