@@ -125,3 +125,93 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "vsum",
     )
+
+
+@register(
+    "events_funnel_stages",
+    """
+WITH c AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'click' GROUP BY 1
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t1
+  WHERE e.event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 'click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+UNION ALL SELECT 'view', CAST(count(*) AS BIGINT) FROM v
+UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (click → view → purchase): stage N counts
+    users whose earliest stage-N event strictly follows their earliest
+    qualifying stage-(N-1) event. Each stage is one filtered aggregate
+    joined forward — per-user state never leaves the executors, and every
+    join key is user_id so the stages co-partition under one shuffle."""
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("click").alias("stage"), "n_users"),
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("stage"), "n_users"),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("purchase").alias("stage"), "n_users"),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+@register(
+    "events_cohort_retention",
+    """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity a JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted on
+    each later active day as an offset from their cohort day — the classic
+    retention triangle. Two aggregations over one scan; the join key is
+    user_id so first-seen and activity co-partition."""
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
