@@ -232,6 +232,40 @@ def eventlog_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eventlog_directly_follows",
+    _ORACLE_EVENTLOG_CTE
+    + """
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_edges
+FROM (
+  SELECT "concept:name" AS src,
+         lead("concept:name") OVER (PARTITION BY "case:concept:name"
+                                    ORDER BY "time:timestamp", "concept:name") AS dst
+  FROM kept
+)
+WHERE dst IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def eventlog_directly_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directly-follows graph over the normalized log — THE process-mining
+    primitive the reference's downstream consumes (pm4py's inductive miner
+    discovers the Petri net from exactly these case-ordered successor pairs,
+    example.ipynb cell-3). One window pass per case (the same shuffle key as
+    trace assembly) then a global edge count; ties at equal timestamps break
+    on activity name so successor pairs are engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    df = _normalized_eventlog(spark, sf_dir)
+    w = Window.partitionBy(XES_CASE).orderBy(F.col(XES_TIMESTAMP), F.col(XES_ACTIVITY))
+    return (
+        df.withColumn("dst", F.lead(F.col(XES_ACTIVITY)).over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col(XES_ACTIVITY).alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+@register(
     "eventlog_minmax",
     _ORACLE_EVENTLOG_CTE
     + f"""
