@@ -235,33 +235,73 @@ def eventlog_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eventlog_directly_follows",
     _ORACLE_EVENTLOG_CTE
     + """
-SELECT src, dst, CAST(count(*) AS BIGINT) AS n_edges
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(gap_us) AS BIGINT) AS total_gap_us
 FROM (
   SELECT "concept:name" AS src,
-         lead("concept:name") OVER (PARTITION BY "case:concept:name"
-                                    ORDER BY "time:timestamp", "concept:name") AS dst
+         lead("concept:name") OVER w AS dst,
+         epoch_us(lead("time:timestamp") OVER w) - epoch_us("time:timestamp") AS gap_us
   FROM kept
+  WINDOW w AS (PARTITION BY "case:concept:name"
+               ORDER BY "time:timestamp", "concept:name")
 )
 WHERE dst IS NOT NULL
 GROUP BY 1, 2
 """,
 )
 def eventlog_directly_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directly-follows graph over the normalized log — THE process-mining
-    primitive the reference's downstream consumes (pm4py's inductive miner
-    discovers the Petri net from exactly these case-ordered successor pairs,
-    example.ipynb cell-3). One window pass per case (the same shuffle key as
-    trace assembly) then a global edge count; ties at equal timestamps break
-    on activity name so successor pairs are engine-deterministic."""
+    """Performance-annotated directly-follows graph over the normalized log —
+    THE process-mining primitive the reference's downstream consumes
+    (pm4py's inductive miner discovers the Petri net from exactly these
+    case-ordered successor pairs, example.ipynb cell-3), with the summed
+    inter-event gap per edge (mean latency = total_gap_us / n_edges). One
+    window pass per case (the same shuffle key as trace assembly) then a
+    global edge count; ties at equal timestamps break on activity name so
+    successor pairs are engine-deterministic, and gaps are integral
+    microseconds so the sums are exact."""
     from pyspark.sql.window import Window
 
     df = _normalized_eventlog(spark, sf_dir)
     w = Window.partitionBy(XES_CASE).orderBy(F.col(XES_TIMESTAMP), F.col(XES_ACTIVITY))
     return (
         df.withColumn("dst", F.lead(F.col(XES_ACTIVITY)).over(w))
+        .withColumn(
+            "gap_us",
+            F.unix_micros(F.lead(F.col(XES_TIMESTAMP)).over(w)) - F.unix_micros(F.col(XES_TIMESTAMP)),
+        )
         .filter(F.col("dst").isNotNull())
         .groupBy(F.col(XES_ACTIVITY).alias("src"), "dst")
-        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+    )
+
+
+@register(
+    "eventlog_trace_variants",
+    _ORACLE_EVENTLOG_CTE
+    + """
+SELECT variant, CAST(count(*) AS BIGINT) AS n_cases
+FROM (
+  SELECT string_agg("concept:name", ',' ORDER BY "time:timestamp", "concept:name") AS variant
+  FROM kept
+  GROUP BY "case:concept:name"
+)
+GROUP BY 1
+""",
+)
+def eventlog_trace_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-variant analysis (pm4py's variants view): cases sharing the
+    same ordered activity sequence collapse into one variant with its case
+    count — the Pareto view process analysts read first. Reuses the trace
+    assembly shuffle; the variant string is the deterministic activity_path
+    already gated byte-exact in eventlog_traces."""
+    df = _normalized_eventlog(spark, sf_dir)
+    return (
+        trace_stats(df)
+        .groupBy(F.col("activity_path").alias("variant"))
+        .agg(F.count(F.lit(1)).alias("n_cases"))
     )
 
 
