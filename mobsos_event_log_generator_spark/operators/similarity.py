@@ -432,3 +432,90 @@ def normalize_vector(vec: Column) -> Column:
     Zero vectors pass through unchanged."""
     norm = _norm(vec)
     return F.when(norm > 0, F.transform(vec, lambda x: (x.cast("double") / norm).cast("float"))).otherwise(vec)
+
+
+def ivf_ann_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 32,
+    nprobe: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF routing composed with the Arrow/BLAS kernel — the measured-fast
+    ANN shape (BASELINE ANN probe: IVF prunes 4.5x at 400 queries, the Arrow
+    matmul is 25x over the JVM fold; this composes both).
+
+    Training stays on the JVM path (`ivf_train` — oracle-identical
+    centroids), collected ONCE as the tiny centroid matrix. (Measured
+    alternative: vectorizing the Lloyd assignment through mapInPandas was
+    SLOWER at 40k rows — the extra shuffle join and corpus re-scan cost more
+    than the interpreted fold saved; see BASELINE ANN probe.) Queries (the
+    small side) are assigned to their nprobe cells driver-side; the corpus
+    streams through ONE mapInPandas pass that assigns each batch row to its
+    cell with a vectorized distance matmul and scores it against only that
+    cell's query matrix. No shuffle until the final O(k·|Q|) window. Same
+    determinism contract as ``cosine_topk_arrow``: rounded cosines are
+    canonical, ties break on neighbor id; cell assignment uses 6-dp-rounded
+    distances with stable cid tie-break, matching the JVM form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    cents_rows = sorted(
+        ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim).collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in cents_rows], dtype=np.int64)
+    C = np.array([r["cvec"] for r in cents_rows], dtype=np.float64)  # (m, dim)
+
+    def assign(mat: "np.ndarray", n: int) -> "np.ndarray":
+        # (rows, m) squared distances; stable argsort ties -> lowest cid
+        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(6)
+        return np.argsort(d, axis=1, kind="stable")[:, :n]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_cells = assign(q_mat, nprobe)
+    # cell -> indices of queries probing it
+    cell_queries: dict[int, "np.ndarray"] = {}
+    for qi in range(len(q_ids)):
+        for c in q_cells[qi]:
+            cell_queries.setdefault(int(c), []).append(qi)
+    cell_queries = {c: np.array(v, dtype=np.int64) for c, v in cell_queries.items()}
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cell = assign(mat, 1)[:, 0]
+            nmat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            for c in np.unique(cell):
+                qsel = cell_queries.get(int(c))
+                if qsel is None:
+                    continue
+                rows = np.nonzero(cell == c)[0]
+                cos = nmat[rows] @ q_norm[qsel].T  # (|rows|, |qsel|)
+                for j, qi in enumerate(qsel):
+                    qid = q_ids[qi]
+                    col = cos[:, j]
+                    mask = ids[rows] != qid
+                    sel = np.argsort(-col[mask])[: k * 4]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[rows][mask][sel],
+                            "cosine": np.round(col[mask][sel], 6),
+                        }
+                    )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)

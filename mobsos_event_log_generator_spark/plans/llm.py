@@ -738,6 +738,16 @@ def similarity_topk_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFram
     return S.multitable_ann_topk(emb, queries, k=5)
 
 
+@register("similarity_topk_ann_ivf_arrow")  # rows-only: Arrow kernel surface
+def similarity_topk_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing + Arrow/BLAS scoring — the measured-fast composition
+    (BASELINE ANN probe). Rows-only gated; exact equality with the JVM IVF
+    path is unit-tested (`test_llm_ops.py::test_ivf_arrow_matches_jvm_ivf`)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_ann_topk_arrow(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
+
+
 def _sql_sqdist(a: str, b: str, dim: int = 64) -> str:
     """Squared-L2 distance; term order matches the Spark ``_sqdist`` fold."""
     return " + ".join(

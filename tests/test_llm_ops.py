@@ -396,3 +396,18 @@ def test_chunk_udtf_matches_jvm(spark):
     jvm = {tuple(r) for r in X.chunk_documents(df, chunk_tokens=4, stride=3).collect()}
     py = {tuple(r) for r in chunk_documents_udtf(spark, df, chunk_tokens=4, stride=3).collect()}
     assert jvm == py and len(jvm) > 0
+
+
+def test_ivf_arrow_matches_jvm_ivf(spark):
+    vecs = [(i, [math.sin(i * 7 + j) + (1.5 if i % 3 == 0 else -1.5) for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    jvm = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in S.ivf_ann_topk(df, q, k=3, num_centroids=4, nprobe=2, iters=1, dim=8).collect()
+    }
+    arrow = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in S.ivf_ann_topk_arrow(df, q, k=3, num_centroids=4, nprobe=2, iters=1, dim=8).collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
