@@ -1082,3 +1082,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("id1", "id2")
     return connected_components(pairs)
+
+
+@register(
+    "corpus_decontamination",
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+         {SQL_WORDS} AS words
+  FROM documents
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         words
+  FROM b
+),
+tr AS (SELECT DISTINCT unnest({SQL_SHINGLES3}) AS shingle FROM lab WHERE split = 'train'),
+ted AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle FROM lab WHERE split = 'test'
+),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM ted JOIN tr USING (shingle) GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM ted GROUP BY 1)
+SELECT t.doc_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       round(coalesce(h.n_hit, 0) * 1.0 / t.n_grams, 6) AS contamination
+FROM tot t LEFT JOIN hits h USING (doc_id)
+""",
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination screen: for every held-out (test-split)
+    document, the fraction of its distinct word 3-grams that also appear
+    anywhere in the train split — the standard n-gram-overlap contamination
+    check run before evaluating on held-out data. Composes the reproducible
+    hash split with the shingle machinery: the train side reduces to a
+    DISTINCT shingle set (narrow column), the check is one equi-join on the
+    shingle key — never a doc-by-doc comparison."""
+    from mobsos_event_log_generator_spark.operators.sampling import hash_split
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    labeled = hash_split(docs, "doc_id")
+    sh = D.doc_shingles(docs, "doc_id", "text", 3)
+    train_ids = labeled.filter(F.col("split") == "train").select("doc_id")
+    test_ids = labeled.filter(F.col("split") == "test").select("doc_id")
+    train_g = sh.join(train_ids, "doc_id", "left_semi").select("shingle").distinct()
+    test_sh = sh.join(test_ids, "doc_id", "left_semi")
+    hits = (
+        test_sh.join(train_g, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
