@@ -54,13 +54,28 @@ def test_q5_no_cartesian_and_broadcast_dims(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# Oracle-gated queries allowed to cross the Python boundary: each is the
+# explicitly sanctioned Arrow surface it demonstrates (COVERAGE.md "Python
+# execution surfaces"), never an accidental BatchEvalPython.
+PYTHON_SURFACE_ALLOWLIST = {"udaf_source_token_totals"}
+
+
 def test_no_python_in_hot_paths(spark, sf_dir):
-    """Text analysis, dedup, XES serialization, eventlog pipeline: all must
-    compile to JVM expressions — no (Arrow)BatchEvalPython operators."""
-    for q in ["text_stats_docs", "simhash_docs", "dedup_minhash_lsh", "xes_trace_xml", "eventlog_normalize"]:
+    """GLOBAL gate: every oracle-gated batch query must compile to JVM
+    expressions — no (Arrow)BatchEvalPython operators anywhere. Streaming
+    queries are excluded (building their plan executes the stream); the
+    rows-only registry entries are the sanctioned Python surfaces."""
+    from mobsos_event_log_generator_spark.plans.queries import ORACLES
+
+    swept = 0
+    for q in sorted(ORACLES):
+        if q.startswith("streaming_") or q in PYTHON_SURFACE_ALLOWLIST:
+            continue
         plan = plan_of(spark, sf_dir, q)
         assert "BatchEvalPython" not in plan, q
         assert "ArrowEvalPython" not in plan, q
+        swept += 1
+    assert swept > 70  # the sweep must actually cover the registry
 
 
 def test_lsh_candidates_is_equijoin_not_cross(spark, sf_dir):
