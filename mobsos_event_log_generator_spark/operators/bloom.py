@@ -27,15 +27,14 @@ NUM_HASHES = 4
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> Column:
-    """Array of k deterministic bit positions: md5('b{i}|' || key) first 8
-    hex chars as an int, mod num_bits — the same engine-portable hash family
-    as ``sampling.hash_bucket``."""
+    """Array of k deterministic bit positions: ``hash_bucket`` (the single
+    canonical md5 hash idiom shared with the DuckDB mirrors) over a per-hash
+    seed prefix."""
+    from mobsos_event_log_generator_spark.operators.sampling import hash_bucket
+
     return F.array(
         *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"b{i}|"), key.cast("string"))), 1, 8), 16, 10
-            ).cast("long")
-            % num_bits
+            hash_bucket(F.concat(F.lit(f"b{i}|"), key.cast("string")), num_bits)
             for i in range(num_hashes)
         ]
     )
@@ -72,10 +71,15 @@ def might_contain(
     num_bits: int = NUM_BITS,
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """Probe: candidates + a ``bloom_hit`` flag (true = maybe present, with
-    the sketch's deterministic false-positive rate; false = definitely
-    absent). The bitmap side is broadcast — the probe side never shuffles."""
-    cpos = candidates.select(
+    """Probe: one row per DISTINCT candidate key with a ``bloom_hit`` flag
+    (true = maybe present, with the sketch's deterministic false-positive
+    rate; false = definitely absent). Keys are deduplicated first — a key
+    appearing m times would otherwise contribute m·k hit rows and fail the
+    sum == k test, i.e. a FALSE NEGATIVE, which the sketch must never
+    produce. The bitmap side is broadcast; the only exchange is the final
+    per-distinct-key aggregate (k rows each). To filter a fact table,
+    semi-join it back against the keys where bloom_hit holds."""
+    cpos = candidates.select(F.col(key_col)).distinct().select(
         F.col(key_col), F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos")
     ).select(
         F.col(key_col),

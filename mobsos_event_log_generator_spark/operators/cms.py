@@ -24,11 +24,9 @@ WIDTH = 256
 
 
 def _position(key: Column, row: int, width: int) -> Column:
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"c{row}|"), key.cast("string"))), 1, 8), 16, 10)
-        .cast("long")
-        % width
-    )
+    from mobsos_event_log_generator_spark.operators.sampling import hash_bucket
+
+    return hash_bucket(F.concat(F.lit(f"c{row}|"), key.cast("string")), width)
 
 
 def build_cms(

@@ -95,6 +95,12 @@ def lsh_bands(
     higher recall AND more candidate pairs to verify. Tune per corpus via the
     ``minhash_lsh_dedup`` passthroughs."""
     r = num_hashes // num_bands
+    if r < 1:
+        # r=0 would hash an EMPTY band: every doc gets the same constant
+        # band_hash and candidate generation goes all-pairs quadratic.
+        raise ValueError(
+            f"num_bands ({num_bands}) must not exceed num_hashes ({num_hashes})"
+        )
     bands = [
         F.struct(
             F.lit(b).alias("band"),

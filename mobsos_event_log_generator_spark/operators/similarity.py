@@ -210,13 +210,16 @@ def cosine_topk_arrow(
             for qi, qid in enumerate(q_ids):
                 col = cos[:, qi]
                 mask = ids != qid
-                # per-partition top-k preselection bounds the shuffle
-                sel = np.argsort(-col[mask])[: k * 4]
+                # per-partition top-k preselection bounds the shuffle; order
+                # by the CANONICAL key (rounded cosine desc, id asc) so the
+                # cut never drops a row the global window would rank higher
+                cr = np.round(col[mask], 6)
+                sel = np.lexsort((ids[mask], -cr))[: k * 4]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
                         "neighbor_id": ids[mask][sel],
-                        "cosine": np.round(col[mask][sel], 6),
+                        "cosine": cr[sel],
                     }
                 )
 
@@ -507,12 +510,15 @@ def ivf_ann_topk_arrow(
                     qid = q_ids[qi]
                     col = cos[:, j]
                     mask = ids[rows] != qid
-                    sel = np.argsort(-col[mask])[: k * 4]
+                    # canonical preselection order (rounded cosine desc,
+                    # id asc) — same reasoning as cosine_topk_arrow
+                    cr = np.round(col[mask], 6)
+                    sel = np.lexsort((ids[rows][mask], -cr))[: k * 4]
                     yield pd.DataFrame(
                         {
                             "query_id": qid,
                             "neighbor_id": ids[rows][mask][sel],
-                            "cosine": np.round(col[mask][sel], 6),
+                            "cosine": cr[sel],
                         }
                     )
 

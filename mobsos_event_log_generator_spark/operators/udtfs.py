@@ -12,8 +12,15 @@ NOTE: no ``from __future__ import annotations`` here — cloudpickled UDF/UDTF
 classes must not carry stringified annotations (CLAUDE.md iron rule 4).
 """
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
+
+# Java's \s (the JVM tokenizer contract) is ASCII-only: [ \t\n\x0B\f\r].
+# Python's str.split() splits on ALL Unicode whitespace (NBSP, U+2028, ...),
+# which would diverge from text.tokens() on scraped web text.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 @udtf(returnType="chunk_id bigint, start_token bigint, n_chunk_tokens bigint, chunk_text string")
@@ -22,7 +29,7 @@ class ChunkDocUdtf:
     ``text.chunk_documents`` (whitespace tokens, stride starts, slice)."""
 
     def eval(self, text, chunk_tokens, stride):
-        words = [w for w in (text or "").split() if w]
+        words = [w for w in _JAVA_WS.split(text or "") if w]
         n = len(words)
         for start in range(0, n, stride):
             piece = words[start : start + chunk_tokens]

@@ -48,7 +48,13 @@ def check_constraints(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         raise ValueError("check_constraints requires at least one rule")
     names = list(rules)
     agg = df.agg(*[rules[n].alias(f"__r{i}") for i, n in enumerate(names)])
-    pairs = ", ".join(f"'{n}', __r{i}" for i, n in enumerate(names))
-    return agg.select(
-        F.expr(f"stack({len(names)}, {pairs}) as (rule, n_violations)")
+    # explode an array of structs rather than string-assembling a stack()
+    # expression: rule names never pass through the SQL parser, so any
+    # characters (quotes included) are safe.
+    pairs = F.array(
+        *[
+            F.struct(F.lit(n).alias("rule"), F.col(f"__r{i}").alias("n_violations"))
+            for i, n in enumerate(names)
+        ]
     )
+    return agg.select(F.explode(pairs).alias("kv")).select("kv.rule", "kv.n_violations")

@@ -411,3 +411,19 @@ def test_ivf_arrow_matches_jvm_ivf(spark):
         for r in S.ivf_ann_topk_arrow(df, q, k=3, num_centroids=4, nprobe=2, iters=1, dim=8).collect()
     }
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_lsh_rejects_zero_rows_per_band(docs):
+    with pytest.raises(ValueError, match="num_bands"):
+        D.minhash_lsh_dedup(docs, num_hashes=8, num_bands=16).collect()
+
+
+def test_chunk_udtf_ascii_whitespace_contract(spark):
+    from mobsos_event_log_generator_spark.operators.udtfs import chunk_documents_udtf
+
+    # NBSP must NOT split (Java \s is ASCII-only) — both paths agree
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    jvm = {tuple(r) for r in X.chunk_documents(df, chunk_tokens=4, stride=2).collect()}
+    py = {tuple(r) for r in chunk_documents_udtf(spark, df, chunk_tokens=4, stride=2).collect()}
+    assert jvm == py
+    assert any("a b" in r[-1] for r in jvm)

@@ -132,3 +132,23 @@ def test_sketch_merges_equal_bulk_build(spark):
         build_cms(d1, "k", 3, 32), build_cms(d2, "k", 3, 32)).collect())
     b2 = sorted(tuple(r) for r in build_cms(both, "k", 3, 32).collect())
     assert m2 == b2
+
+
+def test_bloom_no_false_negative_on_duplicate_probes(spark):
+    from mobsos_event_log_generator_spark.operators.bloom import build_bloom, might_contain
+
+    present = spark.createDataFrame([(1,), (2,)], "k long")
+    bloom = build_bloom(present, "k", num_bits=256, num_hashes=4)
+    # key 1 probed three times: must still be a (single) hit, never a miss
+    probes = spark.createDataFrame([(1,), (1,), (1,), (3,)], "k long")
+    flags = {r["k"]: r["bloom_hit"] for r in might_contain(probes, bloom, "k", 256, 4).collect()}
+    assert flags[1] is True
+    assert len(flags) == 2  # one row per distinct key
+
+
+def test_constraint_rule_names_with_quotes(spark):
+    from mobsos_event_log_generator_spark.operators import validate as V
+
+    df = spark.createDataFrame([(1,)], "v long")
+    out = V.check_constraints(df, {"range:user's score": V.in_range("v", 0, 10)}).collect()
+    assert out[0]["rule"] == "range:user's score" and out[0]["n_violations"] == 0
