@@ -323,7 +323,14 @@ def dedup_against_corpus(
     corpus), the new batch is typically small — so the anti-join broadcasts
     whichever side is under the threshold and nothing ever re-reads
     historical text. ``fingerprint`` is any deterministic digest Column
-    (full-text md5, prefix digest, simhash band...)."""
+    (full-text md5, prefix digest, simhash band...).
+
+    NULL contract (explicit): a new doc whose fingerprint is NULL (e.g.
+    md5(NULL) from NULL text) is KEPT — a missing digest cannot prove a
+    duplicate. NULL digests are likewise dropped from the historical set so
+    the join never carries a NULL key. This matches ANSI anti-join
+    semantics (NULL never equals NULL), and the registry oracle uses an
+    explicit ANTI JOIN — not NOT IN, whose NULL handling diverges."""
     new_keyed = new_docs.withColumn("__fp", fingerprint)
-    seen = corpus.select(fingerprint.alias("__fp")).distinct()
+    seen = corpus.select(fingerprint.alias("__fp")).filter(F.col("__fp").isNotNull()).distinct()
     return new_keyed.join(seen, "__fp", "left_anti").drop("__fp")

@@ -42,6 +42,40 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+#: Hard cap on rows the Arrow kernels will collect driver-side. The "queries
+#: are a broadcast-dim" assumption is now ENFORCED, not assumed: at 64 floats
+#: per vector this bounds driver memory to ~35 MB of vectors.
+MAX_COLLECTED_QUERY_ROWS = 65536
+
+
+def _round_half_up(arr, decimals: int = 6):
+    """HALF_UP rounding for numpy arrays, bit-matching Spark's ``F.round``
+    (java.math.RoundingMode.HALF_UP — ties away from zero). ``np.round`` is
+    half-to-EVEN, so a cosine landing exactly on a 5e-7 midpoint would round
+    differently between the Arrow and JVM paths; this helper restores the
+    shared determinism contract."""
+    import numpy as np
+
+    scale = 10.0**decimals
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def _collect_bounded(queries: DataFrame, cols, cap: int = MAX_COLLECTED_QUERY_ROWS):
+    """Collect the query side driver-side with the broadcast-dim assumption
+    enforced: the ``limit(cap + 1)`` is part of the plan, so an oversized
+    query side can never flood the driver — we see at most cap+1 rows, and
+    raise instead of silently truncating. Callers with a genuinely large
+    query side must use the JVM bucket-join paths (``cosine_topk`` /
+    ``bucketed_ann_topk``), which never collect."""
+    rows = queries.select(*cols).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"Arrow ANN query side exceeds {cap} rows; these kernels collect "
+            "queries driver-side — use the JVM bucket-join path instead"
+        )
+    return rows
+
+
 def hypercube_code(vec: Column, bits: int = CODE_BITS) -> Column:
     """Deterministic coarse-quantizer bucket: bit j = sign(vec[j]).
 
@@ -194,7 +228,7 @@ def cosine_topk_arrow(
     import pandas as pd
     from pyspark.sql.window import Window as W
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_bounded(queries, (id_col, vec_col))
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -213,7 +247,7 @@ def cosine_topk_arrow(
                 # per-partition top-k preselection bounds the shuffle; order
                 # by the CANONICAL key (rounded cosine desc, id asc) so the
                 # cut never drops a row the global window would rank higher
-                cr = np.round(col[mask], 6)
+                cr = _round_half_up(col[mask])
                 sel = np.lexsort((ids[mask], -cr))[: k * 4]
                 yield pd.DataFrame(
                     {
@@ -477,10 +511,10 @@ def ivf_ann_topk_arrow(
 
     def assign(mat: "np.ndarray", n: int) -> "np.ndarray":
         # (rows, m) squared distances; stable argsort ties -> lowest cid
-        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(6)
+        d = _round_half_up(((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
         return np.argsort(d, axis=1, kind="stable")[:, :n]
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_bounded(queries, (id_col, vec_col))
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -512,7 +546,7 @@ def ivf_ann_topk_arrow(
                     mask = ids[rows] != qid
                     # canonical preselection order (rounded cosine desc,
                     # id asc) — same reasoning as cosine_topk_arrow
-                    cr = np.round(col[mask], 6)
+                    cr = _round_half_up(col[mask])
                     sel = np.lexsort((ids[rows][mask], -cr))[: k * 4]
                     yield pd.DataFrame(
                         {

@@ -991,10 +991,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     terms = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
     tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    dl = docs.select("doc_id", F.size(X.tokens("text")).cast("long").alias("doc_len"))
+    # doc_len = sum of per-term counts — derived from tfc itself via a
+    # doc_id window, so no second tokenize pass and, crucially, no broadcast
+    # of a per-document table (dl grows with the corpus; broadcasting it at
+    # 100 TB would OOM the driver). Only the vocabulary (df_tbl) is a
+    # legitimately-small broadcast side.
+    dl_w = Window.partitionBy("doc_id")
+    with_len = tfc.withColumn("doc_len", F.sum("cnt").over(dl_w).cast("long"))
     df_tbl = tfc.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
     scored = (
-        tfc.join(F.broadcast(dl), "doc_id")
+        with_len
         .join(F.broadcast(df_tbl), "term")
         .select(
             "doc_id",
@@ -1021,11 +1027,13 @@ WITH w AS (
          md5(array_to_string(({SQL_WORDS})[1:10], ' ')) AS digest
   FROM documents
 ),
-hist AS (SELECT DISTINCT digest FROM w WHERE source NOT IN {_NEW_SOURCES})
+hist AS (
+  SELECT DISTINCT digest FROM w
+  WHERE source NOT IN {_NEW_SOURCES} AND digest IS NOT NULL
+),
+new_batch AS (SELECT doc_id, source, digest FROM w WHERE source IN {_NEW_SOURCES})
 SELECT doc_id, source
-FROM w
-WHERE source IN {_NEW_SOURCES}
-  AND digest NOT IN (SELECT digest FROM hist)
+FROM new_batch ANTI JOIN hist USING (digest)
 """,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -318,6 +318,53 @@ def test_dedup_against_corpus_drops_only_seen(spark):
     assert kept.columns == ["doc_id", "text"]  # fingerprint column does not leak
 
 
+def test_dedup_against_corpus_null_fingerprint(spark):
+    """NULL contract: md5(NULL) = NULL must KEEP the new doc (a missing
+    digest can't prove a duplicate) and NULL digests in the corpus must not
+    poison the join — matching the registry oracle's explicit ANTI JOIN
+    (NOT IN would silently drop every row when hist contains a NULL)."""
+    from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame([(1, "aaa"), (2, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(10, "aaa"), (11, None), (12, "bbb")], "doc_id long, text string")
+    kept = dedup_against_corpus(new, corpus, F.md5(F.col("text")))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12]
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The numpy HALF_UP helper must agree with F.round(_, 6) cell-for-cell,
+    including exact .5e-6 midpoints where np.round (half-to-even) diverges."""
+    import numpy as np
+
+    from mobsos_event_log_generator_spark.operators.similarity import _round_half_up
+
+    vals = [0.0000005, 0.0000015, 0.0000025, -0.0000005, -0.0000015,
+            1.2345675, -1.2345675, 0.9999995, -0.9999995, 0.0, 1.0,
+            0.123456789, -0.987654321, 3.5e-7, -3.5e-7]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    jvm = {r["i"]: r["r"] for r in df.select("i", F.round("v", 6).alias("r")).collect()}
+    ours = _round_half_up(np.array(vals))
+    for i, v in enumerate(vals):
+        assert ours[i] == jvm[i], (v, ours[i], jvm[i])
+    # and at least one of these is a case where np.round would have differed
+    assert any(np.round(np.array([v]), 6)[0] != jvm[i] for i, v in enumerate(vals))
+
+
+def test_arrow_query_collect_is_bounded(spark):
+    """The Arrow kernels may never collect an unbounded query side: the cap
+    is part of the plan (limit cap+1), and exceeding it raises instead of
+    truncating."""
+    import pytest as _pytest
+
+    from mobsos_event_log_generator_spark.operators.similarity import _collect_bounded
+
+    df = spark.range(50).select(F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding"))
+    with _pytest.raises(ValueError, match="bucket-join"):
+        _collect_bounded(df, ("vec_id", "embedding"), cap=10)
+    ok = _collect_bounded(df, ("vec_id", "embedding"), cap=50)
+    assert len(ok) == 50
+
+
 def test_stratified_sample_fractions(spark):
     from mobsos_event_log_generator_spark.operators.sampling import stratified_sample
 
