@@ -495,15 +495,44 @@ def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_distinct_users_daily")  # rows-only: HLL estimates are impl-specific
+@register(
+    "sketch_distinct_users_daily",
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS within_bound
+FROM events
+GROUP BY 1
+""",
+)
 def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface: HyperLogLog++ approximate distinct users per day
-    (rsd 2%). Estimates are implementation-specific so the gate records
-    rows-only; the unit test bounds the error against the exact count."""
+    (rsd 2%). Raw estimates are implementation-specific (DuckDB cannot
+    reproduce Spark's HLL registers), so the emitted report is the
+    DETERMINISTIC part: the exact count plus a ``within_bound`` flag
+    asserting |approx − exact| / exact ≤ 10 %. The oracle recomputes the
+    exact counts and expects every flag TRUE — turning the error bound
+    itself into the hash-checked contract (the unit test additionally
+    bounds the raw estimates)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_date",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.10)
+            ).alias("within_bound"),
+        )
     )
 
 

@@ -384,11 +384,15 @@ def xes_trace_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Register the extended operator families (import side effect populates the
-# registry; placed at module end to avoid circular imports).
+# registry; placed at module end to avoid circular imports). Streaming
+# registers LAST on purpose: the driver's correctness pass walks the
+# registry in registration order under a wall-clock budget, and the
+# streaming entries are the slowest (real micro-batch execution) with the
+# weakest check (two are rows-only) — if anything gets cut, cut those.
 from mobsos_event_log_generator_spark.plans import analytics  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import llm  # noqa: E402,F401
-from mobsos_event_log_generator_spark.plans import streaming_queries  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import temporal  # noqa: E402,F401
+from mobsos_event_log_generator_spark.plans import streaming_queries  # noqa: E402,F401  isort:skip
 
 
 @register(

@@ -20,6 +20,45 @@ from pyspark.sql import functions as F
 
 from mobsos_event_log_generator_spark.plans.queries import TS_FMT_DUCK, TS_FMT_SPARK, register
 
+#: State-store parallelism for the finite test streams. A stateful streaming
+#: operator creates one state-store instance PER SHUFFLE PARTITION per
+#: micro-batch; on a plain driver session (shuffle.partitions=200) that is
+#: 200 stores × checkpoint dirs × commit files per stateful op — measured
+#: 116 s for the stream-stream interval join at sf0.01, vs ~5 s at 8. On a
+#: real cluster the production value comes from the session / cluster conf;
+#: this is a test-stream sizing, set only for the duration of the run.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+def _run_to_memory(spark: SparkSession, sink_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """Start ``sink_df`` as a memory-sink streaming query (fresh checkpoint,
+    Trigger.AvailableNow), await completion, and return the emitted table.
+
+    Pins ``spark.sql.shuffle.partitions`` to the test-stream state-store
+    sizing for the duration of the run and RESTORES the caller's value —
+    the stream's partition count is baked into its (fresh) checkpoint at
+    start, so this never leaks conf into the driver's batch queries."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            sink_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
 _STREAM_SESSION_ORACLE = f"""
 WITH gaps AS (
   SELECT user_id, ts, event_id, event_type,
@@ -61,18 +100,7 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = stream_events(spark, f"{sf_dir}/events.parquet")
     traces = sessionized_traces(events, gap="30 minutes", watermark_delay="1 hour")
-    name = f"sessions_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        traces.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
+    out = _run_to_memory(spark, traces, "sessions", "append")
     return out.select(
         "case",
         "n_events",
@@ -94,18 +122,7 @@ def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = stream_events(spark, f"{sf_dir}/events.parquet")
     sess = capped_sessions(events, gap_seconds=1800, max_events=5, watermark_delay="1 hour")
-    name = f"capped_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
+    out = _run_to_memory(spark, sess, "capped", "append")
     return out.select(
         "case",
         F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
@@ -148,18 +165,7 @@ def streaming_interval_join_attribution(spark: SparkSession, sf_dir: str) -> Dat
         .select("event_id", "user_id", "ts")
     )
     joined = interval_join(clicks, purchases, key="user_id", window_seconds=3600)
-    name = f"ssj_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
+    out = _run_to_memory(spark, joined, "ssj", "append")
     return out.select(
         F.col("event_id").alias("click_id"),
         F.col("r_event_id").alias("purchase_id"),
@@ -186,18 +192,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = stream_events(spark, f"{sf_dir}/events.parquet")
     deduped = dedup_exact_stream(events, key_cols=["user_id", "event_type"], watermark_delay="1 hour")
-    name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select("user_id", "event_type")
+    return _run_to_memory(spark, deduped, "sdedup", "append").select("user_id", "event_type")
 
 
 _SLIDING_ORACLE = f"""
@@ -237,18 +232,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sliding_window_counts(
         events, window="30 minutes", slide="15 minutes", watermark_delay="1 hour"
     )
-    name = f"slide_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
+    out = _run_to_memory(spark, counts, "slide", "append")
     return out.select(
         F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
         F.date_format("window_end", TS_FMT_SPARK).alias("window_end"),
@@ -271,18 +255,7 @@ def streaming_totals_complete_mode(spark: SparkSession, sf_dir: str) -> DataFram
 
     events = stream_events(spark, f"{sf_dir}/events.parquet")
     totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    name = f"totals_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select("event_type", "n_events")
+    return _run_to_memory(spark, totals, "totals", "complete").select("event_type", "n_events")
 
 
 @register(
@@ -313,18 +286,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("c_nationkey").alias("nationkey"),
     )
-    name = f"enrich_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_memory(spark, enriched, "enrich", "append").select(
         "event_id", "user_id",
         F.date_format("ts", TS_FMT_SPARK).alias("ts"),
         "event_type", "segment", "nationkey",

