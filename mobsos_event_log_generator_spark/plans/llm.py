@@ -1083,13 +1083,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clustering: near-dup PAIRS (minhash-LSH, Jaccard ≥
     0.8) → connected components → canonical min-id component per doc (the
     keep-one-per-cluster step pairs alone cannot express: A~B, B~C ⇒ {A,B,C}).
-    The oracle computes true reachability with a recursive CTE, proving the
-    distributed min-label fixpoint exact."""
-    from mobsos_event_log_generator_spark.operators.graph import connected_components
+    Routed through the large-star/small-star contraction (O(log n) rounds —
+    diameter-independent, the 100-TB-safe choice); the oracle computes true
+    reachability with a recursive CTE, proving the distributed contraction
+    exact. ``connected_components`` (min-label) passes the same gate."""
+    from mobsos_event_log_generator_spark.operators.graph import connected_components_star
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("id1", "id2")
-    return connected_components(pairs)
+    return connected_components_star(pairs)
 
 
 @register(

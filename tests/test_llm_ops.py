@@ -392,15 +392,56 @@ def test_stratified_sample_fractions(spark):
 
 
 def test_connected_components_chain_cycle_and_islands(spark):
-    from mobsos_event_log_generator_spark.operators.graph import connected_components
+    from mobsos_event_log_generator_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
 
     pairs = spark.createDataFrame(
         # chain 1-2-3-4 (diameter 3), cycle 10-11-12-10, island pair 20-21
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
         "id1 long, id2 long",
     )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert comp == expect
+    star = {r["node"]: r["component"] for r in connected_components_star(pairs).collect()}
+    assert star == expect
+
+
+def test_star_contraction_is_diameter_independent(spark):
+    """A 100-node chain has diameter 99: min-label needs ~99 rounds, the
+    star contraction must finish within its O(log n) budget (8 rounds) —
+    the property that makes it the 100-TB-safe default for dedup_clusters."""
+    import pytest as _pytest
+
+    from mobsos_event_log_generator_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 100)], "id1 long, id2 long")
+    comp = {r["node"]: r["component"] for r in connected_components_star(chain, max_iterations=8).collect()}
+    assert comp == {i: 1 for i in range(1, 101)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=8)
+
+
+def test_star_contraction_random_graph_matches_min_label(spark):
+    """Both algorithms must produce identical clusterings on an arbitrary
+    multi-component graph (deterministic pseudo-random edges)."""
+    from mobsos_event_log_generator_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [((i * 7919) % 500, (i * 104729) % 500) for i in range(400)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id1 long, id2 long"
+    )
+    a = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    b = {r["node"]: r["component"] for r in connected_components_star(pairs).collect()}
+    assert a == b
 
 
 def test_connected_components_nonconvergence_raises(spark):
