@@ -5,6 +5,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query materializes through the noop sink (full execution, no driver
 collect overhead) — the same way a cluster job would be bounded by the write.
+
+Two lanes per query:
+* cold (the headline "value"/"queries") — first execution in the process;
+  includes analysis/optimization/codegen compile. Comparable to BASELINE.md.
+* warm ("value_warm"/"queries_warm") — an immediate second execution; JIT
+  and codegen caches are hot, so this tracks per-ROW cost. At sf0.1 the
+  cold numbers are plan-compile-dominated (eventlog_normalize: 3.2 s cold
+  vs 0.45 s warm), so real row-cost regressions only show in the warm lane.
 """
 
 from __future__ import annotations
@@ -52,6 +60,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -61,6 +70,10 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # one broken query must not kill the record
             errors[name] = str(ex)[:200]
+            continue
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t1, 3)
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -69,6 +82,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": warm,
     }
     if errors:
         record["errors"] = errors

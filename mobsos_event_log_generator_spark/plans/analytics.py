@@ -1396,3 +1396,140 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("p_retailprice").alias("retailprice"))
         .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
     )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+SELECT supp_nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS supp_nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18, 4)) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%gear%'
+)
+GROUP BY 1, 2
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): a part-name LIKE filter seeding
+    a 5-table join (part, lineitem, supplier, orders, nation), a COMPUTED
+    profit expression per line, aggregated by (supplier nation, order year).
+    The fixture has no partsupp table, so supply cost is proxied by
+    0.6 * p_retailprice * l_quantity — the distinguishing plan shape (deep
+    multi-join feeding an arithmetic-expression aggregate over two derived
+    group keys) is preserved exactly. Dims broadcast; the fact joins carry
+    the filtered part semi-reduction first. The per-row amount is computed
+    in double (bit-identical on both engines) then summed as DECIMAL —
+    exact accumulation, so partition/sum ORDER cannot drift the cents."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+WITH v AS (
+  SELECT l.l_partkey, round(sum(l.l_extendedprice * l.l_quantity), 2) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT l_partkey, value
+FROM v
+WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM v)
+""",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-group value compared against a
+    GLOBAL scalar threshold derived from the SAME aggregate (HAVING sum >
+    fraction * Σ) — the group-share-vs-scalar-subquery plan. The fixture has
+    no partsupp, so value = Σ(extendedprice × quantity) over one nation's
+    suppliers' lineitems. The per-part aggregate is computed ONCE and reused
+    for both the threshold scalar (a one-row broadcast cross join) and the
+    filter — no second scan of the fact. Both engines compare cent-rounded
+    values so float ulp drift cannot flip the predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
+    )
+    thresh = v.agg(F.round(F.sum("value") * F.lit(0.001), 2).alias("__thresh"))
+    return (
+        v.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("__thresh"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "tpch_q12_late_shipment_priority",
+    """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'R')
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): a two-value IN
+    filter on the grouping column, a cross-table DATE INEQUALITY in the
+    WHERE (ship > order + 30 d — the fixture lacks commit/receipt dates, so
+    late-shipment stands in for receipt > commit), a one-year range, and
+    the signature dual conditional-count aggregation splitting urgent/high
+    priorities from the rest in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
