@@ -3,16 +3,25 @@
 Pattern (BASELINE.json north star): image/audio/video content lives in an
 opaque ``binary`` column with a typed metadata struct alongside; decode /
 feature-extract / resize / frame-sample are Arrow-batched pandas functions
-over ``mapInPandas``. The decode libraries (PIL/ffmpeg/torchaudio) are not in
-this environment, so the decode step is STUBBED: ``fake_decode`` derives
-deterministic pseudo-metadata from the payload hash (real Spark plumbing —
-schema, batching, partitioning — with a fake kernel), and ``decode_image``
-raises ``NotImplementedError`` until a codec is wired in.
+over ``mapInPandas``.
+
+``decode_image`` is a REAL PNG codec built on stdlib ``zlib`` — chunk walk,
+IHDR/PLTE parse, IDAT inflate, and per-scanline unfilter for all five PNG
+filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6) across color types
+0/2/3/4/6 at 8-bit depth. It exists so the decode path has true end-to-end
+semantics (bit-exact pixel recovery is unit-tested against hand-built
+fixtures); a production cluster would swap the kernel for PIL/libjpeg-turbo
+behind the same ``mapInPandas`` signature — the unfilter loop is per-row
+Python and the cost model (embarrassingly parallel, CPU-bound per payload,
+zero shuffle) is identical. ``fake_decode`` remains as the format-agnostic
+deterministic stand-in for video/audio plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,9 +54,200 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", mime: str = "te
     )
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    pos = len(PNG_SIGNATURE)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (RFC 2083 §6.1). ``raw`` is the
+    inflated IDAT stream: height rows of 1 filter byte + width*bpp data."""
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError(f"bad IDAT length {len(raw)} for {width}x{height}x{bpp}")
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[prev_start + x] if y else 0
+                out[o + x] = (line[x] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[prev_start + x] if y else 0
+                ul = out[prev_start + x - bpp] if (y and x >= bpp) else 0
+                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev_start = o
+    return out
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real decoder slot — wire PIL/opencv here on a cluster image."""
-    raise NotImplementedError("no image codec in this environment; use fake_decode for plumbing tests")
+    """Decode a PNG payload to pixel bytes + metadata — stdlib-only codec.
+
+    Returns ``{width, height, mode, channels, bit_depth, pixels}`` where
+    ``pixels`` is the unfiltered raster (palette indices expanded to RGB for
+    color type 3). Supports 8-bit depth, non-interlaced images, color types
+    0/2/3/4/6 — the PNG subset every encoder in the wild emits by default.
+    Raises ``ValueError`` on non-PNG payloads or unsupported variants, so
+    batch callers can route failures to an error column instead of dying.
+    """
+    if not isinstance(payload, (bytes, bytearray)) or not bytes(payload).startswith(PNG_SIGNATURE):
+        raise ValueError("not a PNG payload")
+    payload = bytes(payload)
+    width = height = bit_depth = color_type = None
+    palette = b""
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {color_type}")
+            if interlace:
+                raise ValueError("Adam7 interlace unsupported")
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = _PNG_CHANNELS[color_type]
+    pixels = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    if color_type == 3:  # expand palette indices to RGB
+        if not palette:
+            raise ValueError("paletted PNG missing PLTE")
+        expanded = bytearray(len(pixels) * 3)
+        for i, idx in enumerate(pixels):
+            expanded[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        pixels = expanded
+    return {
+        "width": width,
+        "height": height,
+        "mode": _PNG_MODES[color_type],
+        "channels": 3 if color_type == 3 else bpp,
+        "bit_depth": bit_depth,
+        "pixels": bytes(pixels),
+    }
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal grayscale PNG encoder (filter 0 rows, one IDAT) — used to
+    materialize real image payloads from fixture bytes so the decode path
+    runs end-to-end on driver-visible data without any image library."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+DECODE_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("pixel_sha256", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched real decode over ``mapInPandas``: one row of metadata +
+    pixel stats per payload; decode failures land in ``error`` instead of
+    failing the stage (a 100-TB crawl always contains corrupt files). Zero
+    shuffle — runs wherever the payloads already are."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = decode_image(bytes(payload))
+                    px = img["pixels"]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": img["width"],
+                            "height": img["height"],
+                            "mode": img["mode"],
+                            "channels": img["channels"],
+                            "mean_luma": round(sum(px) / len(px), 6) if px else 0.0,
+                            "pixel_sha256": hashlib.sha256(px).hexdigest(),
+                            "error": None,
+                        }
+                    )
+                except ValueError as ex:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": None,
+                            "height": None,
+                            "mode": None,
+                            "channels": None,
+                            "mean_luma": None,
+                            "pixel_sha256": None,
+                            "error": str(ex)[:80],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_PNG_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODE_PNG_SCHEMA)
 
 
 def fake_decode(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:

@@ -485,6 +485,34 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_decode(attach_binary_payload(docs, text_col="text"))
 
 
+@register("multimodal_decode_png")  # rows-only: real PNG codec, binary payload round-trip
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each document's first 256 text bytes
+    become a 16x16 grayscale PNG payload (stdlib encoder), then
+    ``decode_images`` inflates + unfilters them back over mapInPandas and
+    emits metadata + pixel stats. Bit-exact pixel recovery is asserted in
+    tests/test_multimodal.py across all five PNG filter types; here the
+    full Spark plumbing (binary column -> Arrow batch -> codec -> stats
+    row) runs on fixture data with zero shuffle. Swap the codec kernel for
+    PIL/libjpeg-turbo on a production image and nothing else changes."""
+    import pandas as pd  # noqa: F811 — kernel-local, serialized to executors
+
+    from mobsos_event_log_generator_spark.operators.multimodal import decode_images, encode_png_gray
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png_gray(t.encode("utf-8")[:256].ljust(256, b" "), 16, 16)
+                for t in pdf["text"].fillna("")
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return decode_images(images)
+
+
 # ---------------------------------------------------------------------------
 # Composite corpus preparation (the end-to-end training-data filter)
 # ---------------------------------------------------------------------------

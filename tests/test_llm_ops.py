@@ -207,11 +207,98 @@ def test_multimodal_plumbing(spark):
     assert all(f["frame_idx"] % 2 == 0 for f in frames)
 
 
-def test_decode_image_is_stubbed():
+def _png(width, height, color_type, filtered_rows, palette=None):
+    """Hand-assemble a PNG from already-filtered scanlines (one filter byte
+    + width*bpp data each) so each filter type's unfilter path is exercised
+    against independently computed expected pixels."""
+    import struct
+    import zlib
+
+    from mobsos_event_log_generator_spark.operators.multimodal import PNG_SIGNATURE
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data))
+
+    out = PNG_SIGNATURE + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(b"".join(filtered_rows)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_image_all_filter_types():
+    """Bit-exact pixel recovery through filters None/Sub/Up/Average/Paeth
+    (RFC 2083 §6.1) on a 4x5 grayscale image; expected unfiltered pixels
+    computed by hand per the spec's reconstruction formulas."""
     from mobsos_event_log_generator_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    rows = [
+        b"\x00" + bytes([10, 20, 30, 40]),          # None: as-is
+        b"\x01" + bytes([5, 5, 5, 5]),              # Sub: cumulative left sums
+        b"\x02" + bytes([1, 1, 1, 1]),              # Up: prior row + 1
+        b"\x03" + bytes([0, 0, 0, 0]),              # Average: (left+up)//2
+        b"\x04" + bytes([0, 0, 0, 0]),              # Paeth: predictor passthrough
+    ]
+    img = decode_image(_png(4, 5, 0, rows))
+    assert (img["width"], img["height"], img["mode"], img["channels"]) == (4, 5, "L", 1)
+    px = img["pixels"]
+    r0 = [10, 20, 30, 40]
+    r1 = [5, 10, 15, 20]                            # Sub: x + left
+    r2 = [6, 11, 16, 21]                            # Up: x + up
+    r3 = [3, 7, 11, 16]                             # Avg: (left+up)//2 → 0+ (0+6)//2=3, (3+11)//2=7, (7+16)//2=11, (11+21)//2=16
+    r4 = [3, 7, 11, 16]                             # Paeth of (left, up, ul) picks predictor; +0 data
+    assert list(px) == r0 + r1 + r2 + r3 + r4
+
+
+def test_decode_image_rgb_and_palette():
+    from mobsos_event_log_generator_spark.operators.multimodal import decode_image
+
+    # 2x1 RGB with a Sub filter: second pixel adds to first (bpp=3 offsets)
+    rgb = decode_image(_png(2, 1, 2, [b"\x01" + bytes([100, 150, 200, 10, 10, 10])]))
+    assert rgb["mode"] == "RGB" and list(rgb["pixels"]) == [100, 150, 200, 110, 160, 210]
+
+    # 2x2 paletted: indices expand through PLTE to RGB triples
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    p = decode_image(_png(2, 2, 3, [b"\x00\x00\x01", b"\x00\x02\x00"], palette=pal))
+    assert p["mode"] == "P" and p["channels"] == 3
+    assert list(p["pixels"]) == [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0]
+
+    # RGBA: 1x1, alpha preserved as 4th sample
+    rgba = decode_image(_png(1, 1, 6, [b"\x00" + bytes([1, 2, 3, 128])]))
+    assert rgba["mode"] == "RGBA" and list(rgba["pixels"]) == [1, 2, 3, 128]
+
+
+def test_decode_image_rejects_bad_payloads():
+    from mobsos_event_log_generator_spark.operators.multimodal import decode_image
+
+    for bad in (b"", b"\x89PNG", b"JFIF not a png", None):
+        with pytest.raises(ValueError):
+            decode_image(bad)
+
+
+def test_encode_decode_roundtrip_and_spark_operator(spark):
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        decode_image,
+        decode_images,
+        encode_png_gray,
+    )
+
+    pixels = bytes(range(64))  # 8x8 gradient
+    assert decode_image(encode_png_gray(pixels, 8, 8))["pixels"] == pixels
+
+    df = spark.createDataFrame(
+        [(1, encode_png_gray(pixels, 8, 8)), (2, b"not a png at all")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_images(df).collect()}
+    ok = rows[1]
+    assert (ok["width"], ok["height"], ok["mode"], ok["error"]) == (8, 8, "L", None)
+    assert ok["mean_luma"] == round(sum(pixels) / 64, 6)
+    import hashlib
+
+    assert ok["pixel_sha256"] == hashlib.sha256(pixels).hexdigest()
+    bad = rows[2]
+    assert bad["error"] is not None and bad["width"] is None
 
 
 def test_arrow_topk_matches_jvm_topk(spark):
