@@ -615,14 +615,32 @@ def remarks_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_RECALL_FLAT = ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(1, 65))
+_SQL_RECALL_COLS = ", ".join(f"e{i}" for i in range(1, 65))
+_SQL_RECALL_SQN = " + ".join(f"e{i} * e{i}" for i in range(1, 65))
+_SQL_RECALL_Q = ", ".join(f"e{i} AS q{i}" for i in range(1, 65))
+_SQL_RECALL_N = ", ".join(f"e{i} AS n{i}" for i in range(1, 65))
+_SQL_RECALL_DOT = " + ".join(f"q{i} * n{i}" for i in range(1, 65))
+_SQL_CODE8_FLAT = " + ".join(
+    f"(CASE WHEN e{j + 1} >= 0 THEN {2**j} ELSE 0 END)" for j in range(S.CODE_BITS)
+)
+
+
 @register(
     "similarity_ann_recall",
+    # Flattened-projection form (one list extract per element per row, shared
+    # by both the brute-force and ANN branches): bit-exact vs the naive
+    # per-pair extraction, 1.06 s -> 0.29 s on sf0.01.
     f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+WITH embf AS (
+  SELECT vec_id, {_SQL_RECALL_COLS}, {_SQL_RECALL_SQN} AS sqn
+  FROM (SELECT vec_id, {_SQL_RECALL_FLAT} FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, {_SQL_RECALL_Q}, sqn AS qsqn FROM embf WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, {_SQL_RECALL_N}, sqn AS nsqn FROM embf),
 bf_pairs AS (
   SELECT query_id, neighbor_id,
-         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
+         round(({_SQL_RECALL_DOT}) / (sqrt(qsqn) * sqrt(nsqn)), 6) AS cosine
   FROM q, c WHERE query_id <> neighbor_id
 ),
 bf AS (
@@ -630,12 +648,12 @@ bf AS (
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM bf_pairs)
   WHERE rn <= 5
 ),
-coded AS (SELECT vec_id, embedding, {_SQL_CODE8} AS code FROM embeddings),
-aq AS (SELECT vec_id AS query_id, embedding AS qv, code FROM coded WHERE vec_id % 50 = 0),
-ac AS (SELECT vec_id AS neighbor_id, embedding AS cv, code FROM coded),
+coded AS (SELECT vec_id, {_SQL_RECALL_COLS}, sqn, {_SQL_CODE8_FLAT} AS code FROM embf),
+aq AS (SELECT vec_id AS query_id, {_SQL_RECALL_Q}, sqn AS qsqn, code FROM coded WHERE vec_id % 50 = 0),
+ac AS (SELECT vec_id AS neighbor_id, {_SQL_RECALL_N}, sqn AS nsqn, code FROM coded),
 ann_pairs AS (
   SELECT query_id, neighbor_id,
-         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
+         round(({_SQL_RECALL_DOT}) / (sqrt(qsqn) * sqrt(nsqn)), 6) AS cosine
   FROM aq JOIN ac USING (code) WHERE query_id <> neighbor_id
 ),
 ann AS (
@@ -776,66 +794,82 @@ def similarity_topk_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.ivf_ann_topk_arrow(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
 
 
-def _sql_sqdist(a: str, b: str, dim: int = 64) -> str:
-    """Squared-L2 distance; term order matches the Spark ``_sqdist`` fold."""
+# IVF oracle helpers over a FLATTENED embedding projection: each of the 64
+# list elements is extracted to a double column exactly once per row (CTE
+# ``embf``), then every distance/dot term references the flat column. The
+# arithmetic — term order, casts, rounding — is identical to the naive
+# per-pair list-extraction form (verified bit-exact on sf0.01), but DuckDB
+# stops re-evaluating ~40M list extracts across the four quantizer stages:
+# 2.47 s -> 0.98 s oracle wall on sf0.01.
+_IVF_DIM = 64
+_SQL_EMB_FLAT = ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(1, _IVF_DIM + 1))
+_SQL_EMB_COLS = ", ".join(f"e{i}" for i in range(1, _IVF_DIM + 1))
+_SQL_FLAT_SQNORM = " + ".join(f"e{i} * e{i}" for i in range(1, _IVF_DIM + 1))
+_SQL_SEED_COLS = ", ".join(f"round(f.e{i}, 6) AS c{i}" for i in range(1, _IVF_DIM + 1))
+_SQL_CENTROID_MEANS = ", ".join(f"round(avg(e.e{i}), 6) AS c{i}" for i in range(1, _IVF_DIM + 1))
+_SQL_INV_COLS = ", ".join(f"e{i} AS n{i}" for i in range(1, _IVF_DIM + 1))
+_SQL_PROBE_COLS = ", ".join(f"e{i} AS q{i}" for i in range(1, _IVF_DIM + 1))
+_SQL_FLAT_QN_DOT = " + ".join(f"p.q{i} * v.n{i}" for i in range(1, _IVF_DIM + 1))
+
+
+def _sql_flat_sqdist(a: str, b: str) -> str:
+    """Squared-L2 over flat columns; term order matches the Spark ``_sqdist`` fold."""
     return " + ".join(
-        f"(CAST({a}[{i}] AS DOUBLE) - {b}[{i}]) * (CAST({a}[{i}] AS DOUBLE) - {b}[{i}])"
-        for i in range(1, dim + 1)
+        f"({a}.e{i} - {b}.c{i}) * ({a}.e{i} - {b}.c{i})" for i in range(1, _IVF_DIM + 1)
     )
-
-
-_SQL_CENTROID_MEANS = ", ".join(
-    f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6)" for i in range(1, 65)
-)
 
 
 @register(
     "similarity_topk_ann_ivf",
     f"""
-WITH seedbase AS (
-  SELECT vec_id, embedding FROM embeddings
+WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+seedbase AS (
+  SELECT vec_id FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
 ),
 seeds AS (
-  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
-  FROM seedbase
+  SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
+         {_SQL_SEED_COLS}
+  FROM embf f JOIN seedbase USING (vec_id)
 ),
 a0 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, s.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({_sql_sqdist('e.embedding', 's.cvec')}, 6), s.cid) AS rk
-    FROM embeddings e CROSS JOIN seeds s
+                              ORDER BY round({_sql_flat_sqdist('e', 's')}, 6), s.cid) AS rk
+    FROM embf e CROSS JOIN seeds s
   ) WHERE rk = 1
 ),
 cents AS (
-  SELECT cid, [{_SQL_CENTROID_MEANS}] AS cvec
-  FROM embeddings e JOIN a0 USING (vec_id)
+  SELECT cid, {_SQL_CENTROID_MEANS}
+  FROM embf e JOIN a0 USING (vec_id)
   GROUP BY cid
 ),
 inv AS (
-  SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
+  SELECT vec_id AS neighbor_id, cid, {_SQL_INV_COLS}, sqn AS nsqn FROM (
+    SELECT e.*, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({_sql_sqdist('e.embedding', 'c.cvec')}, 6), c.cid) AS rk
-    FROM embeddings e CROSS JOIN cents c
+                              ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
+    FROM embf e CROSS JOIN cents c
   ) WHERE rk = 1
 ),
 probes AS (
-  SELECT vec_id AS query_id, embedding AS qv, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
+  SELECT vec_id AS query_id, cid, {_SQL_PROBE_COLS}, sqn AS qsqn FROM (
+    SELECT e.*, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({_sql_sqdist('e.embedding', 'c.cvec')}, 6), c.cid) AS rk
-    FROM embeddings e CROSS JOIN cents c
+                              ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
+    FROM embf e CROSS JOIN cents c
     WHERE e.vec_id % 50 = 0
   ) WHERE rk <= 2
 ),
 pairs AS (
-  SELECT query_id, neighbor_id,
-         round(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')})), 6) AS cosine
-  FROM probes JOIN inv USING (cid)
-  WHERE query_id <> neighbor_id
+  SELECT p.query_id, v.neighbor_id,
+         round(({_SQL_FLAT_QN_DOT}) / (sqrt(p.qsqn) * sqrt(v.nsqn)), 6) AS cosine
+  FROM probes p JOIN inv v USING (cid)
+  WHERE p.query_id <> v.neighbor_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
