@@ -20,6 +20,7 @@ deterministic stand-in for video/audio plumbing tests.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -52,6 +53,15 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", mime: str = "te
             F.lit(mime).alias("mime"),
         ),
     )
+
+
+def _round6_half_up(x: float) -> float:
+    """HALF_UP 6-dp rounding for non-negative values — matches DuckDB/Spark
+    ``round()`` (Python's built-in ``round`` is half-to-even, which diverges
+    on exact decimal midpoints; pixel means ``s/256`` hit those for ~25% of
+    payloads). The oracle SQL mirrors this exact op sequence
+    (``floor(x*1e6 + 0.5)/1e6``) so results are bit-identical cross-engine."""
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -227,7 +237,7 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
                             "height": img["height"],
                             "mode": img["mode"],
                             "channels": img["channels"],
-                            "mean_luma": round(sum(px) / len(px), 6) if px else 0.0,
+                            "mean_luma": _round6_half_up(sum(px) / len(px)) if px else 0.0,
                             "pixel_sha256": hashlib.sha256(px).hexdigest(),
                             "error": None,
                         }
@@ -265,7 +275,7 @@ def fake_decode(df: DataFrame, id_col: str = "doc_id", payload_col: str = "paylo
                     "width": digests.map(lambda h: 64 + int(h[0:2], 16)).astype("int32"),
                     "height": digests.map(lambda h: 64 + int(h[2:4], 16)).astype("int32"),
                     "n_frames": digests.map(lambda h: 1 + int(h[4:5], 16)).astype("int32"),
-                    "feature_norm": digests.map(lambda h: round(int(h[5:9], 16) / 65535.0, 6)),
+                    "feature_norm": digests.map(lambda h: _round6_half_up(int(h[5:9], 16) / 65535.0)),
                 }
             )
 

@@ -343,9 +343,9 @@ def _sql_sqnorm(a: str, dim: int = 64) -> str:
 _SQL_CODE8 = " + ".join(f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(S.CODE_BITS))
 
 
-@register(
-    "similarity_topk_bruteforce",
-    f"""
+#: Shared by the JVM and Arrow brute-force paths — the Arrow kernel's HALF_UP
+#: rounding (similarity._round_half_up) makes both bit-identical to this SQL.
+_SQL_TOPK_BRUTEFORCE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 pairs AS (
@@ -356,8 +356,10 @@ pairs AS (
 SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
 WHERE rn <= 5
-""",
-)
+"""
+
+
+@register("similarity_topk_bruteforce", _SQL_TOPK_BRUTEFORCE)
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per query vector (every 50th id): broadcast query
     set, corpus scanned once, JVM fold for the dot product."""
@@ -474,18 +476,58 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_stub")  # rows-only: mapInPandas plumbing demo
+@register(
+    "multimodal_decode_stub",
+    """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id,
+       CAST(64 + ('0x' || substr(hx, 1, 2))::INT AS INTEGER) AS width,
+       CAST(64 + ('0x' || substr(hx, 3, 2))::INT AS INTEGER) AS height,
+       CAST(1 + ('0x' || substr(hx, 5, 1))::INT AS INTEGER) AS n_frames,
+       floor((('0x' || substr(hx, 6, 4))::INT / 65535.0) * 1000000.0 + 0.5) / 1000000.0 AS feature_norm
+FROM h
+""",
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stub over the binary payload (deterministic fake
     decoder — real image/audio libs are stubbed per environment contract).
-    Proves the mapInPandas schema/batch plumbing end-to-end."""
+    Proves the mapInPandas schema/batch plumbing end-to-end. The fake
+    metadata is a pure function of the payload's md5, so the oracle replays
+    it in SQL (HALF_UP 6-dp rounding on both sides; fixture text is ASCII so
+    VARCHAR md5 == payload-bytes md5)."""
     from mobsos_event_log_generator_spark.operators.multimodal import attach_binary_payload, fake_decode
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return fake_decode(attach_binary_payload(docs, text_col="text"))
 
 
-@register("multimodal_decode_png")  # rows-only: real PNG codec, binary payload round-trip
+@register(
+    "multimodal_decode_png",
+    # The codec round-trip is bit-exact, so the decoded raster equals the
+    # encoder's input: the doc's first 256 UTF-8 bytes space-padded to 256.
+    # The oracle recomputes the pixel stats straight from the text (fixture
+    # is pure ASCII → codepoints == bytes), proving decode correctness — a
+    # wrong unfilter/inflate would break both the sha and the mean.
+    """
+WITH p AS (
+  SELECT doc_id, rpad(substr(coalesce(text, ''), 1, 256), 256, ' ') AS px FROM documents
+),
+s AS (
+  SELECT doc_id, px,
+         CAST(list_sum(list_transform(range(1, 257), i -> unicode(substr(px, CAST(i AS INT), 1)))) AS BIGINT) AS tot
+  FROM p
+)
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       'L' AS mode,
+       CAST(1 AS INTEGER) AS channels,
+       floor((tot / 256) * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+       sha256(px) AS pixel_sha256,
+       CAST(NULL AS VARCHAR) AS error
+FROM s
+""",
+)
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: each document's first 256 text bytes
     become a 16x16 grayscale PNG payload (stdlib encoder), then
@@ -578,12 +620,14 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_arrow")  # rows-only: BLAS kernel, last-ulp fp variance
+@register("similarity_topk_arrow", _SQL_TOPK_BRUTEFORCE)
 def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/BLAS brute-force top-k (mapInPandas matmul). Rows-only check:
-    numpy's pairwise summation can differ from a sequential SQL fold in the
-    last ulp, so exact-hash parity is asserted against the JVM path in unit
-    tests instead (test_arrow_topk_matches_jvm_topk)."""
+    """Arrow/BLAS brute-force top-k (mapInPandas matmul), sharing the JVM
+    path's oracle: the kernel's 6-dp HALF_UP rounding collapses numpy's
+    last-ulp summation variance, so the rounded cosines (and therefore the
+    rank window) are bit-identical to the sequential SQL fold — verified
+    exact-cell at sf0.001 and sf0.01, plus the JVM-equality unit test
+    (test_arrow_topk_matches_jvm_topk)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk_arrow(emb, queries, k=5)
@@ -715,18 +759,55 @@ def udaf_source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(counts, "source")
 
 
-@register("grouped_map_source_zscore")  # rows-only: fp reduction order varies
+@register(
+    "grouped_map_source_zscore",
+    # Mirrors the pandas kernel's integer-moment arithmetic op-for-op:
+    # mu = s/n, var = ssq/n - mu*mu, sigma = sqrt(var), z = (x - mu)/sigma.
+    # Every step is a single correctly-rounded IEEE op on exact integer
+    # inputs (sums of int64 commute exactly), so the doubles are
+    # bit-identical cross-engine — no rounding needed in the gate.
+    """
+WITH g AS (
+  SELECT source,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+gm AS (
+  SELECT source, CAST(s AS DOUBLE) / n AS mu,
+         (CAST(ssq AS DOUBLE) / n) - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+  FROM g
+),
+gs AS (SELECT source, mu, CASE WHEN var > 0 THEN sqrt(var) ELSE 0.0 END AS sigma FROM gm)
+SELECT d.doc_id, d.source, d.n_chars,
+       CASE WHEN sigma = 0 THEN 0.0
+            ELSE (CAST(d.n_chars AS DOUBLE) - mu) / sigma END AS z_len
+FROM documents d JOIN gs USING (source)
+""",
+)
 def grouped_map_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-source z-score normalization of document
     length — the whole-group-at-once pandas surface (each source's docs
-    arrive as one pdf). Rows-only in the gate (mean/std are fp reductions
-    whose order differs across engines); the unit test asserts semantics."""
+    arrive as one pdf). The moments are computed from EXACT integer sums
+    (sum, sum-of-squares, count — order-insensitive), then combined in a
+    fixed sequence of correctly-rounded IEEE double ops, so the kernel is
+    bit-deterministic under any row order / partitioning and the oracle can
+    replay it exactly — the pattern for making pandas reductions gate-able."""
+    import math
+
     import pandas as pd
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu, sigma = pdf["n_chars"].mean(), pdf["n_chars"].std(ddof=0)
+        n = len(pdf)
+        x = pdf["n_chars"].astype("int64")
+        s = int(x.sum())
+        ssq = int((x * x).sum())
+        mu = s / n
+        var = ssq / n - mu * mu
+        sigma = math.sqrt(var) if var > 0 else 0.0
         pdf = pdf[["doc_id", "source", "n_chars"]].copy()
-        pdf["z_len"] = 0.0 if sigma == 0 else (pdf["n_chars"] - mu) / sigma
+        pdf["z_len"] = 0.0 if sigma == 0 else (pdf["n_chars"].astype("float64") - mu) / sigma
         return pdf
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -784,16 +865,6 @@ def similarity_topk_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFram
     return S.multitable_ann_topk(emb, queries, k=5)
 
 
-@register("similarity_topk_ann_ivf_arrow")  # rows-only: Arrow kernel surface
-def similarity_topk_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF routing + Arrow/BLAS scoring — the measured-fast composition
-    (BASELINE ANN probe). Rows-only gated; exact equality with the JVM IVF
-    path is unit-tested (`test_llm_ops.py::test_ivf_arrow_matches_jvm_ivf`)."""
-    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ivf_ann_topk_arrow(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
-
-
 # IVF oracle helpers over a FLATTENED embedding projection: each of the 64
 # list elements is extracted to a double column exactly once per row (CTE
 # ``embf``), then every distance/dot term references the flat column. The
@@ -819,9 +890,9 @@ def _sql_flat_sqdist(a: str, b: str) -> str:
     )
 
 
-@register(
-    "similarity_topk_ann_ivf",
-    f"""
+#: Shared by the JVM and Arrow IVF paths (the Arrow kernel is unit-tested
+#: bit-equal to the JVM path, and both match this SQL exact-cell).
+_SQL_IVF_ANN = f"""
 WITH embf AS (
   SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
   FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
@@ -874,8 +945,10 @@ pairs AS (
 SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
 WHERE rn <= 5
-""",
-)
+"""
+
+
+@register("similarity_topk_ann_ivf", _SQL_IVF_ANN)
 def similarity_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic md5-seeded centroids + one Lloyd
     refinement build an 8-cell inverted file; each query probes its 2
@@ -889,6 +962,18 @@ def similarity_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.ivf_ann_topk(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
+
+
+@register("similarity_topk_ann_ivf_arrow", _SQL_IVF_ANN)
+def similarity_topk_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing + Arrow/BLAS scoring — the measured-fast composition
+    (BASELINE ANN probe), sharing the JVM IVF oracle: the Arrow kernel's
+    HALF_UP rounding makes it bit-equal to the JVM path
+    (`test_llm_ops.py::test_ivf_arrow_matches_jvm_ivf`), which matches the
+    SQL quantizer replay exact-cell at sf0.001 and sf0.01."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_ann_topk_arrow(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
 
 
 # ---------------------------------------------------------------------------
@@ -920,9 +1005,8 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
-@register(
-    "corpus_chunk_documents",
-    f"""
+#: Shared by the JVM and Python-UDTF chunkers (unit-tested row-identical).
+_SQL_CHUNK_DOCS = f"""
 WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
 s AS (
   SELECT doc_id, words,
@@ -935,8 +1019,10 @@ SELECT doc_id,
        CAST(least(64, len(words) - start) AS BIGINT) AS n_chunk_tokens,
        array_to_string(words[start + 1 : start + 64], ' ') AS chunk_text
 FROM s
-""",
-)
+"""
+
+
+@register("corpus_chunk_documents", _SQL_CHUNK_DOCS)
 def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (64-token chunks, 32-token stride): the
     long-document → training-sample expansion as pure codegen'd Column
@@ -945,11 +1031,13 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.chunk_documents(docs, chunk_tokens=64, stride=32)
 
 
-@register("corpus_chunk_documents_udtf")  # rows-only: Python UDTF surface
+@register("corpus_chunk_documents_udtf", _SQL_CHUNK_DOCS)
 def corpus_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same chunking through the Python UDTF escape hatch (LATERAL table
-    function) — rows-only gated here; exact equality with the JVM path is
-    unit-tested (`test_llm_ops.py::test_chunk_udtf_matches_jvm`)."""
+    function), sharing the JVM chunker's oracle: tokenization and slicing are
+    integer/string ops with no fp variance, so the UDTF output is
+    row-identical to the JVM path (`test_llm_ops.py::test_chunk_udtf_matches_jvm`)
+    and exact-cell equal to the SQL at sf0.001 and sf0.01."""
     from mobsos_event_log_generator_spark.operators.udtfs import chunk_documents_udtf
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))

@@ -111,12 +111,56 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_capped_sessions")  # rows-only: genuinely stateful op
+_CAPPED_SESSION_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS gid
+  FROM gaps
+),
+r AS (
+  SELECT user_id, ts, gid,
+         (row_number() OVER (PARTITION BY user_id, gid ORDER BY ts) - 1) // 5 AS sub
+  FROM s
+),
+sess AS (
+  SELECT user_id AS "case", gid, sub,
+         min(ts) AS t0, max(ts) AS t1, CAST(count(*) AS BIGINT) AS n_events
+  FROM r GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY "case" ORDER BY gid DESC, sub DESC) AS rdesc
+  FROM sess
+),
+m AS (SELECT max(ts) AS mx FROM events)
+SELECT "case",
+       strftime(t0, '{TS_FMT_DUCK}') AS session_start,
+       strftime(t1, '{TS_FMT_DUCK}') AS session_end,
+       n_events,
+       CASE WHEN n_events = 5 THEN 'cap' ELSE 'timeout' END AS closed_by
+FROM ranked, m
+WHERE rdesc > 1 OR n_events = 5 OR t1 + INTERVAL 30 MINUTE < mx - INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_capped_sessions", _CAPPED_SESSION_ORACLE)
 def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom applyInPandasWithState sessionizer: gap sessions that ALSO close
-    early at a max event count (runaway-case guard). Iterative per-key state —
-    not SQL-expressible, so the driver records the weaker rows-only check;
-    tests prove equivalence with session_window when the cap is inert."""
+    early at a max event count (runaway-case guard). The oracle replays the
+    full stateful semantics in batch SQL — gap-split (strict > 30 min), then
+    fixed-size sub-split at 5 events ('cap' close exactly at the cap,
+    'timeout' otherwise) — plus the append-mode emission rule: with the whole
+    file in one micro-batch, every close except a case's LAST is triggered
+    in-batch by a successor event, while the trailing session needs the
+    event-time timeout (watermark = max(ts) - 1 h must pass session_end +
+    gap). Tests additionally prove equivalence with session_window when the
+    cap is inert."""
     from mobsos_event_log_generator_spark.streaming.ingest import stream_events
     from mobsos_event_log_generator_spark.streaming.stateful import capped_sessions
 

@@ -56,8 +56,18 @@ def test_q5_no_cartesian_and_broadcast_dims(spark, sf_dir):
 
 # Oracle-gated queries allowed to cross the Python boundary: each is the
 # explicitly sanctioned Arrow surface it demonstrates (COVERAGE.md "Python
-# execution surfaces"), never an accidental BatchEvalPython.
-PYTHON_SURFACE_ALLOWLIST = {"udaf_source_token_totals"}
+# execution surfaces"), never an accidental BatchEvalPython. (These were
+# rows-only until round 2; now that they carry exact oracles they must be
+# excluded from the JVM-only sweep explicitly.)
+PYTHON_SURFACE_ALLOWLIST = {
+    "udaf_source_token_totals",      # GROUPED_AGG pandas UDAF
+    "grouped_map_source_zscore",     # applyInPandas grouped map
+    "corpus_chunk_documents_udtf",   # Python UDTF (lateral table function)
+    "multimodal_decode_stub",        # mapInPandas fake decoder
+    "multimodal_decode_png",         # mapInPandas real PNG codec
+    "similarity_topk_arrow",         # mapInPandas BLAS kernel
+    "similarity_topk_ann_ivf_arrow", # mapInPandas BLAS kernel + IVF routing
+}
 
 
 def test_no_python_in_hot_paths(spark, sf_dir):
