@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mobsos_event_log_generator_spark.operators.text import tokens, word_shingles
+from mobsos_event_log_generator_spark.operators.text import tokens, winnow_fingerprints, word_shingles
 
 NUM_MINHASHES = 12
 NUM_BANDS = 4
@@ -334,3 +334,54 @@ def dedup_against_corpus(
     new_keyed = new_docs.withColumn("__fp", fingerprint)
     seen = corpus.select(fingerprint.alias("__fp")).filter(F.col("__fp").isNotNull()).distinct()
     return new_keyed.join(seen, "__fp", "left_anti").drop("__fp")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MOSS-style containment detection over winnowing fingerprints
+    (``text.winnow_fingerprints``): two documents are a reported pair when
+    the smaller one shares at least ``threshold`` of its fingerprint set
+    with the other — the asymmetric-containment metric that catches a short
+    document pasted into a long one, which symmetric Jaccard dilutes.
+
+    Scale shape (mirrors the LSH path): documents only ever meet through an
+    equi-join on the fingerprint value — winnowing already subsampled
+    ~2/(window+1) of the shingle hashes, so the exploded table is a fraction
+    of the shingle join the exact-Jaccard verifier pays. ``max_bucket_size``
+    is the same hot-bucket guard as ``lsh_candidate_pairs``: a boilerplate
+    fingerprint shared by B docs yields B² join rows; buckets above the cap
+    are dropped (off by default — exhaustive oracles need exact behavior).
+    Overlap is a ratio of small ints rounded at 6 dp — bit-exact
+    cross-engine."""
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(tokens(text_col), n=shingle_n, window=window)).alias("fingerprint"),
+    )
+    if max_bucket_size is not None:
+        sizes = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__bsize"))
+        fps = fps.join(sizes, "fingerprint").filter(F.col("__bsize") <= max_bucket_size).drop("__bsize")
+    counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("__na"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("__nb"))
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("overlap", F.round(F.col("shared") / F.least("__na", "__nb"), 6))
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "shared", "overlap")
+    )

@@ -122,6 +122,36 @@ def rolling_min_fingerprint(words: Column, n: int = 3) -> Column:
     return F.array_min(F.transform(word_shingles(words, n), F.md5))
 
 
+def winnow_fingerprints(words: Column, n: int = 3, window: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS rolling-hash sampler): md5 every word n-gram, then keep the
+    lexicographic minimum of each sliding window of ``window`` consecutive
+    shingle hashes, deduplicated. Guarantee: any shared run of at least
+    ``n + window - 1`` words between two documents yields at least one shared
+    fingerprint, while only ~2/(window+1) of the hashes survive — the
+    standard position-free document fingerprint for plagiarism/overlap
+    detection. Documents with fewer than ``window`` shingles contribute their
+    single global min (0 shingles → empty set).
+
+    All codegen-safe Column algebra: the CASE is lazy per row, so the
+    ``sequence(0, m - window)`` index array is never built for short docs.
+    Per-row cost is O(m·window) comparisons over an already-hashed array —
+    no Python, no shuffle; the selectivity knob is ``window``."""
+    hs = F.transform(word_shingles(words, n), F.md5)
+    m = F.size(hs)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), m - window),
+            lambda i: F.array_min(F.slice(hs, i + 1, window)),
+        )
+    )
+    return (
+        F.when(m == 0, F.array().cast("array<string>"))
+        .when(m < window, F.array(F.array_min(hs)))
+        .otherwise(wins)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

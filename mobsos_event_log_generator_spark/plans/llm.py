@@ -219,6 +219,67 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Winnowing fingerprint sets (Schleimer et al. SIGMOD'03), lock-step mirror
+#: of operators/text.py::winnow_fingerprints at n=3, window=4: md5 every
+#: 3-gram shingle, keep the lexicographic min of each sliding 4-window,
+#: dedup. `hs[i:i+3]` is DuckDB's inclusive 1-based slice = 4 hashes.
+_SQL_WINNOW_CTE = f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+h AS (SELECT doc_id, list_transform({SQL_SHINGLES3}, s -> md5(s)) AS hs FROM w),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(hs) < 4 THEN [list_aggregate(hs, 'min')]
+              ELSE list_distinct(list_transform(range(1, len(hs) - 2), i -> list_aggregate(hs[i:i+3], 'min')))
+         END AS fps
+  FROM h
+),
+e AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+"""
+
+
+@register("text_winnow_fingerprints", _SQL_WINNOW_CTE + "SELECT doc_id, fingerprint FROM e")
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash sampler):
+    position-free content fingerprints guaranteeing any shared run of
+    >= n + window - 1 = 6 words produces a shared fingerprint, at ~2/(w+1)
+    the density of full shingling. Pure codegen'd Column algebra — the
+    sampling happens inside the row, before any shuffle."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.explode(X.winnow_fingerprints(X.tokens("text"), n=3, window=4)).alias("fingerprint"),
+    )
+
+
+@register(
+    "dedup_winnow_pairs",
+    _SQL_WINNOW_CTE
+    + """,
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+  FROM e a JOIN e b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) >= 0.5
+""",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap pairs: documents whose winnowing fingerprint sets
+    share >= 50% of the smaller set (asymmetric containment — catches a
+    short doc pasted into a long one, which symmetric Jaccard dilutes).
+    Docs only meet via the fingerprint equi-join, never all-pairs; the
+    winnowing sample keeps the exploded join input at a fraction of full
+    shingling, and a hot-bucket cap is available for boilerplate
+    fingerprints at scale."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return D.winnow_overlap_pairs(docs, shingle_n=3, window=4, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH fuzzy dedup
 # ---------------------------------------------------------------------------

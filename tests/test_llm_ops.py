@@ -612,3 +612,61 @@ def test_chunk_udtf_ascii_whitespace_contract(spark):
     py = {tuple(r) for r in chunk_documents_udtf(spark, df, chunk_tokens=4, stride=2).collect()}
     assert jvm == py
     assert any("a b" in r[-1] for r in jvm)
+
+
+def _ref_winnow(text: str, n: int = 3, w: int = 4) -> set[str]:
+    """Pure-Python reference of the winnowing sampler (Schleimer et al.)."""
+    import hashlib
+
+    words = [t for t in text.split() if t]
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)] if len(words) >= n else []
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "four words only here"),  # 2 shingles < window -> single global min
+        (3, "ab"),  # < n words -> empty set
+        (4, ""),  # no tokens -> empty set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select("doc_id", F.explode(X.winnow_fingerprints(X.tokens("text"))).alias("fp")).collect()
+    got: dict[int, set[str]] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _ref_winnow(text), doc_id
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # Any shared run of >= n + window - 1 = 6 words must share a fingerprint.
+    run = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"unrelated prefix words here {run}"), (2, f"{run} totally different suffix tokens")],
+        "doc_id long, text string",
+    )
+    fps = df.select("doc_id", F.explode(X.winnow_fingerprints(X.tokens("text"))).alias("fp")).collect()
+    sets: dict[int, set[str]] = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[1] & sets[2]
+
+
+def test_winnow_overlap_pairs_containment(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    contained = " ".join(f"w{i}" for i in range(10, 30))  # verbatim middle slice
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, contained), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["overlap"] for r in D.winnow_overlap_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # containment detected
+    assert not any(3 in p for p in pairs)
+    # hot-bucket cap drops every bucket at size>=2 -> no pairs survive
+    assert D.winnow_overlap_pairs(df, max_bucket_size=1).count() == 0
