@@ -32,19 +32,35 @@ KNOWN_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    The fixtures store ``events.ts`` as parquet TIMESTAMP(NANOS); Spark's
-    reader only accepts it via ``spark.sql.legacy.parquet.nanosAsLong``, so it
-    arrives as epoch-nanos LongType and is converted to a microsecond
-    timestamp here (values are µs-precision, so truncation is lossless).
+    Timestamp normalization: the fixtures store naive (no-timezone) parquet
+    timestamps, which Spark 4 reads as TIMESTAMP_NTZ, while older fixture
+    generations used TIMESTAMP(NANOS) (readable only via
+    ``spark.sql.legacy.parquet.nanosAsLong`` as epoch-nanos LongType). Every
+    timestamp column is normalized here to plain TIMESTAMP (LTZ) under a UTC
+    session timezone, so downstream epoch math (``unix_micros``) and µs-string
+    formatting behave identically in ANY caller session — including the
+    driver's own plain SparkSession — and match DuckDB's naive-timestamp
+    arithmetic on the same files. Confs are runtime-set (not builder-set) for
+    exactly that reason.
     """
+    # NTZ→LTZ cast interprets the wall clock in the session timezone; pin UTC
+    # so the interpretation is deterministic and matches the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Runtime-set so externally-created sessions (the driver's smoke
-        # check passes its own SparkSession) can read the NANOS fixture too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # Integer div: epoch-nanos (~1.7e18) exceeds double's exact range.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz_cols:
+        # One projection (not a withColumn chain) keeps the analyzed plan flat.
+        df = df.select(
+            *[
+                F.col(f.name).cast(T.TimestampType()).alias(f.name) if f.name in ntz_cols else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
     return df
 
 

@@ -33,19 +33,29 @@ from pyspark.sql import types as T
 def stream_events(
     spark: SparkSession,
     path: str,
-    ts_is_nanos: bool = True,
+    ts_is_nanos: bool | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame over the events parquet directory/file.
 
-    The fixture stores ts as TIMESTAMP(NANOS) (read as long via the
-    nanosAsLong conf and converted — same contract as the batch loader).
+    File sources require an explicit schema, but fixture generations differ in
+    how they store ``ts`` (TIMESTAMP(NANOS) → LongType under nanosAsLong;
+    naive µs → TIMESTAMP_NTZ; tz-annotated µs → TIMESTAMP). With
+    ``ts_is_nanos=None`` (default) a one-off batch footer read probes the
+    actual on-disk type; whatever arrives is normalized to plain TIMESTAMP
+    under a UTC session timezone — the same contract as the batch loader, so
+    downstream watermarks/windows are fixture-format-agnostic.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ts_is_nanos is None:
+        ts_dtype = spark.read.parquet(path).schema["ts"].dataType
+    else:
+        ts_dtype = T.LongType() if ts_is_nanos else T.TimestampType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
+            T.StructField("ts", ts_dtype),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -60,8 +70,11 @@ def stream_events(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    if ts_is_nanos:
+    if isinstance(ts_dtype, T.LongType):
+        # Integer div: epoch-nanos (~1.7e18) exceeds double's exact range.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_dtype, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -12,7 +12,7 @@ from mobsos_event_log_generator_spark.streaming.sessionize import run_available_
 from mobsos_event_log_generator_spark.streaming.stateful import capped_sessions
 
 
-def _run(spark, tmp_path, src_dir, qname, ts_is_nanos=False, **kwargs):
+def _run(spark, tmp_path, src_dir, qname, ts_is_nanos=None, **kwargs):
     ev = stream_events(spark, str(src_dir), ts_is_nanos=ts_is_nanos)
     sess = capped_sessions(ev, **kwargs)
     q = (
@@ -54,7 +54,6 @@ def test_inert_cap_matches_session_window(spark, tmp_path):
     session_window result (same finalized sessions, same bounds/counts)."""
     out = _run(
         spark, tmp_path, "/root/testdata/sf0.001/events.parquet", "capped_equiv",
-        ts_is_nanos=True,
         gap_seconds=1800, max_events=10**9, watermark_delay="1 hour",
     )
     got = {(r["case"], r["session_start"], r["session_end"], r["n_events"]) for r in out.collect()}

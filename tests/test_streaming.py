@@ -104,7 +104,9 @@ def test_stream_xes_sink_writes_parseable_shards(spark, tmp_path):
 def test_jdbc_incremental_source_watermark(spark, tmp_path):
     """High-watermark poller: successive polls see only new rows; commit
     advances the watermark atomically."""
-    ev = spark.read.parquet(SRC).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
 
     def loader(hwm):
         return ev.filter(F.col("ts") > F.lit(hwm)) if hwm else ev
