@@ -28,12 +28,18 @@ def asof_join(
     ts_col: str,
     tie_col: str,
     ref_payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each probe row: the reference row with the greatest (ts, tie) that
-    is <= the probe's ts (equal timestamps match — references sort before
-    probes at the same instant). Probe rows keep all their columns; reference
-    payload columns arrive as ``ref_<name>`` (NULL when no reference
-    precedes). ``tie_col`` makes same-timestamp ordering deterministic."""
+    """For each probe row: the nearest reference row per key — with
+    ``direction="backward"`` the greatest (ts, tie) that is <= the probe's ts,
+    with ``direction="forward"`` the smallest (ts, tie) that is >= it (equal
+    timestamps match in both directions). Probe rows keep all their columns;
+    reference payload columns arrive as ``ref_<name>`` (NULL when no
+    reference exists on that side). ``tie_col`` makes same-timestamp ordering
+    deterministic. Both directions are the same single-shuffle union + ordered
+    window sweep, just mirrored."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     ref_struct = F.struct(
         F.col(ts_col).alias("__ts"), F.col(tie_col).alias("__tie"), *[F.col(c) for c in ref_payload]
     )
@@ -45,13 +51,25 @@ def asof_join(
         *probe_cols, F.lit(1).alias("__side"), F.lit(None).cast(tagged_refs.schema["__ref"].dataType).alias("__ref")
     )
     unioned = tagged_probes.unionByName(tagged_refs, allowMissingColumns=True)
-    # refs (side 0) sort before probes (side 1) at equal ts: "at or before".
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col("__side"), F.col(tie_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    swept = unioned.withColumn("__last_ref", F.last("__ref", ignorenulls=True).over(w))
+    if direction == "backward":
+        # refs (side 0) sort before probes (side 1) at equal ts: "at or
+        # before"; carry the LAST ref seen up to the current row.
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col), F.col("__side"), F.col(tie_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("__ref", ignorenulls=True).over(w)
+    else:
+        # probes (side 1 → desc puts them first) sort before refs at equal
+        # ts: "at or after"; take the FIRST ref from the current row onward.
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col), F.col("__side").desc(), F.col(tie_col))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first("__ref", ignorenulls=True).over(w)
+    swept = unioned.withColumn("__last_ref", carried)
     out = swept.filter(F.col("__side") == 1).select(
         *probe_cols,
         *[F.col("__last_ref")[c].alias(f"ref_{c}") for c in ["__ts", *ref_payload]],

@@ -1365,3 +1365,145 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6).alias("contamination"),
         )
     )
+
+
+@register(
+    "text_unigram_entropy",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       round(ln(CAST(sum(n) AS DOUBLE))
+             - sum(n * ln(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE), 6) AS entropy,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct
+FROM tc GROUP BY 1
+""",
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution — the
+    standard diversity/quality signal (low entropy = repetitive boilerplate).
+    Computed as ln(N) - sum(n·ln n)/N from one explode + two map-side-combined
+    hash aggregations; no window, no Python. Zero-token docs drop out (no
+    distribution to measure) in both engines."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    n_sum = F.sum("n")
+    return tc.groupBy("doc_id").agg(
+        F.round(
+            F.log(n_sum.cast("double")) - F.sum(F.col("n") * F.log(F.col("n").cast("double"))) / n_sum.cast("double"),
+            6,
+        ).alias("entropy"),
+        n_sum.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "quality_gopher_rules",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, count(*) AS n_words, sum(length(tok)) AS sum_len,
+         sum(CASE WHEN tok IN ('the','a','and','of','to','is','in')
+                  THEN 1 ELSE 0 END) AS stop_hits
+  FROM toks GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+""",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule filter (Rae et al. 2021 §A1.1, public): word
+    count in [50, 100000], mean word length in [3, 10], >= 2 stopword hits;
+    emits per-doc metrics + an integer keep flag. The keep decision compares
+    the UNROUNDED mean — both engines derive it as one double division of
+    exact integer sums, so the boundary comparison is bit-identical. One
+    explode + one hash aggregation; the rule evaluation is pure projection."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+    m = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("tok")).alias("sum_len"),
+        F.sum(F.when(F.col("tok").isin(*X.STOPWORDS), 1).otherwise(0)).alias("stop_hits"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & mean_len.between(3, 10)
+        & (F.col("stop_hits") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+@register(
+    "text_chargram_logprob",
+    """
+WITH grams AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
+  FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+),
+dc AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1, 2),
+model AS (SELECT g, sum(n) AS c FROM dc GROUP BY 1),
+tot AS (SELECT sum(c) AS total FROM model)
+SELECT doc_id,
+       round(sum(n * ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)))
+             / CAST(sum(n) AS DOUBLE), 6) AS avg_logprob,
+       CAST(sum(n) AS BIGINT) AS n_grams
+FROM dc JOIN model USING (g) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def text_chargram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020, public):
+    train a corpus-level char-trigram unigram LM, score each document by its
+    mean trigram log-probability (outliers = low-quality / out-of-domain
+    text). Two-pass: (1) per-doc trigram counts (explode + hash agg), (2) the
+    model is the same counts re-aggregated by trigram — bounded vocabulary,
+    so the scoring join broadcasts the model instead of shuffling the corpus;
+    the grand total rides along as a broadcast scalar. Docs shorter than 3
+    chars have no trigrams and drop out in both engines."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    grams = docs.filter(F.char_length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("g"),
+    )
+    dc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    model = dc.groupBy("g").agg(F.sum("n").alias("c"))
+    total = model.agg(F.sum("c").alias("total"))
+    return (
+        dc.join(F.broadcast(model), "g")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("n") * F.log(F.col("c").cast("double") / F.col("total").cast("double")))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+            F.sum("n").cast("long").alias("n_grams"),
+        )
+    )

@@ -184,6 +184,153 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_purchase_after_click",
+    f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS probe
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+swept AS (
+  SELECT user_id, ts, event_id, probe,
+         first_value(CASE WHEN probe = 0 THEN ts END IGNORE NULLS)
+           OVER w AS ref_ts,
+         first_value(CASE WHEN probe = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS ref_event_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, probe DESC, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       ref_event_id,
+       strftime(ref_ts, '{TS_FMT_DUCK}') AS ref_ts,
+       epoch_us(ref_ts) - epoch_us(ts) AS lead_us
+FROM swept WHERE probe = 1
+""",
+)
+def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every click, the user's earliest purchase
+    at-or-after it — the mirrored union + ordered-window sweep (one shuffle,
+    no per-key cross product; pandas' merge_asof(direction='forward'))."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(
+        clicks,
+        purchases,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        ref_payload=["event_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        "ref_event_id",
+        F.date_format("ref_ts", TS_FMT_SPARK).alias("ref_ts"),
+        (F.unix_micros(F.col("ref_ts")) - F.unix_micros(F.col("ts"))).alias("lead_us"),
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY 1, 2
+),
+points AS (
+  SELECT s AS ts, 1 AS delta, user_id, session_id FROM sessions
+  UNION ALL
+  SELECT e AS ts, -1 AS delta, user_id, session_id FROM sessions
+),
+swept AS (
+  SELECT ts, sum(delta) OVER (ORDER BY ts, -delta, user_id, session_id
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM points
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM swept
+GROUP BY 1
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day: gap-sessionize (30-min
+    inactivity), then a distributed sweep-line over session [start, end]
+    intervals (operators/sweep.py) — two-phase prefix sum, never a
+    single-partition global sort. Touching sessions count as overlapping."""
+    from pyspark.sql.window import Window
+
+    from mobsos_event_log_generator_spark.operators.sweep import interval_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("is_new_session", is_new).withColumn(
+        "session_id",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    sessions = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    swept = interval_concurrency(sessions, "s", "e", tie_cols=["user_id", "session_id"])
+    return swept.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent")
+    )
+
+
+@register(
+    "events_rolling_active_users",
+    """
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+""",
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (WAU) per event day. Sliding DISTINCT
+    windows have no window-function form in either engine; the scale shape is
+    a bounded fan-out: each distinct (user, day) pair replicates to the <=7
+    future days it supports (narrow rows, 7x), then one count-distinct per
+    day — instead of a days x activity range join whose skew grows with the
+    calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    fanned = ud.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("target_day"),
+        "user_id",
+    )
+    return (
+        fanned.join(days.withColumnRenamed("day", "target_day"), "target_day", "left_semi")
+        .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@register(
     "events_cohort_retention",
     """
 WITH first AS (
