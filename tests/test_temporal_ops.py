@@ -1,0 +1,112 @@
+"""Units for the temporal operators added in round 3: forward as-of joins and
+the distributed sweep-line prefix sum (operators/sweep.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.operators.asof import asof_join
+from mobsos_event_log_generator_spark.operators.sweep import (
+    global_running_sum,
+    interval_concurrency,
+)
+
+
+def _ts(minute: int, second: int = 0) -> datetime:
+    return datetime(2026, 1, 1, 12, minute, second)
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    probes = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(30)), (3, 20, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    refs = spark.createDataFrame(
+        [(100, 10, _ts(10)), (101, 10, _ts(20)), (102, 10, _ts(40)), (103, 20, _ts(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = asof_join(
+        probes, refs, key_col="user_id", ts_col="ts", tie_col="event_id",
+        ref_payload=["event_id"], direction="forward",
+    )
+    got = {r["event_id"]: (r["ref_event_id"], r["ref_ts"]) for r in out.collect()}
+    assert got[1] == (100, _ts(10))  # equal timestamp matches forward
+    assert got[2] == (102, _ts(40))  # skips refs strictly before the probe
+    assert got[3] == (None, None)  # no ref at-or-after → NULL
+
+
+def test_asof_forward_tie_breaks_by_tie_col(spark):
+    probes = spark.createDataFrame([(1, 7, _ts(0))], "event_id long, user_id long, ts timestamp")
+    refs = spark.createDataFrame(
+        [(52, 7, _ts(0)), (51, 7, _ts(0))], "event_id long, user_id long, ts timestamp"
+    )
+    out = asof_join(
+        probes, refs, key_col="user_id", ts_col="ts", tie_col="event_id",
+        ref_payload=["event_id"], direction="forward",
+    ).collect()
+    assert out[0]["ref_event_id"] == 51  # smallest (ts, tie) at-or-after
+
+
+def test_asof_rejects_unknown_direction(spark):
+    df = spark.createDataFrame([(1, 1, _ts(0))], "event_id long, user_id long, ts timestamp")
+    try:
+        asof_join(df, df, "user_id", "ts", "event_id", ["event_id"], direction="nearest")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_global_running_sum_matches_single_sort(spark):
+    rows = [(_ts(m, s), (m * 7 + s) % 5 - 2, m * 60 + s) for m in range(0, 50) for s in (0, 30)]
+    df = spark.createDataFrame(rows, "ts timestamp, delta long, tie long")
+    # Tiny bucket (60 s) forces many buckets → exercises the offset join.
+    out = global_running_sum(df, "ts", "delta", ["tie"], bucket_seconds=60)
+    got = {r["tie"]: r["running"] for r in out.collect()}
+    acc, want = 0, {}
+    for ts, delta, tie in sorted(rows, key=lambda r: (r[0], r[2])):
+        acc += delta
+        want[tie] = acc
+    assert got == want
+
+
+def test_interval_concurrency_touching_intervals_overlap(spark):
+    # [0,10] and [10,20] touch at minute 10: closed-interval semantics → both
+    # open immediately after the second start point.
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(10)), (2, _ts(10), _ts(20))], "id long, s timestamp, e timestamp"
+    )
+    out = interval_concurrency(iv, "s", "e", tie_cols=["id"])
+    seq = [
+        (r["ts"], r["delta"], r["concurrent"])
+        for r in sorted(out.collect(), key=lambda r: (r["ts"], -r["delta"], r["id"]))
+    ]
+    assert seq == [
+        (_ts(0), 1, 1),
+        (_ts(10), 1, 2),  # start of #2 applies before end of #1
+        (_ts(10), -1, 1),
+        (_ts(20), -1, 0),
+    ]
+
+
+def test_interval_concurrency_zero_length_interval(spark):
+    iv = spark.createDataFrame([(1, _ts(5), _ts(5))], "id long, s timestamp, e timestamp")
+    out = sorted(interval_concurrency(iv, "s", "e", tie_cols=["id"]).collect(), key=lambda r: -r["delta"])
+    assert [(r["delta"], r["concurrent"]) for r in out] == [(1, 1), (-1, 0)]
+
+
+def test_sweep_has_no_global_sort_of_rows(spark):
+    """The scale contract: the only unpartitioned window runs over per-bucket
+    totals, so the per-row windows must all carry a partition key."""
+    rows = [(_ts(m), 1, m) for m in range(10)]
+    df = spark.createDataFrame(rows, "ts timestamp, delta long, tie long")
+    plan = global_running_sum(df, "ts", "delta", ["tie"], bucket_seconds=60)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    unpartitioned = [ln for ln in windows if "__bucket#" not in ln.split("windowspecdefinition")[1][:200]]
+    # every unpartitioned window must be the bucket-offset one (operates on
+    # __total, i.e. one row per bucket), never on the row-level delta
+    for ln in unpartitioned:
+        assert "__total" in ln, f"row-level unpartitioned window found:\n{ln}"
