@@ -70,6 +70,13 @@ _NEW_THIS_ROUND = {
     "text_unigram_entropy",
     "quality_gopher_rules",
     "text_chargram_logprob",
+    "eventlog_activity_service_times",
+    "eventlog_eventually_follows",
+    "eventlog_rework_summary",
+    "eventlog_start_end_matrix",
+    "eventlog_org_profile",
+    "corpus_sample_mix",
+    "text_token_quantiles",
 }
 
 

@@ -1507,3 +1507,90 @@ def text_chargram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_grams"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing / token-length distribution
+# ---------------------------------------------------------------------------
+
+#: Per-language keep-rates (percent) for the mixing query: downsample the
+#: dominant language, keep the tail — the data-mixing move every multilingual
+#: pretraining corpus makes (e.g. CC head-language rebalancing).
+SAMPLE_MIX_RATES: dict[str, int] = {"en": 30, "de": 100, "es": 100, "fr": 100, "zh": 100}
+
+
+@register(
+    "corpus_sample_mix",
+    """
+WITH b AS (
+  SELECT lang, source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+         CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100 WHEN 'es' THEN 100
+                   WHEN 'fr' THEN 100 WHEN 'zh' THEN 100 ELSE 100 END AS rate
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b
+WHERE bucket < rate
+GROUP BY 1, 2
+""",
+)
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus mixing: keep each document iff its md5
+    hash bucket falls under its language's keep-rate (SAMPLE_MIX_RATES), then
+    report the surviving (lang, source) mix. Membership is a pure function of
+    doc_id — stable under re-runs, appends, and repartitioning, unlike
+    seed-based `sampleBy` — so the mixed corpus is reproducible across the
+    whole fleet with zero sampling state. Narrow projection + one map-side
+    combined aggregation; no shuffle besides the final small group."""
+    from mobsos_event_log_generator_spark.operators.sampling import hash_bucket
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    rate = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in SAMPLE_MIX_RATES.items() for x in kv])[F.col("lang")],
+        F.lit(100),
+    )
+    return (
+        docs.filter(hash_bucket(F.col("doc_id")) < rate)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_token_quantiles",
+    f"""
+WITH w AS (
+  SELECT lang, CAST(len({SQL_WORDS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens
+FROM w
+GROUP BY 1
+""",
+)
+def text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language — the stat that drives chunk /
+    context-length decisions in a pretraining pipeline. Exact interpolated
+    percentiles: Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition, so rounded values hash-match. Single
+    tokenize via projection (ENGINEERING_NOTES §1: never re-tokenize per
+    expression), one shuffle on the 5-value lang key; at 100 TB swap
+    `percentile` for `percentile_approx` and the gate for a tolerance check
+    (documented trade, same plan shape)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    counts = docs.select("lang", X.token_count("text").alias("n_tokens"))
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99_tokens"),
+    )

@@ -1,0 +1,296 @@
+"""Process-mining analytics over the normalized event log.
+
+The reference's downstream consumer is pm4py process discovery
+(/root/reference/example.ipynb cell-3; app.py:216-217 writes the XES it
+parses), so these are the log-statistics queries a reference user runs next:
+activity service times (lifecycle start/complete pairing), the
+eventually-follows relation, rework detection, start/end activity
+distributions, and the organizational (resource-type) workload profile.
+Everything is plain DataFrame algebra over the same E1/E2 pipeline the gate
+already verifies — one shuffle on the case key per query family, mirrored
+1:1 in DuckDB SQL.
+
+Scale posture: every query here keys its shuffle on the case id (or
+(case, activity)), the same key the trace-assembly sink uses, so at 100 TB
+these share partitioning with the rest of the event-log path; the one
+super-linear shape (eventually-follows is quadratic in case length) is
+bounded by the trace-length cap documented in operators/traces.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mobsos_event_log_generator_spark.plans.eventlog import EVENTS_FIXTURE_AS_EVENTLOG_SQL
+from mobsos_event_log_generator_spark.plans.queries import (
+    _normalized_eventlog,
+    register,
+)
+from mobsos_event_log_generator_spark.schema import (
+    XES_ACTIVITY,
+    XES_CASE,
+    XES_LIFECYCLE,
+    XES_TIMESTAMP,
+)
+
+# Starts-kept pipeline (include_life_cycle_start=True): F1 + F3 + P2 + F6 +
+# P1 + P4(COALESCE lifecycle) — the quadrant where 'start' events survive so
+# start/complete pairing is observable.
+_CTE_STARTS_KEPT = f"""
+WITH eventlog AS ({EVENTS_FIXTURE_AS_EVENTLOG_SQL}),
+kept AS (
+  SELECT
+    "CASE_ID" AS "case",
+    "ACTIVITY_NAME" AS activity,
+    "TIME_STAMP" AS ts,
+    COALESCE("LIFECYCLE_PHASE", 'complete') AS lifecycle
+  FROM eventlog
+  WHERE "CASE_ID" IS NOT NULL
+    AND "EVENT_TYPE" <> 'view'
+    AND CASE "EVENT_TYPE"
+          WHEN 'click' THEN 'USER_MESSAGE'
+          WHEN 'view' THEN 'BOT_MESSAGE'
+          WHEN 'purchase' THEN 'SERVICE_REQUEST'
+          ELSE "EVENT_TYPE" END IN ('SERVICE_REQUEST', 'USER_MESSAGE')
+)
+"""
+
+# All-event-types pipeline (include_bot_messages=True, default lifecycle
+# flags): F1 + F4(3VL null-drop) + F7 — the quadrant with the full 5-activity
+# domain, completed events only.
+_CTE_ALL_TYPES_COMPLETE = f"""
+WITH eventlog AS ({EVENTS_FIXTURE_AS_EVENTLOG_SQL}),
+kept AS (
+  SELECT
+    "CASE_ID" AS "case",
+    "ACTIVITY_NAME" AS activity,
+    "TIME_STAMP" AS ts,
+    "RESOURCE" AS resource,
+    "RESOURCE_TYPE" AS resource_type
+  FROM eventlog
+  WHERE "CASE_ID" IS NOT NULL
+    AND "LIFECYCLE_PHASE" IS NOT NULL
+    AND "LIFECYCLE_PHASE" <> 'start'
+)
+"""
+
+
+def _all_types_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _normalized_eventlog(spark, sf_dir, include_bot_messages=True)
+    return df.select(
+        F.col(XES_CASE).alias("case"),
+        F.col(XES_ACTIVITY).alias("activity"),
+        F.col(XES_TIMESTAMP).alias("ts"),
+        F.col("RESOURCE").alias("resource"),
+        F.col("RESOURCE_TYPE").alias("resource_type"),
+    )
+
+
+@register(
+    "eventlog_activity_service_times",
+    _CTE_STARTS_KEPT
+    + """
+, numbered AS (
+  SELECT "case", activity, ts, lifecycle,
+         row_number() OVER (PARTITION BY "case", activity, lifecycle
+                            ORDER BY ts) AS k
+  FROM kept
+),
+paired AS (
+  SELECT "case", activity, k,
+         max(CASE WHEN lifecycle = 'start' THEN ts END) AS start_ts,
+         max(CASE WHEN lifecycle = 'complete' THEN ts END) AS complete_ts
+  FROM numbered
+  GROUP BY 1, 2, 3
+)
+SELECT activity,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(epoch_us(complete_ts) - epoch_us(start_ts)) AS BIGINT) AS total_service_us,
+       round(avg(epoch_us(complete_ts) - epoch_us(start_ts)), 4) AS avg_service_us
+FROM paired
+WHERE start_ts IS NOT NULL AND complete_ts IS NOT NULL
+  AND complete_ts >= start_ts
+GROUP BY 1
+""",
+)
+def eventlog_activity_service_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity service times via FIFO lifecycle pairing: the k-th 'start' of
+    an activity within a case pairs with its k-th 'complete' (pm4py's
+    interval-log view of start/complete transitions). One window pass keyed
+    on (case, activity, lifecycle) assigns k, one groupBy on
+    (case, activity, k) aligns the pair — two shuffles on case-derived keys,
+    no join, no per-case Python. Pairs missing a side (unmatched start at
+    log end) or running backwards (complete logged before any start) are
+    dropped; durations are integral µs so sums are exact cross-engine."""
+    df = _normalized_eventlog(spark, sf_dir, include_life_cycle_start=True)
+    base = df.select(
+        F.col(XES_CASE).alias("case"),
+        F.col(XES_ACTIVITY).alias("activity"),
+        F.col(XES_TIMESTAMP).alias("ts"),
+        F.col(XES_LIFECYCLE).alias("lifecycle"),
+    )
+    w = Window.partitionBy("case", "activity", "lifecycle").orderBy("ts")
+    numbered = base.withColumn("k", F.row_number().over(w))
+    paired = numbered.groupBy("case", "activity", "k").agg(
+        F.max(F.when(F.col("lifecycle") == "start", F.col("ts"))).alias("start_ts"),
+        F.max(F.when(F.col("lifecycle") == "complete", F.col("ts"))).alias("complete_ts"),
+    )
+    dur = F.unix_micros(F.col("complete_ts")) - F.unix_micros(F.col("start_ts"))
+    return (
+        paired.filter(
+            F.col("start_ts").isNotNull()
+            & F.col("complete_ts").isNotNull()
+            & (F.col("complete_ts") >= F.col("start_ts"))
+        )
+        .groupBy("activity")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dur).cast("long").alias("total_service_us"),
+            F.round(F.avg(dur), 4).alias("avg_service_us"),
+        )
+    )
+
+
+@register(
+    "eventlog_eventually_follows",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, numbered AS (
+  SELECT "case", activity,
+         row_number() OVER (PARTITION BY "case" ORDER BY ts, activity) AS pos
+  FROM kept
+)
+SELECT a.activity AS src, b.activity AS dst,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT a."case") AS BIGINT) AS n_cases
+FROM numbered a JOIN numbered b
+  ON a."case" = b."case" AND a.pos < b.pos
+GROUP BY 1, 2
+""",
+)
+def eventlog_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eventually-follows relation (pm4py's EFG): for every ordered pair of
+    events in a case (not just adjacent ones), count occurrences and
+    distinct cases. The self-join is an equi-join on the case id — the same
+    shuffle key as trace assembly — and its output is quadratic only in
+    *case length*, which the event-log path bounds with the
+    max-events-per-trace cap; it is never quadratic in the table. Tie order
+    inside a case is (ts, activity), and equal-tuple ties are safe because
+    swapping identical rows permutes identical pairs."""
+    e = _all_types_complete(spark, sf_dir).select("case", "activity", "ts")
+    w = Window.partitionBy("case").orderBy("ts", "activity")
+    numbered = e.withColumn("pos", F.row_number().over(w)).select("case", "activity", "pos")
+    a = numbered.alias("a")
+    b = numbered.alias("b")
+    return (
+        a.join(b, (F.col("a.case") == F.col("b.case")) & (F.col("a.pos") < F.col("b.pos")))
+        .groupBy(F.col("a.activity").alias("src"), F.col("b.activity").alias("dst"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(F.col("a.case")).alias("n_cases"),
+        )
+    )
+
+
+@register(
+    "eventlog_rework_summary",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, per_case AS (
+  SELECT "case", activity, CAST(count(*) AS BIGINT) AS n_occ
+  FROM kept GROUP BY 1, 2
+)
+SELECT activity,
+       CAST(count(*) AS BIGINT) AS n_cases,
+       CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rework_cases,
+       CAST(max(n_occ) AS BIGINT) AS max_repeats,
+       CAST(sum(n_occ) AS BIGINT) AS n_events
+FROM per_case
+GROUP BY 1
+""",
+)
+def eventlog_rework_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rework detection: per activity, how many cases execute it more than
+    once (loops the discovered model must explain). Two-level aggregation —
+    (case, activity) counts then an activity rollup — so the second level is
+    map-side combined; no window, no join."""
+    e = _all_types_complete(spark, sf_dir)
+    per_case = e.groupBy("case", "activity").agg(F.count(F.lit(1)).alias("n_occ"))
+    return per_case.groupBy("activity").agg(
+        F.count(F.lit(1)).alias("n_cases"),
+        F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).cast("long").alias("n_rework_cases"),
+        F.max("n_occ").cast("long").alias("max_repeats"),
+        F.sum("n_occ").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "eventlog_start_end_matrix",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, ranked AS (
+  SELECT "case", activity,
+         row_number() OVER (PARTITION BY "case" ORDER BY ts, activity) AS rn_first,
+         row_number() OVER (PARTITION BY "case" ORDER BY ts DESC, activity DESC) AS rn_last
+  FROM kept
+),
+ends AS (
+  SELECT "case",
+         max(CASE WHEN rn_first = 1 THEN activity END) AS start_activity,
+         max(CASE WHEN rn_last = 1 THEN activity END) AS end_activity
+  FROM ranked GROUP BY 1
+)
+SELECT start_activity, end_activity, CAST(count(*) AS BIGINT) AS n_cases
+FROM ends GROUP BY 1, 2
+""",
+)
+def eventlog_start_end_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start/end activity distribution (pm4py's log start/end statistics —
+    the first sanity check on a discovered model's source/sink places).
+    Both endpoints come from one shuffle on the case id: two row_numbers
+    over opposite orderings of the same partition, then a case-level
+    pivot-to-columns aggregation."""
+    e = _all_types_complete(spark, sf_dir)
+    w_first = Window.partitionBy("case").orderBy(F.col("ts").asc(), F.col("activity").asc())
+    w_last = Window.partitionBy("case").orderBy(F.col("ts").desc(), F.col("activity").desc())
+    ranked = e.select(
+        "case",
+        "activity",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    ends = ranked.groupBy("case").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("activity"))).alias("start_activity"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("activity"))).alias("end_activity"),
+    )
+    return ends.groupBy("start_activity", "end_activity").agg(
+        F.count(F.lit(1)).alias("n_cases")
+    )
+
+
+@register(
+    "eventlog_org_profile",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+SELECT resource_type, activity,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT "case") AS BIGINT) AS n_cases,
+       CAST(count(DISTINCT resource) AS BIGINT) AS n_resources
+FROM kept
+GROUP BY 1, 2
+""",
+)
+def eventlog_org_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Organizational profile (pm4py's org-mining entry point): workload per
+    (resource_type, activity) with distinct case/resource counts. A single
+    groupBy with two distinct aggregates — Spark expands to one
+    partial-aggregated shuffle per distinct column, both keyed on the group
+    key, which AQE coalesces at scale."""
+    e = _all_types_complete(spark, sf_dir)
+    return e.groupBy("resource_type", "activity").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("case").alias("n_cases"),
+        F.countDistinct("resource").alias("n_resources"),
+    )

@@ -392,6 +392,7 @@ def xes_trace_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 from mobsos_event_log_generator_spark.plans import analytics  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import llm  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import temporal  # noqa: E402,F401
+from mobsos_event_log_generator_spark.plans import procmining  # noqa: E402,F401  isort:skip
 from mobsos_event_log_generator_spark.plans import streaming_queries  # noqa: E402,F401  isort:skip
 
 
