@@ -77,6 +77,10 @@ _NEW_THIS_ROUND = {
     "eventlog_org_profile",
     "corpus_sample_mix",
     "text_token_quantiles",
+    "corpus_span_dedup",
+    "dedup_lsh_edit_verified",
+    "sketch_token_quantiles_bounded",
+    "events_gapfill_interpolate",
 }
 
 

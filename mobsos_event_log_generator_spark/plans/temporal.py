@@ -362,3 +362,118 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_gapfill_interpolate",
+    f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events, round(avg(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+),
+grid AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+),
+j AS (
+  SELECT g.event_type, g.bucket, h.n_events, h.v
+  FROM grid g LEFT JOIN hourly h USING (event_type, bucket)
+),
+f AS (
+  SELECT *,
+         last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS prev_b,
+         first_value(v IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS next_b
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(bucket, '{TS_FMT_DUCK}') AS bucket,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              floor((prev_v + (next_v - prev_v)
+                     * (CAST(epoch_us(bucket) - epoch_us(prev_b) AS DOUBLE)
+                        / CAST(epoch_us(next_b) - epoch_us(prev_b) AS DOUBLE)))
+                    * 10000 + 0.5) / 10000
+            WHEN prev_v IS NOT NULL THEN prev_v
+            ELSE next_v END AS value_filled,
+       (v IS NULL) AS is_gap
+FROM f
+""",
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style time_bucket_gapfill + interpolate: densify the
+    hourly per-event-type series over the observed range (≈6 % of cells are
+    empty at this SF) and fill each gap by linear interpolation between its
+    bracketing observed buckets (forward/backward fill at the edges). The
+    grid is a broadcast cross of the tiny type dim × generated hour sequence;
+    fills come from two frame-bounded IGNORE NULLS window passes over the
+    SAME (event_type, bucket) sort — one shuffle total, no self-join, no
+    driver loop. Endpoints are pre-rounded 4 dp so both engines interpolate
+    from identical doubles; gap fractions are ratios of exact integral µs."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "bucket"], "left")
+    wp = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    f = (
+        j.withColumn("prev_v", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("prev_b", F.last(obs_bucket, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("next_b", F.first(obs_bucket, ignorenulls=True).over(wn))
+    )
+    frac = (
+        (F.unix_micros("bucket") - F.unix_micros("prev_b")).cast("double")
+        / (F.unix_micros("next_b") - F.unix_micros("prev_b")).cast("double")
+    )
+    return f.select(
+        "event_type",
+        F.date_format("bucket", TS_FMT_SPARK).alias("bucket"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            # floor(x·1e4 + 0.5)/1e4 instead of round(x, 4): Spark rounds via
+            # decimal HALF_UP, DuckDB via fp multiply — they disagree at
+            # decimal midpoints; this form is the same IEEE ops in both.
+            F.floor((F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac) * 10000 + 0.5)
+            .cast("double")
+            / 10000.0,
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+        .alias("value_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
