@@ -81,6 +81,8 @@ _NEW_THIS_ROUND = {
     "dedup_lsh_edit_verified",
     "sketch_token_quantiles_bounded",
     "events_gapfill_interpolate",
+    "grouping_sets_status_priority",
+    "events_trailing_window_stats",
 }
 
 

@@ -1533,3 +1533,30 @@ def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@register(
+    "grouping_sets_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    status marginals + priority marginals + grand total in ONE pass — Spark
+    expands the sets into a single Expand + hash aggregate, reading the
+    fact table once instead of once per set. Completes the grouping-
+    analytics trio next to rollup_order_priority and cube_status_priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -477,3 +477,40 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_filled"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "events_trailing_window_stats",
+    f"""
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       round(avg(value) OVER w, 4) AS avg_value_30m
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: for every purchase, the count and mean
+    value of the same user's purchases in the trailing 30 minutes — the
+    event-time sliding aggregate expressed as a native range frame (ordered
+    by integral epoch-µs, frame = [-30 min, now]) instead of a self-join.
+    One shuffle on user_id; range frames are tie-safe by construction
+    (equal order keys always share a frame, so no tie-break is needed)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(F.avg("value").over(w), 4).alias("avg_value_30m"),
+    )
