@@ -195,3 +195,42 @@ def test_sketch_probes_broadcast_no_probe_shuffle(spark, sf_dir):
         plan = plan_of(spark, sf_dir, q)
         assert "BroadcastHashJoin" in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_eventually_follows_is_equijoin_not_cross(spark, sf_dir):
+    """The EFG self-join must hash/merge-join on the case key with pos< as a
+    residual condition — never a cross/nested-loop over events."""
+    plan = plan_of(spark, sf_dir, "eventlog_eventually_follows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_has_no_join(spark, sf_dir):
+    """First-occurrence span dedup is window + regroup — joins would mean an
+    accidental pair-expansion of the segment table."""
+    plan = plan_of(spark, sf_dir, "corpus_span_dedup")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS must compile to one Expand + one shuffle — not a union
+    of per-set scans."""
+    plan = plan_of(spark, sf_dir, "grouping_sets_status_priority")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") <= 2  # one hash shuffle (+AQE wrapper)
+    assert "Union" not in plan
+
+
+def test_trailing_range_frame_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_trailing_window_stats")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_gapfill_no_cartesian_over_rows(spark, sf_dir):
+    """The only nested-loop allowed is the 1-row bounds broadcast; the
+    grid×hourly combine must be a hash join."""
+    plan = plan_of(spark, sf_dir, "events_gapfill_interpolate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
