@@ -1635,14 +1635,22 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style cross-corpus span dedup: split every document into
     16-token segments, keep each distinct segment only at its FIRST global
     occurrence (ordered by (doc_id, seg_idx)), and reassemble the surviving
-    text per document. Two shuffles: a window keyed on the segment hash
-    (duplicate groups are tiny; a boilerplate mega-segment is the skew case —
-    cap with the same hot-bucket guard as LSH at 100 TB) and the doc-id
-    regroup. Reassembly is collect_list of (idx, seg) structs → array_sort →
-    join, deterministic because seg_idx is unique per document."""
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    from pyspark.sql.window import Window
+    text per document.
 
+    Skew posture: first-occurrence is `min(struct(doc_id, seg_idx))` per
+    segment hash — a hash AGGREGATE, not a window row_number — and because
+    the segment text is functionally determined by its hash, `min(seg)`
+    rides along in the SAME aggregate, so the kept-segment set IS the
+    aggregate output and the big segment table never shuffles again (no
+    join-back, no window). Map-side combine collapses a boilerplate
+    mega-segment (the realistic 100-TB hot key) to one row per input
+    partition before the shuffle, where a window would sort every copy in a
+    single straggler task. Per-doc totals are a second map-side-combined
+    count on the doc key, joined to the kept set doc-to-doc (two small
+    co-partitioned aggregates). Reassembly is collect_list of (idx, seg)
+    structs → array_sort → join, deterministic because seg_idx is unique
+    per document."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     words = docs.select("doc_id", X.tokens("text").alias("words")).filter(F.size("words") > 0)
     segs = words.select(
         "doc_id",
@@ -1652,17 +1660,30 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " s -> array_join(slice(words, s + 1, 16), ' '))"
             )
         ).alias("seg_idx", "seg"),
-    ).withColumn("seg_idx", F.col("seg_idx").cast("long"))
-    w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
-    ranked = segs.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum((F.col("rn") == 1).cast("int")).cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]),
-            " ",
-        ).alias("text_dedup"),
+    ).withColumns({"seg_idx": F.col("seg_idx").cast("long"), "h": F.md5("seg")})
+    firsts = segs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("f"),
+        F.min("seg").alias("seg"),  # constant per hash: the segment text itself
+    )
+    kept = (
+        firsts.select(F.col("f.doc_id").alias("doc_id"), F.col("f.seg_idx").alias("seg_idx"), "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))), lambda x: x["seg"]
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
 
 

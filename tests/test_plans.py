@@ -205,12 +205,16 @@ def test_eventually_follows_is_equijoin_not_cross(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_span_dedup_has_no_join(spark, sf_dir):
-    """First-occurrence span dedup is window + regroup — joins would mean an
-    accidental pair-expansion of the segment table."""
+def test_span_dedup_is_agg_join_not_window(spark, sf_dir):
+    """First-occurrence span dedup must be the skew-proof form: a map-side-
+    combinable min-struct AGGREGATE per segment hash probed back via an
+    equi-join — no window (a hot segment would sort all copies in one task)
+    and no pair expansion."""
     plan = plan_of(spark, sf_dir, "corpus_span_dedup")
-    assert "Join" not in plan
-    assert plan.count("Window") == 1
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # the pre-shuffle combine that kills skew
 
 
 def test_grouping_sets_single_pass(spark, sf_dir):

@@ -78,10 +78,10 @@ def main() -> None:
                 )
             ).alias("seg_idx", "seg"),
         )
-        w = Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
-        ranked = segs.withColumn("rn", F.row_number().over(w))
-        return ranked.groupBy("doc_id").agg(
-            F.sum((F.col("rn") == 1).cast("int")).alias("n_kept")
+        segs = segs.withColumn("h", F.md5("seg"))
+        firsts = segs.groupBy("h").agg(F.min(F.struct("doc_id", "seg_idx")).alias("f"))
+        return firsts.groupBy(F.col("f.doc_id").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("n_kept")
         )
 
     def efg(e):
