@@ -83,6 +83,7 @@ _NEW_THIS_ROUND = {
     "events_gapfill_interpolate",
     "grouping_sets_status_priority",
     "events_trailing_window_stats",
+    "streaming_incremental_dedup",
 }
 
 

@@ -335,3 +335,76 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_FMT_SPARK).alias("ts"),
         "event_type", "segment", "nationkey",
     )
+
+
+@register(
+    "streaming_incremental_dedup",
+    """
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+           FROM documents)
+SELECT md5(array_to_string(words[1:10], ' ')) AS digest,
+       CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM w
+GROUP BY 1
+""",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-INDEX maintenance (foreachBatch): documents arrive in
+    four doc_id-ordered micro-batches; each batch dedups internally by the
+    10-word-prefix digest (min doc_id wins), anti-joins the persisted digest
+    index, appends its survivors to the index, and emits the accepted rows —
+    the continuous-ingest form of ``dedup_against_corpus``. Batches are four
+    files with ascending mtimes so the file source processes them in doc_id
+    order, making the cross-batch arrival-order winner equal the global
+    min(doc_id) the oracle computes; replays are idempotent because every
+    batch overwrites its own batch=<id> partition."""
+    import os
+    import shutil
+
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from mobsos_event_log_generator_spark.streaming.index_maintenance import (
+        accepted,
+        run_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    root = tempfile.mkdtemp(prefix=f"sincdedup_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    # Four doc_id-range slices, one file each, mtimes ascending in range order.
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1)
+        tmp_part = os.path.join(root, f"part_{i}")
+        part.write.mode("overwrite").parquet(tmp_part)
+        pq = [f for f in os.listdir(tmp_part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.copyfile(os.path.join(tmp_part, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from mobsos_event_log_generator_spark.operators import text as X
+
+    digest = F.md5(F.array_join(F.slice(X.tokens("text"), 1, 10), " "))
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        run_incremental_dedup(
+            spark,
+            stream,
+            index_dir=os.path.join(root, "index"),
+            out_dir=os.path.join(root, "out"),
+            checkpoint_dir=os.path.join(root, "ck"),
+            digest=digest,
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return accepted(spark, os.path.join(root, "out"))

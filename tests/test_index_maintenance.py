@@ -1,0 +1,87 @@
+"""Streaming dedup-index maintenance (streaming/index_maintenance.py):
+cross-batch duplicate drops, checkpoint-replay idempotency, and incremental
+catch-up on newly arrived files."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.streaming.index_maintenance import (
+    accepted,
+    read_index,
+    run_incremental_dedup,
+)
+
+
+def _write_slice(spark, path, rows, mtime):
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    tmp = path + "_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, pq), path)
+    os.utime(path, (mtime, mtime))
+
+
+def _run(spark, root):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(root, "src"))
+    )
+    run_incremental_dedup(
+        spark,
+        stream,
+        index_dir=os.path.join(root, "index"),
+        out_dir=os.path.join(root, "out"),
+        checkpoint_dir=os.path.join(root, "ck"),
+        digest=F.md5("text"),
+    )
+
+
+def test_cross_batch_duplicates_dropped_and_replay_idempotent(spark, tmp_path):
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "src"))
+    # batch 0: two docs, one internal dup pair (same text) -> min id 1 wins
+    _write_slice(
+        spark,
+        os.path.join(root, "src", "a.parquet"),
+        [(2, "alpha"), (1, "alpha"), (3, "beta")],
+        1_700_000_000,
+    )
+    # batch 1: replays 'alpha' (cross-batch dup, must drop) + new 'gamma'
+    _write_slice(
+        spark,
+        os.path.join(root, "src", "b.parquet"),
+        [(9, "alpha"), (4, "gamma")],
+        1_700_000_060,
+    )
+    _run(spark, root)
+    got = {
+        (r["doc_id"]) for r in accepted(spark, os.path.join(root, "out")).collect()
+    }
+    assert got == {1, 3, 4}  # 2 lost in-batch to 1; 9 lost cross-batch
+    n_index = read_index(spark, os.path.join(root, "index")).count()
+    assert n_index == 3
+
+    # Re-running the finished stream (same checkpoint) must change nothing.
+    _run(spark, root)
+    assert read_index(spark, os.path.join(root, "index")).count() == 3
+    assert accepted(spark, os.path.join(root, "out")).count() == 3
+
+
+def test_catchup_processes_only_new_files(spark, tmp_path):
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "src"))
+    _write_slice(spark, os.path.join(root, "src", "a.parquet"), [(1, "x")], 1_700_000_000)
+    _run(spark, root)
+    assert accepted(spark, os.path.join(root, "out")).count() == 1
+
+    # New file arrives after the first run: 'x' is already indexed, 'y' is new.
+    _write_slice(
+        spark, os.path.join(root, "src", "c.parquet"), [(7, "x"), (8, "y")], 1_700_000_120
+    )
+    _run(spark, root)
+    got = {r["doc_id"] for r in accepted(spark, os.path.join(root, "out")).collect()}
+    assert got == {1, 8}
