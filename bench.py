@@ -42,6 +42,10 @@ HEADLINE = [
     "corpus_prep",
     "similarity_topk_bruteforce",
     "similarity_topk_ann_bucketed",
+    # round 3 additions
+    "corpus_span_dedup",
+    "eventlog_eventually_follows",
+    "events_gapfill_interpolate",
 ]
 
 

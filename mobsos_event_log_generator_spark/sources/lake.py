@@ -80,3 +80,73 @@ def prune_to_date_range(
             (F.col(ts_col) <= F.lit(end)) & (F.col(PARTITION_COL) <= F.date_format(F.lit(end), "yyyy-MM-dd"))
         )
     return df
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    case_col: str | None = None,
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    """Idempotent partition-level upsert without a table format: dynamic
+    partition overwrite replaces ONLY the date partitions present in ``df``
+    and leaves every other partition untouched — the non-Delta idiom for
+    late-arriving or corrected event slices ("re-land day X") on a
+    date-partitioned lake. Static overwrite mode would silently truncate
+    the whole table, so the dynamic conf is pinned per-write and restored.
+
+    Replayable by construction: landing the same slice twice converges to
+    the same bytes, which is what checkpointed ingest (streaming/ingest.py)
+    needs from its sink on recovery."""
+    spark = df.sparkSession
+    out = df.withColumn(PARTITION_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+    if case_col is not None:
+        out = out.repartition(F.col(PARTITION_COL)).sortWithinPartitions(PARTITION_COL, case_col, ts_col)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = out.write.mode("overwrite").partitionBy(PARTITION_COL)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_value: str,
+    target_files: int = 1,
+    case_col: str | None = None,
+    ts_col: str = "ts",
+) -> int:
+    """Rewrite one date partition's small files into ``target_files`` sorted
+    files (the maintenance job every streaming-landed lake needs: per-trigger
+    micro-batches each land a file, and a month of 1-minute triggers is 43k
+    tiny files whose footer reads dominate scan planning). Reads only the one
+    partition directory, writes via a temp staging dir, then swaps — the
+    partition is briefly absent rather than ever double-counted. Returns the
+    number of rows compacted."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(path, f"{PARTITION_COL}={partition_value}")
+    part = spark.read.parquet(part_dir)
+    n = part.count()
+    staged = part.coalesce(target_files)
+    if case_col is not None:
+        staged = staged.sortWithinPartitions(case_col, ts_col)
+    tmp = part_dir + "__compact_tmp"
+    staged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(part_dir)
+    os.replace(tmp, part_dir)
+    # Drop the staging _SUCCESS marker noise; the swapped dir is the partition.
+    success = os.path.join(part_dir, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    return n

@@ -126,3 +126,55 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # without merging, the picked footer may omit the late column entirely
     plain = read_events_partitioned(spark, base)
     assert plain.count() == 2
+
+
+def test_upsert_partitions_replaces_only_touched_days(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sources.lake import upsert_partitions
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "lake")
+    write_events_partitioned(ev, path, ts_col="ts")
+    total = ev.count()
+
+    # Re-land Jan 5 with values doubled (a correction slice).
+    day = ev.filter(F.to_date("ts") == F.lit("2024-01-05"))
+    n_day = day.count()
+    assert n_day > 0
+    upsert_partitions(day.withColumn("value", F.col("value") * 2), path, ts_col="ts")
+
+    back = read_events_partitioned(spark, path)
+    assert back.count() == total  # other partitions untouched, day replaced not appended
+    doubled = back.filter(F.col("event_date") == "2024-01-05")
+    orig_sum = day.agg(F.sum("value")).first()[0]
+    new_sum = doubled.agg(F.sum("value")).first()[0]
+    assert abs(new_sum - 2 * orig_sum) < 1e-6
+    # Idempotent replay: landing the same slice again changes nothing.
+    upsert_partitions(day.withColumn("value", F.col("value") * 2), path, ts_col="ts")
+    assert read_events_partitioned(spark, path).count() == total
+
+
+def test_compact_partition_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import os
+
+    from mobsos_event_log_generator_spark.sources.lake import compact_partition
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # Force many small files in one partition.
+    path = str(tmp_path / "lake")
+    (
+        ev.filter(F.to_date("ts") == F.lit("2024-01-05"))
+        .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition(8)
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    part_dir = os.path.join(path, "event_date=2024-01-05")
+    files_before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files_before) == 8
+    want = spark.read.parquet(part_dir).count()
+
+    n = compact_partition(spark, path, "2024-01-05", target_files=1)
+    assert n == want
+    files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files_after) == 1
+    assert spark.read.parquet(part_dir).count() == want
