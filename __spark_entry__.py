@@ -84,6 +84,7 @@ _NEW_THIS_ROUND = {
     "grouping_sets_status_priority",
     "events_trailing_window_stats",
     "streaming_incremental_dedup",
+    "eventlog_conformance_dfg",
 }
 
 

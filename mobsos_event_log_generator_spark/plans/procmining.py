@@ -314,3 +314,65 @@ def eventlog_org_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("case").alias("n_cases"),
         F.countDistinct("resource").alias("n_resources"),
     )
+
+
+@register(
+    "eventlog_conformance_dfg",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, trans AS (
+  SELECT "case", activity AS src,
+         lead(activity) OVER (PARTITION BY "case" ORDER BY ts, activity) AS dst
+  FROM kept
+),
+t AS (SELECT "case", src, dst FROM trans WHERE dst IS NOT NULL),
+tot AS (SELECT count(*) AS n_total FROM t),
+model AS (
+  SELECT src, dst
+  FROM t, tot
+  GROUP BY src, dst, n_total
+  HAVING count(*) * 20 >= n_total
+)
+SELECT t."case",
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming,
+       round(CAST(sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS fitness
+FROM t LEFT JOIN model m ON t.src = m.src AND t.dst = m.dst
+GROUP BY 1
+""",
+)
+def eventlog_conformance_dfg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint conformance checking: discover the frequent-edge DFG model
+    (edges carrying ≥5 % of all transitions — the integer form
+    `count·20 ≥ total` keeps the cut exact cross-engine), then score every
+    case by the fraction of its directly-follows transitions the model
+    explains (token-replay's footprint approximation; pm4py's
+    conformance entry point over the same DFG its miners consume). Plan:
+    one window pass builds transitions (trace-assembly shuffle key), the
+    model is a tiny aggregate broadcast into the scoring join, and fitness
+    is a ratio of small exact integers rounded 6 dp."""
+    from pyspark.sql.window import Window
+
+    e = _all_types_complete(spark, sf_dir)
+    w = Window.partitionBy("case").orderBy("ts", "activity")
+    t = (
+        e.withColumn("dst", F.lead("activity").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select("case", F.col("activity").alias("src"), "dst")
+    )
+    total = t.agg(F.count(F.lit(1)).alias("n_total"))
+    model = (
+        t.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 20 >= F.col("n_total"))
+        .select("src", "dst", F.lit(True).alias("in_model"))
+    )
+    scored = t.join(F.broadcast(model), ["src", "dst"], "left")
+    conforming = F.sum(F.when(F.col("in_model"), 1).otherwise(0))
+    return scored.groupBy("case").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        conforming.cast("long").alias("n_conforming"),
+        F.round(conforming.cast("double") / F.count(F.lit(1)), 6).alias("fitness"),
+    )
