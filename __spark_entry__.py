@@ -85,6 +85,7 @@ _NEW_THIS_ROUND = {
     "events_trailing_window_stats",
     "streaming_incremental_dedup",
     "eventlog_conformance_dfg",
+    "events_session_window_batch",
 }
 
 

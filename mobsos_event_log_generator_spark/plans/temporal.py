@@ -514,3 +514,49 @@ def events_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_in_window"),
         F.round(F.avg("value").over(w), 4).alias("avg_value_30m"),
     )
+
+
+@register(
+    "events_session_window_batch",
+    f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM i
+GROUP BY user_id, sid
+""",
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode (the same operator the
+    streaming path uses, without watermarks): Spark merges events closer
+    than the 30-min gap into one growing window ending at last_event+gap.
+    The oracle derives identical sessions from first principles — gap-break
+    islands via two window passes — proving the built-in operator against
+    the definition. Equal-timestamp ties are gap-0 and always co-session,
+    so ts-only ordering is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+        )
+    )
