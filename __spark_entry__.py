@@ -86,6 +86,7 @@ _NEW_THIS_ROUND = {
     "streaming_incremental_dedup",
     "eventlog_conformance_dfg",
     "events_session_window_batch",
+    "xes_roundtrip_source",
 }
 
 

@@ -430,3 +430,41 @@ def eventlog_keep_starts_no_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RESOURCE_TYPE",
         "REMARKS",
     )
+
+
+@register(
+    "xes_roundtrip_source",
+    _ORACLE_EVENTLOG_CTE
+    + """
+SELECT "case:concept:name" AS trace,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(strftime("time:timestamp", '%Y-%m-%dT%H:%M:%S.%f') || 'Z') AS first_ts,
+       max(strftime("time:timestamp", '%Y-%m-%dT%H:%M:%S.%f') || 'Z') AS last_ts
+FROM kept
+GROUP BY 1
+""",
+)
+def xes_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 write + first-class read-back: the normalized log goes out through
+    the sharded XES sink (8 complete XES shards), comes back in through the
+    Python Data Source API (`spark.read.format("xes")`, one input partition
+    per shard), and is re-aggregated per trace. The oracle computes the same
+    per-trace stats straight from the pipeline, so the gate proves the full
+    serialize→parse cycle loses nothing. ISO-8601 'Z' timestamps are
+    fixed-width, so string min/max is chronological min/max."""
+    import tempfile
+    import uuid as _uuid
+
+    from mobsos_event_log_generator_spark.sinks.xes import write_xes
+    from mobsos_event_log_generator_spark.sources.xes_source import register_xes_source
+
+    df = _normalized_eventlog(spark, sf_dir).select(XES_CASE, XES_ACTIVITY, XES_TIMESTAMP, XES_LIFECYCLE)
+    out = tempfile.mkdtemp(prefix=f"xes_rt_{_uuid.uuid4().hex[:8]}_")
+    write_xes(df, out, single_file=False, num_shards=8)
+    register_xes_source(spark)
+    back = spark.read.format("xes").load(out)
+    return back.groupBy("trace").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

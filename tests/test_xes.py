@@ -140,3 +140,27 @@ def test_distributed_reader_exposes_attr_types(spark, tmp_path):
     tags = back[0]["attr_types"]
     assert tags["n_items"] == "int" and tags["is_bot"] == "boolean"
     assert tags["concept:name"] == "string" and tags["time:timestamp"] == "date"
+
+
+def test_xes_datasource_matches_distributed_reader(spark, tmp_path):
+    """The Python DataSource ('xes' format) and the binaryFile+mapInPandas
+    reader must produce identical rows over the same sharded log."""
+    from mobsos_event_log_generator_spark.plans.queries import _normalized_eventlog
+    from mobsos_event_log_generator_spark.sinks.xes import read_xes_distributed, write_xes
+    from mobsos_event_log_generator_spark.sources.xes_source import register_xes_source
+
+    df = _normalized_eventlog(spark, "/root/testdata/sf0.001").select(
+        "case:concept:name", "concept:name", "time:timestamp", "lifecycle:transition"
+    )
+    out = str(tmp_path / "shards")
+    write_xes(df, out, single_file=False, num_shards=4)
+
+    register_xes_source(spark)
+    via_source = spark.read.format("xes").load(out)
+    via_mapinpandas = read_xes_distributed(spark, out)
+
+    a = sorted((r["trace"], r["activity"], r["ts"]) for r in via_source.collect())
+    b = sorted((r["trace"], r["activity"], r["ts"]) for r in via_mapinpandas.collect())
+    assert a == b and len(a) == df.count()
+    # one input partition per shard
+    assert via_source.rdd.getNumPartitions() == 4
