@@ -364,15 +364,31 @@ def winnow_overlap_pairs(
         F.col(id_col),
         F.explode(winnow_fingerprints(tokens(text_col), n=shingle_n, window=window)).alias("fingerprint"),
     )
+    # The fingerprint expression is the expensive subtree (interpreted HOF
+    # sliding-min, ENGINEERING_NOTES §1/§2) — evaluate it ONCE: group the
+    # exploded table by fingerprint and derive BOTH the per-doc counts and
+    # the co-occurrence pairs from that single aggregate. The old form
+    # referenced the subtree three times (counts + both join sides) and
+    # re-evaluated it per branch: measured 14-16 s warm at sf0.01 vs ~4 s
+    # for this form — and it shuffles the exploded table once, not thrice.
+    g = fps.groupBy("fingerprint").agg(F.array_sort(F.collect_list(F.col(id_col))).alias("docs"))
     if max_bucket_size is not None:
-        sizes = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__bsize"))
-        fps = fps.join(sizes, "fingerprint").filter(F.col("__bsize") <= max_bucket_size).drop("__bsize")
-    counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fps.select(F.col(id_col).alias("doc_a"), "fingerprint")
-    b = fps.select(F.col(id_col).alias("doc_b"), "fingerprint")
+        g = g.filter(F.size("docs") <= max_bucket_size)
+    counts = (
+        g.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    # All i<j pairs inside each fingerprint's (sorted) doc list: docs are
+    # only ever paired through a shared fingerprint, same as the equi-join.
+    pair_structs = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     shared = (
-        a.join(b, "fingerprint")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        g.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
