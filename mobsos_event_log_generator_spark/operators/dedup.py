@@ -360,12 +360,12 @@ def winnow_overlap_pairs(
     are dropped (off by default — exhaustive oracles need exact behavior).
     Overlap is a ratio of small ints rounded at 6 dp — bit-exact
     cross-engine."""
-    fps = df.select(
-        F.col(id_col),
-        F.explode(winnow_fingerprints(tokens(text_col), n=shingle_n, window=window)).alias("fingerprint"),
-    )
-    # The fingerprint expression is the expensive subtree (interpreted HOF
-    # sliding-min, ENGINEERING_NOTES §1/§2) — evaluate it ONCE: group the
+    from mobsos_event_log_generator_spark.operators.text import winnow_fingerprint_rows
+
+    fps = winnow_fingerprint_rows(df, id_col, text_col, n=shingle_n, window=window)
+    # The fingerprint computation is the expensive subtree (the rows form
+    # above is 7x the HOF form; ENGINEERING_NOTES §1/§2) — evaluate it ONCE:
+    # group the
     # exploded table by fingerprint and derive BOTH the per-doc counts and
     # the co-occurrence pairs from that single aggregate. The old form
     # referenced the subtree three times (counts + both join sides) and

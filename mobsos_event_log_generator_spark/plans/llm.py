@@ -246,10 +246,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the density of full shingling. Pure codegen'd Column algebra — the
     sampling happens inside the row, before any shuffle."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.explode(X.winnow_fingerprints(X.tokens("text"), n=3, window=4)).alias("fingerprint"),
-    )
+    return X.winnow_fingerprint_rows(docs, "doc_id", "text", n=3, window=4)
 
 
 @register(
