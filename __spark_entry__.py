@@ -87,6 +87,7 @@ _NEW_THIS_ROUND = {
     "eventlog_conformance_dfg",
     "events_session_window_batch",
     "xes_roundtrip_source",
+    "bpe_train_merges",
 }
 
 

@@ -1757,3 +1757,22 @@ def sketch_token_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFram
         bound("a50", "e50").alias("p50_within_bound"),
         bound("a99", "e99").alias("p99_within_bound"),
     )
+
+
+@register("bpe_train_merges")  # rows-only: iterative (each merge depends on the last rewrite)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (16 merges over the corpus): the
+    one registry entry that is genuinely non-SQL-expressible — every merge
+    re-counts pairs over the vocabulary REWRITTEN by the previous merge, a
+    data-dependent driver loop no single SQL statement states. The gate is
+    therefore the exact unit suite (tests/test_bpe.py) proving merge-for-
+    merge equality with a pure-Python reference implementation of the
+    published algorithm, including tie-breaks and greedy overlap handling;
+    the driver records a rows-only check. Scale: iterations run on the
+    distinct-WORD vocabulary (not the corpus), pair counts are map-side-
+    combined sums, the rewrite is one JVM regexp_replace, and exactly one
+    row (the winning pair) reaches the driver per merge."""
+    from mobsos_event_log_generator_spark.operators.bpe import bpe_merges_df
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return bpe_merges_df(docs, num_merges=16)
