@@ -88,6 +88,7 @@ _NEW_THIS_ROUND = {
     "events_session_window_batch",
     "xes_roundtrip_source",
     "bpe_train_merges",
+    "text_normalize_docs",
 }
 
 

@@ -101,3 +101,22 @@ def bpe_merges_df(docs: DataFrame, text_col: str = "text", num_merges: int = 20)
     return spark.createDataFrame(
         [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in rows], schema
     )
+
+
+def bpe_segment(df: DataFrame, merges: list[dict], text_col: str = "text") -> DataFrame:
+    """Apply a learned merge table: segment every word of every document into
+    BPE tokens by replaying the merges in rank order. The whole chain is
+    nested JVM ``regexp_replace`` over the space-delimited symbol string —
+    rank order IS the replay order (BPE inference applies merges in learned
+    priority), and each replace is greedy left-to-right like training.
+    Output: one row per (doc, word position) with the token array."""
+    out = df.select(
+        "*",
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("word_pos", "__w"),
+    ).filter(F.col("__w") != "")
+    symstr = F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 "))
+    for m in merges:
+        pattern = r"(?<!\S)" + re.escape(f"{m['left']} {m['right']}") + r"(?!\S)"
+        replacement = m["merged"].replace("\\", "\\\\").replace("$", "\\$")
+        symstr = F.regexp_replace(symstr, pattern, replacement)
+    return out.withColumn("bpe_tokens", F.split(symstr, " ")).drop("__w")

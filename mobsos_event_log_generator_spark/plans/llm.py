@@ -1776,3 +1776,31 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return bpe_merges_df(docs, num_merges=16)
+
+
+@register(
+    "text_normalize_docs",
+    r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS text_norm,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+""",
+)
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pass every dedup/quality step
+    assumes upstream): lowercase → non-alphanumerics to spaces → whitespace
+    collapse → trim. Pure codegen'd string expressions; the regexes use only
+    character classes so Java (Spark) and RE2 (DuckDB) agree symbol-for-
+    symbol."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

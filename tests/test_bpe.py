@@ -69,3 +69,35 @@ def test_bpe_matches_reference_on_fixture(spark):
     want = _reference_bpe(texts, 8)
     assert [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in got] == want
     assert len(got) == 8
+
+
+def _reference_segment(word: str, merges):
+    syms = list(word)
+    for _, l, r, merged, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_segment_matches_reference(spark):
+    from mobsos_event_log_generator_spark.operators.bpe import bpe_segment
+
+    texts = ["low lower lowest newer", "wide wider lowest low"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges_list = bpe_train(df, num_merges=6)
+    ref_merges = [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges_list]
+
+    seg = bpe_segment(df, merges_list)
+    got = {
+        (r["text"], r["word_pos"]): list(r["bpe_tokens"]) for r in seg.collect()
+    }
+    for t in texts:
+        for i, w in enumerate(t.split()):
+            assert got[(t, i)] == _reference_segment(w, ref_merges), (w, got[(t, i)])
