@@ -89,6 +89,7 @@ _NEW_THIS_ROUND = {
     "xes_roundtrip_source",
     "bpe_train_merges",
     "text_normalize_docs",
+    "streaming_daily_rollup",
 }
 
 

@@ -408,3 +408,73 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.shuffle.partitions", old)
     return accepted(spark, os.path.join(root, "out"))
+
+
+@register(
+    "streaming_daily_rollup",
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS value_sum
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily rollup (materialized-view maintenance):
+    events arrive in four micro-batches; each writes its PARTIAL day
+    aggregate to an idempotent batch=<id> partition, and the queryable view
+    folds the partials (count/sum are monoids, so batch boundaries and
+    checkpoint replays are invisible). The oracle aggregates the raw table
+    directly — the maintained view must equal it exactly. Values sum as
+    DECIMAL(18,6) in both engines so the partial-then-fold regrouping can
+    never drift from DuckDB's sequential sum (decimal addition is
+    associative; double addition is not)."""
+    import os
+    import shutil
+
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from mobsos_event_log_generator_spark.streaming.rollup import (
+        daily_rollup_view,
+        run_daily_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    root = tempfile.mkdtemp(prefix=f"sroll_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        part = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1)
+        tmp_part = os.path.join(root, f"part_{i}")
+        part.write.mode("overwrite").parquet(tmp_part)
+        pq = [f for f in os.listdir(tmp_part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.copyfile(os.path.join(tmp_part, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream = stream.withColumn("value", F.col("value").cast("decimal(18,6)"))
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        run_daily_rollup(
+            spark,
+            stream,
+            out_dir=os.path.join(root, "out"),
+            checkpoint_dir=os.path.join(root, "ck"),
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    view = daily_rollup_view(spark, os.path.join(root, "out"))
+    return view.select(
+        "event_date",
+        "n_events",
+        F.round(F.col("value_sum").cast("double"), 2).alias("value_sum"),
+    )

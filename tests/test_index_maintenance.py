@@ -85,3 +85,55 @@ def test_catchup_processes_only_new_files(spark, tmp_path):
     _run(spark, root)
     got = {r["doc_id"] for r in accepted(spark, os.path.join(root, "out")).collect()}
     assert got == {1, 8}
+
+
+def test_daily_rollup_replay_and_catchup(spark, tmp_path):
+    """Partial-aggregate rollup: batch replay converges (overwrite) and new
+    files fold into the view monotonically."""
+    import datetime
+
+    from mobsos_event_log_generator_spark.streaming.rollup import (
+        daily_rollup_view,
+        run_daily_rollup,
+    )
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "src"))
+
+    def slice_rows(rows, name, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, value decimal(18,6)").coalesce(1)
+        tmp = os.path.join(root, name + "_tmp")
+        df.write.mode("overwrite").parquet(tmp)
+        pq = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(root, "src", name)
+        os.replace(os.path.join(tmp, pq), dst)
+        os.utime(dst, (mtime, mtime))
+
+    d1 = datetime.datetime(2024, 1, 1, 10)
+    d2 = datetime.datetime(2024, 1, 2, 10)
+    from decimal import Decimal
+
+    slice_rows([(d1, Decimal("1.5")), (d2, Decimal("2.0"))], "a.parquet", 1_700_000_000)
+    slice_rows([(d1, Decimal("3.0"))], "b.parquet", 1_700_000_060)
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts timestamp, value decimal(18,6)")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "src"))
+        )
+        run_daily_rollup(
+            spark, stream, out_dir=os.path.join(root, "out"), checkpoint_dir=os.path.join(root, "ck")
+        )
+
+    run()
+    view = {r["event_date"]: (r["n_events"], float(r["value_sum"])) for r in daily_rollup_view(spark, os.path.join(root, "out")).collect()}
+    assert view == {"2024-01-01": (2, 4.5), "2024-01-02": (1, 2.0)}
+    run()  # replay: nothing new, view unchanged
+    view2 = {r["event_date"]: (r["n_events"], float(r["value_sum"])) for r in daily_rollup_view(spark, os.path.join(root, "out")).collect()}
+    assert view2 == view
+    # late-arriving slice for day 1
+    slice_rows([(d1, Decimal("0.5"))], "c.parquet", 1_700_000_120)
+    run()
+    view3 = {r["event_date"]: (r["n_events"], float(r["value_sum"])) for r in daily_rollup_view(spark, os.path.join(root, "out")).collect()}
+    assert view3 == {"2024-01-01": (3, 5.0), "2024-01-02": (1, 2.0)}
