@@ -559,3 +559,67 @@ def ivf_ann_topk_arrow(
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Persist an IVF index as a LAKE LAYOUT: the trained centroid table plus
+    the corpus written `partitionBy("cid")` — the inverted lists ARE the
+    partition directories. This is the 100-TB form of the in-memory
+    `ivf_ann_topk` docstring's advice: once the lists are cell-partitioned
+    parquet, a query that probes `nprobe` cells reads ONLY those
+    directories (dynamic partition pruning against the probe list) instead
+    of scanning the corpus — the scan itself becomes the index probe."""
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    (
+        corpus.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: load the tiny centroid table, compute
+    each query's `nprobe` probe cells, then join the probe list against the
+    cell-partitioned lists table ON THE PARTITION COLUMN — Spark's dynamic
+    partition pruning turns that into reading only the probed `cid=`
+    directories. Exact cosine + top-k inside the probed cells, identical
+    semantics (and unit-asserted identical results) to the in-memory
+    `ivf_ann_topk` given the same trained centroids."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    probes = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
+        F.broadcast(
+            ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+                F.col(id_col).alias("query_id"), "cid"
+            )
+        ),
+        "query_id",
+    )
+    inv = lists.select("cid", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)

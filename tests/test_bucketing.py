@@ -53,3 +53,31 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_ivf_persisted_index_matches_in_memory(spark, tmp_path):
+    """ivf_write_index + ivf_query_index ≡ ivf_ann_topk (same deterministic
+    training), and the probe join prunes list partitions (DPP or static)."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_query_index,
+        ivf_write_index,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import ensure_min_partitions, load_table
+
+    emb = ensure_min_partitions(load_table(spark, "/root/testdata/sf0.001", "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, num_centroids=8, iters=1)
+
+    got = ivf_query_index(spark, path, queries, k=5, nprobe=2)
+    want = ivf_ann_topk(emb, queries, k=5, nprobe=2, num_centroids=8, iters=1)
+    a = sorted(map(tuple, got.select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, want.select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b and len(a) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # The lists scan must carry a cid PartitionFilter fed by dynamic
+    # partition pruning (probe cells -> pruned cid= directories).
+    assert "PartitionFilters: [isnotnull(cid" in plan
+    assert "dynamicpruning" in plan.lower()
