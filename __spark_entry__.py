@@ -90,6 +90,7 @@ _NEW_THIS_ROUND = {
     "bpe_train_merges",
     "text_normalize_docs",
     "streaming_daily_rollup",
+    "eventlog_trigram_paths",
 }
 
 

@@ -376,3 +376,45 @@ def eventlog_conformance_dfg(spark: SparkSession, sf_dir: str) -> DataFrame:
         conforming.cast("long").alias("n_conforming"),
         F.round(conforming.cast("double") / F.count(F.lit(1)), 6).alias("fitness"),
     )
+
+
+@register(
+    "eventlog_trigram_paths",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, t AS (
+  SELECT "case", activity AS a1,
+         lead(activity, 1) OVER w AS a2,
+         lead(activity, 2) OVER w AS a3
+  FROM kept
+  WINDOW w AS (PARTITION BY "case" ORDER BY ts, activity)
+)
+SELECT a1, a2, a3,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT "case") AS BIGINT) AS n_cases
+FROM t
+WHERE a3 IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def eventlog_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step path fragments — the granularity between the DFG
+    (2-grams) and full trace variants (whole paths): long enough to expose
+    loops and detours, short enough to aggregate across cases. One window
+    pass with two leads over the trace-assembly shuffle key; linear in the
+    log (every event starts at most one trigram)."""
+    e = _all_types_complete(spark, sf_dir)
+    w = Window.partitionBy("case").orderBy("ts", "activity")
+    t = (
+        e.select(
+            "case",
+            F.col("activity").alias("a1"),
+            F.lead("activity", 1).over(w).alias("a2"),
+            F.lead("activity", 2).over(w).alias("a3"),
+        )
+        .filter(F.col("a3").isNotNull())
+    )
+    return t.groupBy("a1", "a2", "a3").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("case").alias("n_cases"),
+    )
