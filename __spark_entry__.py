@@ -91,6 +91,7 @@ _NEW_THIS_ROUND = {
     "text_normalize_docs",
     "streaming_daily_rollup",
     "eventlog_trigram_paths",
+    "embedding_outliers",
 }
 
 

@@ -1804,3 +1804,70 @@ def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("text_norm"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+_SQL_EMB_OUTLIERS = f"""
+WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+seedbase AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
+         {_SQL_SEED_COLS}
+  FROM embf f JOIN seedbase USING (vec_id)
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_flat_sqdist('e', 's')}, 6), s.cid) AS rk
+    FROM embf e CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+cents AS (
+  SELECT cid, {_SQL_CENTROID_MEANS}
+  FROM embf e JOIN a0 USING (vec_id)
+  GROUP BY cid
+),
+assign AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT e.vec_id, c.cid, round({_sql_flat_sqdist('e', 'c')}, 6) AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
+    FROM embf e CROSS JOIN cents c
+  ) WHERE rk = 1
+)
+SELECT vec_id, cid, dist
+FROM assign ORDER BY dist DESC, vec_id LIMIT 20
+"""
+
+
+@register("embedding_outliers", _SQL_EMB_OUTLIERS)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anomaly detection: train the same deterministic IVF
+    quantizer, assign every vector to its nearest refined centroid, and
+    surface the 20 farthest vectors (largest squared-L2 to their own
+    centroid, 6 dp, vec_id tie-break) — the cheap curation signal for
+    mislabeled/off-distribution embeddings that reuses the clustering the
+    ANN index already paid for. Centroids broadcast; the global top-20
+    compiles to TakeOrderedAndProject (per-partition top-k, no full sort)."""
+    from pyspark.sql.window import Window as _W
+
+    from mobsos_event_log_generator_spark.operators.similarity import _sqdist, ivf_train
+
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    cents = ivf_train(emb, num_centroids=8, iters=1)
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)).withColumn(
+        "dist", F.round(_sqdist(F.col("embedding"), F.col("cvec")), 6)
+    )
+    w = _W.partitionBy("vec_id").orderBy("dist", "cid")
+    nearest = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "dist")
+    )
+    return nearest.orderBy(F.col("dist").desc(), "vec_id").limit(20)
