@@ -92,6 +92,7 @@ _NEW_THIS_ROUND = {
     "streaming_daily_rollup",
     "eventlog_trigram_paths",
     "embedding_outliers",
+    "events_column_profile",
 }
 
 

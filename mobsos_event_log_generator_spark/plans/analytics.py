@@ -1560,3 +1560,54 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "events_column_profile",
+    f"""
+WITH s AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+    CAST(count(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+    CAST(count(DISTINCT ts) AS BIGINT) AS nd_ts,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+    CAST(count(DISTINCT value) AS BIGINT) AS nd_value,
+    CAST(count(DISTINCT props) AS BIGINT) AS nd_props
+  FROM events
+)
+SELECT col, n_rows, n_nulls, n_distinct FROM (
+  SELECT 'event_id' AS col, n_rows, null_event_id AS n_nulls, nd_event_id AS n_distinct FROM s
+  UNION ALL SELECT 'ts', n_rows, null_ts, nd_ts FROM s
+  UNION ALL SELECT 'user_id', n_rows, null_user_id, nd_user_id FROM s
+  UNION ALL SELECT 'event_type', n_rows, null_event_type, nd_event_type FROM s
+  UNION ALL SELECT 'value', n_rows, null_value, nd_value FROM s
+  UNION ALL SELECT 'props', n_rows, null_props, nd_props FROM s
+)
+""",
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (the first data-quality report on any new
+    table): per column, row count, null count, and exact distinct count —
+    ONE aggregation over the table (Spark expands the multi-distinct into
+    grouped passes itself; at 100 TB swap exact distincts for
+    approx_count_distinct and the error-bound gate pattern), then an unpivot
+    of the single stats row into per-column rows via stack()."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    s = ev.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', null_{c}, nd_{c}" for c in cols)
+    return s.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct)",
+    ).select("col", "n_rows", "n_nulls", "n_distinct")
