@@ -93,6 +93,7 @@ _NEW_THIS_ROUND = {
     "eventlog_trigram_paths",
     "embedding_outliers",
     "events_column_profile",
+    "multimodal_thumbnail",
 }
 
 

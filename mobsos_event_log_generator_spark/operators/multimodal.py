@@ -291,3 +291,52 @@ def frame_sample(df: DataFrame, every_nth: int = 2, id_col: str = "doc_id") -> D
         .filter(F.col("frame_idx") % every_nth == 0)
         .select(id_col, "frame_idx", "width", "height")
     )
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("th_width", T.IntegerType()),
+        T.StructField("th_height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def thumbnail_images(
+    df: DataFrame, factor: int = 2, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real image RESIZE over mapInPandas: decode each PNG, nearest-neighbor
+    downsample by ``factor`` (keep every factor-th pixel per axis — the
+    deterministic resampling that needs no float kernel), emit exact integer
+    stats of the thumbnail raster. Grayscale payloads only (one byte per
+    pixel). Zero shuffle; swap the sampling line for a PIL/cv2 resize on
+    production images and the plumbing is unchanged."""
+
+    def thumb_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(bytes(payload))
+                w, h = img["width"], img["height"]
+                px = img["pixels"]
+                th = [
+                    px[r * w + c]
+                    for r in range(0, h, factor)
+                    for c in range(0, w, factor)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "th_width": (w + factor - 1) // factor,
+                        "th_height": (h + factor - 1) // factor,
+                        "px_sum": int(sum(th)),
+                        "px_min": int(min(th)),
+                        "px_max": int(max(th)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in THUMBNAIL_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(thumb_batches, THUMBNAIL_SCHEMA)

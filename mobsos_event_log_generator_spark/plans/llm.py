@@ -1871,3 +1871,57 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid", "dist")
     )
     return nearest.orderBy(F.col("dist").desc(), "vec_id").limit(20)
+
+
+@register(
+    "multimodal_thumbnail",
+    # Thumbnail = every 2nd pixel per axis of the 16x16 raster; the raster is
+    # the doc's first 256 bytes space-padded, so the oracle recomputes the
+    # exact integer stats straight from the text (ASCII fixture: codepoint ==
+    # byte). 1-based position of thumbnail pixel (r, c): 32*r + 2*c + 1.
+    """
+WITH p AS (
+  SELECT doc_id, rpad(substr(coalesce(text, ''), 1, 256), 256, ' ') AS px FROM documents
+),
+t AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 8), r ->
+           list_transform(range(0, 8), c ->
+             unicode(substr(px, CAST(32 * r + 2 * c + 1 AS INT), 1))))) AS th
+  FROM p
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS th_width,
+       CAST(8 AS INT) AS th_height,
+       CAST(list_sum(th) AS BIGINT) AS px_sum,
+       CAST(list_min(th) AS INT) AS px_min,
+       CAST(list_max(th) AS INT) AS px_max
+FROM t
+""",
+)
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize end-to-end: text -> 16x16 grayscale PNG (stdlib
+    encoder) -> mapInPandas decode -> nearest-neighbor 8x8 thumbnail ->
+    exact integer raster stats. The oracle recomputes the sampled-pixel
+    stats straight from the text, so a wrong decode, wrong stride, or
+    off-by-one in the sampling grid all hash-mismatch. Completes the
+    multimodal family: attach -> decode -> frame-sample -> RESIZE."""
+    import pandas as pd  # noqa: F811 — kernel-local, serialized to executors
+
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        encode_png_gray,
+        thumbnail_images,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png_gray(t.encode("utf-8")[:256].ljust(256, b" "), 16, 16)
+                for t in pdf["text"].fillna("")
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return thumbnail_images(images, factor=2)

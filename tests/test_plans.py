@@ -65,6 +65,7 @@ PYTHON_SURFACE_ALLOWLIST = {
     "corpus_chunk_documents_udtf",   # Python UDTF (lateral table function)
     "multimodal_decode_stub",        # mapInPandas fake decoder
     "multimodal_decode_png",         # mapInPandas real PNG codec
+    "multimodal_thumbnail",          # mapInPandas decode + nearest-neighbor resize
     "similarity_topk_arrow",         # mapInPandas BLAS kernel
     "similarity_topk_ann_ivf_arrow", # mapInPandas BLAS kernel + IVF routing
 }
