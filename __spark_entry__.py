@@ -94,6 +94,8 @@ _NEW_THIS_ROUND = {
     "embedding_outliers",
     "events_column_profile",
     "multimodal_thumbnail",
+    "quality_lang_consistency",
+    "events_value_anomalies_mad",
 }
 
 

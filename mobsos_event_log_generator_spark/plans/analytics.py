@@ -1611,3 +1611,60 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct)",
     ).select("col", "n_rows", "n_nulls", "n_distinct")
+
+
+@register(
+    "events_value_anomalies_mad",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad, any_value(med) AS med
+  FROM dev GROUP BY 1
+)
+SELECT e.event_type,
+       round(any_value(m.med), 4) AS median_value,
+       round(any_value(m.mad), 4) AS mad_value,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM events e JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def events_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counting via median absolute deviation — the outlier
+    statistic that, unlike z-scores, is not itself dragged by the outliers
+    it hunts. Two exact interpolated medians per group (value, then absolute
+    deviation) and a broadcast of the 5-row (median, MAD) dim into the
+    flagging pass; the 3·MAD comparison happens on UNROUNDED doubles in both
+    engines (identical operand trees), with rounding only on the reported
+    medians."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+        .join(med, "event_type")
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("int")
+            ).cast("long").alias("n_anomalies"),
+        )
+    )

@@ -1925,3 +1925,39 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
     return thumbnail_images(images, factor=2)
+
+
+@register(
+    "quality_lang_consistency",
+    f"""
+WITH w AS (
+  SELECT doc_id, lang, {SQL_WORDS} AS words FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         {_sql_marker_count(X.LANG_MARKERS['de'])} AS s_de,
+         {_sql_marker_count(X.LANG_MARKERS['en'])} AS s_en,
+         {_sql_marker_count(X.LANG_MARKERS['es'])} AS s_es,
+         {_sql_marker_count(X.LANG_MARKERS['fr'])} AS s_fr
+  FROM w
+)
+SELECT lang, {_sql_lang_pred()} AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def quality_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-model agreement matrix: the declared `lang` column crossed
+    with the n-gram-heuristic language prediction — the curation check that
+    catches mislabeled-language documents (and, symmetrically, a drifting
+    language-ID model) before they skew a data mix. One tokenize + one tiny
+    groupBy; the marker-count scores and argmax tie-break are the same
+    lock-step pair text_stats_docs already gates."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    w = X.tokens("text")
+    return (
+        docs.select("lang", X.lang_id(w).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
