@@ -96,6 +96,7 @@ _NEW_THIS_ROUND = {
     "multimodal_thumbnail",
     "quality_lang_consistency",
     "events_value_anomalies_mad",
+    "customer_rfm_segments",
 }
 
 

@@ -1668,3 +1668,63 @@ def events_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+rfm AS (
+  SELECT o.o_custkey AS custkey,
+         date_diff('day', max(o.o_orderdate), any_value(r.ref_date)) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders o CROSS JOIN ref r
+  GROUP BY 1
+),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_q,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_q,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_q
+  FROM rfm
+)
+SELECT r_q, f_q, m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(monetary) AS DOUBLE), 2) AS total_monetary
+FROM scored
+GROUP BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartiles) — the classic
+    customer-analytics cube. Monetary sums as DECIMAL so partial-aggregation
+    regrouping cannot drift from a sequential sum; every ntile ordering
+    carries the custkey tie-break because ntile splits ties by row order.
+    Three window passes over the compact per-customer table (not the fact
+    table), then a 64-cell rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    rfm = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("ref_date"), F.max("o_orderdate")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy("recency_days", "custkey")
+    w_f = Window.orderBy(F.col("frequency").desc(), "custkey")
+    w_m = Window.orderBy(F.col("monetary").desc(), "custkey")
+    scored = rfm.select(
+        "custkey",
+        "monetary",
+        F.ntile(4).over(w_r).cast("long").alias("r_q"),
+        F.ntile(4).over(w_f).cast("long").alias("f_q"),
+        F.ntile(4).over(w_m).cast("long").alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
+    )
