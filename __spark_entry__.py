@@ -97,6 +97,7 @@ _NEW_THIS_ROUND = {
     "quality_lang_consistency",
     "events_value_anomalies_mad",
     "customer_rfm_segments",
+    "part_abc_analysis",
 }
 
 

@@ -1728,3 +1728,66 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("monetary").cast("double"), 2).alias("total_monetary"),
     )
+
+
+@register(
+    "part_abc_analysis",
+    """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev
+),
+classed AS (
+  SELECT partkey, revenue,
+         CASE WHEN cum_rev * 10 <= total_rev * 7 THEN 'A'
+              WHEN cum_rev * 10 <= total_rev * 9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(revenue) AS DOUBLE), 2) AS class_revenue
+FROM classed
+GROUP BY 1
+""",
+)
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory analysis: parts ranked by revenue, classified by
+    cumulative share (A ≤ 70 %, B ≤ 90 %, C above). Everything that decides a
+    class is EXACT: revenues sum as DECIMAL (associative — partial
+    aggregation cannot drift) and the share cut compares cum·10 ≤ total·7 in
+    decimal arithmetic instead of dividing into a float near the class
+    boundary. One cumulative window over the compact per-part table with a
+    partkey tie-break for a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "partkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 7, "A")
+        .when(F.col("cum_rev") * 10 <= F.col("total_rev") * 9, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
+    )
