@@ -98,6 +98,7 @@ _NEW_THIS_ROUND = {
     "events_value_anomalies_mad",
     "customer_rfm_segments",
     "part_abc_analysis",
+    "dedup_winnow_clusters",
 }
 
 

@@ -1961,3 +1961,46 @@ def quality_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "dedup_winnow_clusters",
+    "WITH RECURSIVE "
+    + _SQL_WINNOW_CTE.lstrip().removeprefix("WITH ")
+    + """,
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM e GROUP BY 1),
+wpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+    FROM e a JOIN e b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE round(CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM wpairs UNION SELECT doc_b, doc_a FROM wpairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, x.b FROM reach r JOIN edges x ON r.dst = x.a
+)
+SELECT src AS node, min(dst) AS component
+FROM reach GROUP BY 1
+""",
+)
+def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-cluster composition: MOSS-style winnow overlap PAIRS
+    (≥50 % of the smaller fingerprint set) → connected components →
+    canonical min-id component per document. This is the plagiarism-family
+    grouping step (A contains B, B contains C ⇒ one cluster) running through
+    the same O(log n) large-star/small-star contraction the Jaccard clusters
+    use; the oracle recomputes true reachability with a recursive CTE over
+    the exhaustive pair set, so both the pair generation AND the contraction
+    are proven in one gate."""
+    from mobsos_event_log_generator_spark.operators.graph import connected_components_star
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = D.winnow_overlap_pairs(docs, shingle_n=3, window=4, threshold=0.5).select(
+        F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2")
+    )
+    return connected_components_star(pairs)
