@@ -30,76 +30,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["eventlog_traces"](spark, SMOKE_SF_DIR)
 
 
-# Observed driver behavior (CORRECTNESS_r01/r02): exactly the first 50
+# Observed driver behavior (CORRECTNESS_r01-r03): exactly the first 50
 # registry entries get a correctness row per round, in dict insertion order.
 # The registry is larger than that window, so order is rotated per round for
 # cumulative coverage: queries WITHOUT a prior-round driver row come first;
-# names below (the r01/r02 rows) go last. `tools/check_parity.py` still
-# exact-cell-verifies all registered queries locally regardless of order.
+# names below (the union of r01+r02+r03 rows, 102 names) go last.
+# `tools/check_parity.py` still exact-cell-verifies all registered queries
+# locally regardless of order.
 _DRIVER_VERIFIED_PRIOR_ROUNDS = {
-    "antijoin_parts_never_shipped", "bloom_semijoin_parts", "cms_user_frequencies",
-    "cube_status_priority", "distinct_agg_customers", "event_type_recode_counts",
-    "eventlog_directly_follows", "eventlog_minmax", "eventlog_normalize",
-    "eventlog_normalize_full", "eventlog_resource_window", "eventlog_trace_variants",
-    "eventlog_traces", "events_daily_histogram", "events_sessionization",
-    "median_price_by_priority", "pivot_user_event_matrix", "quality_constraints_events",
-    "rollup_order_priority", "setop_urgent_not_low", "sketch_distinct_users_daily",
-    "subquery_exists_multi_supplier_orders", "subquery_parts_above_brand_avg",
-    "text_pii_redaction", "text_repetition_stats", "text_stats_docs",
-    "tpch_q10_returned_items", "tpch_q11_important_parts", "tpch_q12_late_shipment_priority",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts", "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q1_pricing_summary", "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers", "tpch_q2_cheapest_supplier",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority", "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "unpivot_part_metrics", "window_cumulative_customer_revenue",
+    "antijoin_parts_never_shipped", "asof_last_click_before_purchase", "bloom_semijoin_parts",
+    "cms_user_frequencies", "corpus_chunk_documents", "corpus_chunk_documents_udtf",
+    "corpus_decontamination", "corpus_hash_split", "corpus_pack_sequences",
+    "corpus_prep", "cube_status_priority", "customer_rfm_segments",
+    "dedup_clusters", "dedup_exact_prefix", "dedup_incremental_batch",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_winnow_pairs",
+    "distinct_agg_customers", "embedding_near_dup", "event_type_recode_counts",
+    "eventlog_directly_follows", "eventlog_keep_starts_no_bots", "eventlog_minmax",
+    "eventlog_normalize", "eventlog_normalize_full", "eventlog_resource_window",
+    "eventlog_trace_variants", "eventlog_traces", "events_cohort_retention",
+    "events_column_profile", "events_daily_histogram", "events_funnel_stages",
+    "events_ohlc_resample", "events_sessionization", "events_value_anomalies_mad",
+    "grouped_map_source_zscore", "grouping_sets_status_priority", "median_price_by_priority",
+    "minhash_signatures", "multimodal_decode_png", "multimodal_decode_stub",
+    "multimodal_meta", "pivot_user_event_matrix", "quality_constraints_events",
+    "range_join_events_near_errors", "remarks_key_inventory", "rollup_order_priority",
+    "setop_urgent_not_low", "simhash_docs", "similarity_ann_recall",
+    "similarity_topk_ann_bucketed", "similarity_topk_ann_ivf", "similarity_topk_ann_ivf_arrow",
+    "similarity_topk_ann_multiprobe", "similarity_topk_ann_multitable", "similarity_topk_arrow",
+    "similarity_topk_bruteforce", "sketch_distinct_users_daily", "streaming_capped_sessions",
+    "streaming_dedup_events", "streaming_interval_join_attribution", "streaming_sessionize_events",
+    "streaming_sliding_counts", "streaming_static_enrichment", "streaming_totals_complete_mode",
+    "subquery_exists_multi_supplier_orders", "subquery_parts_above_brand_avg", "text_pii_redaction",
+    "text_repetition_stats", "text_stats_docs", "text_winnow_fingerprints",
+    "tfidf_top_terms", "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q12_late_shipment_priority", "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_counts", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue", "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
+    "tpch_q2_cheapest_supplier", "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
+    "tpch_q8_market_share", "tpch_q9_product_profit", "udaf_source_token_totals",
+    "unpivot_part_metrics", "vocabulary_topk", "window_cumulative_customer_revenue",
     "window_rank_functions", "window_top_orders_per_customer", "xes_trace_xml",
 }
-# Re-checked eagerly this round: the fixtures switched to naive-µs parquet
-# timestamps (TIMESTAMP_NTZ in a plain session), which broke this query in
-# r02; its green row proves the loader-level normalization fix.
-_RECHECK_FIRST = ("events_sessionization",)
-# Queries added in round 3 — sorted behind the round-1/2 backlog so every
-# query that has EVER lacked a driver row gets one before brand-new ones
-# claim window slots; whatever spills past slot 50 rotates into round 4.
-_NEW_THIS_ROUND = {
-    "asof_next_purchase_after_click",
-    "events_peak_concurrency",
-    "events_rolling_active_users",
-    "text_unigram_entropy",
-    "quality_gopher_rules",
-    "text_chargram_logprob",
-    "eventlog_activity_service_times",
-    "eventlog_eventually_follows",
-    "eventlog_rework_summary",
-    "eventlog_start_end_matrix",
-    "eventlog_org_profile",
-    "corpus_sample_mix",
-    "text_token_quantiles",
-    "corpus_span_dedup",
-    "dedup_lsh_edit_verified",
-    "sketch_token_quantiles_bounded",
-    "events_gapfill_interpolate",
-    "grouping_sets_status_priority",
-    "events_trailing_window_stats",
-    "streaming_incremental_dedup",
-    "eventlog_conformance_dfg",
-    "events_session_window_batch",
-    "xes_roundtrip_source",
-    "bpe_train_merges",
-    "text_normalize_docs",
-    "streaming_daily_rollup",
-    "eventlog_trigram_paths",
-    "embedding_outliers",
-    "events_column_profile",
-    "multimodal_thumbnail",
-    "quality_lang_consistency",
-    "events_value_anomalies_mad",
-    "customer_rfm_segments",
-    "part_abc_analysis",
-    "dedup_winnow_clusters",
-}
+# Re-checked eagerly this round: the two de-weakened analytics plans (global
+# ntile -> distributed cuts; global cumsum -> two-phase prefix sum) must
+# re-prove their oracles under the new plans even though r03 marked them green.
+_RECHECK_FIRST = ("customer_rfm_segments", "part_abc_analysis")
+# Queries added in round 4 — sorted behind the 31-query round-3 backlog so
+# every query that has EVER lacked a driver row gets one before brand-new
+# ones claim window slots. Budget: 31 backlog + len(this) must stay <= 50
+# (bpe_train_merges ~14 s sits in the backlog; keep the window under ~120 s).
+_NEW_THIS_ROUND = set()
+
+
+# Driver-coordinated iterative queries (~14 s each at sf0.01) sort to the
+# end of their group so a window time cutoff can't starve cheap queries.
+_BUDGET_LAST = ("bpe_train_merges",)
 
 
 def _driver_order(registry: dict) -> list[str]:
@@ -109,6 +96,7 @@ def _driver_order(registry: dict) -> list[str]:
         for n in registry
         if n not in _DRIVER_VERIFIED_PRIOR_ROUNDS and n not in _NEW_THIS_ROUND and n not in recheck
     ]
+    backlog.sort(key=lambda n: n in _BUDGET_LAST)
     new = [n for n in registry if n in _NEW_THIS_ROUND]
     seen = [n for n in registry if n in _DRIVER_VERIFIED_PRIOR_ROUNDS and n not in recheck]
     return recheck + backlog + new + seen
