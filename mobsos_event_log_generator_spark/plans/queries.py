@@ -452,14 +452,12 @@ def xes_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-trace stats straight from the pipeline, so the gate proves the full
     serialize→parse cycle loses nothing. ISO-8601 'Z' timestamps are
     fixed-width, so string min/max is chronological min/max."""
-    import tempfile
-    import uuid as _uuid
-
     from mobsos_event_log_generator_spark.sinks.xes import write_xes
     from mobsos_event_log_generator_spark.sources.xes_source import register_xes_source
+    from mobsos_event_log_generator_spark.workdirs import scratch_dir
 
     df = _normalized_eventlog(spark, sf_dir).select(XES_CASE, XES_ACTIVITY, XES_TIMESTAMP, XES_LIFECYCLE)
-    out = tempfile.mkdtemp(prefix=f"xes_rt_{_uuid.uuid4().hex[:8]}_")
+    out = scratch_dir("xes_rt_")
     write_xes(df, out, single_file=False, num_shards=8)
     register_xes_source(spark)
     back = spark.read.format("xes").load(out)

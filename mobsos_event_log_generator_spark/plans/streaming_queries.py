@@ -12,13 +12,13 @@ approximation.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mobsos_event_log_generator_spark.plans.queries import TS_FMT_DUCK, TS_FMT_SPARK, register
+from mobsos_event_log_generator_spark.workdirs import scratch_dir
 
 #: State-store parallelism for the finite test streams. A stateful streaming
 #: operator creates one state-store instance PER SHUFFLE PARTITION per
@@ -39,7 +39,7 @@ def _run_to_memory(spark: SparkSession, sink_df: DataFrame, prefix: str, output_
     the stream's partition count is baked into its (fresh) checkpoint at
     start, so this never leaks conf into the driver's batch queries."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    ck = scratch_dir(f"ck_{name}_")
     old = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
     try:
@@ -368,13 +368,19 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
-    root = tempfile.mkdtemp(prefix=f"sincdedup_{uuid.uuid4().hex[:8]}_")
+    root = scratch_dir("sincdedup_")
     src = os.path.join(root, "src")
     os.makedirs(src)
-    # Four doc_id-range slices, one file each, mtimes ascending in range order.
+    # Four doc_id-range slices, one file each, mtimes ascending in range
+    # order. Ranges partition [min_id, max_id+1) — derived from the ACTUAL
+    # id bounds, so every row lands in exactly one batch even when ids are
+    # non-contiguous (an id-gapped fixture must not silently drop rows that
+    # the oracle aggregates).
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(mx) + 1 - int(mn)
     for i in range(4):
-        lo, hi = i * n // 4, (i + 1) * n // 4
+        lo = int(mn) + span * i // 4
+        hi = int(mn) + span * (i + 1) // 4
         part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1)
         tmp_part = os.path.join(root, f"part_{i}")
         part.write.mode("overwrite").parquet(tmp_part)
@@ -440,12 +446,16 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
-    root = tempfile.mkdtemp(prefix=f"sroll_{uuid.uuid4().hex[:8]}_")
+    root = scratch_dir("sroll_")
     src = os.path.join(root, "src")
     os.makedirs(src)
+    # Slice bounds from the actual id range (see streaming_incremental_dedup:
+    # id-gap-proof coverage of every row).
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    span = int(mx) + 1 - int(mn)
     for i in range(4):
-        lo, hi = i * n // 4, (i + 1) * n // 4
+        lo = int(mn) + span * i // 4
+        hi = int(mn) + span * (i + 1) // 4
         part = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1)
         tmp_part = os.path.join(root, f"part_{i}")
         part.write.mode("overwrite").parquet(tmp_part)

@@ -131,7 +131,15 @@ def compact_partition(
     tiny files whose footer reads dominate scan planning). Reads only the one
     partition directory, writes via a temp staging dir, then swaps — the
     partition is briefly absent rather than ever double-counted. Returns the
-    number of rows compacted."""
+    number of rows compacted.
+
+    The staging dir is DOT-PREFIXED (``.compact_tmp_...``) inside the table
+    root: Spark/Hadoop file listing skips ``.``/``_``-prefixed paths, so a
+    concurrent reader never sees staged rows as a phantom partition — not
+    during the swap, and not permanently if the job dies between the staged
+    write and the swap (a crash leaves only an invisible dir that the next
+    compaction run overwrites). Same filesystem as the partition, so the
+    final ``os.replace`` stays an atomic rename."""
     import os
     import shutil
 
@@ -141,7 +149,7 @@ def compact_partition(
     staged = part.coalesce(target_files)
     if case_col is not None:
         staged = staged.sortWithinPartitions(case_col, ts_col)
-    tmp = part_dir + "__compact_tmp"
+    tmp = os.path.join(path, f".compact_tmp_{PARTITION_COL}={partition_value}")
     staged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(part_dir)
     os.replace(tmp, part_dir)

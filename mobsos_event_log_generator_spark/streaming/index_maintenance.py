@@ -35,14 +35,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 INDEX_SCHEMA = T.StructType([T.StructField("digest", T.StringType(), False)])
+# On-disk layout: index_dir/batch=<id>/*.parquet — `batch` is a partition
+# column, so per-batch reads/excludes are directory-pruned, never scanned.
+INDEX_SCHEMA_PARTITIONED = T.StructType(
+    [
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("batch", T.LongType(), True),
+    ]
+)
 
 
-def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The digest index as a DataFrame (empty if nothing accepted yet)."""
-    try:
-        return spark.read.schema(INDEX_SCHEMA).parquet(index_dir).select("digest")
-    except Exception:
+def read_index(
+    spark: SparkSession, index_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """The digest index as a DataFrame.
+
+    Empty ONLY when nothing has been accepted yet (the directory does not
+    exist or holds no batch partitions); any real read failure — corrupt
+    footer, permission error — propagates and fails the micro-batch instead
+    of silently disabling dedup and admitting duplicates.
+
+    ``exclude_batch`` drops that batch's own partition from the read. A
+    replayed micro-batch (crash after the index write but before the
+    checkpoint commit) must not see the digests IT wrote: the anti-join
+    would find every row "already indexed", compute an empty survivor set,
+    and overwrite both out/batch=N and index/batch=N with nothing —
+    silently losing the batch. Excluding batch=N restores the exact
+    pre-write view, making replay a true overwrite-with-same-data.
+    """
+    if not os.path.isdir(index_dir) or not any(
+        name.startswith("batch=") for name in os.listdir(index_dir)
+    ):
         return spark.createDataFrame([], INDEX_SCHEMA)
+    df = (
+        spark.read.option("basePath", index_dir)
+        .schema(INDEX_SCHEMA_PARTITIONED)
+        .parquet(index_dir)
+    )
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch") != F.lit(int(exclude_batch)))
+    return df.select("digest")
 
 
 def make_dedup_batch_processor(
@@ -57,7 +89,9 @@ def make_dedup_batch_processor(
     def process(batch: DataFrame, batch_id: int) -> None:
         keyed = batch.select(F.col(id_col), digest.alias("digest"))
         batch_first = keyed.groupBy("digest").agg(F.min(id_col).alias(id_col))
-        fresh = batch_first.join(read_index(spark, index_dir), "digest", "left_anti")
+        fresh = batch_first.join(
+            read_index(spark, index_dir, exclude_batch=batch_id), "digest", "left_anti"
+        )
         # Overwrite-into-batch-dir makes checkpoint replays idempotent.
         # ORDER MATTERS: the accepted output materializes FIRST (one action —
         # its plan reads the index WITHOUT this batch); the index append then

@@ -8,8 +8,11 @@ import os
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from mobsos_event_log_generator_spark.streaming.index_maintenance import (
     accepted,
+    make_dedup_batch_processor,
     read_index,
     run_incremental_dedup,
 )
@@ -69,6 +72,46 @@ def test_cross_batch_duplicates_dropped_and_replay_idempotent(spark, tmp_path):
     _run(spark, root)
     assert read_index(spark, os.path.join(root, "index")).count() == 3
     assert accepted(spark, os.path.join(root, "out")).count() == 3
+
+
+def test_replay_after_index_write_is_not_destructive(spark, tmp_path):
+    """Crash window: the index write for batch N lands but the micro-batch
+    never commits, so the engine re-delivers batch N. The replayed anti-join
+    must not see batch N's OWN digests (or it would overwrite out/batch=N and
+    index/batch=N with empty data, silently losing the rows)."""
+    root = str(tmp_path)
+    index_dir, out_dir = os.path.join(root, "index"), os.path.join(root, "out")
+    process = make_dedup_batch_processor(spark, index_dir, out_dir, F.md5("text"))
+    batch = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+
+    process(batch, 0)  # normal run: out/batch=0 and index/batch=0 written
+    assert accepted(spark, out_dir).count() == 2
+    process(batch, 0)  # replay of the SAME batch id (post-index-write crash)
+    assert accepted(spark, out_dir).count() == 2  # not emptied
+    assert read_index(spark, index_dir).count() == 2
+
+    # A genuinely new batch still dedups against batch 0's digests.
+    process(spark.createDataFrame([(9, "alpha"), (4, "gamma")], "doc_id long, text string"), 1)
+    assert {r["doc_id"] for r in accepted(spark, out_dir).collect()} == {1, 2, 4}
+
+
+def test_read_index_raises_on_corrupt_index(spark, tmp_path):
+    """A real read failure must fail the batch, not silently disable dedup."""
+    index_dir = os.path.join(str(tmp_path), "index")
+    os.makedirs(os.path.join(index_dir, "batch=0"))
+    with open(os.path.join(index_dir, "batch=0", "part-0.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        read_index(spark, index_dir).count()
+
+
+def test_read_index_empty_cases(spark, tmp_path):
+    """Missing dir and existing-but-partitionless dir both mean 'no index yet'."""
+    missing = os.path.join(str(tmp_path), "nope")
+    assert read_index(spark, missing).count() == 0
+    empty = os.path.join(str(tmp_path), "empty")
+    os.makedirs(empty)
+    assert read_index(spark, empty).count() == 0
 
 
 def test_catchup_processes_only_new_files(spark, tmp_path):

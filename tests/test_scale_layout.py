@@ -178,3 +178,31 @@ def test_compact_partition_preserves_rows_and_shrinks_files(spark, tmp_path):
     files_after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     assert len(files_after) == 1
     assert spark.read.parquet(part_dir).count() == want
+
+
+def test_compact_staging_dir_invisible_to_readers(spark, tmp_path):
+    """A crashed compaction (staged write landed, swap never happened) must
+    not change what table readers see: the dot-prefixed staging dir is
+    ignored by Spark's file listing, so rows are never double-counted and a
+    dead job leaves no phantom partition."""
+    import os
+
+    from mobsos_event_log_generator_spark.sources.lake import read_events_partitioned
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "lake")
+    day = ev.filter(F.to_date("ts") == F.lit("2024-01-05")).withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    day.write.partitionBy("event_date").parquet(path)
+    total = read_events_partitioned(spark, path).count()
+
+    # Simulate the crash window: staged copy exists alongside the partition.
+    staged = os.path.join(path, ".compact_tmp_event_date=2024-01-05")
+    day.drop("event_date").coalesce(1).write.parquet(staged)
+    assert read_events_partitioned(spark, path).count() == total  # no double count
+    parts = {
+        str(r["event_date"])
+        for r in read_events_partitioned(spark, path).select("event_date").distinct().collect()
+    }
+    assert parts == {"2024-01-05"}  # no phantom partition value
