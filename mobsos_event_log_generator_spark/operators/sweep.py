@@ -54,6 +54,112 @@ def global_running_sum(
     return out.drop("__bucket", "__within", "__offset")
 
 
+def value_ordered_running_sum(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: list[str],
+    value_col: Column,
+    out_col: str = "running",
+    descending: bool = False,
+    bounds: list[float] | None = None,
+    num_buckets: int = 32,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Inclusive global running sum over the total order (``order_col``
+    ASC|DESC, ``*tie_cols`` ASC) — the time-grain-free sibling of
+    ``global_running_sum`` for orderings over VALUE domains (revenue ranks,
+    score quantiles), where a ``Window.orderBy`` with no partition key would
+    drag the whole input through one partition.
+
+    Buckets come from approximate quantiles of ``order_col``. ANY boundary
+    choice is correct — bucketing only needs monotonicity w.r.t. the sort
+    direction (ties on ``order_col`` always share a bucket, so the in-bucket
+    tie order stays intact); the quantiles merely keep buckets balanced. The
+    bucket id is built from chained codegen'd conditional sums (≤31 literal
+    comparisons, no HOF), the in-bucket cumsum runs in parallel across
+    buckets, and per-bucket offsets (``num_buckets`` rows) come back via a
+    broadcast join. Exact for associative sums (longs, decimals).
+
+    Pass precomputed ``bounds`` to skip the quantile probe action — callers
+    that need several orderings batch all probes into one aggregate pass.
+    ``order_col`` must be non-null (null comparisons would null the bucket).
+    """
+    v = F.col(order_col).cast("double")
+    if bounds is None:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        row = df.agg(
+            F.percentile_approx(v, F.lit(probs), F.lit(accuracy)).alias("b")
+        ).first()
+        bounds = list(row["b"] or [])
+    uniq = sorted({float(b) for b in bounds})
+    bucket: Column = F.lit(0)
+    for b in uniq:
+        # Count boundaries already passed in sort direction: bucket 0 holds
+        # the rows that sort FIRST, so bucket order == global order.
+        passed = (v < F.lit(b)) if descending else (v > F.lit(b))
+        bucket = bucket + passed.cast("int")
+    bucketed = df.withColumn("__bucket", bucket)
+    head = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(head, *[F.col(c) for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("__within", F.sum(value_col).over(w_in))
+    totals = bucketed.groupBy("__bucket").agg(F.sum(value_col).alias("__total"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket", F.coalesce(F.sum("__total").over(w_b), F.lit(0)).alias("__offset")
+    )
+    out = within.join(F.broadcast(offsets), "__bucket").withColumn(
+        out_col, F.col("__offset") + F.col("__within")
+    )
+    return out.drop("__bucket", "__within", "__offset")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    n_rows: int,
+    order_col: str,
+    tie_cols: list[str],
+    out_col: str,
+    descending: bool = False,
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """Exact SQL ``ntile`` over a total order without a single-partition
+    window: the global row number comes from ``value_ordered_running_sum``
+    (running count of 1s), and the tile from ntile's quota arithmetic —
+    with ``n`` rows and ``k`` tiles, the first ``n % k`` tiles hold
+    ``n div k + 1`` rows, the rest ``n div k``. Reproduces tie behavior
+    bit-for-bit: like SQL ntile, ties on ``order_col`` are split across
+    tiles by the ``tie_cols`` order, which is why the order must be total.
+
+    ``n_rows`` is the exact input count, supplied by the caller so it can be
+    batched into the same probe pass as the bucket ``bounds``.
+    """
+    rn = f"__rn_{out_col}"
+    with_rn = value_ordered_running_sum(
+        df,
+        order_col,
+        tie_cols,
+        F.lit(1).cast("long"),
+        out_col=rn,
+        descending=descending,
+        bounds=bounds,
+    )
+    size, extra = divmod(int(n_rows), n_tiles)
+    if size == 0:  # fewer rows than tiles: row i is tile i
+        tile = F.col(rn)
+    else:
+        head = extra * (size + 1)
+        tile = F.when(
+            F.col(rn) <= F.lit(head),
+            F.expr(f"(`{rn}` - 1) div {size + 1} + 1"),
+        ).otherwise(F.expr(f"{extra} + (`{rn}` - {head} - 1) div {size} + 1"))
+    return with_rn.withColumn(out_col, tile.cast("long")).drop(rn)
+
+
 def interval_concurrency(
     intervals: DataFrame,
     start_col: str,

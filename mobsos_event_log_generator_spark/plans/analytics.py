@@ -1701,8 +1701,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-analytics cube. Monetary sums as DECIMAL so partial-aggregation
     regrouping cannot drift from a sequential sum; every ntile ordering
     carries the custkey tie-break because ntile splits ties by row order.
-    Three window passes over the compact per-customer table (not the fact
-    table), then a 64-cell rollup."""
+
+    The per-customer table is compact only relative to the fact table — at
+    100 TB it is millions of rows, so the three quartile assignments run as
+    ``sweep.distributed_ntile`` (bucketed two-phase row numbers, exact ntile
+    quota arithmetic) instead of three single-partition ntile windows. One
+    probe pass batches the exact count and all three bucket-boundary
+    quantiles; no WindowExec in the final plan is partition-less."""
+    from mobsos_event_log_generator_spark.operators.sweep import distributed_ntile
+
     o = load_table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("ref_date"))
     rfm = (
@@ -1714,15 +1721,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
     )
-    w_r = Window.orderBy("recency_days", "custkey")
-    w_f = Window.orderBy(F.col("frequency").desc(), "custkey")
-    w_m = Window.orderBy(F.col("monetary").desc(), "custkey")
-    scored = rfm.select(
-        "custkey",
-        "monetary",
-        F.ntile(4).over(w_r).cast("long").alias("r_q"),
-        F.ntile(4).over(w_f).cast("long").alias("f_q"),
-        F.ntile(4).over(w_m).cast("long").alias("m_q"),
+    probs = F.lit([i / 32 for i in range(1, 32)])
+    probe = rfm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(F.col("recency_days").cast("double"), probs, F.lit(10_000)).alias("rb"),
+        F.percentile_approx(F.col("frequency").cast("double"), probs, F.lit(10_000)).alias("fb"),
+        F.percentile_approx(F.col("monetary").cast("double"), probs, F.lit(10_000)).alias("mb"),
+    ).first()
+    n = probe["n"]
+    scored = distributed_ntile(
+        rfm, 4, n, "recency_days", ["custkey"], "r_q", descending=False, bounds=probe["rb"]
+    )
+    scored = distributed_ntile(
+        scored, 4, n, "frequency", ["custkey"], "f_q", descending=True, bounds=probe["fb"]
+    )
+    scored = distributed_ntile(
+        scored, 4, n, "monetary", ["custkey"], "m_q", descending=True, bounds=probe["mb"]
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1765,23 +1779,25 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     class is EXACT: revenues sum as DECIMAL (associative — partial
     aggregation cannot drift) and the share cut compares cum·10 ≤ total·7 in
     decimal arithmetic instead of dividing into a float near the class
-    boundary. One cumulative window over the compact per-part table with a
-    partkey tie-break for a total order."""
+    boundary.
+
+    The per-part table is millions of rows at 100 TB, so the Pareto prefix
+    sum runs through ``sweep.value_ordered_running_sum`` (revenue-band
+    buckets → parallel in-bucket cumsum → broadcast offsets) and the grand
+    total through a broadcast scalar aggregate — no single-partition
+    WindowExec anywhere in the plan. Decimal addition is associative, so the
+    two-phase sum equals the oracle's sequential one bit-for-bit."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("revenue")
     )
-    w_cum = Window.orderBy(F.col("revenue").desc(), "partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = value_ordered_running_sum(
+        rev, "revenue", ["partkey"], F.col("revenue"), out_col="cum_rev", descending=True
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "partkey",
-        "revenue",
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(w_all).alias("total_rev"),
-    )
-    classed = ranked.withColumn(
+    total = rev.agg(F.sum("revenue").alias("total_rev"))
+    classed = ranked.crossJoin(F.broadcast(total)).withColumn(
         "abc_class",
         F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 7, "A")
         .when(F.col("cum_rev") * 10 <= F.col("total_rev") * 9, "B")

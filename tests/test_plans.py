@@ -89,6 +89,85 @@ def test_no_python_in_hot_paths(spark, sf_dir):
     assert swept > 70  # the sweep must actually cover the registry
 
 
+# Oracle-gated queries allowed a partition-less Window: each one's window
+# input is BOUNDED (post-LIMIT rank or a per-bucket/per-group aggregate of
+# fixed cardinality), so the single partition holds O(constant) rows, not the
+# corpus. Every entry needs a justification — an unbounded global window is
+# the canonical 100-TB scale-killer (operators/sweep.py).
+GLOBAL_WINDOW_ALLOWLIST = {
+    "vocabulary_topk": "rank over a post-LIMIT 50-row table (plans/llm.py)",
+    "similarity_topk_ann_ivf": "centroid-id row_number over the post-LIMIT "
+    "num_centroids-row seed table (operators/similarity.py::ivf_seed_centroids)",
+    "embedding_outliers": "same IVF seeding window: post-LIMIT centroid table",
+}
+
+
+def _toplevel_bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan line (nested brackets stay inside)."""
+    groups, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+def partitionless_window_lines(plan: str) -> list[str]:
+    """Window operator lines with NO partition spec.
+
+    The executedPlan string prints `Window [exprs], [partitionSpec],
+    [orderSpec]`; either trailing spec may be absent, so with two groups the
+    second is a partitionSpec (bare columns) or an orderSpec (`ASC`/`DESC`
+    markers) — only the latter means partition-less. `WindowGroupLimit`
+    (pushed-down top-k) prints its partitionSpec FIRST; it is global only
+    when that group is empty. Bucket-offset windows over per-bucket
+    `__total` aggregates are exempt: their input is O(num_buckets) rows by
+    construction (operators/sweep.py)."""
+    bad = []
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-:* ")
+        if not s.startswith("Window"):
+            continue
+        groups = _toplevel_bracket_groups(s)
+        if s.startswith("WindowGroupLimit"):
+            if groups and groups[0] != "[]":
+                continue  # partitioned top-k
+        else:
+            if len(groups) >= 3:
+                continue  # partitioned (with order)
+            if len(groups) == 2 and "ASC" not in groups[1] and "DESC" not in groups[1]:
+                continue  # partitioned (no order): second group is the partitionSpec
+        if "__total" in s:
+            continue  # per-bucket offsets: bounded input
+        bad.append(s)
+    return bad
+
+
+def test_no_single_partition_window_over_unbounded_input(spark, sf_dir):
+    """GLOBAL gate (the de-weak rule from round 3): no oracle-gated batch
+    query may move unbounded input through a partition-less WindowExec —
+    global running aggregates must take the two-phase sweep form
+    (operators/sweep.py), global quantile ranks the distributed_ntile form.
+    Same shape as the no-BatchEvalPython gate below."""
+    from mobsos_event_log_generator_spark.plans.queries import ORACLES
+
+    offenders, swept = {}, 0
+    for q in sorted(ORACLES):
+        if q.startswith("streaming_") or q in GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        bad = partitionless_window_lines(plan_of(spark, sf_dir, q))
+        if bad:
+            offenders[q] = bad
+        swept += 1
+    assert not offenders, f"partition-less windows over unbounded input: {offenders}"
+    assert swept > 70  # the sweep must actually cover the registry
+
+
 def test_lsh_candidates_is_equijoin_not_cross(spark, sf_dir):
     """LSH candidate generation must be a hash equi-join on the bucket key."""
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from mobsos_event_log_generator_spark.operators.asof import asof_join
 from mobsos_event_log_generator_spark.operators.sweep import (
+    distributed_ntile,
     global_running_sum,
     interval_concurrency,
+    value_ordered_running_sum,
 )
 
 
@@ -94,6 +96,66 @@ def test_interval_concurrency_zero_length_interval(spark):
     iv = spark.createDataFrame([(1, _ts(5), _ts(5))], "id long, s timestamp, e timestamp")
     out = sorted(interval_concurrency(iv, "s", "e", tie_cols=["id"]).collect(), key=lambda r: -r["delta"])
     assert [(r["delta"], r["concurrent"]) for r in out] == [(1, 1), (-1, 0)]
+
+
+def test_value_ordered_running_sum_matches_single_sort(spark):
+    """Two-phase value-bucketed cumsum == the naive global-sort cumsum, both
+    directions, with heavy ties (many rows share a value → share a bucket)."""
+    rows = [((i * 37) % 11, i) for i in range(300)]  # values 0..10, ties galore
+    df = spark.createDataFrame(rows, "v long, id long")
+    for descending in (False, True):
+        out = value_ordered_running_sum(
+            df, "v", ["id"], F.col("v"), out_col="cum", descending=descending, num_buckets=8
+        )
+        got = {r["id"]: r["cum"] for r in out.collect()}
+        acc, want = 0, {}
+        key = (lambda r: (-r[0], r[1])) if descending else (lambda r: (r[0], r[1]))
+        for v, i in sorted(rows, key=key):
+            acc += v
+            want[i] = acc
+        assert got == want, f"descending={descending}"
+
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    """Exact quota + tie-splitting parity with Spark's own ntile, for counts
+    that hit every remainder class (n % k in 0..3) and tied order values."""
+    from pyspark.sql.window import Window
+
+    for n in (7, 8, 9, 10, 3, 2):
+        rows = [((i * 5) % 4, i) for i in range(n)]  # tied keys
+        df = spark.createDataFrame(rows, "v long, id long")
+        for descending in (False, True):
+            order = F.col("v").desc() if descending else F.col("v").asc()
+            want = {
+                r["id"]: r["t"]
+                for r in df.select(
+                    "id", F.ntile(4).over(Window.orderBy(order, "id")).alias("t")
+                ).collect()
+            }
+            got = {
+                r["id"]: r["q"]
+                for r in distributed_ntile(
+                    df, 4, n, "v", ["id"], "q", descending=descending
+                ).collect()
+            }
+            assert got == want, f"n={n} descending={descending}"
+
+
+def test_value_ordered_running_sum_no_global_sort_of_rows(spark):
+    """Same scale contract as global_running_sum: every per-row window
+    carries the __bucket partition key; only the per-bucket offset window
+    (num_buckets rows) is unpartitioned."""
+    df = spark.createDataFrame([(i % 13, i) for i in range(100)], "v long, id long")
+    plan = (
+        value_ordered_running_sum(df, "v", ["id"], F.col("v"), out_col="cum")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    unpartitioned = [ln for ln in windows if "__bucket#" not in ln.split("windowspecdefinition")[1][:200]]
+    for ln in unpartitioned:
+        assert "__total" in ln, f"row-level unpartitioned window found:\n{ln}"
 
 
 def test_sweep_has_no_global_sort_of_rows(spark):
