@@ -81,7 +81,9 @@ _RECHECK_FIRST = ("customer_rfm_segments", "part_abc_analysis")
 # every query that has EVER lacked a driver row gets one before brand-new
 # ones claim window slots. Budget: 31 backlog + len(this) must stay <= 50
 # (bpe_train_merges ~14 s sits in the backlog; keep the window under ~120 s).
-_NEW_THIS_ROUND = set()
+_NEW_THIS_ROUND = {
+    "dedup_repeated_substrings",
+}
 
 
 # Driver-coordinated iterative queries (~14 s each at sf0.01) sort to the

@@ -309,6 +309,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document exact substring dedup — the suffix-array family of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), re-expressed for a shared-nothing engine.
+
+    The suffix-array insight distributes cleanly: every repeated substring of
+    ≥ L tokens contains at least one repeated L-token window, so the sorted
+    suffix traversal becomes (1) emit every L-token window with its position,
+    (2) group windows by hash and keep those occurring in ≥ 2 DISTINCT
+    documents, (3) per document, merge overlapping/adjacent repeated window
+    starts (gap ≤ L) into maximal repeated spans. Output: one row per span —
+    (id, span_start, span_end, n_windows), token positions 1-based,
+    span_end exclusive. Every token covered by a span lies inside some
+    ≥ L-token substring that appears verbatim in another document.
+
+    Scale shape — no suffix array is ever materialized and nothing is
+    quadratic: windows are O(tokens) rows; "repeated" is one hash-partitioned
+    aggregate (map-side-combinable count-distinct expansion); the filter back
+    is a LEFT SEMI equi-join on the window hash (pure filter — a boilerplate
+    window shared by B docs costs B rows, never B²); span merging is a
+    per-document WindowExec (partitioned by id — hot docs bound the task, not
+    the corpus). Determinism: md5 window hashes, integer positions — the
+    DuckDB oracle replays the identical definition for byte-exact parity.
+    """
+    from pyspark.sql.window import Window as W
+
+    words = df.select(F.col(id_col), tokens(text_col).alias("words"))
+    hs = F.transform(word_shingles(F.col("words"), window_tokens), F.md5)
+    wins = words.select(F.col(id_col), F.posexplode(hs).alias("i", "h")).select(
+        F.col(id_col), (F.col("i") + 1).cast("long").alias("p"), "h"
+    )
+    rep = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = wins.join(rep, "h", "left_semi")
+    w_doc = W.partitionBy(id_col).orderBy("p")
+    isl = (
+        hits.withColumn("prev", F.lag("p").over(w_doc))
+        .withColumn(
+            "new_island",
+            (F.col("prev").isNull() | (F.col("p") - F.col("prev") > window_tokens)).cast("int"),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return (
+        isl.groupBy(F.col(id_col), F.col("island"))
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + window_tokens).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(F.col(id_col), "span_start", "span_end", "n_windows")
+    )
+
+
 def dedup_against_corpus(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -1685,6 +1685,44 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_repeated_substrings",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+wins AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, md5(array_to_string(words[p:p+7], ' ')) AS h
+  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 8 + 2)) AS p) t
+  WHERE len(words) >= 8
+),
+rep AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM wins WHERE h IN (SELECT h FROM rep)),
+lagd AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM lagd
+)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + 8 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+""",
+)
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact substring dedup (Lee et al., arXiv:2107.06499
+    — "Deduplicating Training Data Makes Language Models Better"): maximal
+    per-document spans covered by 8-token windows that appear verbatim in at
+    least one OTHER document. The suffix array's repeated-prefix traversal
+    distributes as window-hash grouping + left-semi filter + per-doc island
+    merge (operators/dedup.py::repeated_substring_spans has the full scale
+    argument: O(tokens) rows, no quadratic step, no global sort). The oracle
+    replays the identical definition; md5 window hashes and integer
+    positions make the comparison byte-exact."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return D.repeated_substring_spans(docs, window_tokens=8)
+
+
+@register(
     "dedup_lsh_edit_verified",
     f"""
 WITH ndpairs AS ({ORACLES["dedup_minhash_lsh"]})

@@ -42,6 +42,30 @@ def test_minhash_lsh_finds_near_and_exact_dups(docs):
     assert not any(3 in p or 5 in p for p in pairs)
 
 
+def test_repeated_substring_spans_semantics(spark):
+    """Hand-built corpus with a known 10-token shared run: the span covers
+    exactly the shared region, within-doc-only repeats don't count (cross-doc
+    rule), and disjoint shared runs yield separate islands."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    rows = [
+        (1, f"{shared} unique-one filler-a filler-b filler-c filler-d filler-e filler-f"),
+        (2, f"start-two other-lead {shared} trailing-two"),
+        # doc 3 repeats ITS OWN 8-token run twice but shares nothing: no span.
+        (3, "r1 r2 r3 r4 r5 r6 r7 r8 pad r1 r2 r3 r4 r5 r6 r7 r8"),
+        (4, "nothing in common with anybody at all whatsoever here truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in D.repeated_substring_spans(df, window_tokens=8).collect()
+    }
+    # 10 shared tokens -> 3 overlapping 8-windows, merged into one span.
+    assert spans[1] == (1, 11, 3)  # tokens [1, 11) = the 10 shared tokens
+    assert spans[2] == (3, 13, 3)  # offset by the 2-token lead
+    assert 3 not in spans  # within-doc repetition is not cross-doc
+    assert 4 not in spans
+
+
 def test_minhash_signature_shape(docs):
     sig = D.minhash_signatures(D.doc_shingles(docs))
     rows = sig.collect()
