@@ -83,6 +83,7 @@ _RECHECK_FIRST = ("customer_rfm_segments", "part_abc_analysis")
 # (bpe_train_merges ~14 s sits in the backlog; keep the window under ~120 s).
 _NEW_THIS_ROUND = {
     "dedup_repeated_substrings",
+    "streaming_ann_index_maintenance",
 }
 
 

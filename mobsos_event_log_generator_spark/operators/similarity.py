@@ -588,24 +588,22 @@ def ivf_write_index(
     )
 
 
-def ivf_query_index(
-    spark,
-    path: str,
+def ivf_probe_and_score(
+    cents: DataFrame,
+    lists: DataFrame,
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Query a persisted IVF index: load the tiny centroid table, compute
-    each query's `nprobe` probe cells, then join the probe list against the
-    cell-partitioned lists table ON THE PARTITION COLUMN — Spark's dynamic
-    partition pruning turns that into reading only the probed `cid=`
-    directories. Exact cosine + top-k inside the probed cells, identical
-    semantics (and unit-asserted identical results) to the in-memory
-    `ivf_ann_topk` given the same trained centroids."""
-    cents = spark.read.parquet(f"{path}/centroids")
-    lists = spark.read.parquet(f"{path}/lists")
+    """Probe-and-score core shared by every persisted-index reader (batch
+    `ivf_query_index` and the streaming-maintained index): compute each
+    query's `nprobe` probe cells against the tiny broadcast centroid table,
+    join the probe list against the cell-partitioned ``lists`` ON THE
+    PARTITION COLUMN — Spark's dynamic partition pruning turns that into
+    reading only the probed `cid=` directories — then exact cosine + top-k
+    inside the probed cells."""
     probes = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
         F.broadcast(
             ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
@@ -623,3 +621,21 @@ def ivf_query_index(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (`ivf_write_index` layout): identical
+    semantics (and unit-asserted identical results) to the in-memory
+    `ivf_ann_topk` given the same trained centroids; see
+    ``ivf_probe_and_score`` for the pruning argument."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    return ivf_probe_and_score(cents, lists, queries, k, nprobe, id_col, vec_col)

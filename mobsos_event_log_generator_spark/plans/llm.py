@@ -1006,6 +1006,72 @@ WHERE rn <= 5
 """
 
 
+#: Streaming-maintained IVF oracle (used by ``streaming_ann_index_maintenance``
+#: in plans/streaming_queries.py): identical quantizer replay, except the
+#: training corpus is the FIRST micro-batch only — vec_id in the first quarter
+#: of the actual id range, the slicing rule of the streaming fixtures — and
+#: the FULL corpus is then assigned to those fixed centroids. This is exactly
+#: the append-with-fixed-quantizer contract of streaming/ann_index.py.
+SQL_IVF_STREAM = f"""
+WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+b0 AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id < (SELECT min(vec_id) + (max(vec_id) + 1 - min(vec_id)) // 4 FROM embeddings)
+),
+seedbase AS (
+  SELECT vec_id FROM b0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
+         {_SQL_SEED_COLS}
+  FROM embf f JOIN seedbase USING (vec_id)
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_flat_sqdist('e', 's')}, 6), s.cid) AS rk
+    FROM embf e JOIN b0 USING (vec_id) CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+cents AS (
+  SELECT cid, {_SQL_CENTROID_MEANS}
+  FROM embf e JOIN a0 USING (vec_id)
+  GROUP BY cid
+),
+inv AS (
+  SELECT vec_id AS neighbor_id, cid, {_SQL_INV_COLS}, sqn AS nsqn FROM (
+    SELECT e.*, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
+    FROM embf e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid, {_SQL_PROBE_COLS}, sqn AS qsqn FROM (
+    SELECT e.*, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
+    FROM embf e CROSS JOIN cents c
+    WHERE e.vec_id % 50 = 0
+  ) WHERE rk <= 2
+),
+pairs AS (
+  SELECT p.query_id, v.neighbor_id,
+         round(({_SQL_FLAT_QN_DOT}) / (sqrt(p.qsqn) * sqrt(v.nsqn)), 6) AS cosine
+  FROM probes p JOIN inv v USING (cid)
+  WHERE p.query_id <> v.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= 5
+"""
+
+
 @register("similarity_topk_ann_ivf", _SQL_IVF_ANN)
 def similarity_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: deterministic md5-seeded centroids + one Lloyd

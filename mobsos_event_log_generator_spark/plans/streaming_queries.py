@@ -30,6 +30,29 @@ from mobsos_event_log_generator_spark.workdirs import scratch_dir
 STREAM_SHUFFLE_PARTITIONS = "8"
 
 
+def _write_id_slices(df: DataFrame, id_col: str, src: str, work_root: str, n_slices: int = 4) -> None:
+    """Write ``df`` as ``n_slices`` single-file parquet slices with ascending
+    mtimes, sliced on the ACTUAL [min, max] id range so non-contiguous ids
+    cannot silently drop rows (every id lands in exactly one slice); the file
+    source then delivers them as ordered micro-batches."""
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    mn, mx = df.agg(F.min(id_col), F.max(id_col)).first()
+    span = int(mx) + 1 - int(mn)
+    for i in range(n_slices):
+        lo = int(mn) + span * i // n_slices
+        hi = int(mn) + span * (i + 1) // n_slices
+        part = df.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).coalesce(1)
+        tmp_part = os.path.join(work_root, f"part_{i}")
+        part.write.mode("overwrite").parquet(tmp_part)
+        pq = [f for f in os.listdir(tmp_part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.copyfile(os.path.join(tmp_part, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
 def _run_to_memory(spark: SparkSession, sink_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     """Start ``sink_df`` as a memory-sink streaming query (fresh checkpoint,
     Trigger.AvailableNow), await completion, and return the emitted table.
@@ -359,7 +382,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id) the oracle computes; replays are idempotent because every
     batch overwrites its own batch=<id> partition."""
     import os
-    import shutil
 
     from mobsos_event_log_generator_spark.sources.parquet import load_table
     from mobsos_event_log_generator_spark.streaming.index_maintenance import (
@@ -370,24 +392,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     root = scratch_dir("sincdedup_")
     src = os.path.join(root, "src")
-    os.makedirs(src)
-    # Four doc_id-range slices, one file each, mtimes ascending in range
-    # order. Ranges partition [min_id, max_id+1) — derived from the ACTUAL
-    # id bounds, so every row lands in exactly one batch even when ids are
-    # non-contiguous (an id-gapped fixture must not silently drop rows that
-    # the oracle aggregates).
-    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    span = int(mx) + 1 - int(mn)
-    for i in range(4):
-        lo = int(mn) + span * i // 4
-        hi = int(mn) + span * (i + 1) // 4
-        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(1)
-        tmp_part = os.path.join(root, f"part_{i}")
-        part.write.mode("overwrite").parquet(tmp_part)
-        pq = [f for f in os.listdir(tmp_part) if f.endswith(".parquet")][0]
-        dst = os.path.join(src, f"slice_{i}.parquet")
-        shutil.copyfile(os.path.join(tmp_part, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    _write_id_slices(docs, "doc_id", src, root)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -437,7 +442,6 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never drift from DuckDB's sequential sum (decimal addition is
     associative; double addition is not)."""
     import os
-    import shutil
 
     from mobsos_event_log_generator_spark.sources.parquet import load_table
     from mobsos_event_log_generator_spark.streaming.rollup import (
@@ -448,21 +452,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     root = scratch_dir("sroll_")
     src = os.path.join(root, "src")
-    os.makedirs(src)
-    # Slice bounds from the actual id range (see streaming_incremental_dedup:
-    # id-gap-proof coverage of every row).
-    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    span = int(mx) + 1 - int(mn)
-    for i in range(4):
-        lo = int(mn) + span * i // 4
-        hi = int(mn) + span * (i + 1) // 4
-        part = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1)
-        tmp_part = os.path.join(root, f"part_{i}")
-        part.write.mode("overwrite").parquet(tmp_part)
-        pq = [f for f in os.listdir(tmp_part) if f.endswith(".parquet")][0]
-        dst = os.path.join(src, f"slice_{i}.parquet")
-        shutil.copyfile(os.path.join(tmp_part, pq), dst)
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    _write_id_slices(ev, "event_id", src, root)
 
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -488,3 +478,61 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("value_sum").cast("double"), 2).alias("value_sum"),
     )
+
+
+def _register_streaming_ann() -> None:
+    # Deferred registration: the oracle SQL lives next to the batch IVF
+    # oracle in plans/llm.py (imported after llm is fully loaded — see the
+    # import order in plans/queries.py).
+    from mobsos_event_log_generator_spark.plans.llm import SQL_IVF_STREAM
+
+    @register("streaming_ann_index_maintenance", SQL_IVF_STREAM)
+    def streaming_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming ANN index maintenance (foreachBatch IVF refresh):
+        embeddings arrive in four vec_id-ordered micro-batches; the first
+        batch trains the deterministic IVF quantizer (md5 seeds + one Lloyd
+        step), every batch assigns its vectors to the persisted centroids and
+        appends them to the cell-partitioned lists under its own idempotent
+        batch=<id> dir. The returned result queries the MAINTAINED index
+        (probe 2 cells per query, exact cosine top-5 inside them); the
+        oracle replays the identical quantizer trained on the batch-0 slice
+        and assigns the full corpus — so the gate proves that after 4
+        micro-batches the maintained index is indistinguishable from a batch
+        build under the same quantizer (streaming/ann_index.py)."""
+        import os
+
+        from mobsos_event_log_generator_spark.sources.parquet import load_table
+        from mobsos_event_log_generator_spark.streaming.ann_index import (
+            query_index,
+            run_ivf_index_maintenance,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        root = scratch_dir("sann_")
+        src = os.path.join(root, "src")
+        _write_id_slices(emb, "vec_id", src, root)
+
+        stream = (
+            spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        old = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        try:
+            run_ivf_index_maintenance(
+                spark,
+                stream,
+                index_dir=os.path.join(root, "index"),
+                checkpoint_dir=os.path.join(root, "ck"),
+                num_centroids=8,
+                iters=1,
+            )
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+        queries = emb.filter(F.col("vec_id") % 50 == 0)
+        return query_index(spark, os.path.join(root, "index"), queries, k=5, nprobe=2)
+
+
+_register_streaming_ann()
