@@ -84,6 +84,7 @@ _RECHECK_FIRST = ("customer_rfm_segments", "part_abc_analysis")
 _NEW_THIS_ROUND = {
     "dedup_repeated_substrings",
     "streaming_ann_index_maintenance",
+    "semdedup_embeddings",
 }
 
 

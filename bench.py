@@ -49,6 +49,54 @@ HEADLINE = [
 ]
 
 
+# Warm-lane regression gate: cold numbers carry a ±25% plan-compile noise
+# band (BASELINE.md), so trend deltas alert on the warm lane only.
+WARM_REGRESSION_PCT = 30.0
+
+
+def _prev_bench() -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root, if any."""
+    import re
+
+    best: tuple[int, str] | None = None
+    for fn in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), fn)
+    if best is None:
+        return None
+    try:
+        with open(os.path.join(REPO, best[1])) as f:
+            return best[1], json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _deltas_vs_prev(timings: dict, warm: dict) -> tuple[dict, list[str]] | None:
+    """Per-query cold/warm % deltas vs the latest BENCH_r{N}.json, plus the
+    list of warm-lane regressions past WARM_REGRESSION_PCT (verdict r3 #7)."""
+    prev = _prev_bench()
+    if prev is None:
+        return None
+    prev_name, prev_rec = prev
+    prev_cold = prev_rec.get("queries", {})
+    prev_warm = prev_rec.get("queries_warm", {})
+    deltas: dict[str, dict] = {"vs": prev_name}
+    regressions: list[str] = []
+    for name in timings:
+        entry: dict[str, float] = {}
+        if name in prev_cold and prev_cold[name] > 0:
+            entry["cold_pct"] = round(100.0 * (timings[name] / prev_cold[name] - 1.0), 1)
+        if name in warm and name in prev_warm and prev_warm[name] > 0:
+            wpct = round(100.0 * (warm[name] / prev_warm[name] - 1.0), 1)
+            entry["warm_pct"] = wpct
+            if wpct > WARM_REGRESSION_PCT:
+                regressions.append(f"{name}: warm {prev_warm[name]}s -> {warm[name]}s (+{wpct}%)")
+        if entry:
+            deltas[name] = entry
+    return deltas, regressions
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -91,6 +139,19 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
+    trend = _deltas_vs_prev(timings, warm)
+    if trend is not None:
+        deltas, regressions = trend
+        record["deltas_vs_prev"] = deltas
+        if regressions:
+            record["warm_regressions"] = regressions
+            print("WARM-LANE REGRESSIONS (> +%.0f%% vs prior round):" % WARM_REGRESSION_PCT,
+                  file=sys.stderr)
+            for line in regressions:
+                print("  " + line, file=sys.stderr)
+            if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+                print(json.dumps(record))
+                sys.exit(1)
     print(json.dumps(record))
 
 

@@ -463,6 +463,71 @@ def ivf_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding corpus with the deterministic IVF coarse quantizer,
+    then inside each cluster drop every vector that has a lower-id cell-mate
+    with cosine >= ``threshold``. Returns one row per corpus vector:
+    (vec_id, cid, dup_of, kept) where ``dup_of`` is the smallest dominating
+    cell-mate id (NULL for kept rows).
+
+    The paper keeps the member farthest from the centroid as the group
+    representative; this implementation keeps the lowest id — an equivalent
+    one-per-group rule that is deterministic across engines (no dependence on
+    centroid float noise for the SURVIVOR choice, only for the grouping).
+
+    Scale shape: the only quadratic is WITHIN a cell, exactly as published —
+    num_centroids grows with the corpus so cell size stays bounded (the paper
+    uses 50k clusters for LAION-440M; cells of ~10k make the pair join
+    ~10^8 rows per 10^9 vectors). The cluster id is the shuffle key: the pair
+    generation is a self-equi-join on cid, never a cross product. Cells
+    larger than ``max_cell_size`` (when set) are passed through as kept and
+    flagged via dup_of = NULL — the same conservative skip as the LSH
+    hot-bucket cap."""
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    assigned = corpus.select(id_col, vec_col).join(
+        ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
+    )
+    if max_cell_size is not None:
+        sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+        small = sizes.filter(F.col("_n") <= max_cell_size).select("cid")
+        dedupable = assigned.join(F.broadcast(small), "cid", "left_semi")
+    else:
+        dedupable = assigned
+    a = dedupable.select(
+        F.col("cid"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = dedupable.select(
+        F.col("cid"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    dup_of = (
+        a.join(b, "cid")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .groupBy("a_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, assigned[id_col] == dup_of["a_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
 def normalize_vector(vec: Column) -> Column:
     """L2-normalize a float vector (JVM fold for the norm + transform for the
     scale) — the standard ANN preprocessing so dot product == cosine.

@@ -1100,6 +1100,78 @@ def similarity_topk_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.ivf_ann_topk_arrow(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
 
 
+#: Within-cell cosine threshold for SemDeDup. Measured distribution of ALL
+#: within-cell pairwise cosines on the fixtures (8-cell quantizer, 1 Lloyd
+#: iter): max 0.479 (sf0.001) / 0.493 (sf0.01); 0.4225 sits in a gap of
+#: >= 3.0e-3 to the nearest pair value at BOTH SFs (sf0.001: 0.4256/0.4192,
+#: sf0.01: 0.4282/0.4168), so the 6-dp rounding can never flip membership.
+_SEMDEDUP_TAU = 0.4225
+
+_SQL_SEMDEDUP_DOT = " + ".join(f"a.n{i} * b.n{i}" for i in range(1, _IVF_DIM + 1))
+
+_SQL_SEMDEDUP = f"""
+WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+seedbase AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
+         {_SQL_SEED_COLS}
+  FROM embf f JOIN seedbase USING (vec_id)
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({{sqd_es}}, 6), s.cid) AS rk
+    FROM embf e CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+cents AS (
+  SELECT cid, {_SQL_CENTROID_MEANS}
+  FROM embf e JOIN a0 USING (vec_id)
+  GROUP BY cid
+),
+inv AS (
+  SELECT vec_id AS member_id, cid, {_SQL_INV_COLS}, sqn AS nsqn FROM (
+    SELECT e.*, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({{sqd_ec}}, 6), c.cid) AS rk
+    FROM embf e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+dup AS (
+  SELECT a_id, min(b_id) AS dup_of FROM (
+    SELECT a.member_id AS a_id, b.member_id AS b_id,
+           round(({_SQL_SEMDEDUP_DOT}) / (sqrt(a.nsqn) * sqrt(b.nsqn)), 6) AS cos
+    FROM inv a JOIN inv b USING (cid)
+    WHERE b.member_id < a.member_id
+  ) WHERE cos >= {_SEMDEDUP_TAU}
+  GROUP BY a_id
+)
+SELECT v.member_id AS vec_id, v.cid, d.dup_of, d.dup_of IS NULL AS kept
+FROM inv v LEFT JOIN dup d ON v.member_id = d.a_id
+""".format(sqd_es=_sql_flat_sqdist("e", "s"), sqd_ec=_sql_flat_sqdist("e", "c"))
+
+
+@register("semdedup_embeddings", _SQL_SEMDEDUP)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): IVF-cluster the corpus
+    with the deterministic quantizer shared with the ANN family, then drop
+    every vector with a lower-id cell-mate above cosine 0.4225 (threshold in
+    a measured >=3e-3 gap at both fixture SFs). The oracle replays quantizer
+    training AND the within-cell pair sweep, proving cluster membership,
+    dup attribution, and survivor choice end-to-end. The only quadratic is
+    within a cell (the published algorithm's shape) — cid is the shuffle key,
+    and num_centroids scales with the corpus to bound cell size."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.semdedup(emb, threshold=_SEMDEDUP_TAU, num_centroids=8, iters=1)
+
+
 # ---------------------------------------------------------------------------
 # Corpus splitting / vocabulary / TF-IDF / incremental dedup
 # ---------------------------------------------------------------------------

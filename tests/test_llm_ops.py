@@ -694,3 +694,42 @@ def test_winnow_overlap_pairs_containment(spark):
     assert not any(3 in p for p in pairs)
     # hot-bucket cap drops every bucket at size>=2 -> no pairs survive
     assert D.winnow_overlap_pairs(df, max_bucket_size=1).count() == 0
+
+
+def test_semdedup_keeps_lowest_id_per_near_group(spark):
+    # Two tight clusters far apart in R^4: ids {0,1,2} are near-identical,
+    # ids {10,11} are near-identical; cross-cluster cosine is negative.
+    vecs = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.00, 0.01, 0.0]),
+        (10, [-1.0, 0.0, 0.01, 0.02]),
+        (11, [-1.0, 0.01, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in S.semdedup(df, threshold=0.9, num_centroids=2, iters=1, dim=4).collect()}
+    assert out[0]["kept"] and out[0]["dup_of"] is None
+    assert not out[1]["kept"] and out[1]["dup_of"] == 0
+    assert not out[2]["kept"] and out[2]["dup_of"] == 0
+    assert out[10]["kept"] and out[10]["dup_of"] is None
+    assert not out[11]["kept"] and out[11]["dup_of"] == 10
+
+
+def test_semdedup_max_cell_size_skips_oversized_cells(spark):
+    # One cell holds 3 near-identical vectors; capping cells at 2 members
+    # must pass the whole cell through as kept (conservative skip), while the
+    # small cell still dedups.
+    vecs = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.00, 0.01, 0.0]),
+        (10, [-1.0, 0.0, 0.01, 0.02]),
+        (11, [-1.0, 0.01, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in S.semdedup(df, threshold=0.9, num_centroids=2, iters=1, max_cell_size=2, dim=4).collect()
+    }
+    assert all(out[i]["kept"] for i in (0, 1, 2))  # oversized cell skipped
+    assert out[10]["kept"] and not out[11]["kept"] and out[11]["dup_of"] == 10

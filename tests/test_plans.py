@@ -99,6 +99,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "similarity_topk_ann_ivf": "centroid-id row_number over the post-LIMIT "
     "num_centroids-row seed table (operators/similarity.py::ivf_seed_centroids)",
     "embedding_outliers": "same IVF seeding window: post-LIMIT centroid table",
+    "semdedup_embeddings": "same IVF seeding window: post-LIMIT centroid table",
 }
 
 
