@@ -85,6 +85,7 @@ _NEW_THIS_ROUND = {
     "dedup_repeated_substrings",
     "streaming_ann_index_maintenance",
     "semdedup_embeddings",
+    "eventlog_pagerank_activities",
 }
 
 

@@ -148,3 +148,72 @@ def connected_components_star(
         f"connected_components_star did not converge in {max_iterations} rounds; "
         "this bounds O(log n) — raise max_iterations for astronomically large components"
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list, in FIXED-POINT integer arithmetic
+    so every iteration is bit-identical on any engine (no float-summation
+    association noise compounding across rounds — pitfall 8 in
+    ENGINEERING_NOTES would otherwise amplify per iteration):
+
+        r0(v)  = scale div N
+        r_t+1(v) = (d_pct*scale) div (100*N) * ... teleport
+                 + (damping_pct * Σ_{u→v} (r_t(u) div outdeg(u))) div 100
+
+    with d_pct = 100 - damping_pct and all divisions INTEGER (``div``/``//``
+    — exact on BIGINT, identical in Spark and DuckDB; integer sums are
+    associative, so shuffle order can never change a result bit). Dangling
+    nodes keep only their teleport mass (no redistribution) — documented
+    fixed-iteration semantics, not the normalized limit.
+
+    Per iteration: one equi-join of the (broadcastable-or-not) rank table
+    against the edge list on src plus one groupBy(dst) sum — the canonical
+    distributed PageRank shuffle shape, map-side combined. Edge list and
+    ranks are lineage-truncated between rounds via localCheckpoint, same as
+    the connected-components loop. Returns (node, pagerank_fp) with rank in
+    units of 1/scale.
+    """
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded driver scalar: one long
+    if n == 0:
+        return nodes.withColumn("pagerank_fp", F.lit(0).cast("long"))
+    outdeg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("out_deg"))
+    teleport = (100 - damping_pct) * scale // (100 * n)
+    ranks = nodes.withColumn("pagerank_fp", F.lit(scale // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(outdeg, "e_src")
+            .join(ranks, F.col("e_src") == F.col("node"))
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr("pagerank_fp div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("pagerank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

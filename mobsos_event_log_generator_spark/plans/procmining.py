@@ -418,3 +418,81 @@ def eventlog_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_paths"),
         F.countDistinct("case").alias("n_cases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the directly-follows graph (fixed-point integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+_PR_DAMP = 85
+
+
+def _pr_iter_cte(k: int) -> str:
+    prev = f"it{k - 1}" if k > 1 else "r0"
+    return f"""
+it{k} AS (
+  SELECT v.node,
+         ((100 - {_PR_DAMP}) * {_PR_SCALE}) // (100 * (SELECT n FROM nn))
+           + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100 AS pagerank_fp
+  FROM nodes v LEFT JOIN (
+    SELECT e.dst AS node, sum(r.pagerank_fp // o.out_deg) AS s
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON v.node = s.node
+)"""
+
+
+_SQL_PAGERANK = (
+    _CTE_ALL_TYPES_COMPLETE
+    + f"""
+, pairs AS (
+  SELECT activity AS src,
+         lead(activity) OVER (PARTITION BY "case" ORDER BY ts, activity) AS dst
+  FROM kept
+),
+edges AS (SELECT DISTINCT src, dst FROM pairs WHERE dst IS NOT NULL),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node, {_PR_SCALE} // (SELECT n FROM nn) AS pagerank_fp FROM nodes
+),
+{",".join(_pr_iter_cte(k) for k in range(1, _PR_ITERS + 1))}
+SELECT node AS activity, CAST(pagerank_fp AS BIGINT) AS pagerank_fp
+FROM it{_PR_ITERS}
+"""
+)
+
+
+@register("eventlog_pagerank_activities", _SQL_PAGERANK)
+def eventlog_pagerank_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity centrality: PageRank over the directly-follows graph of the
+    full 5-activity pipeline (process-mining hub analysis — which activities
+    the control flow concentrates on). Runs the generic distributed
+    ``pagerank_fixed_point`` operator: 3 power iterations in fixed-point
+    BIGINT arithmetic (scale 10^12), so every intermediate rank is
+    bit-identical across engines — integer sums are associative, immune to
+    the float-association pitfall that compounds across iterations. The
+    oracle unrolls the identical three iterations as CTEs, proving the whole
+    trajectory, not just the final ranking. Per iteration one src equi-join
+    + one groupBy(dst) — the canonical distributed PageRank shuffle shape;
+    the graph here is the activity alphabet (tiny, broadcastable), but the
+    operator never assumes that."""
+    from mobsos_event_log_generator_spark.operators.graph import pagerank_fixed_point
+
+    e = _all_types_complete(spark, sf_dir)
+    w = Window.partitionBy("case").orderBy("ts", "activity")
+    edges = (
+        e.select(F.col("activity").alias("src"), F.lead("activity").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+    ranks = pagerank_fixed_point(
+        edges, iterations=_PR_ITERS, scale=_PR_SCALE, damping_pct=_PR_DAMP
+    )
+    return ranks.select(F.col("node").alias("activity"), "pagerank_fp")

@@ -152,3 +152,29 @@ def test_constraint_rule_names_with_quotes(spark):
     df = spark.createDataFrame([(1,)], "v long")
     out = V.check_constraints(df, {"range:user's score": V.in_range("v", 0, 10)}).collect()
     assert out[0]["rule"] == "range:user's score" and out[0]["n_violations"] == 0
+
+
+def test_pagerank_fixed_point_star_and_chain(spark):
+    from mobsos_event_log_generator_spark.operators.graph import pagerank_fixed_point
+
+    # star: a->c, b->c, c->a — c collects two contributions, a one, b only teleport
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = {r["node"]: r["pagerank_fp"] for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    scale, n = 10**12, 3
+    # replay the fixed-point recurrence exactly in python ints
+    r = {v: scale // n for v in "abc"}
+    tele = 15 * scale // (100 * n)
+    for _ in range(3):
+        contrib = {"c": r["a"] // 1 + r["b"] // 1, "a": r["c"] // 1}
+        r = {v: tele + 85 * contrib.get(v, 0) // 100 for v in "abc"}
+    assert out == r
+    assert out["c"] > out["a"] > out["b"]
+
+
+def test_pagerank_empty_edges(spark):
+    from mobsos_event_log_generator_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed_point(edges, iterations=2).count() == 0
