@@ -86,6 +86,8 @@ _NEW_THIS_ROUND = {
     "streaming_ann_index_maintenance",
     "semdedup_embeddings",
     "eventlog_pagerank_activities",
+    "web_canonical_urls",
+    "dedup_canonical_urls",
 }
 
 

@@ -2180,3 +2180,99 @@ def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2")
     )
     return connected_components_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus URL canonicalization + canonical-URL dedup
+# ---------------------------------------------------------------------------
+
+#: Deterministic raw-URL adapter over the documents fixture (same pattern as
+#: the events→EVENTLOG adapter): every doc gets a crawl-style URL whose NOISE
+#: varies with doc_id (scheme case, www., default port, trailing slash,
+#: tracking params, fragment) while the IDENTITY is (source, lang,
+#: doc_id % 7) — so canonicalization must strip exactly the noise for the
+#: dedup counts to match the oracle. Mirrored 1:1 in SQL.
+_SQL_RAW_URL = """
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+  source || '.example.com' ||
+  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+  '/' || lang || '/page-' || CAST(doc_id % 7 AS VARCHAR) ||
+  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+  '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed' ||
+  (CASE WHEN doc_id % 11 = 0 THEN '&ref=tw' ELSE '' END) ||
+  (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || CAST(doc_id AS VARCHAR) ELSE '' END)
+"""
+
+
+def _raw_url_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (did % 7).cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        (did % 7).cast("string"),
+        F.lit("&utm_source=feed"),
+        F.when(did % 11 == 0, F.lit("&ref=tw")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.concat(F.lit("#sec-"), did.cast("string"))).otherwise(F.lit("")),
+    )
+
+
+from mobsos_event_log_generator_spark.operators.urls import (  # noqa: E402
+    canonicalize_url,
+    canonicalize_url_sql,
+)
+
+_SQL_URL_BASE = f"""
+WITH raw AS (SELECT doc_id, {_SQL_RAW_URL} AS raw_url FROM documents),
+canon AS (SELECT doc_id, raw_url, ({canonicalize_url_sql("raw_url")}) AS canon_url FROM raw)
+"""
+
+
+@register(
+    "web_canonical_urls",
+    _SQL_URL_BASE + "SELECT doc_id, raw_url, canon_url FROM canon",
+)
+def web_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-rule URL canonicalization (operators/urls.py) over the raw-URL
+    adapter: case-folds scheme/host, strips default ports / www. / fragments /
+    tracking params, sorts surviving query params, trims trailing slashes.
+    Pure regexp+array Column algebra — no UDF, no shuffle; the oracle renders
+    the identical six rules in the DuckDB dialect."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", _raw_url_col().alias("raw_url"))
+    return raw.select("doc_id", "raw_url", canonicalize_url(F.col("raw_url")).alias("canon_url"))
+
+
+@register(
+    "dedup_canonical_urls",
+    _SQL_URL_BASE
+    + """
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS kept_doc
+FROM canon
+GROUP BY 1
+""",
+)
+def dedup_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the cheapest (first) stage of a web-corpus pipeline:
+    group by the canonical URL, keep the lowest doc_id as the survivor. One
+    hash-groupBy on the canonical key; at crawl scale this key is also the
+    natural partition key, so the groupBy rides the existing layout."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    raw = docs.select("doc_id", _raw_url_col().alias("raw_url"))
+    canon = raw.select("doc_id", canonicalize_url(F.col("raw_url")).alias("canon_url"))
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("kept_doc"),
+    )

@@ -733,3 +733,28 @@ def test_semdedup_max_cell_size_skips_oversized_cells(spark):
     }
     assert all(out[i]["kept"] for i in (0, 1, 2))  # oversized cell skipped
     assert out[10]["kept"] and not out[11]["kept"] and out[11]["dup_of"] == 10
+
+
+def test_canonicalize_url_rules(spark):
+    from mobsos_event_log_generator_spark.operators.urls import canonicalize_url, url_host, url_registered_domain
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+         "https://example.com/a/b?a=2&z=1"),
+        ("http://user:pw@Sub.Example.com:80/", "http://sub.example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com/?ref=tw&fbclid=abc", "https://example.com"),
+        ("https://example.com/path//", "https://example.com/path"),
+        ("https://example.com/a?b=2&b=1", "https://example.com/a?b=1&b=2"),
+        ("not a url", "not a url"),
+        ("https://example.com", "https://example.com"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i long, raw string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url(F.col("raw")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+    hosts = df.select("i", url_host(F.col("raw")).alias("h"), url_registered_domain(F.col("raw")).alias("d")).collect()
+    by_i = {r["i"]: (r["h"], r["d"]) for r in hosts}
+    assert by_i[1] == ("sub.example.com", "example.com")
+    assert by_i[0] == ("www.example.com", "example.com")
