@@ -88,6 +88,7 @@ _NEW_THIS_ROUND = {
     "eventlog_pagerank_activities",
     "web_canonical_urls",
     "dedup_canonical_urls",
+    "events_zorder_curve",
 }
 
 

@@ -1807,3 +1807,77 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton curve) clustering key — data-skipping layout
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_SPAN = 2**_Z_BITS - 1
+
+_SQL_Z_INTERLEAVE = " + ".join(
+    f"((zx >> {j}) & 1) * {2 ** (2 * j)} + ((zy >> {j}) & 1) * {2 ** (2 * j + 1)}"
+    for j in range(_Z_BITS)
+)
+
+
+@register(
+    "events_zorder_curve",
+    f"""
+WITH b AS (
+  SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+         min(epoch_us(ts)) AS t_lo, max(epoch_us(ts)) AS t_hi
+  FROM events
+),
+n AS (
+  SELECT event_id,
+         CASE WHEN u_hi = u_lo THEN 0
+              ELSE ((user_id - u_lo) * {_Z_SPAN}) // (u_hi - u_lo) END AS zx,
+         CASE WHEN t_hi = t_lo THEN 0
+              ELSE ((epoch_us(ts) - t_lo) * {_Z_SPAN}) // (t_hi - t_lo) END AS zy
+  FROM events, b
+)
+SELECT event_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+       CAST({_SQL_Z_INTERLEAVE} AS BIGINT) AS zvalue
+FROM n
+""",
+)
+def events_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event time) — the
+    multi-dimensional layout key for data-skipping file layouts
+    (sources/lake.py::zorder_layout writes files range-partitioned on this
+    value; test_scale_layout proves the per-file min/max ranges tighten on
+    BOTH dimensions vs. a time-sorted layout). Normalization is exact
+    integer arithmetic over broadcast min/max bounds and the interleave is
+    pure shift/mask — no floats, bit-identical across engines. At 100 TB
+    the bounds aggregate is one map-side-combined pass (or comes free from
+    table statistics); the z-value itself is per-row projection."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    b = ev.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("ts_us").alias("t_lo"),
+        F.max("ts_us").alias("t_hi"),
+    )
+    n = ev.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        F.expr(
+            f"CASE WHEN u_hi = u_lo THEN 0L "
+            f"ELSE ((user_id - u_lo) * {_Z_SPAN}) div (u_hi - u_lo) END"
+        ).alias("zx"),
+        F.expr(
+            f"CASE WHEN t_hi = t_lo THEN 0L "
+            f"ELSE ((ts_us - t_lo) * {_Z_SPAN}) div (t_hi - t_lo) END"
+        ).alias("zy"),
+    )
+    from mobsos_event_log_generator_spark.sources.lake import interleave_bits
+
+    return n.select(
+        "event_id",
+        F.col("zx").cast("long").alias("zx"),
+        F.col("zy").cast("long").alias("zy"),
+        interleave_bits(F.col("zx"), F.col("zy"), _Z_BITS).alias("zvalue"),
+    )

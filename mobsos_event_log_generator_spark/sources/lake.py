@@ -158,3 +158,46 @@ def compact_partition(
     if os.path.exists(success):
         os.remove(success)
     return n
+
+
+def interleave_bits(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two NORMALIZED integer columns in
+    ``[0, 2^bits)``: bit j of x lands at position 2j, bit j of y at 2j+1.
+    The multi-dimensional clustering key behind data-skipping layouts
+    (Delta OPTIMIZE ZORDER, Iceberg sort orders): sorting files by the
+    interleaved value keeps rows close in BOTH dimensions close in file
+    order, so per-file min/max stays tight per dimension and a filter on
+    either column prunes files.
+
+    Pure integral multiply/add arithmetic (bit j extracted as
+    ``(v div 2^j) % 2``) — bit-identical on any engine, no floats anywhere.
+    Callers normalize with exact integer math, e.g.
+    ``((v - lo) * (2^bits - 1)) div (hi - lo)`` via ``F.expr``."""
+    xl = x.cast("long")
+    yl = y.cast("long")
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        xbit = F.shiftright(xl, j) % 2
+        ybit = F.shiftright(yl, j) % 2
+        out = out + xbit * F.lit(2 ** (2 * j)) + ybit * F.lit(2 ** (2 * j + 1))
+    return out
+
+
+def zorder_layout(
+    df: DataFrame,
+    zvalue_col: str,
+    out_dir: str,
+    num_files: int = 32,
+) -> None:
+    """Write ``df`` clustered by a precomputed Z-order value: range-partition
+    on the z-value (sampled range boundaries — a total order without a
+    single-partition sort) and sort within each file. Each output file then
+    covers one compact segment of the space-filling curve, which is what
+    makes per-file min/max skipping effective on every interleaved
+    dimension."""
+    (
+        df.repartitionByRange(num_files, F.col(zvalue_col))
+        .sortWithinPartitions(zvalue_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -206,3 +206,56 @@ def test_compact_staging_dir_invisible_to_readers(spark, tmp_path):
         for r in read_events_partitioned(spark, path).select("event_date").distinct().collect()
     }
     assert parts == {"2024-01-05"}  # no phantom partition value
+
+
+def test_zorder_layout_tightens_minmax_on_both_dims(spark, tmp_path):
+    """Z-order layout vs time-sorted layout: per-file user_id ranges must be
+    dramatically tighter under z-order (that range tightness IS the
+    data-skipping win — a user_id predicate can prune most files), while
+    remaining useful on ts."""
+    import pyarrow.parquet as pq
+    from mobsos_event_log_generator_spark.sources.lake import interleave_bits, zorder_layout
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id AS event_id",
+        "CAST(id % 64 AS BIGINT) AS user_id",          # users cycle: time-sort spreads them
+        "CAST(id * 1000 AS BIGINT) AS ts_us",
+    )
+    span = 2**8 - 1
+    z = df.selectExpr(
+        "*",
+        f"(user_id * {span}) div 63 AS zx",
+        f"(ts_us * {span}) div {(n - 1) * 1000} AS zy",
+    ).select("event_id", "user_id", "ts_us",
+             interleave_bits(F.col("zx"), F.col("zy"), 8).alias("zvalue"))
+
+    zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "bytime")
+    zorder_layout(z, "zvalue", zdir, num_files=16)
+    (z.repartitionByRange(16, F.col("ts_us")).sortWithinPartitions("ts_us")
+       .write.mode("overwrite").parquet(tdir))
+
+    import glob
+
+    def ranges(d, name):
+        out = []
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    if col.path_in_schema == name and col.statistics is not None:
+                        los.append(col.statistics.min)
+                        his.append(col.statistics.max)
+            if los:
+                out.append(max(his) - min(los))
+        return out
+
+    z_user = ranges(zdir, "user_id")
+    t_user = ranges(tdir, "user_id")
+    assert z_user and t_user
+    # time-sorted files see nearly ALL users (range ~63); z-ordered files see
+    # a contiguous slice of the user space
+    assert sum(z_user) / len(z_user) < 0.5 * sum(t_user) / len(t_user)
