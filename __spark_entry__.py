@@ -89,6 +89,7 @@ _NEW_THIS_ROUND = {
     "web_canonical_urls",
     "dedup_canonical_urls",
     "events_zorder_curve",
+    "eventlog_weekly_drift",
 }
 
 

@@ -496,3 +496,105 @@ def eventlog_pagerank_activities(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=_PR_ITERS, scale=_PR_SCALE, damping_pct=_PR_DAMP
     )
     return ranks.select(F.col("node").alias("activity"), "pagerank_fp")
+
+
+# ---------------------------------------------------------------------------
+# Concept drift: week-over-week DFG distribution distance (exact integers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eventlog_weekly_drift",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, seq AS (
+  SELECT date_trunc('week', ts) AS wk, activity AS src,
+         lead(activity) OVER (PARTITION BY "case" ORDER BY ts, activity) AS dst
+  FROM kept
+),
+edges AS (
+  SELECT wk, src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2, 3
+),
+totals AS (SELECT wk, sum(n) AS t FROM edges GROUP BY 1),
+aligned AS (
+  SELECT COALESCE(cur.wk, prev.wk + INTERVAL 7 DAY) AS wk,
+         COALESCE(cur.n, 0) AS n_cur, COALESCE(prev.n, 0) AS n_prev
+  FROM edges cur
+  FULL JOIN edges prev
+    ON cur.wk = prev.wk + INTERVAL 7 DAY AND cur.src = prev.src AND cur.dst = prev.dst
+  WHERE COALESCE(cur.wk, prev.wk + INTERVAL 7 DAY) IN (SELECT wk FROM totals)
+    AND COALESCE(cur.wk, prev.wk + INTERVAL 7 DAY) - INTERVAL 7 DAY IN (SELECT wk FROM totals)
+),
+drift AS (
+  SELECT a.wk,
+         sum(abs(a.n_cur * tp.t - a.n_prev * tc.t)) AS l1_num,
+         any_value(tc.t * tp.t) AS denom
+  FROM aligned a
+  JOIN totals tc ON tc.wk = a.wk
+  JOIN totals tp ON tp.wk = a.wk - INTERVAL 7 DAY
+  GROUP BY a.wk
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week,
+       CAST(l1_num AS BIGINT) AS l1_num,
+       CAST(denom AS BIGINT) AS denom,
+       CAST((l1_num * 1000000) // denom AS BIGINT) AS drift_ppm
+FROM drift
+""",
+)
+def eventlog_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process concept-drift detector: week-over-week L1 distance between
+    directly-follows edge DISTRIBUTIONS (Bose et al., "Handling Concept
+    Drift in Process Mining", public). The distance is computed in EXACT
+    integer arithmetic — Σ|n_w·T_prev − n_prev·T_w| over the cross-
+    multiplied counts, emitted as numerator/denominator plus an integer-
+    division ppm — so no float summation ever enters the pipeline and the
+    week trajectory is bit-identical across engines. Shuffle shape: one
+    window pass per case, one groupBy per (week, edge), then a self-join of
+    the TINY per-week edge table (|alphabet|² rows per week) against its
+    7-day shift — the fact table is touched once."""
+    e = _all_types_complete(spark, sf_dir)
+    w = Window.partitionBy("case").orderBy("ts", "activity")
+    seq = e.select(
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.col("activity").alias("src"),
+        F.lead("activity").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = seq.groupBy("wk", "src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = edges.groupBy("wk").agg(F.sum("n").alias("t"))
+    prev = edges.select(
+        (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"),
+        "src",
+        "dst",
+        F.col("n").alias("n_prev"),
+    )
+    aligned = (
+        edges.withColumnRenamed("n", "n_cur")
+        .join(prev, ["wk", "src", "dst"], "full")
+        .select(
+            "wk",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+        )
+        .join(F.broadcast(totals.select(F.col("wk"), F.col("t").alias("t_cur"))), "wk")
+        .join(
+            F.broadcast(
+                totals.select(
+                    (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"),
+                    F.col("t").alias("t_prev"),
+                )
+            ),
+            "wk",
+        )
+    )
+    drift = aligned.groupBy("wk").agg(
+        F.sum(F.abs(F.col("n_cur") * F.col("t_prev") - F.col("n_prev") * F.col("t_cur"))).alias(
+            "l1_num"
+        ),
+        F.first(F.col("t_cur") * F.col("t_prev")).alias("denom"),
+    )
+    return drift.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        F.col("l1_num").cast("long").alias("l1_num"),
+        F.col("denom").cast("long").alias("denom"),
+        F.expr("(l1_num * 1000000L) div denom").cast("long").alias("drift_ppm"),
+    )
