@@ -90,6 +90,7 @@ _NEW_THIS_ROUND = {
     "dedup_canonical_urls",
     "events_zorder_curve",
     "eventlog_weekly_drift",
+    "streaming_left_outer_attribution",
 }
 
 

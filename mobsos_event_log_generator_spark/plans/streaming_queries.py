@@ -536,3 +536,61 @@ def _register_streaming_ann() -> None:
 
 
 _register_streaming_ann()
+
+
+@register(
+    "streaming_left_outer_attribution",
+    f"""
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p))
+         - INTERVAL 1 HOUR AS w
+),
+j AS (
+  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+  FROM c LEFT JOIN p ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 3600 SECONDS
+)
+SELECT click_id, purchase_id, user_id,
+       strftime(click_ts, '{TS_FMT_DUCK}') AS click_ts,
+       strftime(purchase_ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM j, wm
+WHERE purchase_id IS NOT NULL
+   OR click_ts + INTERVAL 3600 SECONDS < wm.w
+""",
+)
+def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — unconverted-click reporting:
+    matched pairs emit in-batch, while a NULL row for an unmatched click is
+    emitted only once the watermark PROVES no purchase can still arrive
+    (click_ts + window < watermark). The oracle models the real emission
+    rule, including the subtlety that the two sides carry INDEPENDENT
+    watermarks computed on the FILTERED streams — the global watermark is
+    min(max click ts, max purchase ts) − delay, not max(ts) overall − delay
+    (verified empirically: 204/204 NULL rows at sf0.001). Clicks closer than
+    window+delay to the effective stream head stay in state, unemitted —
+    exactly what a resumed stream would later flush."""
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+    from mobsos_event_log_generator_spark.streaming.joins import interval_join
+
+    clicks = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = interval_join(clicks, purchases, key="user_id", window_seconds=3600, how="left_outer")
+    out = _run_to_memory(spark, joined, "ssjlo", "append")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("r_ts", TS_FMT_SPARK).alias("purchase_ts"),
+    )

@@ -24,10 +24,19 @@ def interval_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs (l, r) with equal keys where r.ts in [l.ts, l.ts + window].
 
     Left columns keep names, right columns arrive ``r_``-prefixed.
+
+    ``how="left_outer"`` additionally emits every unmatched left row with
+    NULL right columns — but only once the watermark has passed
+    ``l.ts + window`` (the engine must PROVE no matching right row can still
+    arrive before declaring the left row unmatched; rows closer than
+    ``window + delay`` to the stream head stay in state, unemitted). That
+    delayed-NULL emission is the semantic difference from a batch left
+    join, and the oracle for the gated query models it explicitly.
     """
     l = left.withWatermark(left_ts, watermark_delay).alias("l")
     r_cols = right.columns
@@ -41,4 +50,4 @@ def interval_join(
         & (F.col(f"r.r_{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.r_{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
