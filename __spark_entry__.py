@@ -91,6 +91,7 @@ _NEW_THIS_ROUND = {
     "events_zorder_curve",
     "eventlog_weekly_drift",
     "streaming_left_outer_attribution",
+    "multimodal_audio_features",
 }
 
 

@@ -340,3 +340,151 @@ def thumbnail_images(
             yield pd.DataFrame(rows, columns=[f.name for f in THUMBNAIL_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(thumb_batches, THUMBNAIL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM16 encode + decode + exact-integer feature extraction
+# ---------------------------------------------------------------------------
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 little-endian, one fmt + one data
+    chunk — the layout every WAV encoder emits. Samples are interleaved
+    frames when ``n_channels`` > 1."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE payload — stdlib-only chunk walker (the audio
+    sibling of ``decode_image``): verifies the RIFF/WAVE signature, walks
+    chunks honoring the word-alignment padding rule, parses fmt (PCM16
+    only), and unpacks the data chunk to int samples. Raises ``ValueError``
+    on anything else so batch callers can route failures to an error
+    column."""
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated WAV chunk")
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV format {audio_format}/{bits} (PCM16 only)")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "samples": samples,
+    }
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched WAV feature extraction over ``mapInPandas``: decode each
+    payload, emit EXACT INTEGER audio stats — frame count, integer-division
+    duration_ms, energy (sum of squared samples), peak amplitude — so the
+    feature row is bit-identical on any engine (no float DSP in the gate
+    path; a real pipeline would add FFT features behind the same signature).
+    Decode failures land in ``error``. Zero shuffle."""
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    wav = decode_wav(bytes(payload))
+                    s = wav["samples"]
+                    nch = wav["n_channels"]
+                    n_frames = len(s) // nch
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "sample_rate": wav["sample_rate"],
+                            "n_channels": nch,
+                            "n_samples": n_frames,
+                            "duration_ms": n_frames * 1000 // wav["sample_rate"],
+                            "sum_sq": sum(x * x for x in s),
+                            "peak_abs": max((abs(x) for x in s), default=0),
+                            "error": None,
+                        }
+                    )
+                except ValueError as ex:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "sum_sq": None,
+                            "peak_abs": None,
+                            "error": str(ex)[:80],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(feat_batches, WAV_FEATURES_SCHEMA)
+
+
+def synth_wav_payloads(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic WAV materialization (the audio sibling of the PNG
+    fixture encoder): each UTF-8 byte b of the text becomes the PCM16 sample
+    ``(b - 128) * 256`` — a pure-integer mapping an oracle can replay from
+    the characters (fixture text is ASCII, so bytes == codepoints). The
+    payloads are REAL playable WAV files; the decode path exercises true
+    RIFF parsing end-to-end."""
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16([(b - 128) * 256 for b in t.encode("utf-8")], sample_rate)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col, text_col).mapInPandas(synth_batches, schema)

@@ -2276,3 +2276,50 @@ def dedup_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("long").alias("kept_doc"),
     )
+
+
+@register(
+    "multimodal_audio_features",
+    # The WAV round-trip is bit-exact, so the decoded samples equal the
+    # synth's input: PCM16 sample (b - 128) * 256 per UTF-8 text byte. The
+    # oracle replays the stats straight from the characters (fixture text is
+    # ASCII -> codepoints == bytes); a wrong RIFF walk / fmt parse / sample
+    # unpack breaks energy, peak, and count simultaneously.
+    """
+WITH s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+m AS (
+  SELECT doc_id, length(t) AS n,
+    COALESCE(CAST(list_sum(list_transform(range(1, length(t) + 1),
+        i -> (unicode(substr(t, CAST(i AS INT), 1)) - 128)
+           * (unicode(substr(t, CAST(i AS INT), 1)) - 128))) AS BIGINT), 0) * 65536 AS sum_sq,
+    COALESCE(CAST(list_max(list_transform(range(1, length(t) + 1),
+        i -> abs(unicode(substr(t, CAST(i AS INT), 1)) - 128))) AS BIGINT), 0) * 256 AS peak_abs
+  FROM s
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       CAST(peak_abs AS BIGINT) AS peak_abs,
+       CAST(NULL AS VARCHAR) AS error
+FROM m
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: every document becomes a playable
+    PCM16 RIFF/WAVE payload (stdlib encoder; one sample per text byte),
+    then ``audio_features`` walks the RIFF chunks back over mapInPandas and
+    emits EXACT-INTEGER features (frame count, integer duration_ms, energy,
+    peak) — no float DSP in the gate path, so the row is bit-identical on
+    any engine. Same cost model as the image path: embarrassingly parallel,
+    zero shuffle; swap the feature kernel for librosa/FFT on production
+    audio and the plumbing is unchanged."""
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_payloads,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return audio_features(synth_wav_payloads(docs))

@@ -66,6 +66,7 @@ PYTHON_SURFACE_ALLOWLIST = {
     "multimodal_decode_stub",        # mapInPandas fake decoder
     "multimodal_decode_png",         # mapInPandas real PNG codec
     "multimodal_thumbnail",          # mapInPandas decode + nearest-neighbor resize
+    "multimodal_audio_features",     # mapInPandas WAV synth + RIFF decode
     "similarity_topk_arrow",         # mapInPandas BLAS kernel
     "similarity_topk_ann_ivf_arrow", # mapInPandas BLAS kernel + IVF routing
 }
