@@ -92,6 +92,8 @@ _NEW_THIS_ROUND = {
     "eventlog_weekly_drift",
     "streaming_left_outer_attribution",
     "multimodal_audio_features",
+    "text_pmi_collocations",
+    "text_bigram_logprob",
 }
 
 

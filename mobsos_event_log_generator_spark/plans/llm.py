@@ -2323,3 +2323,144 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return audio_features(synth_wav_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# Collocations (PMI) and token-bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_SQL_BIGRAMS = rf"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+bg AS (
+  SELECT doc_id, p.a AS a, p.b AS b FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(words) >= 2
+                       THEN list_transform(range(1, len(words)),
+                                           i -> struct_pack(a := words[i], b := words[i + 1]))
+                       ELSE [] END) AS p
+    FROM w
+  )
+)
+"""
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, a, b) adjacent-token pairs: tokenize once through a
+    projection, posexplode, then one lead() window per doc — per-element
+    window math AFTER the explode (ENGINEERING_NOTES pitfall 2b), bounded
+    by document length."""
+    from pyspark.sql.window import Window
+
+    t = docs.select("doc_id", F.posexplode(X.tokens()).alias("pos", "a"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        t.withColumn("b", F.lead("a").over(w))
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "a", "b")
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    _SQL_BIGRAMS
+    + """
+, c2 AS (SELECT a, b, count(*) AS n FROM bg GROUP BY 1, 2),
+cl AS (SELECT a, sum(n) AS na FROM c2 GROUP BY 1),
+cr AS (SELECT b, sum(n) AS nb FROM c2 GROUP BY 1),
+t AS (SELECT sum(n) AS tt FROM c2)
+SELECT a, b, CAST(n AS BIGINT) AS n_pair,
+       round(ln((CAST(n AS DOUBLE) * CAST(tt AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS pmi
+FROM c2 JOIN cl USING (a) JOIN cr USING (b) CROSS JOIN t
+WHERE n >= 5
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs against the bigram marginals (Church & Hanks 1990) with a min
+    count of 5 — the standard phrase-detection primitive (word2vec phrase
+    pass, n-gram vocabulary induction). Each PMI is ONE log of an
+    exact-integer ratio — no float summation anywhere, so cross-engine
+    equality needs only the shared ln/round contract. Shuffle shape: one
+    bigram hash-agg over the corpus, then joins against the two
+    vocab-bounded marginal tables (broadcast) — the corpus is never
+    re-shuffled."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    c2 = _bigrams(docs).groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    cl = c2.groupBy("a").agg(F.sum("n").alias("na"))
+    cr = c2.groupBy("b").agg(F.sum("n").alias("nb"))
+    t = c2.agg(F.sum("n").alias("tt"))
+    return (
+        c2.join(F.broadcast(cl), "a")
+        .join(F.broadcast(cr), "b")
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("n") >= 5)
+        .select(
+            "a",
+            "b",
+            F.col("n").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") * F.col("tt").cast("double"))
+                    / (F.col("na").cast("double") * F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    _SQL_BIGRAMS
+    + """
+, dn AS (SELECT doc_id, a, b, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT a, b, sum(n) AS n2 FROM dn GROUP BY 1, 2),
+cl AS (SELECT a, sum(n2) AS nl FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vs FROM (
+        SELECT unnest(words) AS tok FROM w))
+SELECT doc_id,
+       round(sum(n * ln(CAST(n2 + 1 AS DOUBLE) / CAST(nl + vs AS DOUBLE)))
+             / CAST(sum(n) AS DOUBLE), 6) AS avg_logprob,
+       CAST(sum(n) AS BIGINT) AS n_bigrams
+FROM dn JOIN c2 USING (a, b) JOIN cl USING (a) CROSS JOIN v
+GROUP BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram language-model quality score with add-one smoothing —
+    the CONDITIONAL-probability sibling of the chargram unigram LM
+    (KenLM-style filtering without the external binary): train corpus-level
+    bigram counts, score each doc by its mean ln P(b|a) with
+    P = (c(a,b)+1)/(c(a·)+V). The model tables are vocab-bounded and
+    broadcast; per-doc scoring is one hash-agg — same two-pass shape as
+    text_chargram_logprob, whose float-sum rounding contract (6 dp after
+    one division) this reuses. Docs with < 2 tokens have no bigrams and
+    drop out in both engines."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    dn = _bigrams(docs).groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("n"))
+    c2 = dn.groupBy("a", "b").agg(F.sum("n").alias("n2"))
+    cl = c2.groupBy("a").agg(F.sum("n2").alias("nl"))
+    v = (
+        docs.select(F.explode(X.tokens()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vs"))
+    )
+    return (
+        dn.join(F.broadcast(c2), ["a", "b"])
+        .join(F.broadcast(cl), "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * F.log(
+                        (F.col("n2") + 1).cast("double") / (F.col("nl") + F.col("vs")).cast("double")
+                    )
+                )
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+            F.sum("n").cast("long").alias("n_bigrams"),
+        )
+    )
