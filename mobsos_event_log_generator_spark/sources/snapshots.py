@@ -1,0 +1,182 @@
+"""Snapshot-versioned lake tables: manifest-based reads, atomic commits,
+time travel — the Iceberg/Delta core contract in ~150 lines, without the
+table-format dependency.
+
+Why this exists at 100 TB: directory-listing tables (sources/lake.py) give
+readers whatever files exist RIGHT NOW — a reader racing a writer sees half
+a batch, and there is no way to re-run yesterday's job against yesterday's
+table. The fix every modern table format shares is indirection through a
+manifest: immutable data files + a versioned file list + an atomic pointer
+swing. This module implements exactly that:
+
+* data files are immutable, written under ``data/`` with unique names;
+* a manifest ``_manifests/v{N}.json`` lists the files of snapshot N
+  (plus row count and schema fingerprint for sanity checks);
+* commit = create-exclusive of the next manifest version (``O_EXCL`` — the
+  filesystem arbitrates concurrent writers: exactly one wins, the loser
+  gets ``SnapshotConflict`` and retries on top of the new latest);
+* readers resolve a version (default: latest) and read ONLY its files —
+  uncommitted data is invisible, every snapshot is forever re-readable.
+
+Crash safety: data lands before the manifest commit, so a dying writer
+leaves only orphan files no manifest references — readers never see them,
+and ``vacuum_orphans`` reclaims the space (only files outside EVERY live
+manifest are removed, so time travel keeps working).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed this version first — re-read latest, retry."""
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, MANIFEST_DIR, f"v{version}.json")
+
+
+def latest_version(root: str) -> int:
+    """Highest committed snapshot version, or 0 if the table is empty."""
+    mdir = os.path.join(root, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """Manifest of ``version`` (default: latest). Raises FileNotFoundError
+    for a never-committed version — missing history is an error, not an
+    empty table."""
+    v = latest_version(root) if version is None else version
+    if v == 0:
+        return {"version": 0, "files": [], "n_rows": 0, "parent": None}
+    with open(_manifest_path(root, v)) as f:
+        return json.load(f)
+
+
+def _write_data_files(df: DataFrame, root: str) -> tuple[list[str], int]:
+    """Land ``df`` as immutable files under ``data/batch-<uuid>/`` and return
+    (relative file paths, row count). The batch dir is unique per write, so
+    concurrent writers never collide on data files."""
+    batch = f"batch-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(root, DATA_DIR, batch)
+    df.write.mode("error").parquet(out_dir)
+    files = sorted(
+        os.path.join(DATA_DIR, batch, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    spark = df.sparkSession
+    n = spark.read.parquet(out_dir).count()
+    return files, n
+
+
+def _commit(root: str, manifest: dict) -> int:
+    """Atomically publish ``manifest`` as the next version via O_EXCL create.
+    Two racing writers target the same version file; the filesystem lets
+    exactly one create it — the other raises SnapshotConflict."""
+    version = manifest["version"]
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(root, version)
+    payload = json.dumps(manifest, sort_keys=True)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as ex:
+        raise SnapshotConflict(
+            f"snapshot v{version} already committed by another writer"
+        ) from ex
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    return version
+
+
+def snapshot_append(df: DataFrame, root: str) -> int:
+    """Append ``df`` as a new snapshot: new files + parent's files. Returns
+    the committed version. On SnapshotConflict the data files are already
+    safe and unreferenced — callers retry the COMMIT by calling again with
+    an empty frame, or simply re-run (orphans are vacuumable)."""
+    files, n = _write_data_files(df, root)
+    parent = read_manifest(root)
+    manifest = {
+        "version": parent["version"] + 1,
+        "parent": parent["version"] or None,
+        "files": parent["files"] + files,
+        "n_rows": parent["n_rows"] + n,
+        "schema": df.schema.jsonValue(),
+        "operation": "append",
+    }
+    return _commit(root, manifest)
+
+
+def snapshot_overwrite(df: DataFrame, root: str) -> int:
+    """Replace the table contents in a new snapshot (prior versions remain
+    readable — this rewrites the FILE LIST, not history)."""
+    files, n = _write_data_files(df, root)
+    parent = read_manifest(root)
+    manifest = {
+        "version": parent["version"] + 1,
+        "parent": parent["version"] or None,
+        "files": files,
+        "n_rows": n,
+        "schema": df.schema.jsonValue(),
+        "operation": "overwrite",
+    }
+    return _commit(root, manifest)
+
+
+def read_snapshot(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the table AS OF ``version`` (default latest).
+    Reads exactly the manifest's files — concurrent appends, staged batches
+    and orphans are invisible. An empty table yields an empty, schema-less
+    error rather than a guess; pin a version for reproducible re-runs
+    (the training-data use case: a model's corpus snapshot is re-readable
+    forever)."""
+    m = read_manifest(root, version)
+    if not m["files"]:
+        raise FileNotFoundError(f"snapshot v{m['version']} of {root} has no files")
+    paths = [os.path.join(root, f) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+def vacuum_orphans(root: str) -> list[str]:
+    """Delete data files referenced by NO committed manifest (crashed or
+    conflicted writes). Every live snapshot's files survive, so time travel
+    is unaffected. Returns the deleted relative paths."""
+    live: set[str] = set()
+    for v in range(1, latest_version(root) + 1):
+        try:
+            live.update(read_manifest(root, v)["files"])
+        except FileNotFoundError:
+            continue
+    data_root = os.path.join(root, DATA_DIR)
+    removed: list[str] = []
+    if not os.path.isdir(data_root):
+        return removed
+    for batch in sorted(os.listdir(data_root)):
+        bdir = os.path.join(data_root, batch)
+        for f in sorted(os.listdir(bdir)):
+            rel = os.path.join(DATA_DIR, batch, f)
+            if f.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(bdir, f))
+                removed.append(rel)
+        if not any(f.endswith(".parquet") for f in os.listdir(bdir)):
+            import shutil
+
+            shutil.rmtree(bdir)
+    return removed

@@ -1,0 +1,85 @@
+"""Snapshot-versioned lake tables (sources/snapshots.py): manifest isolation,
+time travel, atomic commit arbitration, orphan vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mobsos_event_log_generator_spark.sources.snapshots import (
+    SnapshotConflict,
+    _commit,
+    latest_version,
+    read_manifest,
+    read_snapshot,
+    snapshot_append,
+    snapshot_overwrite,
+    vacuum_orphans,
+)
+
+
+def test_append_versions_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = snapshot_append(spark.range(10).selectExpr("id", "id * 2 AS x"), root)
+    v2 = snapshot_append(spark.range(10, 15).selectExpr("id", "id * 2 AS x"), root)
+    assert (v1, v2) == (1, 2)
+    assert read_snapshot(spark, root).count() == 15          # latest
+    assert read_snapshot(spark, root, 1).count() == 10       # time travel
+    assert {r["id"] for r in read_snapshot(spark, root, 1).collect()} == set(range(10))
+
+
+def test_overwrite_keeps_history_readable(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_append(spark.range(10), root)
+    v2 = snapshot_overwrite(spark.range(100, 103), root)
+    assert v2 == 2
+    assert read_snapshot(spark, root).count() == 3
+    assert read_snapshot(spark, root, 1).count() == 10  # history intact
+    assert read_manifest(root, 2)["operation"] == "overwrite"
+
+
+def test_uncommitted_data_invisible_and_vacuumable(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_append(spark.range(10), root)
+    # simulate a crashed writer: data landed, no manifest commit
+    crash_dir = os.path.join(root, "data", "batch-deadbeef0000")
+    spark.range(99).write.parquet(crash_dir)
+    assert read_snapshot(spark, root).count() == 10  # reader unaffected
+    removed = vacuum_orphans(root)
+    assert removed and all("batch-deadbeef0000" in f for f in removed)
+    assert not os.path.exists(crash_dir)
+    assert read_snapshot(spark, root).count() == 10  # live snapshot survives
+
+
+def test_concurrent_commit_conflict_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_append(spark.range(5), root)
+    # two writers race the SAME next version: the filesystem lets exactly
+    # one create v2; the loser must get SnapshotConflict, not a silent
+    # overwrite of the winner's manifest
+    winner = {"version": 2, "parent": 1, "files": [], "n_rows": 0, "operation": "append"}
+    _commit(root, winner)
+    loser = {"version": 2, "parent": 1, "files": ["data/x/y.parquet"], "n_rows": 1,
+             "operation": "append"}
+    with pytest.raises(SnapshotConflict):
+        _commit(root, loser)
+    assert latest_version(root) == 2
+    assert read_manifest(root, 2)["files"] == []  # winner's manifest intact
+    # a full append called AFTER the lost race simply rebases onto v2
+    assert snapshot_append(spark.range(2), root) == 3
+
+
+def test_empty_table_read_is_an_error(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root)
+
+
+def test_manifest_is_deterministic_json(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_append(spark.range(3), root)
+    m = json.load(open(os.path.join(root, "_manifests", "v1.json")))
+    assert m["version"] == 1 and m["n_rows"] == 3 and m["files"]
+    assert all(f.startswith("data/batch-") for f in m["files"])
