@@ -67,9 +67,13 @@ def _prev_bench() -> tuple[str, dict] | None:
         return None
     try:
         with open(os.path.join(REPO, best[1])) as f:
-            return best[1], json.load(f)
+            rec = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
+    # The driver wraps the bench JSON line as {"n", "rc", "tail", "parsed"}.
+    if isinstance(rec.get("parsed"), dict):
+        rec = rec["parsed"]
+    return best[1], rec
 
 
 def _deltas_vs_prev(timings: dict, warm: dict) -> tuple[dict, list[str]] | None:
