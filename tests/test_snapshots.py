@@ -83,3 +83,59 @@ def test_manifest_is_deterministic_json(spark, tmp_path):
     m = json.load(open(os.path.join(root, "_manifests", "v1.json")))
     assert m["version"] == 1 and m["n_rows"] == 3 and m["files"]
     assert all(f.startswith("data/batch-") for f in m["files"])
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sources.snapshots import snapshot_diff
+
+    root = str(tmp_path / "tbl")
+    snapshot_append(spark.range(5), root)                      # v1
+    snapshot_append(spark.range(100, 103), root)               # v2
+    ins = snapshot_diff(spark, root, 1, 2)
+    assert {r["id"] for r in ins.collect()} == {100, 101, 102}
+    assert {r["_change_type"] for r in ins.collect()} == {"insert"}
+    snapshot_overwrite(spark.range(200, 202), root)            # v3: rewrite
+    d = snapshot_diff(spark, root, 2, 3)
+    by_type = {}
+    for r in d.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["insert"] == {200, 201}
+    assert by_type["delete"] == {0, 1, 2, 3, 4, 100, 101, 102}
+    with pytest.raises(ValueError):
+        snapshot_diff(spark, root, 3, 3)
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append_stream,
+        vacuum_orphans,
+    )
+
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    for i in range(3):  # three single-file micro-batches
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(snapshot_append_stream(root))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert read_snapshot(spark, root).count() == 30
+    n_versions = latest_version(root)
+    assert n_versions == 3
+    # replayed micro-batch (crash between manifest commit and checkpoint
+    # commit): re-invoking with an already-committed batch id is a no-op
+    process = snapshot_append_stream(root)
+    process(spark.range(5), batch_id=n_versions - 1)
+    assert latest_version(root) == 3
+    assert read_snapshot(spark, root).count() == 30
+    assert vacuum_orphans(root) == []  # every landed file is referenced
