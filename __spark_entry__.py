@@ -94,6 +94,7 @@ _NEW_THIS_ROUND = {
     "multimodal_audio_features",
     "text_pmi_collocations",
     "text_bigram_logprob",
+    "lake_cdc_incremental_view",
 }
 
 

@@ -1881,3 +1881,60 @@ def events_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zy").cast("long").alias("zy"),
         interleave_bits(F.col("zx"), F.col("zy"), _Z_BITS).alias("zvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot CDC -> retraction-aware incremental view (full-stack gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lake_cdc_incremental_view",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events
+WHERE event_type <> 'error'
+GROUP BY 1
+""",
+)
+def lake_cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate over the snapshot stack: land the events in two
+    appends (v1 even ids, v2 odd ids), materialize a per-type aggregate of
+    v2, then OVERWRITE with the error-events-purged table (v3) and refresh
+    the view INCREMENTALLY from the file-list CDC diff (deletes retract
+    with sign −1, inserts add) — never recomputing from the base table.
+    The oracle aggregates the v3 content directly, so a wrong manifest
+    diff, a missed retraction, or a double-counted file all break the
+    hash. Sums ride a DECIMAL monoid (exact under retraction; float sums
+    are not order-stable enough to survive subtract-and-readd)."""
+    from mobsos_event_log_generator_spark.operators.incremental import apply_cdc_to_agg
+    from mobsos_event_log_generator_spark.sources.parquet import load_table as _lt
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_diff,
+        snapshot_overwrite,
+    )
+    from mobsos_event_log_generator_spark.workdirs import scratch_dir
+
+    root = scratch_dir("cdcview_")
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,4)").alias("val")
+    )
+    snapshot_append(ev.filter(F.col("event_id") % 2 == 0), root)  # v1
+    snapshot_append(ev.filter(F.col("event_id") % 2 == 1), root)  # v2
+    view2 = (
+        read_snapshot(spark, root, 2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_value"))
+    )
+    snapshot_overwrite(ev.filter(F.col("event_type") != "error"), root)  # v3
+    diff = snapshot_diff(spark, root, 2, 3)
+    refreshed = apply_cdc_to_agg(view2, diff, ["event_type"], {"val": "sum_value"})
+    return refreshed.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+    )

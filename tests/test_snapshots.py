@@ -139,3 +139,44 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     assert latest_version(root) == 3
     assert read_snapshot(spark, root).count() == 30
     assert vacuum_orphans(root) == []  # every landed file is referenced
+
+
+def test_apply_cdc_to_agg_matches_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.incremental import apply_cdc_to_agg
+
+    base = spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS k", "CAST(id * 3 AS DECIMAL(18,4)) AS val"
+    )
+    view = base.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+    # delete every id % 3 == 0 row, insert 10 new rows into two keys
+    deletes = base.filter("id % 3 = 0").withColumn("_change_type", F.lit("delete"))
+    inserts = spark.range(1000, 1010).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS k", "CAST(id * 3 AS DECIMAL(18,4)) AS val"
+    ).withColumn("_change_type", F.lit("insert"))
+    cdc = deletes.unionByName(inserts)
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in apply_cdc_to_agg(view, cdc, ["k"], {"val": "s"}).collect()
+    }
+    truth_df = (
+        base.filter("id % 3 != 0").unionByName(inserts.drop("_change_type"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+    )
+    truth = {r["k"]: (r["n"], r["s"]) for r in truth_df.collect()}
+    assert got == truth
+
+
+def test_apply_cdc_drops_fully_retracted_keys(spark):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.incremental import apply_cdc_to_agg
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, k string, val long"
+    )
+    view = base.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+    cdc = base.filter("k = 'a'").withColumn("_change_type", F.lit("delete"))
+    out = {r["k"] for r in apply_cdc_to_agg(view, cdc, ["k"], {"val": "s"}).collect()}
+    assert out == {"b"}  # key 'a' fully retracted -> gone, like a recompute
