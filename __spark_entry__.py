@@ -95,6 +95,7 @@ _NEW_THIS_ROUND = {
     "text_pmi_collocations",
     "text_bigram_logprob",
     "lake_cdc_incremental_view",
+    "basket_part_pairs",
 }
 
 

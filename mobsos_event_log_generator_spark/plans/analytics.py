@@ -1938,3 +1938,57 @@ def lake_cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "basket_part_pairs",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+norder AS (SELECT count(DISTINCT l_orderkey) AS t FROM b),
+psup AS (SELECT l_partkey, count(*) AS np FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2, count(*) AS n_orders
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p1, p2, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST((n_orders * t * 1000000) // (s1.np * s2.np) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN psup s1 ON s1.l_partkey = p1
+JOIN psup s2 ON s2.l_partkey = p2
+CROSS JOIN norder
+WHERE n_orders >= 2
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs bought in the same
+    order (support >= 2) with association lift in EXACT integer ppm —
+    lift = n_pair·N/(n_p1·n_p2) via integer division, so no float ratio
+    ever enters the gate. The pair join keys on the order id: per-order
+    work is quadratic only in BASKET SIZE (bounded ~7 by the data model),
+    making the total linear in lineitem — the same bounded-blowup argument
+    as the LSH bucket join. Part-support and order-count dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    norder = li.agg(F.countDistinct("l_orderkey").alias("t"))
+    psup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("np"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    c = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    return (
+        pairs.join(F.broadcast(psup.select(F.col("l_partkey").alias("p1"), F.col("np").alias("np1"))), "p1")
+        .join(F.broadcast(psup.select(F.col("l_partkey").alias("p2"), F.col("np").alias("np2"))), "p2")
+        .crossJoin(F.broadcast(norder))
+        .select(
+            "p1",
+            "p2",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.expr("(n_orders * t * 1000000L) div (np1 * np2)").cast("long").alias("lift_ppm"),
+        )
+    )

@@ -177,6 +177,27 @@ def test_lsh_candidates_is_equijoin_not_cross(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_pairs_is_cell_equijoin_not_cross(spark, sf_dir):
+    """SemDeDup's within-cell pair sweep must be an equi-join on the cluster
+    id (cid is the shuffle key); the only nested-loop allowed is the tiny
+    broadcast centroid assignment."""
+    plan = plan_of(spark, sf_dir, "semdedup_embeddings")
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_are_joins_not_cross(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "eventlog_pagerank_activities")
+    assert "CartesianProduct" not in plan
+
+
+def test_weekly_drift_broadcasts_totals(spark, sf_dir):
+    """The per-week totals are a tiny dim — both joins against them must be
+    broadcast, and the edge-shift self-join must not be a cross product."""
+    plan = plan_of(spark, sf_dir, "eventlog_weekly_drift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_range_join_is_banded_equijoin(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "range_join_events_near_errors")
     assert "CartesianProduct" not in plan
