@@ -497,6 +497,15 @@ def semdedup(
     assigned = corpus.select(id_col, vec_col).join(
         ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
     )
+    # The assignment feeds BOTH sides of the pair self-join plus the final
+    # projection; expensive subtrees referenced across join branches
+    # re-evaluate per branch (ENGINEERING_NOTES pitfall 2c) — without the
+    # truncation the quantizer + full corpus assignment run 3x (measured
+    # 4.45 s -> 3.92 s warm on the 10k-vector/64-cell probe, where the pair
+    # join dominates; the re-evaluated share grows with iters and corpus).
+    # localCheckpoint keeps the operator caller-stateless (blocks are freed
+    # with the frame), same pattern as the connected-components loop.
+    assigned = assigned.localCheckpoint(eager=True)
     if max_cell_size is not None:
         sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
         small = sizes.filter(F.col("_n") <= max_cell_size).select("cid")
