@@ -46,6 +46,11 @@ HEADLINE = [
     "corpus_span_dedup",
     "eventlog_eventually_follows",
     "events_gapfill_interpolate",
+    # round 4 additions
+    "semdedup_embeddings",
+    "eventlog_pagerank_activities",
+    "dedup_canonical_urls",
+    "multimodal_audio_features",
 ]
 
 
