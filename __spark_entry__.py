@@ -96,6 +96,7 @@ _NEW_THIS_ROUND = {
     "text_bigram_logprob",
     "lake_cdc_incremental_view",
     "basket_part_pairs",
+    "semdedup_embeddings_arrow",
 }
 
 

@@ -46,8 +46,9 @@ HEADLINE = [
     "corpus_span_dedup",
     "eventlog_eventually_follows",
     "events_gapfill_interpolate",
-    # round 4 additions
-    "semdedup_embeddings",
+    # round 4 additions (semdedup rides the Arrow pair-sweep scale path;
+    # the JVM fold variant shares its oracle and stays registry-gated)
+    "semdedup_embeddings_arrow",
     "eventlog_pagerank_activities",
     "dedup_canonical_urls",
     "multimodal_audio_features",

@@ -2464,3 +2464,16 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_bigrams"),
         )
     )
+
+
+@register("semdedup_embeddings_arrow", _SQL_SEMDEDUP)
+def semdedup_embeddings_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the within-cell pair sweep as an Arrow/BLAS matmul per
+    cell (the measured 25x vector-math fast path) — shares the JVM
+    variant's quantizer-replay oracle: HALF_UP rounding makes the kernel's
+    cosines bit-equal to the JVM fold
+    (`test_llm_ops.py::test_semdedup_arrow_matches_jvm`), which matches the
+    SQL exact-cell. At sf0.1 this is the scale path: 5k vectors / 8 cells
+    is ~1.5M pair cosines, fold-bound on the JVM."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.semdedup_arrow(emb, threshold=_SEMDEDUP_TAU, num_centroids=8, iters=1)

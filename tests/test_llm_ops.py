@@ -758,3 +758,28 @@ def test_canonicalize_url_rules(spark):
     by_i = {r["i"]: (r["h"], r["d"]) for r in hosts}
     assert by_i[1] == ("sub.example.com", "example.com")
     assert by_i[0] == ("www.example.com", "example.com")
+
+
+def test_semdedup_arrow_matches_jvm(spark):
+    vecs = [(i, [math.sin(i * 7 + j) + (1.5 if i % 3 == 0 else -1.5) for j in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    jvm = {r["vec_id"]: (r["cid"], r["dup_of"], r["kept"])
+           for r in S.semdedup(df, threshold=0.95, num_centroids=4, iters=1, dim=8).collect()}
+    arrow = {r["vec_id"]: (r["cid"], r["dup_of"], r["kept"])
+             for r in S.semdedup_arrow(df, threshold=0.95, num_centroids=4, iters=1, dim=8).collect()}
+    assert arrow == jvm and len(arrow) == 80 and any(not v[2] for v in arrow.values())
+
+
+def test_semdedup_arrow_max_cell_passthrough(spark):
+    vecs = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.00, 0.01, 0.0]),
+        (10, [-1.0, 0.0, 0.01, 0.02]),
+        (11, [-1.0, 0.01, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           S.semdedup_arrow(df, threshold=0.9, num_centroids=2, iters=1, max_cell_size=2, dim=4).collect()}
+    assert all(out[i]["kept"] for i in (0, 1, 2))
+    assert out[10]["kept"] and not out[11]["kept"] and out[11]["dup_of"] == 10

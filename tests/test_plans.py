@@ -67,6 +67,7 @@ PYTHON_SURFACE_ALLOWLIST = {
     "multimodal_decode_png",         # mapInPandas real PNG codec
     "multimodal_thumbnail",          # mapInPandas decode + nearest-neighbor resize
     "multimodal_audio_features",     # mapInPandas WAV synth + RIFF decode
+    "semdedup_embeddings_arrow",     # applyInPandas per-cell BLAS pair sweep
     "similarity_topk_arrow",         # mapInPandas BLAS kernel
     "similarity_topk_ann_ivf_arrow", # mapInPandas BLAS kernel + IVF routing
 }
@@ -101,6 +102,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "num_centroids-row seed table (operators/similarity.py::ivf_seed_centroids)",
     "embedding_outliers": "same IVF seeding window: post-LIMIT centroid table",
     "semdedup_embeddings": "same IVF seeding window: post-LIMIT centroid table",
+    "semdedup_embeddings_arrow": "same IVF seeding window: post-LIMIT centroid table",
 }
 
 
