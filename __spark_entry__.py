@@ -97,6 +97,7 @@ _NEW_THIS_ROUND = {
     "lake_cdc_incremental_view",
     "basket_part_pairs",
     "semdedup_embeddings_arrow",
+    "streaming_full_outer_attribution",
 }
 
 

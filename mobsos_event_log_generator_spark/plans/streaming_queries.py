@@ -594,3 +594,64 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
         F.date_format("r_ts", TS_FMT_SPARK).alias("purchase_ts"),
     )
+
+
+@register(
+    "streaming_full_outer_attribution",
+    f"""
+WITH c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p))
+         - INTERVAL 1 HOUR AS w
+),
+j AS (
+  SELECT c.click_id, p.purchase_id,
+         COALESCE(c.c_user, p.p_user) AS user_id,
+         c.click_ts, p.purchase_ts
+  FROM c FULL JOIN p ON c.c_user = p.p_user
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 3600 SECONDS
+)
+SELECT click_id, purchase_id, user_id,
+       strftime(click_ts, '{TS_FMT_DUCK}') AS click_ts,
+       strftime(purchase_ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM j, wm
+WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+   OR (purchase_id IS NULL AND click_ts + INTERVAL 3600 SECONDS < wm.w)
+   OR (click_id IS NULL AND purchase_ts < wm.w)
+""",
+)
+def streaming_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the join mode with TWO
+    watermark-gated NULL lanes: an unconverted click emits once no
+    purchase can arrive for it (click_ts + window < W) and an unattributed
+    purchase once no click can still precede it (its candidate clicks lie
+    in [purchase_ts − window, purchase_ts], all provably seen once
+    purchase_ts < W). W is the min of the two FILTERED streams' maxima
+    minus the delay (pitfall 10); both eviction rules verified empirically
+    (204 + 195 NULL rows at sf0.001, model-distinguishing at sf0.01).
+    State stays bounded on both sides — each retains window+delay of
+    data."""
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+    from mobsos_event_log_generator_spark.streaming.joins import interval_join
+
+    clicks = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = interval_join(clicks, purchases, key="user_id", window_seconds=3600, how="full_outer")
+    out = _run_to_memory(spark, joined, "ssjfo", "append")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.coalesce(F.col("user_id"), F.col("r_user_id")).alias("user_id"),
+        F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("r_ts", TS_FMT_SPARK).alias("purchase_ts"),
+    )
