@@ -217,3 +217,52 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def resolve_hierarchy(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve every node's ROOT and DEPTH in a parent-pointer forest
+    (org charts, BOM explosions, category trees — the SQL:1999 recursive-CTE
+    workload) via POINTER DOUBLING: each round every node's parent pointer
+    jumps to its grandparent, so resolved depth doubles per round —
+    O(log height) shuffles instead of the height-many self-joins of naive
+    iteration (a 10^4-deep chain needs 14 rounds, not 10^4).
+
+    Input rows are (id, parent) with parent NULL for roots. Returns
+    (id, root, depth). Cycles never terminate pointer doubling, so the
+    round budget raises instead of looping forever — a cycle is data
+    corruption in a forest, not a valid input.
+    """
+    cur = nodes.select(
+        F.col(id_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
+        # distance covered by the current ancestor pointer
+        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("depth"),
+    ).localCheckpoint(eager=True)
+    parent_of = nodes.select(
+        F.col(id_col).alias("anc"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc_parent"),
+        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("anc_step"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # a node is settled when its ancestor pointer reached a root
+        jumped = (
+            cur.join(cur.select(F.col("node").alias("anc"), F.col("anc").alias("anc2"),
+                                F.col("depth").alias("d2")), "anc")
+            .select("node", F.col("anc2").alias("anc"), (F.col("depth") + F.col("d2")).alias("depth"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        if jumped.join(parent_of, jumped.anc == parent_of.anc).filter(
+            F.col("anc_step") > 0
+        ).limit(1).count() == 0:
+            return jumped.select("node", F.col("anc").alias("root"), "depth")
+        cur = jumped
+    raise RuntimeError(
+        f"resolve_hierarchy did not settle in {max_rounds} rounds; either the "
+        "forest is astronomically deep (raise max_rounds: depth resolved "
+        "doubles per round) or the parent pointers contain a cycle"
+    )

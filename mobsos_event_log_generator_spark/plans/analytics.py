@@ -1992,3 +1992,55 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_orders * t * 1000000L) div (np1 * np2)").cast("long").alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "parts_hierarchy_rollup",
+    """
+WITH RECURSIVE f AS (
+  SELECT p_partkey AS id,
+         CASE WHEN p_partkey <= 3 THEN NULL ELSE p_partkey // 4 END AS parent,
+         p_retailprice
+  FROM part
+),
+r AS (
+  SELECT id, id AS root, 0 AS depth FROM f WHERE parent IS NULL
+  UNION ALL
+  SELECT f.id, r.root, r.depth + 1 FROM f JOIN r ON f.parent = r.id
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       round(CAST(sum(CAST(f.p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price
+FROM r JOIN f USING (id)
+GROUP BY 1
+""",
+)
+def parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (recursive-CTE-class) query: resolve a parent-pointer
+    forest over the parts (deterministic BOM-style containment,
+    parent = partkey div 4) to every part's root and depth via POINTER
+    DOUBLING — O(log height) shuffles, not height-many self-joins
+    (operators/graph.py::resolve_hierarchy) — then roll up subtree size,
+    max depth and decimal-exact total price per root. The oracle is the
+    textbook RECURSIVE CTE, so the gate proves the doubling rewrite
+    equivalent to the sequential recursion."""
+    from mobsos_event_log_generator_spark.operators.graph import resolve_hierarchy
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") <= 3, F.lit(None)).otherwise(
+            F.expr("p_partkey div 4")
+        ).alias("parent"),
+        F.col("p_retailprice").cast("decimal(18,4)").alias("price"),
+    )
+    resolved = resolve_hierarchy(part.select("id", "parent"))
+    return (
+        resolved.join(part.select("id", "price"), resolved.node == part.id)
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+        )
+    )

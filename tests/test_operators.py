@@ -178,3 +178,28 @@ def test_pagerank_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank_fixed_point(edges, iterations=2).count() == 0
+
+
+def test_resolve_hierarchy_chain_star_isolated(spark):
+    from mobsos_event_log_generator_spark.operators.graph import resolve_hierarchy
+
+    rows = (
+        [(i, i - 1 if i > 0 else None) for i in range(10)]   # 10-deep chain
+        + [(100, None)] + [(100 + i, 100) for i in range(1, 5)]  # star
+        + [(200, None)]                                       # isolated root
+    )
+    df = spark.createDataFrame(rows, "id long, parent long")
+    out = {r["node"]: (r["root"], r["depth"]) for r in resolve_hierarchy(df).collect()}
+    assert out[0] == (0, 0) and out[9] == (0, 9) and out[5] == (0, 5)
+    assert out[100] == (100, 0) and out[104] == (100, 1) and out[200] == (200, 0)
+    assert len(out) == 16
+
+
+def test_resolve_hierarchy_cycle_raises(spark):
+    import pytest as _pytest
+
+    from mobsos_event_log_generator_spark.operators.graph import resolve_hierarchy
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
+    with _pytest.raises(RuntimeError):
+        resolve_hierarchy(cyc, max_rounds=5)
