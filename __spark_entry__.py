@@ -98,7 +98,11 @@ _NEW_THIS_ROUND = {
     "basket_part_pairs",
     "semdedup_embeddings_arrow",
     "streaming_full_outer_attribution",
+    "parts_hierarchy_rollup",
 }
+# Window math: 2 rechecks + 31-query r3 backlog + 18 new = 51 — one query
+# spills past the driver's 50-row window and becomes round-5 backlog via
+# the same rotation. All 18 pass local exact-cell parity regardless.
 
 
 # Driver-coordinated iterative queries (~14 s each at sf0.01) sort to the
