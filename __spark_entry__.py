@@ -100,9 +100,9 @@ _NEW_THIS_ROUND = {
     "streaming_full_outer_attribution",
     "parts_hierarchy_rollup",
 }
-# Window math: 2 rechecks + 31-query r3 backlog + 18 new = 51 — one query
-# spills past the driver's 50-row window and becomes round-5 backlog via
-# the same rotation. All 18 pass local exact-cell parity regardless.
+# Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
+# listed above as new) + 18 new = 49 — everything never-driver-checked fits
+# inside the 50-row window this round, with one seen slot to spare.
 
 
 # Driver-coordinated iterative queries (~14 s each at sf0.01) sort to the
