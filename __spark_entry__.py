@@ -99,6 +99,8 @@ _NEW_THIS_ROUND = {
     "semdedup_embeddings_arrow",
     "streaming_full_outer_attribution",
     "parts_hierarchy_rollup",
+    "corpus_uniform_sample_k",
+    "corpus_per_lang_sample",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

@@ -2477,3 +2477,54 @@ def semdedup_embeddings_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~1.5M pair cosines, fold-bound on the JVM."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return S.semdedup_arrow(emb, threshold=_SEMDEDUP_TAU, num_centroids=8, iters=1)
+
+
+@register(
+    "corpus_uniform_sample_k",
+    """
+SELECT doc_id, lang FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+""",
+)
+def corpus_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample WITHOUT replacement: the 100 docs with the
+    smallest md5(id) — the distributed reservoir-sample replacement (an md5
+    order is a uniform random permutation, but stateless: same sample on
+    any engine, any partitioning, any re-run — what eval-set carving
+    needs). Compiles to TakeOrderedAndProject: per-partition top-k + merge,
+    never a global sort."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "corpus_per_lang_sample",
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+)
+def corpus_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-size sample: 20 docs per language by md5 rank — the
+    per-group reservoir. One partitioned window (lang is the shuffle key);
+    Spark pushes the rank filter into WindowGroupLimit, so each partition
+    keeps only its top-20 candidates before the window even sorts."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang")
+    )

@@ -248,3 +248,24 @@ def snapshot_append_stream(root: str):
         _commit(root, manifest)
 
     return process
+
+
+def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Rewrite the latest snapshot's (possibly many small) files into
+    ``target_files`` — the maintenance job a streaming-landed snapshot
+    table needs, exactly like ``lake.compact_partition`` but transactional:
+    the compacted file list commits as a NEW version (operation 'compact'),
+    readers of prior versions are untouched, and a crash mid-compaction
+    leaves only orphans. Content is byte-identical by construction."""
+    df = read_snapshot(spark, root).coalesce(target_files)
+    files, n = _write_data_files(df, root)
+    parent = read_manifest(root)
+    manifest = {
+        "version": parent["version"] + 1,
+        "parent": parent["version"] or None,
+        "files": files,
+        "n_rows": n,
+        "schema": df.schema.jsonValue(),
+        "operation": "compact",
+    }
+    return _commit(root, manifest)

@@ -783,3 +783,38 @@ def test_semdedup_arrow_max_cell_passthrough(spark):
            S.semdedup_arrow(df, threshold=0.9, num_centroids=2, iters=1, max_cell_size=2, dim=4).collect()}
     assert all(out[i]["kept"] for i in (0, 1, 2))
     assert out[10]["kept"] and not out[11]["kept"] and out[11]["dup_of"] == 10
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    """Canonicalization must be a projection onto its own fixed points:
+    canon(canon(x)) == canon(x) for a hypothesis-generated URL soup."""
+    from hypothesis import given, settings, strategies as st
+
+    from mobsos_event_log_generator_spark.operators.urls import canonicalize_url
+
+    host_label = st.text(alphabet="abcXYZ09-", min_size=1, max_size=8)
+    urls = st.builds(
+        lambda scheme, www, labels, port, path, params, frag: (
+            scheme + "://" + ("WWW." if www else "") + ".".join(labels)
+            + (f":{port}" if port else "") + path
+            + ("?" + "&".join(params) if params else "") + frag
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        st.booleans(),
+        st.lists(host_label, min_size=1, max_size=3),
+        st.sampled_from(["", "80", "443", "8080"]),
+        st.sampled_from(["", "/", "/a/b", "/a/b/", "/x//"]),
+        st.lists(st.sampled_from(["a=1", "b=2", "utm_source=x", "ref=y", ""]), max_size=4),
+        st.sampled_from(["", "#f", "#a=b"]),
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=8, unique=True))
+    def check(batch):
+        df = spark.createDataFrame([(u,) for u in batch], "raw string")
+        once = df.select(canonicalize_url(F.col("raw")).alias("c1"))
+        twice = once.select(F.col("c1"), canonicalize_url(F.col("c1")).alias("c2"))
+        for r in twice.collect():
+            assert r["c2"] == r["c1"], (r["c1"], r["c2"])
+
+    check()

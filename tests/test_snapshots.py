@@ -180,3 +180,25 @@ def test_apply_cdc_drops_fully_retracted_keys(spark):
     cdc = base.filter("k = 'a'").withColumn("_change_type", F.lit("delete"))
     out = {r["k"] for r in apply_cdc_to_agg(view, cdc, ["k"], {"val": "s"}).collect()}
     assert out == {"b"}  # key 'a' fully retracted -> gone, like a recompute
+
+
+def test_snapshot_compact_preserves_content_and_history(spark, tmp_path):
+    import glob
+
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "tbl")
+    for i in range(4):  # four appends -> many small files
+        snapshot_append(spark.range(i * 10, i * 10 + 10).repartition(3), root)
+    before = set(r["id"] for r in read_snapshot(spark, root).collect())
+    n_files_before = len(read_manifest(root)["files"])
+    v = snapshot_compact(spark, root, target_files=1)
+    assert v == 5
+    m = read_manifest(root)
+    assert m["operation"] == "compact" and len(m["files"]) < n_files_before
+    assert set(r["id"] for r in read_snapshot(spark, root).collect()) == before
+    # pre-compaction versions still readable (time travel unaffected)
+    assert read_snapshot(spark, root, 4).count() == 40
