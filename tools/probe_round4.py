@@ -87,6 +87,24 @@ def main() -> None:
     z.write.format("noop").mode("overwrite").save()  # warm
     timed("zorder curve 1M events (noop sink)", lambda: z.write.format("noop").mode("overwrite").save())
 
+    probe_hierarchy(spark)
+
+
+
+def probe_hierarchy(spark) -> None:
+    """Pointer doubling on pathological shapes: a deep chain (the case that
+    kills height-many self-join recursion) and a wide shallow forest."""
+    from mobsos_event_log_generator_spark.operators.graph import resolve_hierarchy
+
+    deep = spark.range(10_000).selectExpr("id", "CASE WHEN id = 0 THEN NULL ELSE id - 1 END AS parent")
+    timed("hierarchy 10k-deep chain (14 doubling rounds)",
+          lambda: resolve_hierarchy(deep, max_rounds=20).count())
+    wide = spark.range(1_000_000).selectExpr(
+        "id", "CASE WHEN id < 1000 THEN NULL ELSE id % 1000 END AS parent"
+    )
+    timed("hierarchy 1M nodes, depth 1 (2 rounds)",
+          lambda: resolve_hierarchy(wide, max_rounds=5).count())
+
 
 if __name__ == "__main__":
     main()
