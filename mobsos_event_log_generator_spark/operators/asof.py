@@ -29,6 +29,7 @@ def asof_join(
     tie_col: str,
     ref_payload: list[str],
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each probe row: the nearest reference row per key — with
     ``direction="backward"`` the greatest (ts, tie) that is <= the probe's ts,
@@ -37,7 +38,12 @@ def asof_join(
     reference payload columns arrive as ``ref_<name>`` (NULL when no
     reference exists on that side). ``tie_col`` makes same-timestamp ordering
     deterministic. Both directions are the same single-shuffle union + ordered
-    window sweep, just mirrored."""
+    window sweep, just mirrored.
+
+    ``tolerance_seconds`` matches pandas ``merge_asof(tolerance=...)``: a
+    reference farther than the tolerance from the probe is treated as no
+    match (ref columns NULL). Applied as a post-sweep projection — the sweep
+    itself is unchanged, so tolerance costs nothing extra."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     ref_struct = F.struct(
@@ -70,6 +76,14 @@ def asof_join(
         )
         carried = F.first("__ref", ignorenulls=True).over(w)
     swept = unioned.withColumn("__last_ref", carried)
+    if tolerance_seconds is not None:
+        within = (
+            F.abs(F.unix_micros(F.col("__last_ref")["__ts"]) - F.unix_micros(F.col(ts_col)))
+            <= tolerance_seconds * 1_000_000
+        )
+        swept = swept.withColumn(
+            "__last_ref", F.when(within, F.col("__last_ref")).otherwise(F.lit(None))
+        )
     out = swept.filter(F.col("__side") == 1).select(
         *probe_cols,
         *[F.col("__last_ref")[c].alias(f"ref_{c}") for c in ["__ts", *ref_payload]],

@@ -560,3 +560,53 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "asof_tolerance_attribution",
+    f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+swept AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+           OVER w AS ref_ts,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS ref_event_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       CASE WHEN abs(epoch_us(ts) - epoch_us(ref_ts)) <= 600000000
+            THEN ref_event_id END AS ref_event_id,
+       CASE WHEN abs(epoch_us(ts) - epoch_us(ref_ts)) <= 600000000
+            THEN strftime(ref_ts, '{TS_FMT_DUCK}') END AS ref_ts
+FROM swept WHERE side = 1
+""",
+)
+def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof(tolerance=)``
+    parity): the user's last click at-or-before each purchase counts only
+    within 10 minutes — stale references null out. Same single-shuffle
+    union + window sweep; the tolerance is a free post-sweep projection."""
+    from mobsos_event_log_generator_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purchases, clicks, key_col="user_id", ts_col="ts", tie_col="event_id",
+        ref_payload=["event_id"], tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        "ref_event_id",
+        F.date_format("ref_ts", TS_FMT_SPARK).alias("ref_ts"),
+    )
