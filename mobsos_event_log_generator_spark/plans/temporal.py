@@ -610,3 +610,50 @@ def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_event_id",
         F.date_format("ref_ts", TS_FMT_SPARK).alias("ref_ts"),
     )
+
+
+@register(
+    "events_scd2_user_state",
+    f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, state,
+       strftime(valid_from, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id),
+                '{TS_FMT_DUCK}') AS valid_to
+FROM changes
+""",
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) build from a change stream:
+    collapse each user's event sequence into validity intervals of their
+    latest event type — new row only when the state CHANGES, valid_to =
+    next change (NULL = current). The standard warehouse dimension-build:
+    two windows on the same (user) shuffle key, no join; downstream
+    point-in-time lookups become the as-of join this engine already
+    ships."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w2), TS_FMT_SPARK).alias("valid_to"),
+    )
