@@ -311,3 +311,35 @@ def winnow_fingerprint_rows(
         id_col, F.col("gmin").alias("fingerprint")
     )
     return full.union(short).distinct()
+
+
+def nfc_normalize_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization over ``mapInPandas`` — the canonicalization
+    every multilingual dedup/hash pipeline needs BEFORE exact hashing
+    (decomposed 'e'+U+0301 and composed U+00E9 are different bytes but the
+    same text; unnormalized corpora silently miss duplicates). Schema is
+    explicit (no annotation reliance); stdlib ``unicodedata`` implements
+    the full canonical composition tables. Zero shuffle."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("normalized", T.StringType())]
+    )
+
+    def norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "normalized": [
+                        unicodedata.normalize("NFC", t) if t is not None else None
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(norm, schema)

@@ -2528,3 +2528,52 @@ def corpus_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "text_unicode_nfc",
+    # Decomposed suffix: 1 + doc_id % 3 copies of 'e' + COMBINING ACUTE
+    # (U+0301). NFC composes each pair to U+00E9, shrinking the char count
+    # by exactly the number of combining marks; DuckDB's nfc_normalize and
+    # Python's unicodedata implement the same canonical composition tables,
+    # so the md5 of the normalized text matches byte-for-byte.
+    """
+WITH d AS (
+  SELECT doc_id,
+         text || ' ' || repeat(chr(101) || chr(769), 1 + doc_id % 3) AS dec
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(dec) AS BIGINT) AS n_chars_decomposed,
+       CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_chars_nfc,
+       md5(nfc_normalize(dec)) AS nfc_md5
+FROM d
+""",
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (the pre-hash normalization multilingual
+    dedup requires): each doc gets a deterministic DECOMPOSED suffix
+    ('e' + combining acute x (1 + doc_id % 3)); NFC must compose every pair
+    into U+00E9 — the oracle checks char counts before/after AND the md5 of
+    the composed bytes, so a missing or wrong composition breaks the hash.
+    Python unicodedata vs DuckDB utf8proc implement the same canonical
+    tables; the fixture's ASCII body passes through untouched."""
+    from mobsos_event_log_generator_spark.operators.text import nfc_normalize_docs
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    dec = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.expr("repeat('e\\u0301', 1 + doc_id % 3)"),
+        ).alias("text"),
+    )
+    out = nfc_normalize_docs(dec)
+    return dec.select("doc_id", F.length("text").alias("n_chars_decomposed")).join(
+        out, "doc_id"
+    ).select(
+        "doc_id",
+        F.col("n_chars_decomposed").cast("long").alias("n_chars_decomposed"),
+        F.length("normalized").cast("long").alias("n_chars_nfc"),
+        F.md5(F.col("normalized")).alias("nfc_md5"),
+    )

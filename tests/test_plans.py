@@ -68,6 +68,7 @@ PYTHON_SURFACE_ALLOWLIST = {
     "multimodal_thumbnail",          # mapInPandas decode + nearest-neighbor resize
     "multimodal_audio_features",     # mapInPandas WAV synth + RIFF decode
     "semdedup_embeddings_arrow",     # applyInPandas per-cell BLAS pair sweep
+    "text_unicode_nfc",              # mapInPandas unicodedata NFC
     "similarity_topk_arrow",         # mapInPandas BLAS kernel
     "similarity_topk_ann_ivf_arrow", # mapInPandas BLAS kernel + IVF routing
 }
