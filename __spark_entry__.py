@@ -104,6 +104,7 @@ _NEW_THIS_ROUND = {
     "asof_tolerance_attribution",
     "events_scd2_user_state",
     "text_unicode_nfc",
+    "events_props_variant",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

@@ -2044,3 +2044,51 @@ def parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price").cast("double"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "events_props_variant",
+    """
+WITH v AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         CASE WHEN json_valid(props) THEN 0 ELSE 1 END AS bad
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(bad) AS BIGINT) AS n_malformed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM v
+GROUP BY 1
+""",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: ingest the
+    JSON props column once via ``try_parse_json`` (malformed rows become
+    NULL variants, counted — schema-on-read never kills the scan), extract
+    typed fields with ``variant_get`` path expressions, aggregate. VARIANT
+    keeps the parsed binary form through the plan, so repeated path
+    extraction never re-parses the JSON text — the Spark-4-native answer
+    to the reference's per-request pandas ``json_normalize``
+    (/root/reference/event_reader.py remarks flattening)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_parse_json(F.col("props")).alias("pv"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+        F.when(F.col("pv").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("bad"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bad").cast("long").alias("n_malformed"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )
