@@ -203,3 +203,34 @@ def test_resolve_hierarchy_cycle_raises(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
     with _pytest.raises(RuntimeError):
         resolve_hierarchy(cyc, max_rounds=5)
+
+
+def test_jsonl_reader_quarantines_bad_lines(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sources.jsonl import read_jsonl_docs, split_quarantine
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1"}',
+        '{"doc_id": 3, "text": "truncated...',             # broken JSON
+        'not json at all',                                  # garbage
+        '{"doc_id": 4, "text": "ok", "lang": "de", "source": "s2"}',
+    ]
+    p.write_text("\n".join(lines))
+    df = read_jsonl_docs(spark, str(p))
+    clean, corrupt = split_quarantine(df)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2, 4}
+    raws = [r["raw_line"] for r in corrupt.collect()]
+    assert len(raws) == 2 and any("truncated" in r for r in raws)
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_jsonl_reader_requires_corrupt_field(spark):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from mobsos_event_log_generator_spark.sources.jsonl import read_jsonl_docs
+
+    bad_schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    with _pytest.raises(ValueError):
+        read_jsonl_docs(spark, "/nonexistent", schema=bad_schema)
