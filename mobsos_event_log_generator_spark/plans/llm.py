@@ -2577,3 +2577,33 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("normalized").cast("long").alias("n_chars_nfc"),
         F.md5(F.col("normalized")).alias("nfc_md5"),
     )
+
+
+@register(
+    "text_feature_hashing",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks
+GROUP BY 1, 2
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorization (Weinberger et al. 2009): tokens
+    map to a FIXED 1024-bucket space via md5, so the feature schema needs
+    no vocabulary pass, no broadcast dictionary, and is identical across
+    any corpus shard — the property that makes it the default vectorizer
+    for streaming/distributed training pipelines. One explode + one hash
+    aggregation; exact integer counts per (doc, bucket)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % 1024
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
