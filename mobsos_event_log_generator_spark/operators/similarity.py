@@ -621,6 +621,61 @@ def semdedup_arrow(
     return swept.unionByName(passthrough) if passthrough is not None else swept
 
 
+def quantize_int8(vec: Column, clip: float = 1.0) -> Column:
+    """Scalar int8 quantization: q_i = floor(clip(v_i, ±clip)/clip · 127
+    + 0.5) — the standard 4x-memory embedding compression (FAISS SQ8
+    family). The floor(x+0.5) form (round-half-toward-+∞) is used on BOTH
+    engines with the identical op tree, so the mapping is bit-portable
+    (native round() diverges at midpoints across engines, pitfall 8); the
+    result is an ``array<int>`` whose dot products are EXACT integers —
+    quantized similarity search has no float determinism question at
+    all."""
+    c = float(clip)
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            F.greatest(F.lit(-c), F.least(F.lit(c), x.cast("double"))) / F.lit(c) * 127.0 + 0.5
+        ).cast("int"),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    clip: float = 1.0,
+) -> DataFrame:
+    """Exact top-k under int8 quantization: score = integer dot product of
+    the quantized vectors (sum of int products — associative, bit-exact on
+    any engine and any partitioning; rank ties break on neighbor id).
+    Returns (query_id, neighbor_id, qdot, rank). The scan reads int8-range
+    ints instead of floats — at 100 TB that is the 4x I/O and cache win
+    that makes the first retrieval stage quantized in practice, with the
+    float rerank reserved for the shortlist."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize_int8(F.col(vec_col), clip).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize_int8(F.col(vec_col), clip).alias("c_vec")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qdot", qdot)
+        .select("query_id", "neighbor_id", "qdot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def normalize_vector(vec: Column) -> Column:
     """L2-normalize a float vector (JVM fold for the norm + transform for the
     scale) — the standard ANN preprocessing so dot product == cosine.

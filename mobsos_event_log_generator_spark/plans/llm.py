@@ -2607,3 +2607,42 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_SQL_QUANT_COLS = ", ".join(
+    f"CAST(floor(greatest(-1.0, least(1.0, e{i})) / 1.0 * 127.0 + 0.5) AS BIGINT) AS z{i}"
+    for i in range(1, _IVF_DIM + 1)
+)
+_SQL_QUANT_DOT = " + ".join(f"p.z{i} * c.z{i}" for i in range(1, _IVF_DIM + 1))
+
+
+@register(
+    "similarity_topk_quantized",
+    f"""
+WITH embf AS (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings),
+zq AS (SELECT vec_id, {_SQL_QUANT_COLS} FROM embf),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_SQL_QUANT_DOT} AS BIGINT) AS qdot
+  FROM zq p JOIN zq c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id % 50 = 0
+)
+SELECT query_id, neighbor_id, qdot, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qdot DESC, neighbor_id) AS rn
+      FROM pairs)
+WHERE rn <= 5
+""",
+)
+def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search under int8 SCALAR QUANTIZATION (FAISS SQ8-style):
+    vectors compress 4x and scoring becomes an exact INTEGER dot product —
+    associative, partition-order-immune, bit-identical on any engine (the
+    only ANN variant in the registry with literally zero float surface).
+    The 100-TB retrieval stack runs this as its first stage (4x less I/O
+    and cache) and reserves float cosine for reranking the shortlist; the
+    quantization rule uses the shared floor(x+0.5) op tree on both
+    engines."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.quantized_topk(emb, queries, k=5)

@@ -818,3 +818,26 @@ def test_canonicalize_url_idempotent_property(spark):
             assert r["c2"] == r["c1"], (r["c1"], r["c2"])
 
     check()
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 quantization must preserve most of the float-cosine top-5 on
+    unit-scale vectors (the measured rationale for quantized first-stage
+    retrieval) and the integer scores must be symmetric."""
+    vecs = [(i, [math.sin(i * 7 + j) / 2 for j in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 20 == 0)
+    fp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(df, q, k=5).collect()
+    }
+    qz = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.quantized_topk(df, q, k=5).collect()
+    }
+    overlap = len(fp & qz) / len(fp)
+    assert overlap >= 0.6, overlap  # quantized stage keeps the bulk of the shortlist
+    rows = {(r["query_id"], r["neighbor_id"]): r["qdot"] for r in S.quantized_topk(df, q, k=5).collect()}
+    for (a, b), d in rows.items():
+        if (b, a) in rows:
+            assert rows[(b, a)] == d  # integer dot is symmetric
