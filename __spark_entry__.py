@@ -107,6 +107,7 @@ _NEW_THIS_ROUND = {
     "events_props_variant",
     "text_feature_hashing",
     "similarity_topk_quantized",
+    "similarity_topk_rerank",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

@@ -2646,3 +2646,62 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.quantized_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_topk_rerank",
+    f"""
+WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+zq AS (SELECT vec_id, {_SQL_QUANT_COLS} FROM embf),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY CAST({_SQL_QUANT_DOT} AS BIGINT) DESC, c.vec_id) AS rn
+    FROM zq p JOIN zq c ON p.vec_id <> c.vec_id
+    WHERE p.vec_id % 50 = 0
+  ) WHERE rn <= 20
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(({_SQL_FLAT_QN_DOT.replace('p.q', 'q.e').replace('v.n', 'n.e')}) /
+               (sqrt(q.sqn) * sqrt(n.sqn)), 6) AS cosine
+  FROM shortlist s
+  JOIN embf q ON q.vec_id = s.query_id
+  JOIN embf n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM reranked)
+WHERE rn <= 5
+""",
+)
+def similarity_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage retrieval stack end-to-end: a quantized
+    int8 first stage builds a top-20 shortlist per query (exact integer
+    dots — cheap, 4x less I/O), then the full-precision cosine reranks the
+    shortlist to the final top-5. Stage-2 work is per-query O(shortlist),
+    not O(corpus) — the float path never touches the corpus at large. The
+    oracle replays BOTH stages (deterministic shortlist via integer-dot +
+    id tiebreak, rerank via the shared rounded-cosine contract)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    shortlist = S.quantized_topk(emb, queries, k=20).select("query_id", "neighbor_id")
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    reranked = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", S.cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return reranked.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )
