@@ -269,3 +269,97 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
         "operation": "compact",
     }
     return _commit(root, manifest)
+
+
+def _file_key_ranges(root: str, files: list[str], key_col: str) -> dict[str, tuple]:
+    """(min, max) of ``key_col`` per data file from the parquet FOOTERS —
+    planning-time metadata only, no row reads. Files written clustered on
+    the key (range partition / Z-order) get tight ranges, which is what
+    makes the merge prune well."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple] = {}
+    for rel in files:
+        md = pq.read_metadata(os.path.join(root, rel))
+        lo = hi = None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                if col.path_in_schema == key_col and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out[rel] = (lo, hi)
+    return out
+
+
+def snapshot_merge(
+    spark: SparkSession, updates: DataFrame, root: str, key_col: str
+) -> tuple[int, int]:
+    """Copy-on-write MERGE (upsert by key) with FILE-LEVEL PRUNING — the
+    Iceberg/Delta rewrite strategy: only data files whose footer
+    [min, max] range of ``key_col`` intersects the updates' key range are
+    rewritten (matched rows replaced via anti-join + union); every other
+    file carries over into the new manifest UNTOUCHED. Returns
+    (committed_version, n_files_rewritten).
+
+    Scale shape: the pruning decision is pure footer metadata (no row
+    reads); rewrite I/O is proportional to the files actually hit, which
+    on a key-clustered layout (``zorder_layout`` / range partition) is a
+    tiny slice of the table. Unmatched update keys are inserts. Commit is
+    the same O_EXCL snapshot point — readers of prior versions see
+    nothing until the swing."""
+    from pyspark.sql import functions as F
+
+    m = read_manifest(root)
+    if not m["files"]:
+        v = snapshot_append(updates, root)
+        return v, 0
+    # Pruning predicate: a file is hit iff SOME update key falls inside its
+    # footer [min, max]. The update key set is collected bounded (a merge's
+    # update side is the small side by definition; past the cap we fall
+    # back to the conservative global-range intersect).
+    key_cap = 100_000
+    key_rows = updates.select(key_col).distinct().limit(key_cap + 1).collect()
+    ranges = _file_key_ranges(root, m["files"], key_col)
+    if len(key_rows) > key_cap:
+        lo, hi = updates.agg(F.min(key_col), F.max(key_col)).first()
+        hit = [
+            f
+            for f in m["files"]
+            if ranges[f][0] is None or not (ranges[f][1] < lo or ranges[f][0] > hi)
+        ]
+    else:
+        import bisect
+
+        keys = sorted(r[0] for r in key_rows)
+
+        def file_hit(rng: tuple) -> bool:
+            flo, fhi = rng
+            if flo is None:
+                return True  # no stats: conservative rewrite
+            i = bisect.bisect_left(keys, flo)
+            return i < len(keys) and keys[i] <= fhi
+
+        hit = [f for f in m["files"] if file_hit(ranges[f])]
+    keep = [f for f in m["files"] if f not in set(hit)]
+    if hit:
+        touched = spark.read.parquet(*[os.path.join(root, f) for f in hit])
+        survivors = touched.join(updates.select(key_col), key_col, "left_anti")
+        rewritten = survivors.unionByName(updates)
+    else:
+        rewritten = updates
+    new_files, n_new = _write_data_files(rewritten, root)
+    n_keep = 0
+    if keep:
+        n_keep = spark.read.parquet(*[os.path.join(root, f) for f in keep]).count()
+    manifest = {
+        "version": m["version"] + 1,
+        "parent": m["version"] or None,
+        "files": keep + new_files,
+        "n_rows": n_keep + n_new,
+        "schema": updates.schema.jsonValue(),
+        "operation": "merge",
+    }
+    return _commit(root, manifest), len(hit)

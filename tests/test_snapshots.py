@@ -202,3 +202,44 @@ def test_snapshot_compact_preserves_content_and_history(spark, tmp_path):
     assert set(r["id"] for r in read_snapshot(spark, root).collect()) == before
     # pre-compaction versions still readable (time travel unaffected)
     assert read_snapshot(spark, root, 4).count() == 40
+
+
+def test_snapshot_merge_prunes_untouched_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_merge,
+    )
+
+    root = str(tmp_path / "tbl")
+    # key-clustered layout: 4 files covering disjoint id ranges
+    base = spark.range(400).selectExpr("id", "id * 10 AS val")
+    clustered = base.repartitionByRange(4, F.col("id")).sortWithinPartitions("id")
+    snapshot_append(clustered, root)
+    n_files = len(read_manifest(root)["files"])
+    assert n_files >= 3
+
+    updates = spark.createDataFrame(
+        [(5, -1), (7, -2), (450, -3)], "id long, val long"
+    )  # two hits in the first range + one brand-new key
+    v, rewritten = snapshot_merge(spark, updates, root, "id")
+    assert v == 2
+    assert rewritten < n_files  # pruning: only the intersecting file(s) rewrote
+    out = {r["id"]: r["val"] for r in read_snapshot(spark, root).collect()}
+    assert len(out) == 401  # 400 originals (2 replaced) + 1 insert
+    assert out[5] == -1 and out[7] == -2 and out[450] == -3
+    assert out[6] == 60  # neighbor in the rewritten file survived
+    assert out[399] == 3990  # untouched file intact
+    # history: v1 still shows the pre-merge values
+    old = {r["id"]: r["val"] for r in read_snapshot(spark, root, 1).collect()}
+    assert old[5] == 50 and 450 not in old
+
+
+def test_snapshot_merge_into_empty_table_is_append(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sources.snapshots import read_snapshot, snapshot_merge
+
+    root = str(tmp_path / "tbl")
+    v, rewritten = snapshot_merge(spark, spark.range(5).selectExpr("id", "id AS val"), root, "id")
+    assert (v, rewritten) == (1, 0)
+    assert read_snapshot(spark, root).count() == 5
