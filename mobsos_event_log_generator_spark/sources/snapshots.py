@@ -363,3 +363,52 @@ def snapshot_merge(
         "operation": "merge",
     }
     return _commit(root, manifest), len(hit)
+
+
+def snapshot_delete_keys(
+    spark: SparkSession, keys: DataFrame, root: str, key_col: str
+) -> tuple[int, int]:
+    """Row-level DELETE by key with the same file-level pruning as
+    ``snapshot_merge``: only files whose footer range contains a doomed key
+    are rewritten (minus the matching rows); everything else carries over.
+    The GDPR-erasure / retraction primitive — downstream aggregates follow
+    via ``snapshot_diff`` + ``apply_cdc_to_agg``. Returns
+    (committed_version, n_files_rewritten)."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity with merge)
+
+    m = read_manifest(root)
+    if not m["files"]:
+        raise FileNotFoundError(f"cannot delete from empty table {root}")
+    key_rows = keys.select(key_col).distinct().limit(100_001).collect()
+    ranges = _file_key_ranges(root, m["files"], key_col)
+    import bisect
+
+    ks = sorted(r[0] for r in key_rows)
+
+    def file_hit(rng: tuple) -> bool:
+        flo, fhi = rng
+        if flo is None:
+            return True
+        i = bisect.bisect_left(ks, flo)
+        return i < len(ks) and ks[i] <= fhi
+
+    hit = [f for f in m["files"] if file_hit(ranges[f])]
+    keep = [f for f in m["files"] if f not in set(hit)]
+    new_files: list[str] = []
+    n_new = 0
+    if hit:
+        touched = spark.read.parquet(*[os.path.join(root, f) for f in hit])
+        survivors = touched.join(keys.select(key_col), key_col, "left_anti")
+        new_files, n_new = _write_data_files(survivors, root)
+    n_keep = 0
+    if keep:
+        n_keep = spark.read.parquet(*[os.path.join(root, f) for f in keep]).count()
+    manifest = {
+        "version": m["version"] + 1,
+        "parent": m["version"] or None,
+        "files": keep + new_files,
+        "n_rows": n_keep + n_new,
+        "schema": m.get("schema"),
+        "operation": "delete",
+    }
+    return _commit(root, manifest), len(hit)

@@ -243,3 +243,27 @@ def test_snapshot_merge_into_empty_table_is_append(spark, tmp_path):
     v, rewritten = snapshot_merge(spark, spark.range(5).selectExpr("id", "id AS val"), root, "id")
     assert (v, rewritten) == (1, 0)
     assert read_snapshot(spark, root).count() == 5
+
+
+def test_snapshot_delete_keys_prunes_and_erases(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_delete_keys,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(400).selectExpr("id", "id * 10 AS val")
+    snapshot_append(base.repartitionByRange(4, F.col("id")).sortWithinPartitions("id"), root)
+    n_files = len(read_manifest(root)["files"])
+    doomed = spark.createDataFrame([(5,), (7,)], "id long")
+    v, rewritten = snapshot_delete_keys(spark, doomed, root, "id")
+    assert v == 2 and rewritten < n_files
+    out = {r["id"] for r in read_snapshot(spark, root).collect()}
+    assert len(out) == 398 and 5 not in out and 7 not in out and 6 in out
+    # the change feed shows the erased rows as deletes (plus the rewrite churn)
+    d = snapshot_diff(spark, root, 1, 2)
+    deleted = {r["id"] for r in d.filter("_change_type = 'delete'").collect()}
+    assert {5, 7} <= deleted
