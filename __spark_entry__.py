@@ -108,6 +108,7 @@ _NEW_THIS_ROUND = {
     "text_feature_hashing",
     "similarity_topk_quantized",
     "similarity_topk_rerank",
+    "search_bm25_topk",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

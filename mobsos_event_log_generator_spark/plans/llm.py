@@ -2705,3 +2705,100 @@ def similarity_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reranked.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 5
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval: BM25 over an inverted-index join
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "search_bm25_topk",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+df_t AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT tok, ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM df_t
+),
+q AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, tf.doc_id AS result_id,
+         round(sum(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dlen
+                                            / (SELECT avgdl FROM stats)))), 6) AS bm25
+  FROM q
+  JOIN tf ON tf.tok = q.tok
+  JOIN idf ON idf.tok = q.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE tf.doc_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, result_id, bm25, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, result_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE retrieval (Robertson BM25, the lexical complement to the dense
+    ANN family): candidate generation is an INVERTED-INDEX equi-join — query
+    tokens join the corpus postings on the token, so only documents sharing
+    a term are ever scored (the search-engine shuffle shape; no all-pairs).
+    idf and doc-length tables are vocab-/corpus-bounded broadcast dims.
+    Scoring sums tens of per-term contributions per (query, doc) and rounds
+    6 dp — the chargram float-sum contract. Query set: every 50th doc as a
+    'more-like-this' probe."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
+    )
+    q = tf.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    scored = (
+        q.join(tf, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(idf), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col("query_id"), F.col("doc_id").alias("result_id"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * (_BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + _BM25_K1
+                        * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("result_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )
