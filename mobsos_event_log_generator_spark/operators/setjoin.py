@@ -1,0 +1,132 @@
+"""Exact set-similarity join via prefix filtering (AllPairs / PPJoin family:
+Bayardo et al. WWW'07, Xiao et al. WWW'08 — public algorithms).
+
+This is the scalable EXACT counterpart to the quadratic baseline in
+``dedup.ngram_jaccard_pairs``: instead of joining every posting against every
+posting (O(Σ df²) candidate rows), each record emits only its *prefix* — the
+p = n − ⌈τ·n⌉ + 1 globally-rarest tokens — and candidates come from an
+equi-join on prefix tokens. Full recall is a theorem, not a heuristic:
+
+    For J(A,B) ≥ τ, the overlap o = |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|).
+    Let t* = min(A∩B) under the canonical (df, token) order, and k = number
+    of A-tokens ordered before t*. Those k tokens are not in B, so
+    o ≤ |A| − k, giving k ≤ |A| − ⌈τ·|A|⌉ — i.e. t* sits inside A's
+    p_A-prefix; by the symmetric argument (o ≥ τ·|B| too) t* also sits
+    inside B's p_B-prefix. The equi-join on prefix tokens therefore sees
+    every qualifying pair at least once.
+
+The prefix length is computed in EXACT integer arithmetic (threshold as a
+fraction, ⌈num·n/den⌉ = (num·n + den − 1) div den). A float ``ceil(τ·n)``
+can round UP on exact multiples (0.8*5 → 4.000000000000001 → 5), silently
+shortening the prefix and losing recall — the failure mode the driver's
+exhaustive oracle would catch, so it is designed out here.
+
+Scale shape (100 TB posture): document frequencies are one map-side-combined
+aggregate; attaching df to postings is a shuffle on the token (skew-free —
+tokens are near-unique after shingling); prefix selection is a per-document
+WindowExec (partitioned by doc, never global); candidate generation is an
+equi-join on prefix tokens whose fan-out is bounded because prefixes hold the
+RAREST tokens by construction (a stop-shingle shared by B docs never lands in
+a prefix once df ordering pushes it last). The size filter τ·|A| ≤ |B| ≤
+|A|/τ is applied inside the join condition so oversized candidates never
+materialize. Verification reuses ``dedup.jaccard_verify`` (equi-join
+co-count — ratio of small ints, bit-exact cross-engine).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mobsos_event_log_generator_spark.operators.dedup import doc_shingles, jaccard_verify
+
+
+def _threshold_fraction(threshold: float) -> Fraction:
+    """Exact rational form of the user threshold (0.8 → 4/5)."""
+    frac = Fraction(threshold).limit_denominator(10**6)
+    if not 0 < frac <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return frac
+
+
+def prefix_postings(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Per-document prefix postings: the p = n − ⌈τ·n⌉ + 1 rarest tokens,
+    under the canonical (document-frequency, token) total order.
+
+    Input: distinct (id, shingle) postings. Output columns:
+    (id, shingle, n_sh) — n_sh is carried so the candidate join can apply
+    the length filter without another join against the size table.
+    """
+    frac = _threshold_fraction(threshold)
+    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("t_df"))
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ranked = shingles.join(dfreq, "shingle").join(sizes, id_col)
+    w = Window.partitionBy(id_col).orderBy("t_df", "shingle")
+    # p = n − ⌈(num·n)/den⌉ + 1, all-integer so exact multiples never round up.
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"(({frac.numerator} * n_sh) + {frac.denominator} - 1) div {frac.denominator}")
+        + F.lit(1)
+    )
+    return (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select(id_col, "shingle", "n_sh")
+    )
+
+
+def prefix_filter_candidates(
+    prefixes: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate pairs from the symmetric prefix equi-join, with the length
+    filter den·|B| ≥ num·|A| (⇔ |B| ≥ τ·|A|, exact integers) fused into the
+    join condition on both sides."""
+    frac = _threshold_fraction(threshold)
+    num, den = frac.numerator, frac.denominator
+    # Rename BOTH sides' token columns before the self-join: a shared lineage
+    # makes `a.shingle == b.shingle` resolve to the same attribute id
+    # (Spark's "trivially true equals" warning), silently degrading the
+    # candidate join into a size-filtered cross join.
+    a = prefixes.select(
+        F.col(id_col).alias("id1"), F.col("shingle").alias("sh1"), F.col("n_sh").alias("n1")
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("id2"), F.col("shingle").alias("sh2"), F.col("n_sh").alias("n2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("sh1") == F.col("sh2"))
+            & (F.col("id1") < F.col("id2"))
+            & (F.col("n2") * den >= F.col("n1") * num)
+            & (F.col("n1") * den >= F.col("n2") * num),
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ τ self-join: shingle → df-ordered prefix →
+    prefix equi-join candidates → exact verify. Returns (id1, id2, jaccard),
+    identical to the exhaustive quadratic truth (the driver oracle) but
+    without ever forming the full posting×posting join."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    pref = prefix_postings(sh, id_col, threshold)
+    cand = prefix_filter_candidates(pref, id_col, threshold)
+    return jaccard_verify(cand, sh, id_col, threshold)

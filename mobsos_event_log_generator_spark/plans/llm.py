@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from mobsos_event_log_generator_spark.operators import dedup as D
 from mobsos_event_log_generator_spark.operators import similarity as S
 from mobsos_event_log_generator_spark.operators import text as X
+from mobsos_event_log_generator_spark.operators.setjoin import prefix_filter_jaccard_join
 from mobsos_event_log_generator_spark.plans.queries import register
 from mobsos_event_log_generator_spark.sources.parquet import ensure_min_partitions, load_table
 
@@ -383,6 +384,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; blocking bounds the pair space)."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.8)
+
+
+@register(
+    "dedup_jaccard_prefix_join",
+    _SQL_SHINGLE_CTE
+    + """
+, c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter), 6) AS jaccard
+FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+""",
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ 0.8 via prefix filtering (AllPairs/PPJoin):
+    each doc emits only its ⌈(1−τ)n⌉+1 globally-rarest shingles, candidates
+    come from the prefix equi-join (+ integer length filter), then exact
+    verify. The oracle is the exhaustive quadratic truth — a pass proves the
+    prefix join has FULL recall (a theorem, unlike LSH's probabilistic
+    recall), at a candidate count bounded by rare-token fan-out."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_jaccard_join(docs, threshold=0.8)
 
 
 # ---------------------------------------------------------------------------

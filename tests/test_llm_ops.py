@@ -106,6 +106,57 @@ def test_ngram_jaccard_blocked(docs):
     assert (1, 4) in pairs and (1, 2) in pairs
 
 
+def test_prefix_filter_join_matches_exhaustive(docs):
+    """Prefix-filter join must reproduce the exhaustive quadratic truth
+    exactly — full recall is a theorem, so any miss is a bug."""
+    from mobsos_event_log_generator_spark.operators.setjoin import prefix_filter_jaccard_join
+
+    for tau in (0.5, 0.8):
+        truth = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs.withColumn("b", F.lit(1)), block_col="b", threshold=tau).collect()
+        }
+        got = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in prefix_filter_jaccard_join(docs, threshold=tau).collect()
+        }
+        assert got == truth
+
+
+def test_prefix_length_integer_exact(spark):
+    """τ=0.8, n=5 shingles → prefix length 5 − ⌈4⌉ + 1 = 2. A float
+    ceil(0.8*5)=ceil(4.0000000000000004)=5 would emit only 1 token and
+    could lose recall — the integer div form must emit exactly 2."""
+    from mobsos_event_log_generator_spark.operators.setjoin import prefix_postings
+
+    # 7 words -> 5 distinct trigram shingles
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    sh = D.doc_shingles(df)
+    assert sh.count() == 5
+    pref = prefix_postings(sh, threshold=0.8).collect()
+    assert len(pref) == 2
+    assert all(r["n_sh"] == 5 for r in pref)
+
+
+def test_prefix_candidates_size_filter(spark):
+    """Docs whose shingle-set sizes violate τ·|A| ≤ |B| are never candidates,
+    even when they share a prefix token."""
+    from mobsos_event_log_generator_spark.operators.setjoin import (
+        prefix_filter_candidates,
+        prefix_postings,
+    )
+
+    rows = [
+        (1, "z0 z1 z2 z3 z4"),  # 3 shingles
+        (2, " ".join(f"z{i}" for i in range(30))),  # 28 shingles, superset-ish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.doc_shingles(df)
+    pref = prefix_postings(sh, threshold=0.8)
+    # sizes 3 vs 28: 28*0.8 > 3 -> excluded by the length filter
+    assert prefix_filter_candidates(pref, threshold=0.8).count() == 0
+
+
 def test_cosine_topk_exact(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0]),
