@@ -266,3 +266,55 @@ def resolve_hierarchy(
         "forest is astronomically deep (raise max_rounds: depth resolved "
         "doubles per round) or the parent pointers contain a cycle"
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation (the
+    classic MapReduce triangle algorithm — Suri & Vassilvitskii, WWW'11).
+
+    Input: one row per UNDIRECTED edge (src < dst, no duplicates, no
+    self-loops). Output: (node, n_triangles) for every node on ≥ 1 triangle.
+
+    Scale shape: the naive wedge join fans out quadratically in the MAX
+    degree (a 10⁶-degree hub yields 10¹² wedges). Orienting every edge from
+    its lower-(degree, id) endpoint to the higher one caps the oriented
+    out-degree at O(√m) — a hub's edges point INTO it, so the hub generates
+    no wedges — bounding total wedges at O(m^{3/2}), the output-optimal
+    worst case. Each triangle {x,y,z} is generated exactly once, from its
+    minimum-(degree, id) corner. Three shuffles total (degree agg, wedge
+    self-join, closing-edge semi-join); the degree dim joins broadcast-free
+    on the edge key so skew lands on the AQE path, not a single reducer.
+    """
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.select(F.col("node").alias(src), F.col("deg").alias("deg_s")), src)
+        .join(deg.select(F.col("node").alias(dst), F.col("deg").alias("deg_d")), dst)
+    )
+    # Orient u -> v where (deg(u), u) < (deg(v), v); carry v's rank key so the
+    # wedge join can canonically order its two outer endpoints.
+    fwd = F.col("deg_s") < F.col("deg_d")
+    tie = (F.col("deg_s") == F.col("deg_d")) & (F.col(src) < F.col(dst))
+    oriented = with_deg.select(
+        F.when(fwd | tie, F.col(src)).otherwise(F.col(dst)).alias("u"),
+        F.when(fwd | tie, F.col(dst)).otherwise(F.col(src)).alias("v"),
+        F.when(fwd | tie, F.col("deg_d")).otherwise(F.col("deg_s")).alias("deg_v"),
+    )
+    lo = oriented.select(F.col("u"), F.col("v").alias("a"), F.col("deg_v").alias("deg_a"))
+    hi = oriented.select(F.col("u"), F.col("v").alias("b"), F.col("deg_v").alias("deg_b"))
+    wedges = lo.join(hi, "u").filter(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    )
+    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tris = wedges.join(closing, ["a", "b"], "left_semi").select("u", "a", "b")
+    corner = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("a").alias("node")))
+        .unionAll(tris.select(F.col("b").alias("node")))
+    )
+    return corner.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

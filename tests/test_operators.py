@@ -173,6 +173,28 @@ def test_pagerank_fixed_point_star_and_chain(spark):
     assert out["c"] > out["a"] > out["b"]
 
 
+def test_triangle_counts_known_graph(spark):
+    from mobsos_event_log_generator_spark.operators.graph import triangle_counts
+
+    # K4 on 1-4 (4 triangles, each node on 3) plus a pendant 4-5 and an
+    # isolated edge 6-7 (no triangles).
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (6, 7)], "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_hub_star(spark):
+    from mobsos_event_log_generator_spark.operators.graph import triangle_counts
+
+    # a pure star (hub 0 to 50 leaves) has no triangles; add one closing
+    # edge 1-2 -> exactly one triangle (0,1,2)
+    star = [(0, i) for i in range(1, 51)]
+    edges = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
 def test_pagerank_empty_edges(spark):
     from mobsos_event_log_generator_spark.operators.graph import pagerank_fixed_point
 
