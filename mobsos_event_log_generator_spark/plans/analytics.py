@@ -1995,6 +1995,82 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parts_skyline_price_size",
+    """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price, CAST(p_size AS BIGINT) AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+)
+def parts_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of parts: minimize retail price, maximize size. The oracle is
+    the textbook quadratic NOT-EXISTS; the plan is group-max + two-phase
+    exclusive prefix max (operators/skyline.py) — zero quadratic work and no
+    single-partition window."""
+    from mobsos_event_log_generator_spark.operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    sky = skyline_2d(part, "p_retailprice", "p_size")
+    return sky.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+
+@register(
+    "lineitem_skyline_3d",
+    """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-02-01'
+)
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS price,
+       round(l_discount, 2) AS discount,
+       round(l_quantity, 2) AS qty
+FROM s p
+WHERE NOT EXISTS (
+  SELECT 1 FROM s q
+  WHERE q.l_extendedprice <= p.l_extendedprice AND q.l_discount <= p.l_discount
+    AND q.l_quantity >= p.l_quantity
+    AND (q.l_extendedprice < p.l_extendedprice OR q.l_discount < p.l_discount
+         OR q.l_quantity > p.l_quantity)
+)
+""",
+)
+def lineitem_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-criteria skyline (minimize price and discount, maximize quantity)
+    over one ship-month, via the Arrow local-skyline → merge path: dominated
+    rows die inside their own partition, so the final merge sees only local
+    survivors — the NOT-EXISTS oracle is the quadratic truth it avoids."""
+    from mobsos_event_log_generator_spark.operators.skyline import skyline_arrow
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-02-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity")
+    )
+    sky = skyline_arrow(li, minimize=["l_extendedprice", "l_discount"], maximize=["l_quantity"])
+    return sky.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice"), 2).alias("price"),
+        F.round(F.col("l_discount"), 2).alias("discount"),
+        F.round(F.col("l_quantity"), 2).alias("qty"),
+    )
+
+
+@register(
     "parts_cooccur_triangles",
     """
 WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -173,6 +173,58 @@ def test_pagerank_fixed_point_star_and_chain(spark):
     assert out["c"] > out["a"] > out["b"]
 
 
+def _brute_skyline(pts, mins, maxs):
+    def dominates(q, p):
+        ge = all(q[c] <= p[c] for c in mins) and all(q[c] >= p[c] for c in maxs)
+        gt = any(q[c] < p[c] for c in mins) or any(q[c] > p[c] for c in maxs)
+        return ge and gt
+
+    return {i for i, p in enumerate(pts) if not any(dominates(q, p) for q in pts)}
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    import random
+
+    from mobsos_event_log_generator_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = [{"id": i, "x": rng.randint(0, 50), "y": rng.randint(0, 50)} for i in range(300)]
+    df = spark.createDataFrame([(p["id"], p["x"], p["y"]) for p in pts], "id long, x long, y long")
+    got = {r["id"] for r in skyline_2d(df, "x", "y", num_buckets=8).collect()}
+    want_idx = _brute_skyline(pts, mins=["x"], maxs=["y"])
+    assert got == {pts[i]["id"] for i in want_idx}
+
+
+def test_skyline_2d_duplicate_points_survive_together(spark):
+    from mobsos_event_log_generator_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 5), (3, 11, 5), (4, 9, 1)], "id long, x long, y long"
+    )
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    # (10,5) twins: neither strictly dominates the other; (11,5) dominated by
+    # them; (9,1) survives (cheapest x).
+    assert got == {1, 2, 4}
+
+
+def test_skyline_arrow_matches_bruteforce_3d(spark):
+    import random
+
+    from mobsos_event_log_generator_spark.operators.skyline import skyline_arrow
+
+    rng = random.Random(11)
+    pts = [
+        {"id": i, "a": rng.randint(0, 20), "b": rng.randint(0, 20), "c": rng.randint(0, 20)}
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(p["id"], p["a"], p["b"], p["c"]) for p in pts], "id long, a long, b long, c long"
+    ).repartition(7)
+    got = {r["id"] for r in skyline_arrow(df, minimize=["a", "b"], maximize=["c"]).collect()}
+    want_idx = _brute_skyline(pts, mins=["a", "b"], maxs=["c"])
+    assert got == {pts[i]["id"] for i in want_idx}
+
+
 def test_triangle_counts_known_graph(spark):
     from mobsos_event_log_generator_spark.operators.graph import triangle_counts
 
