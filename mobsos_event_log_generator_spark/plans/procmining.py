@@ -34,6 +34,7 @@ from mobsos_event_log_generator_spark.schema import (
     XES_LIFECYCLE,
     XES_TIMESTAMP,
 )
+from mobsos_event_log_generator_spark.sources.parquet import load_table
 
 # Starts-kept pipeline (include_life_cycle_start=True): F1 + F3 + P2 + F6 +
 # P1 + P4(COALESCE lifecycle) — the quadrant where 'start' events survive so
@@ -597,4 +598,65 @@ def eventlog_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l1_num").cast("long").alias("l1_num"),
         F.col("denom").cast("long").alias("denom"),
         F.expr("(l1_num * 1000000L) div denom").cast("long").alias("drift_ppm"),
+    )
+
+
+@register(
+    "events_sequence_patterns",
+    r"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s,
+         count(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'c+p')) AS BIGINT) AS direct_conversions,
+       CAST(len(regexp_extract_all(s, 'v[^e]*p')) AS BIGINT) AS clean_view_purchases,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT) AS error_bursts
+FROM seq
+""",
+)
+def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over per-case ordered
+    event sequences. Each case's trace compresses to a single-char-per-event
+    string (the 5 fixture event types have distinct initials), then pattern
+    counts are plain `regexp_count` — `c+p` = click-run straight into a
+    purchase, `v[^e]*p` = view converted with no intervening error, `ee+` =
+    error bursts. Non-overlapping leftmost-greedy counts agree between Java
+    regex and DuckDB's RE2 for these alternation-free patterns; the gate
+    proves it.
+
+    Scale shape: one groupBy(case) with an in-group array_sort — per-case
+    work is bounded by trace length exactly like sessionization/trace
+    assembly (SURVEY A2); the regex runs once per CASE, not per event, and
+    the pattern library extends without another shuffle (all counts share
+    the one sequence column)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("c")
+                            )
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.regexp_count(F.col("s"), F.lit(r"c+p")).cast("long").alias("direct_conversions"),
+        F.regexp_count(F.col("s"), F.lit(r"v[^e]*p")).cast("long").alias("clean_view_purchases"),
+        F.regexp_count(F.col("s"), F.lit(r"ee+")).cast("long").alias("error_bursts"),
     )

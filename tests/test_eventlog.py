@@ -160,3 +160,33 @@ def test_message_table_bot_resolver(spark):
     )
     assert sorted(resolve_bot_resources_from_messages(messages, "menuBot")) == ["a1", "a2"]
     assert bot_resource_ids_df(messages, "ghost").count() == 0
+
+
+def test_sequence_patterns_counts_match_python_re(spark, tmp_path):
+    """Spark regexp_count (Java regex) must agree with python re.findall on
+    the alternation-free pattern library, including the tricky overlap
+    cases: 'ccpcpp' has two c+p matches; 'vpvep' one clean view→purchase."""
+    import re
+    from datetime import datetime, timedelta
+
+    from mobsos_event_log_generator_spark.plans.procmining import events_sequence_patterns
+
+    seqs = {1: "ccpcppveevp", 2: "vpvep", 3: "eeeecp", 4: "ssss"}
+    char2type = {"c": "click", "p": "purchase", "v": "view", "e": "error", "s": "signup"}
+    rows, eid = [], 0
+    t0 = datetime(2024, 1, 1)
+    for uid, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((eid, t0 + timedelta(minutes=i), uid, char2type[ch], 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in events_sequence_patterns(spark, str(tmp_path)).collect()}
+    for uid, s in seqs.items():
+        r = out[uid]
+        assert r["n_events"] == len(s)
+        assert r["direct_conversions"] == len(re.findall(r"c+p", s)), (uid, s)
+        assert r["clean_view_purchases"] == len(re.findall(r"v[^e]*p", s)), (uid, s)
+        assert r["error_bursts"] == len(re.findall(r"ee+", s)), (uid, s)
