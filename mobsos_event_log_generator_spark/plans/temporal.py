@@ -657,3 +657,70 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
         F.date_format(F.lead("valid_from").over(w2), TS_FMT_SPARK).alias("valid_to"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '{{TS_FMT_DUCK}}') AS ts,
+       d.state AS state_at_purchase,
+       round(p.value, 2) AS value
+FROM events p
+LEFT JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from <= p.ts
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+WHERE p.event_type = 'purchase'
+""".replace("{{", "{").replace("}}", "}").format(TS_FMT_DUCK=TS_FMT_DUCK),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD type-2 dimension: every purchase
+    is enriched with the state interval valid AT its timestamp. The oracle
+    does the textbook interval join (valid_from <= ts < valid_to); the plan
+    exploits that SCD2 intervals PARTITION the per-key timeline, so
+    "containing interval" = "latest valid_from <= ts" — a single-shuffle
+    backward as-of sweep (operators/asof.py), never an inequality join.
+    Purchases before a user's first state row keep NULL (LEFT semantics)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        probes,
+        dim,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        ref_payload=["state"],
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.col("ref_state").alias("state_at_purchase"),
+        F.round("value", 2).alias("value"),
+    )
