@@ -91,3 +91,41 @@ def pack_sequences(
         .withColumn("start_offset", F.sum(n_tokens_col).over(w) - F.col(n_tokens_col))
         .withColumn("bin", F.floor(F.col("start_offset") / F.lit(float(budget))).cast("long"))
     )
+
+
+def weighted_inclusion_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_cents: Column,
+    expected_k: int,
+) -> DataFrame:
+    """Weight-proportional Poisson sampling with expected size ``expected_k``:
+    row i is included iff u_i < k·w_i/W, where u_i is a deterministic
+    uniform from md5(id) and W = Σw. The Horvitz-Thompson building block
+    (inclusion probability known per row ⇒ unbiased weighted estimators),
+    done STATELESSLY: membership is a pure function of (id, weights, k), so
+    re-runs, repartitioning, and engine swaps reproduce the same sample.
+
+    The inclusion test is EXACT integer arithmetic — u_i < k·w_i/W becomes
+    h_i·W < k·w_i·2⁶⁰ with h_i the 60-bit md5 prefix. Spark evaluates it in
+    DECIMAL (h:20 digits × W:12 → 33 < 38, never overflows); the DuckDB
+    mirror uses HUGEINT. No float division ever runs, so the gate is
+    bit-exact. Rows with k·w ≥ W are always included (u < 1 ≤ k·w/W).
+
+    Scale shape: W is one map-side-combined aggregate broadcast back as a
+    1-row dim; the filter is a narrow projection — no shuffle of the fact
+    table, no sort, no state. Adds ``w_cents`` (the integer weight used).
+    """
+    weighted = df.withColumn("w_cents", weight_cents.cast("long"))
+    tot = weighted.agg(F.sum("w_cents").cast("decimal(12,0)").alias("__W"))
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+    )
+    two60 = F.lit(1 << 60).cast("decimal(19,0)")
+    rhs = (F.lit(expected_k).cast("decimal(15,0)") * F.col("w_cents")).cast("decimal(19,0)") * two60
+    return (
+        weighted.join(F.broadcast(tot))
+        .filter((h * F.col("__W")) < rhs)
+        .drop("__W")
+    )

@@ -2238,3 +2238,35 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.countDistinct("k").alias("n_distinct_k"),
     )
+
+
+@register(
+    "orders_weighted_sample",
+    """
+WITH w AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders
+),
+tot AS (SELECT CAST(sum(w_cents) AS BIGINT) AS total_w FROM w)
+SELECT o_orderkey, w_cents
+FROM w, tot
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
+        * total_w::HUGEINT
+      < 200::HUGEINT * w_cents::HUGEINT * 1152921504606846976::HUGEINT
+""",
+)
+def orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample of orders (expected 200,
+    inclusion probability ∝ order value) — the Horvitz-Thompson primitive
+    for weighted corpus/eval carving. Pure integer inclusion test (60-bit
+    md5 uniform vs k·w·2⁶⁰/W in DECIMAL/HUGEINT), no shuffle, no state;
+    the oracle replays the identical arithmetic."""
+    from mobsos_event_log_generator_spark.operators.sampling import weighted_inclusion_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = weighted_inclusion_sample(
+        orders,
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+        expected_k=200,
+    )
+    return out.select("o_orderkey", "w_cents")

@@ -308,3 +308,33 @@ def test_jsonl_reader_requires_corrupt_field(spark):
     bad_schema = T.StructType([T.StructField("doc_id", T.LongType())])
     with _pytest.raises(ValueError):
         read_jsonl_docs(spark, "/nonexistent", schema=bad_schema)
+
+
+def test_weighted_inclusion_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.sampling import weighted_inclusion_sample
+
+    # one row holds 99% of the mass -> with expected_k=2 its inclusion
+    # probability is min(1, 2*0.99)=1: ALWAYS sampled. Zero-weight rows never.
+    rows = [(1, 990_000), (2, 0)] + [(i, 100) for i in range(3, 103)]
+    df = spark.createDataFrame(rows, "id long, cents long")
+    out = weighted_inclusion_sample(df, "id", F.col("cents"), expected_k=2)
+    got = {r["id"] for r in out.collect()}
+    assert 1 in got
+    assert 2 not in got
+    # sample is a deterministic function of (id, weights, k): re-run identical
+    got2 = {r["id"] for r in weighted_inclusion_sample(df, "id", F.col("cents"), expected_k=2).collect()}
+    assert got == got2
+
+
+def test_weighted_inclusion_sample_expected_size(spark):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.sampling import weighted_inclusion_sample
+
+    # uniform weights, expected_k=100 of 1000: Poisson(100) concentrates
+    # within +-40 with overwhelming probability
+    df = spark.range(1000).select(F.col("id"), F.lit(500).alias("cents"))
+    n = weighted_inclusion_sample(df, "id", F.col("cents"), expected_k=100).count()
+    assert 60 <= n <= 140, n
