@@ -2270,3 +2270,33 @@ def orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_k=200,
     )
     return out.select("o_orderkey", "w_cents")
+
+
+@register(
+    "customers_k_anonymity",
+    """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS BIGINT) AS n_sensitive,
+       count(*) < 8 AS under_k,
+       count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) < 2 AS under_l
+FROM customer
+GROUP BY 1, 2
+""",
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (nation, market-segment)
+    quasi-identifier with banded account balance as the sensitive attribute:
+    groups smaller than k=8 or with fewer than 2 distinct sensitive bands
+    are re-identification risks. One map-side-combined aggregation pass —
+    the audit costs a groupBy regardless of table size."""
+    from mobsos_event_log_generator_spark.operators.privacy import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 2000).cast("long"),
+        k=8,
+        l_div=2,
+    )

@@ -338,3 +338,32 @@ def test_weighted_inclusion_sample_expected_size(spark):
     df = spark.range(1000).select(F.col("id"), F.lit(500).alias("cents"))
     n = weighted_inclusion_sample(df, "id", F.col("cents"), expected_k=100).count()
     assert 60 <= n <= 140, n
+
+
+def test_suppress_small_groups(spark):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.privacy import suppress_small_groups
+
+    rows = [
+        (1, "US", "A", 10.0), (2, "US", "A", 20.0), (3, "US", "A", 30.0),
+        (4, "DE", "B", 40.0),  # singleton group -> suppressed
+    ]
+    df = spark.createDataFrame(rows, "id long, country string, seg string, v double")
+    out = {r["id"]: r for r in suppress_small_groups(df, ["country", "seg"], k=2).collect()}
+    assert out[1]["country"] == "US" and out[1]["seg"] == "A"
+    assert out[4]["country"] is None and out[4]["seg"] is None
+    assert out[4]["v"] == 40.0  # non-quasi columns untouched
+    assert len(out) == 4  # no rows dropped
+
+
+def test_k_anonymity_report_flags(spark):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.privacy import k_anonymity_report
+
+    rows = [("X", 1), ("X", 1), ("X", 2), ("Y", 5)]
+    df = spark.createDataFrame(rows, "q string, s long")
+    rep = {r["q"]: r for r in k_anonymity_report(df, ["q"], "s", k=3, l_div=2).collect()}
+    assert rep["X"]["group_size"] == 3 and not rep["X"]["under_k"] and not rep["X"]["under_l"]
+    assert rep["Y"]["under_k"] and rep["Y"]["under_l"]
