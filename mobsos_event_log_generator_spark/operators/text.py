@@ -343,3 +343,41 @@ def nfc_normalize_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             )
 
     return df.select(id_col, text_col).mapInPandas(norm, schema)
+
+
+def positional_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Positional inverted-index postings: one row per token occurrence with
+    its 1-based position — the index structure behind phrase and proximity
+    search. The tokenization is materialized through a projection before
+    posexplode (the expression-inlining rule, see doc_shingles)."""
+    words = df.select(F.col(id_col), tokens(text_col).alias("__words"))
+    return words.select(
+        F.col(id_col),
+        F.posexplode("__words").alias("pos0", "tok"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+def phrase_occurrences(
+    postings: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase match over positional postings: documents where the
+    phrase's tokens appear at consecutive positions, with occurrence counts
+    (overlapping occurrences all count — 'a a a' contains 'a a' twice,
+    which non-overlapping regex scans miss).
+
+    Scale shape: term-selective from the first step — each join leg filters
+    the postings to ONE vocabulary term before the (id, position) equi-join,
+    so work is Σ postings(term_i), never the corpus; a k-token phrase is
+    k−1 hash joins on the same (id, pos) key space."""
+    toks = phrase.split()
+    if not toks:
+        raise ValueError("empty phrase")
+    cur = postings.filter(F.col("tok") == toks[0]).select(F.col(id_col), F.col("pos"))
+    for i, t in enumerate(toks[1:], start=1):
+        leg = postings.filter(F.col("tok") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(leg, [id_col, "pos"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))

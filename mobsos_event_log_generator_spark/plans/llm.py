@@ -2736,6 +2736,57 @@ def similarity_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Phrase search over a positional inverted index
+# ---------------------------------------------------------------------------
+
+_PHRASES = ("hash join", "table scan", "row scan slow")
+
+
+def _phrase_oracle(phrase: str) -> str:
+    toks = phrase.split()
+    legs = " ".join(
+        f"JOIN p t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} AND t{i}.tok = '{toks[i]}'"
+        for i in range(1, len(toks))
+    )
+    return (
+        f"SELECT '{phrase}' AS phrase, t0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences "
+        f"FROM p t0 {legs} WHERE t0.tok = '{toks[0]}' GROUP BY 2"
+    )
+
+
+_SQL_PHRASE = (
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+p AS (SELECT doc_id, unnest(range(1, len(words) + 1)) AS pos, unnest(words) AS tok FROM w)
+"""
+    + "\nUNION ALL\n".join(_phrase_oracle(ph) for ph in _PHRASES)
+)
+
+
+@register("search_phrase_match", _SQL_PHRASE)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: per phrase, the
+    documents containing its tokens at consecutive positions, with
+    OVERLAPPING occurrence counts (position algebra — not a regex scan,
+    which undercounts 'a a a' for 'a a'). Each phrase leg filters postings
+    to one term before the (doc, pos) equi-join, so cost is the posting
+    lists' size, never the corpus; a k-token phrase is k-1 hash joins.
+    The 3 probe phrases ride one postings subtree."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    postings = X.positional_postings(docs)
+    outs = []
+    for ph in _PHRASES:
+        outs.append(
+            X.phrase_occurrences(postings, ph)
+            .select(F.lit(ph).alias("phrase"), "doc_id", F.col("n_occurrences").cast("long"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Sparse retrieval: BM25 over an inverted-index join
 # ---------------------------------------------------------------------------
 

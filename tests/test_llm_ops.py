@@ -892,3 +892,23 @@ def test_quantized_topk_recall_vs_float(spark):
     for (a, b), d in rows.items():
         if (b, a) in rows:
             assert rows[(b, a)] == d  # integer dot is symmetric
+
+
+def test_phrase_occurrences_overlapping(spark):
+    """'a a a' contains 'a a' TWICE (positions 1 and 2) — position algebra
+    counts overlaps that a non-overlapping regex scan misses."""
+    from mobsos_event_log_generator_spark.operators.text import (
+        phrase_occurrences,
+        positional_postings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b a b"), (3, "b b b")], "doc_id long, text string"
+    )
+    p = positional_postings(df)
+    out = {r["doc_id"]: r["n_occurrences"] for r in phrase_occurrences(p, "a a").collect()}
+    assert out == {1: 2}
+    out2 = {r["doc_id"]: r["n_occurrences"] for r in phrase_occurrences(p, "a b").collect()}
+    assert out2 == {1: 1, 2: 2}
+    out3 = {r["doc_id"]: r["n_occurrences"] for r in phrase_occurrences(p, "a b a").collect()}
+    assert out3 == {2: 1}
