@@ -109,6 +109,19 @@ _NEW_THIS_ROUND = {
     "similarity_topk_quantized",
     "similarity_topk_rerank",
     "search_bm25_topk",
+    # second-wave round-4 additions (sorted after the first wave by the
+    # registry's insertion order; they spill past the 50-row window into the
+    # r5 backlog, and tools/check_parity.py gates them locally meanwhile)
+    "dedup_jaccard_prefix_join",
+    "parts_cooccur_triangles",
+    "parts_skyline_price_size",
+    "lineitem_skyline_3d",
+    "events_sequence_patterns",
+    "scd2_point_in_time_join",
+    "orders_weighted_sample",
+    "customers_k_anonymity",
+    "search_phrase_match",
+    "er_golden_records",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

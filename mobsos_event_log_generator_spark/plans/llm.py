@@ -1469,6 +1469,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_golden_records",
+    f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+members AS (
+  SELECT comp.doc_id, comp.component, d.source,
+         CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS BIGINT) AS src_rank
+  FROM comp JOIN documents d USING (doc_id)
+),
+golden AS (
+  SELECT component,
+         min(struct_pack(src_rank := src_rank, doc_id := doc_id)).doc_id AS golden_id
+  FROM members GROUP BY 1
+)
+SELECT m.doc_id, m.source, g.golden_id, gm.source AS golden_source
+FROM members m
+JOIN golden g USING (component)
+JOIN members gm ON gm.doc_id = g.golden_id
+""",
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with survivorship: near-dup docs arriving from
+    MULTIPLE sources are linked (LSH pairs → connected components) and each
+    entity elects a golden record by trust rule — lowest source rank (src0
+    is most trusted), doc id as the tiebreak. Output: every member of a
+    multi-record entity with its golden id/source — the master-data merge
+    step that plain dedup (keep-min-id) cannot express. The oracle replays
+    true reachability plus the same min-struct election."""
+    from mobsos_event_log_generator_spark.operators.graph import connected_components_star
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("id1", "id2")
+    comp = connected_components_star(pairs)
+    members = comp.join(docs.select("doc_id", "source"), comp["node"] == F.col("doc_id")).select(
+        "doc_id",
+        "component",
+        "source",
+        F.regexp_extract("source", r"([0-9]+)$", 1).cast("long").alias("src_rank"),
+    )
+    golden = members.groupBy("component").agg(
+        F.min(F.struct("src_rank", "doc_id")).alias("__g")
+    ).select("component", F.col("__g.doc_id").alias("golden_id"))
+    gm = members.select(F.col("doc_id").alias("golden_id"), F.col("source").alias("golden_source"))
+    return (
+        members.join(F.broadcast(golden), "component")
+        .join(F.broadcast(gm), "golden_id")
+        .select("doc_id", "source", "golden_id", "golden_source")
+    )
+
+
+@register(
     "corpus_decontamination",
     f"""
 WITH b AS (
