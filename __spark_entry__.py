@@ -122,6 +122,8 @@ _NEW_THIS_ROUND = {
     "customers_k_anonymity",
     "search_phrase_match",
     "er_golden_records",
+    "events_ks_drift",
+    "events_type_trends",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

@@ -1,0 +1,103 @@
+"""Distribution-drift and trend statistics, in exact integer arithmetic.
+
+Feature-distribution monitoring at corpus scale needs two primitives:
+
+* ``ks_statistic`` — the two-sample Kolmogorov–Smirnov distance
+  D = max_v |F1(v) − F2(v)|. Multiplying through by n1·n2 makes it exact:
+  D_num = max_v |n1·c2(v) − n2·c1(v)| over observed values v, with c_i the
+  inclusive cumulative counts. No float CDF ever materializes (the
+  cross-multiplied-rationals trick from the weekly-drift operator), so the
+  result is bit-identical on any engine.
+
+* ``group_trend_slopes`` — per-group OLS slope over integer (x, y) points.
+  slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²): both numerator and
+  denominator are exact integer aggregates, reported as a reduced-form pair
+  plus a ppm quotient — trend DIRECTION and magnitude with no float sums.
+
+Scale shape: the KS cumulative counts are the canonical distributed prefix
+sum — per-value count aggregation (one shuffle, map-side combined), then
+the two-phase bucket cumsum from operators/sweep.py (never a partition-less
+window over the value domain). The trend slopes are one groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+
+def ks_statistic(
+    df1: DataFrame,
+    df2: DataFrame,
+    value_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact two-sample KS distance. Returns one row:
+    (n1, n2, ks_num, ks_ppm) where ks_num = max|n1·c2 − n2·c1| and
+    ks_ppm = ks_num·10⁶ div (n1·n2). Nulls are dropped (no CDF position)."""
+    s1 = df1.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    s2 = df2.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    tagged = s1.withColumn("__s", F.lit(1)).unionByName(s2.withColumn("__s", F.lit(2)))
+    per_value = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    # inclusive cumulative counts over the value order (distinct values ->
+    # the order is total with no tie columns); both cumsums share one
+    # bucket-bounds probe.
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    row = per_value.agg(
+        F.percentile_approx(F.col("v").cast("double"), F.lit(probs), F.lit(10_000)).alias("b")
+    ).first()
+    bounds = list(row["b"] or [])
+    c1 = value_ordered_running_sum(
+        per_value, "v", [], F.col("d1").cast("long"), out_col="c1", bounds=bounds
+    )
+    both = value_ordered_running_sum(
+        c1, "v", [], F.col("d2").cast("long"), out_col="c2", bounds=bounds
+    )
+    n1c = s1.count()
+    n2c = s2.count()
+    gap = F.abs(F.lit(n1c) * F.col("c2") - F.lit(n2c) * F.col("c1"))
+    return both.agg(F.max(gap).alias("ks_num")).select(
+        F.lit(n1c).cast("long").alias("n1"),
+        F.lit(n2c).cast("long").alias("n2"),
+        F.col("ks_num").cast("long").alias("ks_num"),
+        F.expr(f"(ks_num * 1000000L) div ({n1c}L * {n2c}L)").cast("long").alias("ks_ppm"),
+    )
+
+
+def group_trend_slopes(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str | Column,
+    y_col: str | Column,
+) -> DataFrame:
+    """Per-group OLS slope over integer points, exact: returns the raw
+    rational (slope_num, slope_den) plus slope_ppm = num·10⁶ div den.
+    Groups with < 2 distinct x (den = 0) report NULL ppm."""
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    base = agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+    )
+    return base.withColumn(
+        "slope_ppm",
+        F.when(
+            F.col("slope_den") != 0, F.expr("(slope_num * 1000000L) div slope_den")
+        ).cast("long"),
+    )

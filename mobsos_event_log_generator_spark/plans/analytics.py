@@ -2300,3 +2300,92 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         l_div=2,
     )
+
+
+@register(
+    "events_ks_drift",
+    """
+WITH s1 AS (SELECT value AS v FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+s2 AS (SELECT value AS v FROM events WHERE event_type = 'error' AND value IS NOT NULL),
+g AS (
+  SELECT v,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM (SELECT v, 1 AS s FROM s1 UNION ALL SELECT v, 2 FROM s2)
+  GROUP BY 1
+),
+c AS (
+  SELECT v,
+         CAST(sum(d1) OVER (ORDER BY v) AS BIGINT) AS c1,
+         CAST(sum(d2) OVER (ORDER BY v) AS BIGINT) AS c2
+  FROM g
+),
+n AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2
+)
+SELECT n1, n2,
+       CAST(max(abs(n1 * c2 - n2 * c1)) AS BIGINT) AS ks_num,
+       CAST((max(abs(n1 * c2 - n2 * c1)) * 1000000) // (n1 * n2) AS BIGINT) AS ks_ppm
+FROM c, n
+GROUP BY n1, n2
+""",
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between the click and error value
+    distributions, EXACT: D·n1·n2 = max|n1·c2(v) − n2·c1(v)| over observed
+    values — no float CDF (the cross-multiplied-rationals trick). The
+    cumulative counts run through the two-phase bucket prefix sum
+    (operators/sweep.py), never a partition-less window; the oracle's global
+    ORDER BY window is the single-node shape this plan replaces."""
+    from mobsos_event_log_generator_spark.operators.stats import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+        "value",
+    )
+
+
+@register(
+    "events_type_trends",
+    """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(day) AS BIGINT) AS sx,
+         CAST(sum(n_events) AS BIGINT) AS sy,
+         CAST(sum(day * n_events) AS BIGINT) AS sxy,
+         CAST(sum(day * day) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx <> 0
+                 THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            END AS BIGINT) AS slope_ppm
+FROM agg
+""",
+)
+def events_type_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type volume trend: exact OLS slope of daily counts against
+    the epoch-day index — numerator and denominator are pure integer
+    aggregates (n·Σxy − ΣxΣy over n·Σx² − (Σx)²), reported as the rational
+    pair plus an integer-ppm quotient. Trend detection with zero float sums;
+    two map-side-combined aggregations, no window, no join."""
+    from mobsos_event_log_generator_spark.operators.stats import group_trend_slopes
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.expr("unix_micros(ts) div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return group_trend_slopes(daily, ["event_type"], "day", "n_events")

@@ -367,3 +367,39 @@ def test_k_anonymity_report_flags(spark):
     rep = {r["q"]: r for r in k_anonymity_report(df, ["q"], "s", k=3, l_div=2).collect()}
     assert rep["X"]["group_size"] == 3 and not rep["X"]["under_k"] and not rep["X"]["under_l"]
     assert rep["Y"]["under_k"] and rep["Y"]["under_l"]
+
+
+def test_ks_statistic_known_answer(spark):
+    from mobsos_event_log_generator_spark.operators.stats import ks_statistic
+
+    # S1 = {1,2,3,4}, S2 = {3,4,5,6}: max gap at v=2 (F1=0.5, F2=0) -> D=0.5
+    d1 = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], "v double")
+    d2 = spark.createDataFrame([(float(v),) for v in [3, 4, 5, 6]], "v double")
+    r = ks_statistic(d1, d2, "v").collect()[0]
+    assert (r["n1"], r["n2"]) == (4, 4)
+    assert r["ks_num"] == 8  # |4*0 - 4*2| at v=2
+    assert r["ks_ppm"] == 500_000
+
+
+def test_ks_statistic_identical_samples_zero(spark):
+    from mobsos_event_log_generator_spark.operators.stats import ks_statistic
+
+    d = spark.createDataFrame([(float(v),) for v in range(50)], "v double")
+    r = ks_statistic(d, d, "v").collect()[0]
+    assert r["ks_num"] == 0 and r["ks_ppm"] == 0
+
+
+def test_group_trend_slopes_exact(spark):
+    from mobsos_event_log_generator_spark.operators.stats import group_trend_slopes
+
+    rows = (
+        [("up", x, 2 * x + 1) for x in range(5)]
+        + [("flat", x, 7) for x in range(5)]
+        + [("one", 3, 9)]  # single x -> den 0 -> NULL ppm
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in group_trend_slopes(df, ["g"], "x", "y").collect()}
+    assert out["up"]["slope_num"] / out["up"]["slope_den"] == 2.0
+    assert out["up"]["slope_ppm"] == 2_000_000
+    assert out["flat"]["slope_num"] == 0 and out["flat"]["slope_ppm"] == 0
+    assert out["one"]["slope_den"] == 0 and out["one"]["slope_ppm"] is None
