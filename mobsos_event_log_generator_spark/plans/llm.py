@@ -2955,3 +2955,73 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 5
     )
+
+
+@register(
+    "vocabulary_growth_curve",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+toks AS (SELECT DISTINCT doc_id, unnest(words) AS tok FROM w),
+first_seen AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+new_types AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1),
+per_doc AS (
+  SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_tokens, COALESCE(n_new, 0) AS n_new
+  FROM w LEFT JOIN new_types USING (doc_id)
+),
+cum AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS docs_seen,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tokens_seen,
+         CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_size
+  FROM per_doc
+)
+SELECT docs_seen, tokens_seen, vocab_size
+FROM cum WHERE docs_seen % 50 = 0
+""",
+)
+def vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-type count as a function of
+    corpus position (checkpoints every 50 docs) — the curve that sizes
+    tokenizer vocabularies and detects corpus saturation. "Cumulative
+    distinct" never runs a distinct-over-prefix per checkpoint: each type is
+    attributed to its FIRST-occurrence document (one groupBy min), so the
+    curve is three running sums over the doc order — all through the
+    two-phase bucket prefix sum (operators/sweep.py), no partition-less
+    window. The oracle's global ORDER BY windows are the single-node shape
+    this replaces."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", X.tokens().alias("words"))
+    toks = words.select("doc_id", F.explode("words").alias("tok")).distinct()
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    per_doc = (
+        words.select("doc_id", F.size("words").cast("long").alias("n_tokens"))
+        .join(new_types, "doc_id", "left")
+        .select("doc_id", "n_tokens", F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"))
+    )
+    probs = [i / 32 for i in range(1, 32)]
+    row = per_doc.agg(
+        F.percentile_approx(F.col("doc_id").cast("double"), F.lit(probs), F.lit(10_000)).alias("b")
+    ).first()
+    bounds = list(row["b"] or [])
+    cum = value_ordered_running_sum(
+        per_doc, "doc_id", [], F.lit(1).cast("long"), out_col="docs_seen", bounds=bounds
+    )
+    cum = value_ordered_running_sum(
+        cum, "doc_id", [], F.col("n_tokens"), out_col="tokens_seen", bounds=bounds
+    )
+    cum = value_ordered_running_sum(
+        cum, "doc_id", [], F.col("n_new"), out_col="vocab_size", bounds=bounds
+    )
+    return (
+        cum.filter(F.col("docs_seen") % 50 == 0)
+        .select(
+            F.col("docs_seen").cast("long"),
+            F.col("tokens_seen").cast("long"),
+            F.col("vocab_size").cast("long"),
+        )
+    )

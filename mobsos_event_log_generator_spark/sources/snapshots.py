@@ -40,6 +40,36 @@ class SnapshotConflict(RuntimeError):
     """Another writer committed this version first — re-read latest, retry."""
 
 
+class SchemaEvolutionError(ValueError):
+    """Append schema conflicts with the table schema (same column, new type)."""
+
+
+def _merge_schemas(parent_schema_json: dict | None, new_schema) -> dict:
+    """Additive schema evolution with enforcement: appends may ADD columns
+    (back-filled as NULL on read for pre-evolution files) but may not change
+    an existing column's type — the silent-corruption class every table
+    format rejects. Returns the merged schema as JSON (parent column order
+    first, additions after, everything nullable so old files read clean)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not parent_schema_json or not parent_schema_json.get("fields"):
+        return new_schema.jsonValue()
+    parent = StructType.fromJson(parent_schema_json)
+    by_name = {f.name: f for f in parent.fields}
+    merged = [StructField(f.name, f.dataType, True) for f in parent.fields]
+    for f in new_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            merged.append(StructField(f.name, f.dataType, True))
+        elif old.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {old.dataType.simpleString()}, "
+                f"append has {f.dataType.simpleString()} — type changes need an "
+                "explicit overwrite, not an append"
+            )
+    return StructType(merged).jsonValue()
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, MANIFEST_DIR, f"v{version}.json")
 
@@ -111,14 +141,15 @@ def snapshot_append(df: DataFrame, root: str) -> int:
     the committed version. On SnapshotConflict the data files are already
     safe and unreferenced — callers retry the COMMIT by calling again with
     an empty frame, or simply re-run (orphans are vacuumable)."""
-    files, n = _write_data_files(df, root)
     parent = read_manifest(root)
+    merged_schema = _merge_schemas(parent.get("schema"), df.schema)
+    files, n = _write_data_files(df, root)
     manifest = {
         "version": parent["version"] + 1,
         "parent": parent["version"] or None,
         "files": parent["files"] + files,
         "n_rows": parent["n_rows"] + n,
-        "schema": df.schema.jsonValue(),
+        "schema": merged_schema,
         "operation": "append",
     }
     return _commit(root, manifest)
@@ -151,7 +182,16 @@ def read_snapshot(spark: SparkSession, root: str, version: int | None = None) ->
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{m['version']} of {root} has no files")
     paths = [os.path.join(root, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if m.get("schema"):
+        # Impose the manifest's (evolution-merged) schema: files written
+        # before a column was added resolve it to NULL by name; without this
+        # a plain parquet read takes one file's schema and silently drops
+        # columns the other files carry.
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    return reader.parquet(*paths)
 
 
 def vacuum_orphans(root: str) -> list[str]:

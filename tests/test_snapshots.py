@@ -267,3 +267,46 @@ def test_snapshot_delete_keys_prunes_and_erases(spark, tmp_path):
     d = snapshot_diff(spark, root, 1, 2)
     deleted = {r["id"] for r in d.filter("_change_type = 'delete'").collect()}
     assert {5, 7} <= deleted
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    import pytest
+
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        SchemaEvolutionError,
+        snapshot_append,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    snapshot_append(spark.createDataFrame([(1, "a")], "id long, name string"), root)
+    # evolve: add a column; old file back-fills NULL on read
+    snapshot_append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double"), root
+    )
+    out = {r["id"]: r for r in read_snapshot(spark, root).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["score"] is None and out[2]["score"] == 9.5
+    assert read_snapshot(spark, root).columns == ["id", "name", "score"]
+    # narrower append (missing column) is fine too: column stays in schema
+    snapshot_append(spark.createDataFrame([(3, "c")], "id long, name string"), root)
+    out3 = {r["id"]: r for r in read_snapshot(spark, root).collect()}
+    assert out3[3]["score"] is None and len(out3) == 3
+    # type change on an existing column is rejected BEFORE any file lands
+    with pytest.raises(SchemaEvolutionError):
+        snapshot_append(spark.createDataFrame([("x", "d")], "id string, name string"), root)
+    assert len(read_snapshot(spark, root).collect()) == 3
+
+
+def test_schema_evolution_time_travel_keeps_old_schema(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        snapshot_append,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    v1 = snapshot_append(spark.createDataFrame([(1,)], "id long"), root)
+    snapshot_append(spark.createDataFrame([(2, "b")], "id long, name string"), root)
+    # v1's manifest predates the evolution: time travel sees the old shape
+    assert read_snapshot(spark, root, version=v1).columns == ["id"]
+    assert read_snapshot(spark, root).columns == ["id", "name"]
