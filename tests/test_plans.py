@@ -344,3 +344,46 @@ def test_gapfill_no_cartesian_over_rows(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_gapfill_interpolate")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_join_is_equijoin_not_cross(spark, sf_dir):
+    """Prefix-filter candidate generation must be a hash/sort-merge equi-join
+    on the (renamed) prefix token — a shared-lineage self-join that resolves
+    `shingle == shingle` to the same attribute degrades into a size-filtered
+    cross join that the verify step silently papers over."""
+    plan = plan_of(spark, sf_dir, "dedup_jaccard_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_counts_are_equijoins_not_cross(spark, sf_dir):
+    """Wedge generation and closure check must be equi-joins (on the oriented
+    source and the (a,b) edge key) — the oracle's triple self-join is the
+    quadratic shape the plan exists to avoid."""
+    plan = plan_of(spark, sf_dir, "parts_cooccur_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_is_positional_equijoin(spark, sf_dir):
+    """Each phrase leg must join on the (doc, pos) key after a term filter —
+    never a cross product over postings."""
+    plan = plan_of(spark, sf_dir, "search_phrase_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_point_in_time_single_shuffle_sweep(spark, sf_dir):
+    """The point-in-time lookup must be the as-of union-sweep (no inequality
+    join): no nested-loop, and exactly the per-key window partitioning."""
+    plan = plan_of(spark, sf_dir, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_no_shuffle_of_facts(spark, sf_dir):
+    """The inclusion filter is a narrow projection against a 1-row broadcast
+    total — no Exchange over the fact table except the aggregate's own."""
+    plan = plan_of(spark, sf_dir, "orders_weighted_sample")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
