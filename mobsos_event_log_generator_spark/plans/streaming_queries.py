@@ -655,3 +655,79 @@ def streaming_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
         F.date_format("r_ts", TS_FMT_SPARK).alias("purchase_ts"),
     )
+
+
+@register(
+    "streaming_drift_monitor",
+    """
+WITH b AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events),
+slices AS (
+  SELECT i,
+         mn + (mx + 1 - mn) * i // 4 AS lo,
+         mn + (mx + 1 - mn) * (i + 1) // 4 AS hi
+  FROM range(0, 4) t(i), b
+),
+tagged AS (
+  SELECT s.i, CAST(floor(e.value / 10) AS BIGINT) AS band
+  FROM events e JOIN slices s ON e.event_id >= s.lo AND e.event_id < s.hi
+),
+bands AS (SELECT i, band, CAST(count(*) AS BIGINT) AS n FROM tagged GROUP BY 1, 2),
+allbands AS (SELECT DISTINCT band FROM bands),
+ks AS (SELECT i FROM range(1, 4) t(i)),
+mat AS (
+  SELECT k.i AS batch_id, ab.band,
+         COALESCE((SELECT n FROM bands WHERE i = k.i AND band = ab.band), 0) AS n_cur,
+         COALESCE((SELECT CAST(sum(n) AS BIGINT) FROM bands WHERE i < k.i AND band = ab.band), 0) AS n_prev
+  FROM ks k, allbands ab
+),
+tots AS (
+  SELECT batch_id, CAST(sum(n_cur) AS BIGINT) AS t_cur, CAST(sum(n_prev) AS BIGINT) AS t_prev
+  FROM mat GROUP BY 1
+)
+SELECT m.batch_id, t_cur, t_prev,
+       CAST(sum(abs(n_cur * t_prev - n_prev * t_cur)) AS BIGINT) AS l1_num,
+       CAST(t_cur * t_prev AS BIGINT) AS denom,
+       CAST((sum(abs(n_cur * t_prev - n_prev * t_cur)) * 1000000) // (t_cur * t_prev) AS BIGINT) AS drift_ppm
+FROM mat m JOIN tots USING (batch_id)
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous distribution-drift monitoring: events arrive in four
+    event_id-ordered micro-batches; each batch's banded value histogram is
+    compared against the CUMULATIVE history via the exact integer L1 form
+    (Σ|n_b·T_prev − h_b·T_cur|, ppm by integer division — no float
+    frequencies), then appended to a persisted, batch-partitioned band
+    index (crash-replay idempotent: reads exclude the writer's own
+    partition). The oracle replays the same slice arithmetic and cumulative
+    comparisons in SQL."""
+    import os
+
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from mobsos_event_log_generator_spark.streaming.drift import drift_rows, run_drift_monitor
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("sdrift_")
+    src = os.path.join(root, "src")
+    _write_id_slices(ev, "event_id", src, root)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        run_drift_monitor(
+            spark,
+            stream,
+            band=F.floor(F.col("value") / 10).cast("long"),
+            index_dir=os.path.join(root, "index"),
+            out_dir=os.path.join(root, "out"),
+            checkpoint_dir=os.path.join(root, "ck"),
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return drift_rows(spark, os.path.join(root, "out"))

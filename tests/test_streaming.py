@@ -142,3 +142,52 @@ def test_sliding_window_fanout_and_alignment(spark):
     assert by_key[("2026-01-01 00:00:00", "click")] == 2
     assert by_key[("2026-01-01 00:15:00", "click")] == 1
     assert by_key[("2026-01-01 00:15:00", "view")] == 1
+
+
+def test_drift_monitor_known_values_and_replay(spark, tmp_path):
+    """Two crafted micro-batches: batch0 all band 0, batch1 half band 0 /
+    half band 1 -> L1 vs history = |5*10-10*10| + |5*10-0| = 100, denom 100,
+    drift_ppm 1_000_000. Replay of a batch (same id) must not double-count
+    its own index partition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.streaming.drift import (
+        drift_rows,
+        read_bands,
+        run_drift_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0 = spark.createDataFrame([(i, 5.0) for i in range(10)], "id long, value double")
+    b1 = spark.createDataFrame(
+        [(100 + i, 5.0) for i in range(5)] + [(200 + i, 15.0) for i in range(5)],
+        "id long, value double",
+    )
+    b0.coalesce(1).write.parquet(src + "/s0")
+    b1.coalesce(1).write.parquet(src + "/s1")
+    # order by mtime
+    for i, d in enumerate(["s0", "s1"]):
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/s*")
+    )
+    idx, out, ck = (str(tmp_path / n) for n in ["idx", "out", "ck"])
+    run_drift_monitor(
+        spark, stream, F.floor(F.col("value") / 10).cast("long"), idx, out, ck
+    )
+    rows = {r["batch_id"]: r for r in drift_rows(spark, out).collect()}
+    assert list(rows) == [1]
+    r = rows[1]
+    assert (r["t_cur"], r["t_prev"]) == (10, 10)
+    assert r["l1_num"] == 100 and r["denom"] == 100 and r["drift_ppm"] == 1_000_000
+    # replay semantics: excluding a batch's own partition restores pre-write view
+    hist_all = {x["band"]: x["n"] for x in read_bands(spark, idx).collect()}
+    assert hist_all == {0: 15, 1: 5}
+    hist_excl = {x["band"]: x["n"] for x in read_bands(spark, idx, exclude_batch=1).collect()}
+    assert hist_excl == {0: 10}
