@@ -126,6 +126,8 @@ _NEW_THIS_ROUND = {
     "events_type_trends",
     "vocabulary_growth_curve",
     "streaming_drift_monitor",
+    "events_spatial_pairs",
+    "multimodal_video_keyframes",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

@@ -488,3 +488,79 @@ def synth_wav_payloads(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return df.select(id_col, text_col).mapInPandas(synth_batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video: frame container + keyframe selection
+# ---------------------------------------------------------------------------
+
+_MVID_MAGIC = b"MVID"
+
+
+def encode_mvid(frames: list[bytes]) -> bytes:
+    """Minimal video container: magic + frame count + length-prefixed PNG
+    frames. A real pipeline swaps this for an mp4/ffmpeg demux behind the
+    same mapInPandas signature; the container exists so the frame-walk,
+    per-frame decode, and temporal-difference logic are REAL end to end."""
+    out = [_MVID_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_mvid(payload: bytes) -> list[bytes]:
+    """Frame payloads out of the MVID container (strict: bad magic raises)."""
+    if payload[:4] != _MVID_MAGIC:
+        raise ValueError("not an MVID payload")
+    (n,) = struct.unpack(">I", payload[4:8])
+    frames, off = [], 8
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", payload[off : off + 4])
+        off += 4
+        frames.append(payload[off : off + ln])
+        off += ln
+    if off != len(payload):
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
+def video_keyframes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    luma_sum_threshold: int = 256,
+) -> DataFrame:
+    """Per-frame decode + temporal keyframe selection over mapInPandas:
+    every frame PNG-decodes through the real codec; a frame is a KEYFRAME
+    iff it is the first or its total luma differs from the previous frame's
+    by ≥ ``luma_sum_threshold`` (pure integer compare — the deterministic
+    stand-in for a block-diff codec heuristic). Output one row per frame:
+    (id, frame_idx, mean_luma 6dp HALF_UP, is_keyframe).
+
+    Scale shape: embarrassingly parallel per payload, zero shuffle; frames
+    of one video stay in one task (temporal diffs never cross executors) —
+    the same cost model as the image decode path."""
+    schema = (
+        f"{id_col} long, frame_idx int, mean_luma double, is_keyframe boolean"
+    )
+
+    def kf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lumas, keys = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                prev_tot = None
+                for i, png in enumerate(decode_mvid(bytes(payload))):
+                    d = decode_image(png)
+                    tot = sum(d["pixels"])  # pure integer luma sum
+                    n_px = d["width"] * d["height"] * d["channels"]
+                    ids.append(rid)
+                    idxs.append(i)
+                    lumas.append(_round6_half_up(tot / n_px))
+                    keys.append(prev_tot is None or abs(tot - prev_tot) >= luma_sum_threshold)
+                    prev_tot = tot
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "mean_luma": lumas, "is_keyframe": keys}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kf_batches, schema)

@@ -2389,3 +2389,41 @@ def events_type_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return group_trend_slopes(daily, ["event_type"], "day", "n_events")
+
+
+@register(
+    "events_spatial_pairs",
+    """
+WITH pts AS (
+  SELECT event_id AS id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 6))::BIGINT % 10000 AS x,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'y'), 1, 6))::BIGINT % 10000 AS y
+  FROM events WHERE event_id % 2 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500
+""",
+)
+def events_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join: all point pairs within Euclidean
+    distance 50 on a 10k×10k integer grid (coordinates derived
+    deterministically from event ids). The oracle is the quadratic
+    distance-filtered cross join; the plan is the grid-bucketed equi-join
+    (operators/spatial.py): one side replicates into its 3×3 cell
+    neighborhood (9|A| + |B| shuffle rows, never |A|·|B|), then an exact
+    integer d² verify — the 2-D analogue of the LSH bucket join, and the
+    pattern for geo joins at 100 TB."""
+    from mobsos_event_log_generator_spark.operators.spatial import grid_distance_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (F.conv(F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit("x"))), 1, 6), 16, 10)
+         .cast("long") % 10000).alias("x"),
+        (F.conv(F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit("y"))), 1, 6), 16, 10)
+         .cast("long") % 10000).alias("y"),
+    )
+    pairs = grid_distance_join(pts, pts, max_dist=50)
+    return pairs.filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "dist_sq")

