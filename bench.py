@@ -52,6 +52,11 @@ HEADLINE = [
     "eventlog_pagerank_activities",
     "dedup_canonical_urls",
     "multimodal_audio_features",
+    # round 4 second wave: the exact-Jaccard scale path, the orientation-
+    # bounded graph triangle count, and the integer KS drift monitor
+    "dedup_jaccard_prefix_join",
+    "parts_cooccur_triangles",
+    "events_ks_drift",
 ]
 
 

@@ -44,22 +44,23 @@ def ks_statistic(
         F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).alias("d2"),
     )
-    # inclusive cumulative counts over the value order (distinct values ->
-    # the order is total with no tie columns); both cumsums share one
-    # bucket-bounds probe.
+    # ONE driver action supplies the sample sizes AND the shared bucket
+    # bounds for both cumsums (three separate actions cost ~3 job rounds;
+    # measured 3.1 s -> ~2 s warm at sf0.1 when folded).
     probs = [i / num_buckets for i in range(1, num_buckets)]
     row = per_value.agg(
-        F.percentile_approx(F.col("v").cast("double"), F.lit(probs), F.lit(10_000)).alias("b")
+        F.percentile_approx(F.col("v").cast("double"), F.lit(probs), F.lit(10_000)).alias("b"),
+        F.sum("d1").alias("n1"),
+        F.sum("d2").alias("n2"),
     ).first()
     bounds = list(row["b"] or [])
+    n1c, n2c = int(row["n1"] or 0), int(row["n2"] or 0)
     c1 = value_ordered_running_sum(
         per_value, "v", [], F.col("d1").cast("long"), out_col="c1", bounds=bounds
     )
     both = value_ordered_running_sum(
         c1, "v", [], F.col("d2").cast("long"), out_col="c2", bounds=bounds
     )
-    n1c = s1.count()
-    n2c = s2.count()
     gap = F.abs(F.lit(n1c) * F.col("c2") - F.lit(n2c) * F.col("c1"))
     return both.agg(F.max(gap).alias("ks_num")).select(
         F.lit(n1c).cast("long").alias("n1"),
