@@ -2427,3 +2427,60 @@ def events_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = grid_distance_join(pts, pts, max_dist=50)
     return pairs.filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "dist_sq")
+
+
+@register(
+    "sketch_user_overlap",
+    """
+SELECT
+  CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS BIGINT) AS exact_click,
+  CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS BIGINT) AS exact_purchase,
+  CAST((SELECT count(DISTINCT user_id) FROM events
+        WHERE event_type IN ('click', 'purchase')) AS BIGINT) AS exact_union,
+  CAST((SELECT count(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase')) AS BIGINT) AS exact_both,
+  TRUE AS within_bound
+""",
+)
+def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch algebra: audience-overlap estimation via HLL
+    inclusion-exclusion — est(A∩B) = approx(A) + approx(B) − approx(A∪B),
+    the composable form that lets per-segment sketches answer any pairwise
+    overlap without re-scanning the facts. Raw registers are
+    engine-specific, so (as with sketch_distinct_users_daily) the emitted
+    contract is the exact counts plus a within_bound flag asserting the
+    estimate lands within 15% of the true intersection — the error bound
+    IS the hash-checked value."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = F.when(F.col("event_type") == "click", F.col("user_id"))
+    purchases = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    either = F.when(F.col("event_type").isin("click", "purchase"), F.col("user_id"))
+    agg = ev.agg(
+        F.approx_count_distinct(clicks, rsd=0.02).alias("a_c"),
+        F.approx_count_distinct(purchases, rsd=0.02).alias("a_p"),
+        F.approx_count_distinct(either, rsd=0.02).alias("a_u"),
+        F.countDistinct(clicks).alias("exact_click"),
+        F.countDistinct(purchases).alias("exact_purchase"),
+        F.countDistinct(either).alias("exact_union"),
+    )
+    return agg.select(
+        F.col("exact_click").cast("long"),
+        F.col("exact_purchase").cast("long"),
+        F.col("exact_union").cast("long"),
+        (F.col("exact_click") + F.col("exact_purchase") - F.col("exact_union"))
+        .cast("long")
+        .alias("exact_both"),
+        (
+            F.abs(
+                (F.col("a_c") + F.col("a_p") - F.col("a_u"))
+                - (F.col("exact_click") + F.col("exact_purchase") - F.col("exact_union"))
+            )
+            <= F.greatest(
+                F.lit(0.15)
+                * (F.col("exact_click") + F.col("exact_purchase") - F.col("exact_union")),
+                F.lit(3.0),
+            )
+        ).alias("within_bound"),
+    )

@@ -3086,3 +3086,63 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     videos = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
     return video_keyframes(videos, luma_sum_threshold=256)
+
+
+@register(
+    "corpus_duplication_report",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+wins AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, md5(array_to_string(words[p:p+7], ' ')) AS h
+  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 8 + 2)) AS p) t
+  WHERE len(words) >= 8
+),
+rep AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM wins WHERE h IN (SELECT h FROM rep)),
+lagd AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM hits),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM lagd
+),
+spans AS (
+  SELECT doc_id, CAST(min(p) AS BIGINT) AS s, CAST(max(p) + 8 AS BIGINT) AS e
+  FROM isl GROUP BY doc_id, island
+),
+cov AS (SELECT CAST(COALESCE(sum(e - s), 0) AS BIGINT) AS covered_tokens,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_dups
+        FROM spans),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(words)) AS BIGINT) AS total_tokens FROM w)
+SELECT n_docs, docs_with_dups, total_tokens, covered_tokens,
+       CAST((covered_tokens * 1000000) // total_tokens AS BIGINT) AS dup_ppm
+FROM tot, cov
+""",
+)
+def corpus_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication metric (the number Lee et al. report before/
+    after dedup): the fraction of tokens lying inside cross-document
+    repeated substrings of ≥ 8 tokens — computed from the suffix-window
+    spans (operators/dedup.py::repeated_substring_spans), so the cost is
+    the span pipeline plus two tiny aggregates. Integer ppm; one row."""
+    from mobsos_event_log_generator_spark.operators.dedup import repeated_substring_spans
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    spans = repeated_substring_spans(docs, window_tokens=8)
+    cov = spans.agg(
+        F.coalesce(F.sum(F.col("span_end") - F.col("span_start")), F.lit(0)).cast("long").alias("covered_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("docs_with_dups"),
+    )
+    tot = docs.select(X.tokens().alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("w")).cast("long").alias("total_tokens"),
+    )
+    return tot.crossJoin(F.broadcast(cov)).select(
+        "n_docs",
+        "docs_with_dups",
+        "total_tokens",
+        "covered_tokens",
+        F.expr("(covered_tokens * 1000000L) div total_tokens").cast("long").alias("dup_ppm"),
+    )
