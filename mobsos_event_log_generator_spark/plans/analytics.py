@@ -2125,7 +2125,7 @@ def parts_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
         .select("s", "d")
     )
-    tri = triangle_counts(edges, "s", "d")
+    tri = triangle_counts(edges, "s", "d", broadcast_closing=True)
     deg = (
         edges.select(F.col("s").alias("node"))
         .unionAll(edges.select(F.col("d").alias("node")))
