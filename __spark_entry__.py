@@ -130,6 +130,8 @@ _NEW_THIS_ROUND = {
     "multimodal_video_keyframes",
     "corpus_duplication_report",
     "sketch_user_overlap",
+    "events_winsorized_stats",
+    "corpus_negative_pairs",
 }
 # Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
 # listed above as new) + 18 new = 49 — everything never-driver-checked fits

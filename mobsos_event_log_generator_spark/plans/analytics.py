@@ -2484,3 +2484,52 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_bound"),
     )
+
+
+@register(
+    "events_winsorized_stats",
+    """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(p05), 4) AS p05,
+       round(any_value(p95), 4) AS p95,
+       round(avg(value), 4) AS raw_mean,
+       round(avg(CASE WHEN value < p05 THEN p05
+                      WHEN value > p95 THEN p95
+                      ELSE value END), 4) AS winsorized_mean
+FROM events e JOIN q USING (event_type)
+GROUP BY 1
+""",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust group statistics: per event type, the mean after
+    winsorizing values to the exact [p05, p95] interpolated percentiles —
+    the robust aggregate feature pipelines use when MAD is too aggressive.
+    Two passes over one shuffle key: an exact-percentile aggregate (tiny,
+    broadcast back) then the clipped mean; no window, no sort of the
+    facts."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("p05"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+    )
+    clipped = F.when(F.col("value") < F.col("p05"), F.col("p05")).when(
+        F.col("value") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+    )

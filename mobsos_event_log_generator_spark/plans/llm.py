@@ -3146,3 +3146,66 @@ def corpus_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_tokens",
         F.expr("(covered_tokens * 1000000L) div total_tokens").cast("long").alias("dup_ppm"),
     )
+
+
+@register(
+    "corpus_negative_pairs",
+    """
+WITH ids AS (SELECT doc_id FROM documents),
+span AS (SELECT max(doc_id) + 1 AS m FROM ids),
+cand AS (
+  SELECT a.doc_id AS anchor_id, CAST(i AS BIGINT) AS slot,
+         ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % m AS neg_id
+  FROM ids a, range(1, 5) t(i), span
+)
+SELECT anchor_id, slot, neg_id
+FROM cand JOIN ids b ON b.doc_id = cand.neg_id
+WHERE neg_id <> anchor_id
+""",
+)
+def corpus_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs: each
+    anchor document draws 4 pseudo-random negatives via md5(anchor, slot) —
+    a pure function of the ids, so the SAME pairs regenerate on any engine,
+    re-run, or partitioning (no RNG state to ship with the dataset).
+    Candidates that miss the corpus (id gaps) or hit the anchor itself drop
+    via the equi-join/filter — the sampler never assumes contiguous ids.
+    Scale shape: a 4-way literal explode (narrow) plus one equi-join on the
+    id; the max-id span is a 1-row broadcast."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+    span = ids.agg((F.max("doc_id") + 1).alias("m"))
+    slots = F.array(*[F.lit(i) for i in range(1, 5)])
+    cand = (
+        ids.crossJoin(F.broadcast(span))
+        .withColumn("slot", F.explode(slots))
+        .withColumn("slot", F.col("slot").cast("long"))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "slot",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit("#"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("m")
+            ).alias("neg_id"),
+        )
+    )
+    b = ids.select(F.col("doc_id").alias("neg_id"))
+    return (
+        cand.join(b, "neg_id")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "slot", "neg_id")
+    )
