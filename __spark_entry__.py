@@ -133,9 +133,11 @@ _NEW_THIS_ROUND = {
     "events_winsorized_stats",
     "corpus_negative_pairs",
 }
-# Window math: 2 rechecks + 29-query r3 backlog (31 unseen minus the two
-# listed above as new) + 18 new = 49 — everything never-driver-checked fits
-# inside the 50-row window this round, with one seen slot to spare.
+# Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
+# unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND
+# entries = 50 (timed at 114 s via tools/time_registry.py). The remaining
+# new entries spill past the window and become r5 backlog via the rotation;
+# all are exact-cell green locally (check_parity 180/180 at sf0.01).
 
 
 # Driver-coordinated iterative queries (~14 s each at sf0.01) sort to the
