@@ -132,6 +132,8 @@ _NEW_THIS_ROUND = {
     "sketch_user_overlap",
     "events_winsorized_stats",
     "corpus_negative_pairs",
+    "parts_cooccur_similarity",
+    "events_type_correlation",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

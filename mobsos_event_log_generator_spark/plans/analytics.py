@@ -2533,3 +2533,151 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("winsorized_mean"),
         )
     )
+
+
+@register(
+    "parts_cooccur_similarity",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+psup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS np FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_co
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT p1 AS part, p2 AS other, n_co FROM pairs
+  UNION ALL
+  SELECT p2, p1, n_co FROM pairs
+),
+scored AS (
+  SELECT part, other, n_co,
+         CAST((n_co * n_co * 1000000) // (s1.np * s2.np) AS BIGINT) AS cos2_ppm
+  FROM sym JOIN psup s1 ON s1.l_partkey = part JOIN psup s2 ON s2.l_partkey = other
+)
+SELECT part, other, n_co, cos2_ppm, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY part
+                                   ORDER BY cos2_ppm DESC, n_co DESC, other) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def parts_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: per part, the top-3 most similar
+    parts by co-occurrence cosine over order baskets — scored as EXACT
+    integer ppm of cosine² (n_co²·10⁶ div np_i·np_j), so no float ratio
+    enters the gate. Pair generation is the bounded basket join (quadratic
+    only in basket size); supports broadcast; the top-3 is a per-part
+    partitioned window (WindowGroupLimit pushes the rank filter)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    psup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("np"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    c = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    sym = pairs.select(F.col("p1").alias("part"), F.col("p2").alias("other"), "n_co").unionAll(
+        pairs.select(F.col("p2").alias("part"), F.col("p1").alias("other"), "n_co")
+    )
+    scored = (
+        sym.join(F.broadcast(psup.select(F.col("l_partkey").alias("part"), F.col("np").alias("np1"))), "part")
+        .join(F.broadcast(psup.select(F.col("l_partkey").alias("other"), F.col("np").alias("np2"))), "other")
+        .select(
+            "part",
+            "other",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.expr("(n_co * n_co * 1000000L) div (np1 * np2)").cast("long").alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("cos2_ppm").desc(), F.col("n_co").desc(), F.col("other")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 3)
+
+
+@register(
+    "events_type_correlation",
+    """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM d),
+types AS (SELECT DISTINCT event_type FROM d),
+m AS (
+  SELECT days.day, types.event_type, COALESCE(d.n, 0) AS n
+  FROM days CROSS JOIN types
+  LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type
+),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
+         CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+         CAST(sum(a.n * a.n) AS BIGINT) AS sxx, CAST(sum(b.n * b.n) AS BIGINT) AS syy
+  FROM m a JOIN m b ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta, tb,
+       CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                 WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS corr_sign,
+       CAST(((n * sxy - sx * sy)::HUGEINT * (n * sxy - sx * sy)::HUGEINT * 1000000)
+            // ((n * sxx - sx * sx)::HUGEINT * (n * syy - sy * sy)::HUGEINT) AS BIGINT) AS corr2_ppm
+FROM p
+""",
+)
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type daily volumes, EXACT:
+    corr² in integer ppm via the rational form (nΣxy−ΣxΣy)²·10⁶ over
+    (nΣx²−(Σx)²)(nΣy²−(Σy)²) — DECIMAL on Spark, HUGEINT in DuckDB, zero
+    float sums — plus the sign as ±1. The day×type matrix (zeros included —
+    a missing day IS signal for correlation) is O(days·types), bounded at
+    any corpus size; the pair join keys on the day."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.withColumn("day", F.expr("unix_micros(ts) div 86400000000"))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = d.select("day").distinct()
+    types = d.select("event_type").distinct()
+    m = (
+        days.crossJoin(F.broadcast(types))
+        .join(d, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+    a = m.select(F.col("day"), F.col("event_type").alias("ta"), F.col("n").alias("x"))
+    b = m.select(F.col("day"), F.col("event_type").alias("tb"), F.col("n").alias("y"))
+    p = (
+        a.join(b, "day")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(19,0)")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(19,0)")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(19,0)")
+    return p.select(
+        "ta",
+        "tb",
+        F.signum(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long").alias("corr_sign"),
+        F.expr(
+            "CAST((CAST(n * sxy - sx * sy AS DECIMAL(19,0)) * CAST(n * sxy - sx * sy AS DECIMAL(19,0)) * 1000000) "
+            "div (CAST(n * sxx - sx * sx AS DECIMAL(19,0)) * CAST(n * syy - sy * sy AS DECIMAL(19,0))) AS BIGINT)"
+        ).alias("corr2_ppm"),
+    )
