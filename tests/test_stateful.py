@@ -78,3 +78,46 @@ def test_stateful_needs_streaming_input(spark, tmp_path):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     with pytest.raises(Exception):
         capped_sessions(ev).collect()
+
+
+def test_transform_with_state_cumulative(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas wiring: per-user ValueState totals
+    across two micro-batches. Skips where google.protobuf (required by the
+    transformWithState state-server protocol) is unavailable."""
+    import os
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.streaming.tws import cumulative_user_stats
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0 = spark.createDataFrame([(1, 100), (1, 50), (2, 10)], "user_id long, cents long")
+    b1 = spark.createDataFrame([(1, 25), (3, 7)], "user_id long, cents long")
+    b0.coalesce(1).write.parquet(src + "/s0")
+    b1.coalesce(1).write.parquet(src + "/s1")
+    for i, d in enumerate(["s0", "s1"]):
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/s*")
+    )
+    out = cumulative_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_unit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["user_id"], r["cum_events"], r["cum_cents"])
+            for r in spark.table("tws_unit").collect()}
+    assert rows == {(1, 2, 150), (2, 1, 10), (1, 3, 175), (3, 1, 7)}
