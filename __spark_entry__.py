@@ -134,6 +134,7 @@ _NEW_THIS_ROUND = {
     "corpus_negative_pairs",
     "parts_cooccur_similarity",
     "events_type_correlation",
+    "parts_subtree_totals",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

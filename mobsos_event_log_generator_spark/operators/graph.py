@@ -334,3 +334,54 @@ def triangle_counts(
         .unionAll(tris.select(F.col("b").alias("node")))
     )
     return corner.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def ancestor_closure(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Full transitive (node, ancestor, dist) closure of a parent-pointer
+    forest — the relation behind SUBTREE aggregates (every node's total over
+    all descendants), permission inheritance, and BOM cost rollups, where
+    ``resolve_hierarchy`` (root+depth only) is not enough.
+
+    Doubling construction: A₁ = parent edges (dist 1); each round composes
+    A with itself (pairs (n→a, a→b) ⇒ n→b, dist summed), doubling the
+    reachable distance — O(log height) shuffle rounds, and in a forest each
+    (node, ancestor) pair is produced by exactly ONE composition split
+    (midpoint at the pointer chain's power-of-two cut is unique), so the
+    union needs one distinct per round, no blow-up beyond the closure's own
+    O(n·height) size. Convergence = a round adds no rows. Cycles would
+    never converge; the round budget raises instead (forest corruption).
+
+    Output excludes self-pairs (dist ≥ 1); callers wanting reflexive
+    closure union the identity themselves.
+    """
+    edges = (
+        nodes.filter(F.col(parent_col).isNotNull())
+        .select(
+            F.col(id_col).alias("node"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    closure = edges
+    for _ in range(max_rounds):
+        hop = closure.select(
+            F.col("node").alias("anc"), F.col("anc").alias("anc2"), F.col("dist").alias("d2")
+        )
+        new = (
+            closure.join(hop, "anc")
+            .select("node", F.col("anc2").alias("anc"), (F.col("dist") + F.col("d2")).alias("dist"))
+        )
+        grown = closure.unionByName(new).distinct().localCheckpoint(eager=True)
+        if grown.count() == closure.count():
+            return closure.select("node", "anc", "dist")
+        closure = grown
+    raise RuntimeError(
+        f"ancestor_closure did not converge in {max_rounds} rounds; either the "
+        "forest is astronomically deep or the parent pointers contain a cycle"
+    )

@@ -2681,3 +2681,65 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (CAST(n * sxx - sx * sx AS DECIMAL(19,0)) * CAST(n * syy - sy * sy AS DECIMAL(19,0))) AS BIGINT)"
         ).alias("corr2_ppm"),
     )
+
+
+@register(
+    "parts_subtree_totals",
+    """
+WITH RECURSIVE f AS (
+  SELECT p_partkey AS id,
+         CASE WHEN p_partkey <= 3 THEN NULL ELSE p_partkey // 4 END AS parent,
+         CAST(p_retailprice AS DECIMAL(18,4)) AS price
+  FROM part
+),
+anc(node, anc) AS (
+  SELECT id, parent FROM f WHERE parent IS NOT NULL
+  UNION
+  SELECT a.node, f2.parent
+  FROM anc a JOIN f f2 ON f2.id = a.anc
+  WHERE f2.parent IS NOT NULL
+),
+member AS (
+  SELECT node, anc FROM anc
+  UNION ALL
+  SELECT id, id FROM f
+)
+SELECT m.anc AS part,
+       CAST(count(*) AS BIGINT) AS subtree_size,
+       round(CAST(sum(f.price) AS DOUBLE), 2) AS subtree_price
+FROM member m JOIN f ON f.id = m.node
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def parts_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree aggregates over the synthetic part hierarchy: for every
+    internal node, the size and decimal-exact price total of its ENTIRE
+    subtree (descendants + self) — the BOM-cost/permission-inheritance
+    workload that needs the full ancestor closure, not just roots. The
+    closure builds in O(log height) doubling rounds
+    (operators/graph.py::ancestor_closure); the oracle recurses the
+    textbook way. Closure size is O(n·height) — bounded, since realistic
+    hierarchies are log-deep."""
+    from mobsos_event_log_generator_spark.operators.graph import ancestor_closure
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") <= 3, F.lit(None)).otherwise(
+            F.expr("p_partkey div 4")
+        ).alias("parent"),
+        F.col("p_retailprice").cast("decimal(18,4)").alias("price"),
+    )
+    closure = ancestor_closure(part.select("id", "parent"))
+    member = closure.select(F.col("node"), F.col("anc")).unionByName(
+        part.select(F.col("id").alias("node"), F.col("id").alias("anc"))
+    )
+    return (
+        member.join(part.select(F.col("id").alias("node"), "price"), "node")
+        .groupBy(F.col("anc").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("subtree_size"),
+            F.round(F.sum("price").cast("double"), 2).alias("subtree_price"),
+        )
+        .filter(F.col("subtree_size") > 1)
+    )

@@ -435,3 +435,26 @@ def test_grid_distance_join_cell_boundary(spark):
     df = spark.createDataFrame([(1, 9, 0), (2, 19, 0), (3, 30, 0)], "id long, x long, y long")
     got = {(r["id_a"], r["id_b"]) for r in grid_distance_join(df, df, max_dist=10).filter("id_a < id_b").collect()}
     assert got == {(1, 2)}  # dist 10 == max_dist included; 19->30 is 11, out
+
+
+def test_ancestor_closure_chain_and_forest(spark):
+    from mobsos_event_log_generator_spark.operators.graph import ancestor_closure
+
+    # chain 1<-2<-3<-4 plus isolated root 9
+    rows = [(1, None), (2, 1), (3, 2), (4, 3), (9, None)]
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {(r["node"], r["anc"]): r["dist"] for r in ancestor_closure(df).collect()}
+    assert got == {
+        (2, 1): 1, (3, 2): 1, (4, 3): 1,
+        (3, 1): 2, (4, 2): 2, (4, 1): 3,
+    }
+
+
+def test_ancestor_closure_cycle_raises(spark):
+    import pytest
+
+    from mobsos_event_log_generator_spark.operators.graph import ancestor_closure
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
+    with pytest.raises(RuntimeError):
+        ancestor_closure(df, max_rounds=5)
