@@ -2743,3 +2743,58 @@ def parts_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("subtree_size") > 1)
     )
+
+
+#: Benford first-digit probabilities log10(1+1/d), scaled to integer ppm —
+#: fixed literals so both engines compare against the identical table.
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def _benford_case_sql() -> str:
+    return "CASE d " + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()) + " END"
+
+
+@register(
+    "orders_benford_audit",
+    f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM digits),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM digits GROUP BY 1)
+SELECT d, cnt,
+       CAST((cnt * 1000000) // total AS BIGINT) AS obs_ppm,
+       CAST({_benford_case_sql()} AS BIGINT) AS benford_ppm,
+       CAST(abs((cnt * 1000000) // total - {_benford_case_sql()}) AS BIGINT) AS dev_ppm
+FROM obs, n
+""",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-numbers screen. Observed first-digit shares in integer ppm
+    against the fixed Benford table (log10(1+1/d) pre-scaled to ppm
+    literals, so no engine evaluates a log) with per-digit absolute
+    deviation. One aggregation pass + a 1-row total broadcast."""
+    ev = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = ev.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    n = digits.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    bexpr = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )[F.col("d")].cast("long")
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            "cnt",
+            F.expr("(cnt * 1000000L) div total").cast("long").alias("obs_ppm"),
+            bexpr.alias("benford_ppm"),
+            F.abs(F.expr("(cnt * 1000000L) div total") - bexpr).cast("long").alias("dev_ppm"),
+        )
+    )

@@ -452,3 +452,66 @@ def snapshot_delete_keys(
         "operation": "delete",
     }
     return _commit(root, manifest), len(hit)
+
+
+def snapshot_optimize(
+    spark: SparkSession,
+    root: str,
+    zorder_cols: tuple[str, str] | None = None,
+    target_files: int = 4,
+    bits: int = 16,
+    vacuum: bool = False,
+) -> int:
+    """OPTIMIZE-style maintenance in one transactional commit: rewrite the
+    latest snapshot range-partitioned + sorted on a Morton (Z-order) key
+    over ``zorder_cols`` (falls back to plain compaction when None), so
+    per-file min/max stats skip effectively on BOTH clustered dimensions.
+    Prior versions stay time-travelable; ``vacuum=True`` additionally
+    reclaims orphaned files afterwards (never files a live manifest
+    references, so history is unaffected — vacuum trims dead weight, not
+    time travel). Returns the committed version.
+
+    Scale shape: one full-table pass; the range partitioner samples z-value
+    boundaries, so there is no single-partition global sort — the same
+    layout contract as lake.zorder_layout, made transactional.
+    """
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.sources.lake import interleave_bits
+
+    df = read_snapshot(spark, root)
+    if zorder_cols is not None:
+        cx, cy = zorder_cols
+        span = (1 << bits) - 1
+        b = df.agg(
+            F.min(F.col(cx).cast("long")).alias("xlo"),
+            F.max(F.col(cx).cast("long")).alias("xhi"),
+            F.min(F.col(cy).cast("long")).alias("ylo"),
+            F.max(F.col(cy).cast("long")).alias("yhi"),
+        ).first()
+        xspan = max(int(b["xhi"]) - int(b["xlo"]), 1)
+        yspan = max(int(b["yhi"]) - int(b["ylo"]), 1)
+        zx = ((F.col(cx).cast("long") - int(b["xlo"])) * span / xspan).cast("long")
+        zy = ((F.col(cy).cast("long") - int(b["ylo"])) * span / yspan).cast("long")
+        clustered = (
+            df.withColumn("__z", interleave_bits(zx, zy, bits))
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        clustered = df.coalesce(target_files)
+    files, n = _write_data_files(clustered, root)
+    parent = read_manifest(root)
+    manifest = {
+        "version": parent["version"] + 1,
+        "parent": parent["version"] or None,
+        "files": files,
+        "n_rows": n,
+        "schema": parent.get("schema") or clustered.schema.jsonValue(),
+        "operation": "optimize",
+    }
+    version = _commit(root, manifest)
+    if vacuum:
+        vacuum_orphans(root)
+    return version

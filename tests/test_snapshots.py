@@ -310,3 +310,53 @@ def test_schema_evolution_time_travel_keeps_old_schema(spark, tmp_path):
     # v1's manifest predates the evolution: time travel sees the old shape
     assert read_snapshot(spark, root, version=v1).columns == ["id"]
     assert read_snapshot(spark, root).columns == ["id", "name"]
+
+
+def test_snapshot_optimize_zorder_and_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_manifest,
+        read_snapshot,
+        snapshot_append,
+        snapshot_optimize,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    # land as many small files
+    v1 = snapshot_append(df.repartition(16), root)
+    v2 = snapshot_optimize(spark, root, zorder_cols=("x", "y"), target_files=4)
+    m = read_manifest(root, v2)
+    assert m["operation"] == "optimize" and len(m["files"]) == 4
+    # content identical, prior version still readable with its own files
+    assert sorted(r["id"] for r in read_snapshot(spark, root, v2).collect()) == list(range(2000))
+    assert len(read_manifest(root, v1)["files"]) == 16
+    assert read_snapshot(spark, root, v1).count() == 2000
+    # clustered layout: per-file x ranges must be tighter than the full span
+    import os
+
+    data_files = [os.path.join(root, f) for f in m["files"]]
+    spans = []
+    for fp in data_files:
+        pdf = spark.read.parquet(fp).agg(F.min("x"), F.max("x")).first()
+        spans.append(int(pdf[1]) - int(pdf[0]))
+    assert min(spans) < 99  # at least one file covers a strict sub-range
+
+
+def test_snapshot_optimize_vacuum_keeps_history(spark, tmp_path):
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_optimize,
+        snapshot_overwrite,
+    )
+
+    root = str(tmp_path / "tbl")
+    v1 = snapshot_append(spark.range(100).selectExpr("id", "id AS x", "id AS y"), root)
+    snapshot_overwrite(spark.range(50).selectExpr("id", "id AS x", "id AS y"), root)
+    v3 = snapshot_optimize(spark, root, zorder_cols=("x", "y"), target_files=2, vacuum=True)
+    # vacuum removed nothing that a live manifest references
+    assert read_snapshot(spark, root, v1).count() == 100
+    assert read_snapshot(spark, root, v3).count() == 50
