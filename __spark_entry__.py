@@ -136,6 +136,7 @@ _NEW_THIS_ROUND = {
     "events_type_correlation",
     "parts_subtree_totals",
     "orders_benford_audit",
+    "streaming_semi_attribution",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

@@ -731,3 +731,49 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.shuffle.partitions", old)
     return drift_rows(spark, os.path.join(root, "out"))
+
+
+@register(
+    "streaming_semi_attribution",
+    f"""
+SELECT c.event_id AS click_id, c.user_id,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND p.ts >= c.ts
+      AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+  )
+""",
+)
+def streaming_semi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — "which clicks converted",
+    emitting each converting click exactly ONCE no matter how many
+    purchases land in its window (the dedup the inner join can't give
+    without a downstream distinct and its extra shuffle). Matched left
+    rows emit in-batch; with a finite AvailableNow stream every match is
+    observed, so the oracle is a plain EXISTS with no watermark clause —
+    unlike the outer variants, absence never needs proving."""
+    from mobsos_event_log_generator_spark.streaming.ingest import stream_events
+    from mobsos_event_log_generator_spark.streaming.joins import interval_join
+
+    clicks = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        stream_events(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    joined = interval_join(clicks, purchases, key="user_id", window_seconds=3600, how="left_semi")
+    out = _run_to_memory(spark, joined, "ssjsemi", "append")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+    )
