@@ -2798,3 +2798,67 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.expr("(cnt * 1000000L) div total") - bexpr).cast("long").alias("dev_ppm"),
         )
     )
+
+
+@register(
+    "events_quantile_normalize",
+    """
+WITH ref AS (
+  SELECT value, row_number() OVER (ORDER BY value, event_id) AS r
+  FROM events WHERE event_type = 'click'
+),
+nref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM ref),
+grp AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n_g
+  FROM events WHERE event_type <> 'click'
+)
+SELECT g.event_id, g.event_type,
+       round(g.value, 2) AS value,
+       round(ref.value, 2) AS normalized_value
+FROM grp g, nref
+JOIN ref ON ref.r = ((g.r * nref.n_ref + g.n_g - 1) // g.n_g)
+""",
+)
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical quantile normalization — map every non-click event's value
+    onto the click distribution at the same quantile position (the ML
+    feature-alignment transform): target rank = ⌈r·n_ref/n_g⌉ in exact
+    integer arithmetic, then an equi-join fetches the reference value, so
+    the output is composed of VALUES THAT EXIST in the reference (no
+    interpolation float). Per-group ranks ride partitioned windows; the
+    single-group reference ranks go through the two-phase prefix count
+    (operators/sweep.py) — the oracle's global ORDER BY window is exactly
+    the shape avoided."""
+    from pyspark.sql.window import Window
+
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    ref_rows = ev.filter(F.col("event_type") == "click").select("event_id", "value")
+    ref = value_ordered_running_sum(
+        ref_rows, "value", ["event_id"], F.lit(1).cast("long"), out_col="r"
+    ).select(F.col("r"), F.col("value").alias("ref_value"))
+    n_ref_row = ref_rows.agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    grp = (
+        ev.filter(F.col("event_type") != "click")
+        .select("event_id", "event_type", "value")
+        .withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn("n_g", F.count(F.lit(1)).over(wc).cast("long"))
+    )
+    mapped = grp.crossJoin(F.broadcast(n_ref_row)).withColumn(
+        "target_r", F.expr("(r * n_ref + n_g - 1) div n_g")
+    )
+    return (
+        mapped.join(ref, mapped["target_r"] == ref["r"])
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("ref_value", 2).alias("normalized_value"),
+        )
+    )
