@@ -123,3 +123,55 @@ def banded_range_join(
     )
     dt = F.unix_micros(F.col(f"r_{ts_col}")) - F.unix_micros(F.col(ts_col))
     return joined.filter(F.abs(dt) <= band_us).drop("__lbucket", "__rbucket", "__rkey")
+
+
+def asof_join_nearest(
+    probes: DataFrame,
+    refs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    ref_payload: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')``: for each probe the
+    reference with the smallest |Δts| per key, composed from the backward
+    and forward sweeps (each one single-shuffle). Tie on equal distance
+    goes to the EARLIER reference (pandas' backward preference), then the
+    smaller tie column. Ref columns arrive ``ref_``-prefixed, NULL when
+    neither side has a match (or both fall outside the tolerance)."""
+    back = asof_join(
+        probes, refs, key_col, ts_col, tie_col, ref_payload,
+        direction="backward", tolerance_seconds=tolerance_seconds,
+    )
+    fwd = asof_join(
+        probes, refs, key_col, ts_col, tie_col, ref_payload,
+        direction="forward", tolerance_seconds=tolerance_seconds,
+    )
+    bsel = back.select(
+        *probes.columns,
+        *[F.col(f"ref_{c}").alias(f"__b_{c}") for c in ref_payload],
+        F.col("ref_ts").alias("__b_ts"),
+    )
+    fsel = fwd.select(
+        F.col(key_col),
+        F.col(tie_col),
+        *[F.col(f"ref_{c}").alias(f"__f_{c}") for c in ref_payload],
+        F.col("ref_ts").alias("__f_ts"),
+    )
+    both = bsel.join(fsel, [key_col, tie_col])
+    bdist = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__b_ts"))
+    fdist = F.unix_micros(F.col("__f_ts")) - F.unix_micros(F.col(ts_col))
+    take_back = F.col("__f_ts").isNull() | (
+        F.col("__b_ts").isNotNull() & (bdist <= fdist)
+    )
+    out = both
+    for c in ref_payload:
+        out = out.withColumn(
+            f"ref_{c}", F.when(take_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+        )
+    out = out.withColumn(
+        "ref_ts", F.when(take_back, F.col("__b_ts")).otherwise(F.col("__f_ts"))
+    )
+    drop = [f"__b_{c}" for c in ref_payload] + [f"__f_{c}" for c in ref_payload] + ["__b_ts", "__f_ts"]
+    return out.drop(*drop)

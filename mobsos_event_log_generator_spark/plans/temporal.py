@@ -724,3 +724,52 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ref_state").alias("state_at_purchase"),
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "asof_nearest_error_context",
+    f"""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id AS ref_event_id, user_id, ts AS ref_ts, value FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, c.ref_event_id, c.ref_ts, c.value,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(c.ref_ts) - epoch_us(e.ts)),
+                    CASE WHEN c.ref_ts <= e.ts THEN 0 ELSE 1 END,
+                    c.ref_event_id
+         ) AS rn
+  FROM e LEFT JOIN c ON c.user_id = e.user_id
+)
+SELECT event_id, user_id,
+       strftime(ts, '{{F}}') AS ts,
+       ref_event_id,
+       strftime(ref_ts, '{{F}}') AS ref_ts,
+       round(value, 2) AS ref_value
+FROM ranked WHERE rn = 1
+""".replace("{F}", TS_FMT_DUCK),
+)
+def asof_nearest_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='nearest'): every error event paired with the
+    user's temporally CLOSEST click, before or after — backward + forward
+    single-shuffle sweeps composed, equal-distance ties to the earlier
+    reference then the smaller id (pandas' preference, replayed by the
+    oracle's explicit ordering). The naive form is the |Δt|-ranked full
+    join the oracle runs — quadratic per user; the sweeps stay linear."""
+    from mobsos_event_log_generator_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    out = asof_join_nearest(
+        errors, clicks, key_col="user_id", ts_col="ts", tie_col="event_id",
+        ref_payload=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.col("ref_event_id"),
+        F.date_format("ref_ts", TS_FMT_SPARK).alias("ref_ts"),
+        F.round("ref_value", 2).alias("ref_value"),
+    )

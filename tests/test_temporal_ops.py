@@ -172,3 +172,34 @@ def test_sweep_has_no_global_sort_of_rows(spark):
     # __total, i.e. one row per bucket), never on the row-level delta
     for ln in unpartitioned:
         assert "__total" in ln, f"row-level unpartitioned window found:\n{ln}"
+
+
+def test_asof_nearest_tie_and_tolerance(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.asof import asof_join_nearest
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    probes = spark.createDataFrame([(1, 1, t(10))], "event_id long, user_id long, ts timestamp")
+    refs = spark.createDataFrame(
+        [(100, 1, t(5), 1.0), (101, 1, t(15), 2.0), (102, 1, t(30), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join_nearest(
+        probes, refs, "user_id", "ts", "event_id", ["event_id", "value"]
+    ).collect()[0]
+    # equidistant (5s both ways): tie goes to the EARLIER reference
+    assert out["ref_event_id"] == 100
+    # tolerance excludes everything -> NULLs
+    out2 = asof_join_nearest(
+        probes, refs, "user_id", "ts", "event_id", ["event_id", "value"], tolerance_seconds=2
+    ).collect()[0]
+    assert out2["ref_event_id"] is None and out2["ref_ts"] is None
+    # only-forward match within tolerance
+    out3 = asof_join_nearest(
+        probes.withColumn("ts", F.lit(t(1)).cast("timestamp")),
+        refs, "user_id", "ts", "event_id", ["event_id", "value"], tolerance_seconds=5,
+    ).collect()[0]
+    assert out3["ref_event_id"] == 100
