@@ -89,3 +89,20 @@ class CacheJanitor:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def versioned_params(params: dict[str, Any], table_roots: dict[str, str]) -> dict[str, Any]:
+    """Bind a cache key to the SNAPSHOT VERSIONS of the tables a query read:
+    the returned param set embeds {alias: version} for every given snapshot
+    root, so the sha256 key changes exactly when any input table commits a
+    new version — stale artifacts are never served after a data change, and
+    identical re-queries against unchanged tables still hit.
+
+    This is the table-format completion of the reference's param-keyed
+    cache (app.py:220-230): the reference's inputs were immutable per
+    request window; snapshot tables make freshness checkable in O(1)
+    (reading one manifest pointer), no file-mtime scans."""
+    from mobsos_event_log_generator_spark.sources.snapshots import latest_version
+
+    versions = {alias: latest_version(root) for alias, root in sorted(table_roots.items())}
+    return {**params, "__table_versions": versions}

@@ -3209,3 +3209,60 @@ def corpus_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", "slot", "neg_id")
     )
+
+
+# Johnson-Lindenstrauss sign matrix: a FIXED seed-derived ±1 constant,
+# precomputed once and embedded as literals in both engines — the projection
+# matrix ships with the model artifacts, no engine hashes anything at run
+# time. (Achlioptas 2003: ±1 entries satisfy the JL lemma.)
+import hashlib as _hashlib
+
+_RP_IN_DIM, _RP_OUT_DIM = 64, 16
+_RP_SIGNS = [
+    [
+        1 if int(_hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[0], 16) >= 8 else -1
+        for i in range(1, _RP_IN_DIM + 1)
+    ]
+    for j in range(_RP_OUT_DIM)
+]
+
+_SQL_RP_COLS = ", ".join(
+    "CAST("
+    + " + ".join(
+        (f"z{i + 1}" if s > 0 else f"- z{i + 1}") for i, s in enumerate(row)
+    )
+    + f" AS BIGINT) AS p{j}"
+    for j, row in enumerate(_RP_SIGNS)
+)
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+WITH embf AS (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings),
+zq AS (SELECT vec_id, {_SQL_QUANT_COLS} FROM embf)
+SELECT vec_id, {_SQL_RP_COLS} FROM zq
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction, 64 → 16, in EXACT
+    integer arithmetic: int8-quantize, then project through a fixed ±1 sign
+    matrix (Achlioptas-style; matrix precomputed from a seed and embedded
+    as literals in both engines). The cheap-ANN pre-filter every
+    embedding pipeline wants: 4× fewer dims of pure integer adds, no float
+    surface, so the gate is bit-exact. Narrow projection, zero shuffle;
+    the quantized array is materialized through one projection so the 1024
+    element references never re-inline the quantizer expression
+    (ENGINEERING_NOTES pitfall 1)."""
+    from mobsos_event_log_generator_spark.operators.similarity import quantize_int8
+
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    zq = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+    cols = [
+        sum(
+            (F.element_at("q", i + 1) if s > 0 else -F.element_at("q", i + 1))
+            for i, s in enumerate(row)
+        ).cast("long").alias(f"p{j}")
+        for j, row in enumerate(_RP_SIGNS)
+    ]
+    return zq.select("vec_id", *cols)

@@ -96,3 +96,24 @@ def test_janitor_background_eviction(tmp_path):
         assert not os.path.exists(path)
     finally:
         janitor.stop()
+
+
+def test_versioned_cache_invalidates_on_commit(spark, tmp_path):
+    from mobsos_event_log_generator_spark.cache import ArtifactCache, versioned_params
+    from mobsos_event_log_generator_spark.sources.snapshots import snapshot_append
+
+    root = str(tmp_path / "tbl")
+    snapshot_append(spark.createDataFrame([(1,)], "id long"), root)
+    cache = ArtifactCache(cache_dir=str(tmp_path / "cache"))
+    params = {"resource": "r1", "start": "2024-01-01"}
+
+    p1 = versioned_params(params, {"events": root})
+    path = cache.path_for(p1)
+    open(path, "w").write("artifact")
+    assert cache.lookup(p1) == path  # hit while the table is unchanged
+    assert cache.lookup(versioned_params(params, {"events": root})) == path
+
+    snapshot_append(spark.createDataFrame([(2,)], "id long"), root)
+    assert cache.lookup(versioned_params(params, {"events": root})) is None  # invalidated
+    # the old artifact is still addressable for reproducing the old version
+    assert cache.lookup(p1) == path
