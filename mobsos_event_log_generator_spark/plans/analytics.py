@@ -2862,3 +2862,70 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ref_value", 2).alias("normalized_value"),
         )
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+c AS (
+  SELECT day, x,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+         CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS sk
+  FROM daily
+),
+scored AS (
+  SELECT day, k, CAST(abs(n * sk - k * s) AS BIGINT) AS dev, n, s
+  FROM c, tot
+)
+SELECT day AS change_day, k, dev,
+       CAST(n AS BIGINT) AS n_days,
+       CAST((dev * 1000000) // (n * s) AS BIGINT) AS dev_ppm
+FROM scored
+ORDER BY dev DESC, day
+LIMIT 1
+""",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume: the day k
+    maximizing |n·S_k − k·S_n| — the cross-multiplied integer form of the
+    classic max|S_k − (k/n)·S_n| statistic, so no float ratio exists and
+    the argmax is deterministic (dev then day tiebreak). The cumulative
+    S_k runs through the two-phase bucket prefix sum; the oracle's global
+    ORDER BY window is the single-node shape replaced. Day table is
+    O(days): bounded forever."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.expr("unix_micros(ts) div 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    c = value_ordered_running_sum(daily, "day", [], F.lit(1).cast("long"), out_col="k")
+    c = value_ordered_running_sum(c, "day", [], F.col("x"), out_col="sk")
+    scored = c.crossJoin(F.broadcast(tot)).select(
+        F.col("day").alias("change_day"),
+        F.col("k").cast("long").alias("k"),
+        F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("s")).cast("long").alias("dev"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s"),
+    )
+    return (
+        scored.orderBy(F.col("dev").desc(), F.col("change_day"))
+        .limit(1)
+        .select(
+            "change_day",
+            "k",
+            "dev",
+            "n_days",
+            F.expr("(dev * 1000000L) div (n_days * s)").cast("long").alias("dev_ppm"),
+        )
+    )
