@@ -141,6 +141,7 @@ _NEW_THIS_ROUND = {
     "asof_nearest_error_context",
     "embedding_random_projection",
     "events_changepoint_cusum",
+    "customers_revenue_gini",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

@@ -2929,3 +2929,62 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(dev * 1000000L) div (n_days * s)").cast("long").alias("dev_ppm"),
         )
     )
+
+
+@register(
+    "customers_revenue_gini",
+    """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS k
+  FROM rev
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(k * cents) AS BIGINT) AS ks
+  FROM ranked
+)
+SELECT n AS n_customers, s AS total_cents,
+       CAST(2 * ks - (n + 1) * s AS BIGINT) AS gini_num,
+       CAST(n * s AS BIGINT) AS gini_den,
+       CAST(((2 * ks - (n + 1) * s)::HUGEINT * 1000000) // (n::HUGEINT * s::HUGEINT) AS BIGINT) AS gini_ppm
+FROM agg
+""",
+)
+def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customers, EXACT: with
+    per-customer cents x sorted ascending and rank k, G = (2Σk·x − (n+1)Σx)
+    / (n·Σx) — integers end to end (the rational pair plus integer ppm).
+    Ranks over the value order come from the two-phase prefix count
+    (operators/sweep.py), never a single-partition window; the one
+    aggregate row follows. The inequality metric every marketplace/corpus
+    diversity report wants, with zero float surface."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = value_ordered_running_sum(
+        rev, "cents", ["o_custkey"], F.lit(1).cast("long"), out_col="k"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("cents")).cast("long").alias("ks"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_cents"),
+        (F.lit(2) * F.col("ks") - (F.col("n") + 1) * F.col("s")).cast("long").alias("gini_num"),
+        (F.col("n") * F.col("s")).cast("long").alias("gini_den"),
+        F.expr(
+            "CAST((CAST(2 * ks - (n + 1) * s AS DECIMAL(30,0)) * 1000000) "
+            "div (CAST(n AS DECIMAL(30,0)) * CAST(s AS DECIMAL(30,0))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
