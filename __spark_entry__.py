@@ -142,6 +142,7 @@ _NEW_THIS_ROUND = {
     "embedding_random_projection",
     "events_changepoint_cusum",
     "customers_revenue_gini",
+    "lineitem_partition_advisor",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

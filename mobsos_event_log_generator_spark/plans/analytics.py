@@ -2988,3 +2988,54 @@ def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (CAST(n AS DECIMAL(30,0)) * CAST(s AS DECIMAL(30,0))) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@register(
+    "lineitem_partition_advisor",
+    """
+WITH k AS (SELECT l_orderkey AS key FROM lineitem),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+  FROM k
+),
+hot AS (
+  SELECT CAST(max(c) AS BIGINT) AS max_key_rows
+  FROM (SELECT count(*) AS c FROM k GROUP BY key)
+)
+SELECT n_rows, n_keys, max_key_rows,
+       CAST((max_key_rows * 1000000) // n_rows AS BIGINT) AS hot_share_ppm,
+       CAST((n_rows + 999999) // 1000000 AS BIGINT) AS advised_partitions,
+       CASE WHEN max_key_rows * n_keys > 10 * n_rows THEN 'salt-hot-keys'
+            WHEN n_keys < 32 THEN 'broadcast-or-coalesce'
+            ELSE 'hash-partition-on-key' END AS advice
+FROM stats, hot
+""",
+)
+def lineitem_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning advisor: one aggregation pass computes the facts a
+    planner needs before a big shuffle — row/key cardinalities, the hottest
+    key's share (integer ppm), a row-budgeted partition count (1M rows per
+    task here; bytes-per-task in production), and a categorical
+    recommendation: salt when the hottest key dwarfs the mean (max·keys >
+    10·rows ⇔ max > 10×mean), broadcast/coalesce for tiny key spaces,
+    plain hash partitioning otherwise. The same sampled-stats decision
+    operators/skew.py makes adaptively, surfaced as an auditable report."""
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("key"))
+    per_key = li.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_key.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+    )
+    return stats.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr("(max_key_rows * 1000000L) div n_rows").cast("long").alias("hot_share_ppm"),
+        F.expr("(n_rows + 999999L) div 1000000L").cast("long").alias("advised_partitions"),
+        F.when(F.col("max_key_rows") * F.col("n_keys") > 10 * F.col("n_rows"), "salt-hot-keys")
+        .when(F.col("n_keys") < 32, "broadcast-or-coalesce")
+        .otherwise("hash-partition-on-key")
+        .alias("advice"),
+    )
