@@ -3266,3 +3266,58 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, row in enumerate(_RP_SIGNS)
     ]
     return zq.select("vec_id", *cols)
+
+
+@register(
+    "text_readability",
+    f"""
+WITH w AS (
+  SELECT doc_id, text, {SQL_WORDS} AS words FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1) AS BIGINT) AS n_sentences,
+         CAST(list_sum(list_transform(words,
+              x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables
+  FROM w WHERE len(words) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST((n_words * 1000000) // n_sentences AS BIGINT) AS words_per_sentence_ppm,
+       CAST((n_syllables * 1000000) // n_words AS BIGINT) AS syllables_per_word_ppm
+FROM s
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability factors (the Flesch/Kincaid inputs) as exact integers:
+    words, sentence count (punctuation splits, floor 1), syllable estimate
+    (vowel-group runs per word, floor 1), and the two ratios in integer ppm
+    — the whole formula family follows by linear combination downstream
+    with no float here. Narrow projection over one tokenization; regex
+    semantics (greedy character-class runs) agree between Java regex and
+    RE2, proven by the gate."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", "text", X.tokens().alias("words")).filter(F.size("words") > 0)
+    s = words.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.split(F.col("text"), r"[.!?]+")) - 1, F.lit(1)
+        ).cast("long").alias("n_sentences"),
+        F.aggregate(
+            F.transform(
+                F.col("words"),
+                lambda x: F.greatest(F.size(F.regexp_extract_all(x, F.lit(r"[aeiouy]+"), 0)), F.lit(1)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_syllables"),
+    )
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr("(n_words * 1000000L) div n_sentences").cast("long").alias("words_per_sentence_ppm"),
+        F.expr("(n_syllables * 1000000L) div n_words").cast("long").alias("syllables_per_word_ppm"),
+    )
