@@ -3321,3 +3321,71 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_words * 1000000L) div n_sentences").cast("long").alias("words_per_sentence_ppm"),
         F.expr("(n_syllables * 1000000L) div n_words").cast("long").alias("syllables_per_word_ppm"),
     )
+
+
+@register(
+    "doc_tfidf_cosine_pairs",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+idf AS (
+  SELECT tok, ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / count(*)) AS idf
+  FROM tf GROUP BY tok
+),
+wv AS (SELECT tf.doc_id, tf.tok, tf.tf * idf.idf AS w FROM tf JOIN idf USING (tok)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wv GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.w * b.w) AS dot
+  FROM wv a JOIN wv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+FROM dots JOIN norms n1 ON n1.doc_id = id1 JOIN norms n2 ON n2.doc_id = id2
+WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.9
+""",
+)
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE-vector similarity join: document pairs with TF-IDF cosine ≥
+    0.9 — the lexical near-dup detector that catches reorderings n-gram
+    shingles miss (bag-of-words is order-free). Candidates come from the
+    shared-TERM postings equi-join (only pairs sharing vocabulary are ever
+    scored — the inverted-index shuffle shape, no all-pairs); idf and norm
+    dims broadcast. Per-pair dot sums tens of doubles and rounds 6 dp (the
+    BM25/chargram float-sum contract; threshold compared on the ROUNDED
+    value so both engines gate identically)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("tok", F.log(F.col("n_docs").cast("double") / F.col("df")).alias("idf"))
+    )
+    wv = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = wv.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = wv.select(F.col("doc_id").alias("id1"), F.col("tok").alias("t1"), F.col("w").alias("w1"))
+    b = wv.select(F.col("doc_id").alias("id2"), F.col("tok").alias("t2"), F.col("w").alias("w2"))
+    dots = (
+        a.join(b, (F.col("t1") == F.col("t2")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("id1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("doc_id").alias("id2"), F.col("nrm").alias("nrm2"))
+    return (
+        dots.join(F.broadcast(n1), "id1")
+        .join(F.broadcast(n2), "id2")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6))
+        .filter(F.col("cosine") >= 0.9)
+        .select("id1", "id2", "cosine")
+    )
