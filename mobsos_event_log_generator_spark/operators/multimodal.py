@@ -564,3 +564,62 @@ def video_keyframes(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kf_batches, schema)
+
+
+def ahash_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over mapInPandas: decode each
+    grayscale PNG, block-average down to a ``grid``×``grid`` raster (exact
+    integer block sums — no float kernel), then emit one bit per cell:
+    1 iff cell_sum·n_cells > total_sum·cell_px (the "above the global mean"
+    test cross-multiplied into pure integers, so no division rounds).
+    Returns (id, ahash_hi, ahash_lo, width, height) — the 64 bits split
+    into two 32-bit BIGINT words (bit 63 overflows a signed int64, the
+    same reason operators/bloom.py words its bitmap at 32 bits). Images
+    whose dimensions don't divide by ``grid`` are rejected (a production
+    kernel resizes first; the hash contract is the interesting part).
+
+    Near-duplicate IMAGES — recompressed, brightness-shifted copies — then
+    bucket by hash equality (hamming-0) or band the 64 bits like SimHash
+    for small radii: the multimodal sibling of the text dedup family.
+    Zero shuffle; one payload never leaves its task."""
+    out_schema = f"{id_col} long, ahash_hi long, ahash_lo long, width int, height int"
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los, ws, hs = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decode_image(bytes(payload))
+                w, h = img["width"], img["height"]
+                if w % grid or h % grid:
+                    raise ValueError(f"{rid}: {w}x{h} not divisible by grid {grid}")
+                px = img["pixels"]
+                bw, bh = w // grid, h // grid
+                sums = []
+                for gy in range(grid):
+                    for gx in range(grid):
+                        s = 0
+                        for r in range(gy * bh, (gy + 1) * bh):
+                            row = px[r * w + gx * bw : r * w + (gx + 1) * bw]
+                            s += sum(row)
+                        sums.append(s)
+                total = sum(sums)
+                n_cells = grid * grid
+                bits = 0
+                for j, s in enumerate(sums):
+                    if s * n_cells > total:
+                        bits |= 1 << j
+                ids.append(rid)
+                his.append(bits >> 32)
+                los.append(bits & 0xFFFFFFFF)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {id_col: ids, "ahash_hi": his, "ahash_lo": los, "width": ws, "height": hs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(hash_batches, out_schema)

@@ -3389,3 +3389,70 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.9)
         .select("id1", "id2", "cosine")
     )
+
+
+def _ahash_cell_sql(gy: int, gx: int) -> str:
+    terms = []
+    for r in (2 * gy, 2 * gy + 1):
+        for c in (2 * gx, 2 * gx + 1):
+            terms.append(f"unicode(substr(px, {r * 16 + c + 1}, 1))")
+    return "(" + " + ".join(terms) + ")"
+
+
+_AHASH_LO_SQL = " + ".join(
+    f"(CASE WHEN {_ahash_cell_sql(j // 8, j % 8)} * 64 > tot THEN {1 << j} ELSE 0 END)"
+    for j in range(32)
+)
+_AHASH_HI_SQL = " + ".join(
+    f"(CASE WHEN {_ahash_cell_sql(j // 8, j % 8)} * 64 > tot THEN {1 << (j - 32)} ELSE 0 END)"
+    for j in range(32, 64)
+)
+
+
+@register(
+    "multimodal_image_ahash",
+    f"""
+WITH p AS (
+  SELECT doc_id, rpad(substr(coalesce(text, ''), 1, 256), 256, ' ') AS px FROM documents
+),
+s AS (
+  SELECT doc_id, px,
+         CAST(list_sum(list_transform(range(1, 257), i -> unicode(substr(px, CAST(i AS INT), 1)))) AS BIGINT) AS tot
+  FROM p
+)
+SELECT doc_id,
+       CAST({_AHASH_HI_SQL} AS BIGINT) AS ahash_hi,
+       CAST({_AHASH_LO_SQL} AS BIGINT) AS ahash_lo,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height
+FROM s
+""",
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL image decode: each doc's 16×16
+    grayscale PNG round-trips the codec, block-averages to 8×8, and emits
+    one bit per cell via the cross-multiplied above-the-mean test
+    (cell_sum·64 > total — pure integers, no division). The multimodal
+    dedup key: recompressed or brightness-scaled copies keep their hash;
+    bucket on equality or band like SimHash for small hamming radii. The
+    oracle recomputes every cell sum straight from the text bytes, so a
+    wrong decode, block walk, or bit order breaks the gate."""
+    import pandas as pd  # noqa: F811 — kernel-local
+
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        ahash_images,
+        encode_png_gray,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def encode_batches(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png_gray(t.encode("utf-8")[:256].ljust(256, b" "), 16, 16)
+                for t in pdf["text"].fillna("")
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    images = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return ahash_images(images, grid=8)

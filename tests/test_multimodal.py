@@ -58,3 +58,27 @@ def test_video_keyframes_semantics(spark):
     assert [out[i]["is_keyframe"] for i in range(4)] == [True, False, True, False]
     assert out[0]["mean_luma"] == 0.0
     assert out[2]["mean_luma"] == 16.0
+
+
+def test_ahash_brightness_invariance_and_dups(spark):
+    """aHash is invariant to uniform brightness scaling (above-mean pattern
+    unchanged) and identical for exact duplicate images."""
+    from mobsos_event_log_generator_spark.operators.multimodal import (
+        ahash_images,
+        encode_png_gray,
+    )
+
+    base = bytes([(r * 16 + c) % 37 * 6 for r in range(16) for c in range(16)])
+    brighter = bytes(min(255, b + 40) for b in base)  # uniform shift
+    rows = [
+        (1, bytearray(encode_png_gray(base, 16, 16))),
+        (2, bytearray(encode_png_gray(base, 16, 16))),      # exact dup
+        (3, bytearray(encode_png_gray(brighter, 16, 16))),  # brightness shift
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in ahash_images(df).collect()}
+    assert out[1] == out[2]
+    hi1, lo1 = out[1]
+    hi3, lo3 = out[3]
+    ham = bin((hi1 ^ hi3) & 0xFFFFFFFF).count("1") + bin((lo1 ^ lo3) & 0xFFFFFFFF).count("1")
+    assert ham <= 8  # shifted copy stays within a small hamming radius
