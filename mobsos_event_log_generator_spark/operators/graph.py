@@ -385,3 +385,53 @@ def ancestor_closure(
         f"ancestor_closure did not converge in {max_rounds} rounds; either the "
         "forest is astronomically deep or the parent pointers contain a cycle"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree ≥ k —
+    the standard noise filter before community/centrality analysis (peels
+    leaves and tendrils; what survives is the dense backbone).
+
+    Input: undirected unique edges (src < dst). Output: (node, core_degree)
+    for every k-core member, with its degree INSIDE the core.
+
+    Algorithm: iterative peeling — drop nodes with current degree < k,
+    restrict edges to survivors, repeat to the fixpoint. Each round is one
+    degree aggregate + one semi-join pair (shuffles on the edge key);
+    lineage is truncated per round (localCheckpoint) so the plan stays
+    flat. Rounds needed = peeling depth, which is tiny on real graphs
+    (each round removes a whole "onion layer", not one node); the budget
+    raises rather than returning a non-fixpoint."""
+    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            final_deg = (
+                nxt.select(F.col("a").alias("node"))
+                .unionAll(nxt.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+            )
+            return final_deg.filter(F.col("core_degree") >= k)
+        cur = nxt
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint in {max_rounds} rounds — "
+        "pathological peeling depth; raise max_rounds"
+    )

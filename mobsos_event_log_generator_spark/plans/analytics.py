@@ -3039,3 +3039,68 @@ def lineitem_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hash-partition-on-key")
         .alias("advice"),
     )
+
+
+_KCORE_K = 3
+_KCORE_STAGES = 16  # > max observed peel depth (11 at sf0.01); extra stages are idempotent
+
+
+def _kcore_oracle_sql(k: int, stages: int) -> str:
+    parts = [
+        """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS s, c.l_partkey AS d
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)"""
+    ]
+    for i in range(1, stages + 1):
+        parts.append(
+            f""",
+k{i} AS MATERIALIZED (
+  SELECT node FROM (SELECT s AS node FROM e{i - 1} UNION ALL SELECT d FROM e{i - 1})
+  GROUP BY 1 HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT s, d FROM e{i - 1}
+  WHERE s IN (SELECT node FROM k{i}) AND d IN (SELECT node FROM k{i})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT s AS node FROM e{stages} UNION ALL SELECT d FROM e{stages})
+GROUP BY 1 HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+@register("parts_cooccur_kcore", _kcore_oracle_sql(_KCORE_K, _KCORE_STAGES))
+def parts_cooccur_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the part co-occurrence graph — the dense backbone that
+    survives after peeling leaves and tendrils (the pre-filter community
+    and centrality analyses run on). The operator peels to the TRUE
+    fixpoint with a per-round convergence check (operators/graph.py::
+    k_core — peeling depth, not node count, bounds the rounds: 11 at
+    sf0.01); the oracle unrolls 16 peel stages, safely past the fixpoint
+    since further stages are idempotent — the same unrolled-CTE replay
+    pattern as the PageRank gate."""
+    from mobsos_event_log_generator_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("s"))
+    c = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("d"))
+    edges = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("s") < F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("s", "d")
+    )
+    return k_core(edges, _KCORE_K, "s", "d").select(
+        F.col("node").alias("part"), "core_degree"
+    )

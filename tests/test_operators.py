@@ -458,3 +458,19 @@ def test_ancestor_closure_cycle_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
     with pytest.raises(RuntimeError):
         ancestor_closure(df, max_rounds=5)
+
+
+def test_k_core_peels_tendrils(spark):
+    from mobsos_event_log_generator_spark.operators.graph import k_core
+
+    # K4 core {1,2,3,4} with a tail 4-5-6 and a triangle pendant {7,8,9}
+    # attached at 1: for k=3 the K4 survives; tail and pendant triangle
+    # (degree 2 inside) peel away.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    extra = [(4, 5), (5, 6), (1, 7), (7, 8), (7, 9), (8, 9)]
+    edges = spark.createDataFrame(k4 + extra, "src long, dst long")
+    out = {r["node"]: r["core_degree"] for r in k_core(edges, 3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: triangle pendant also survives (cycle), tail still peels
+    out2 = {r["node"] for r in k_core(edges, 2).collect()}
+    assert out2 == {1, 2, 3, 4, 7, 8, 9}
