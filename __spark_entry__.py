@@ -147,6 +147,7 @@ _NEW_THIS_ROUND = {
     "doc_tfidf_cosine_pairs",
     "multimodal_image_ahash",
     "parts_cooccur_kcore",
+    "parts_label_propagation",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

@@ -3104,3 +3104,97 @@ def parts_cooccur_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, _KCORE_K, "s", "d").select(
         F.col("node").alias("part"), "core_degree"
     )
+
+
+_LP_ROUNDS = 2
+
+
+def _lp_oracle_sql(rounds: int) -> str:
+    parts = [
+        """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+eu AS MATERIALIZED (
+  SELECT a.l_partkey AS s, c.l_partkey AS d
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+e AS MATERIALIZED (SELECT s, d FROM eu UNION ALL SELECT d, s FROM eu),
+l0 AS MATERIALIZED (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey % 5 = 0 THEN p_brand END AS label
+  FROM part
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+v{i} AS MATERIALIZED (
+  SELECT e.s AS node, l.label, count(*) AS cnt
+  FROM e JOIN l{i - 1} l ON l.node = e.d
+  WHERE l.label IS NOT NULL
+  GROUP BY 1, 2
+),
+w{i} AS MATERIALIZED (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+  FROM v{i}
+),
+l{i} AS MATERIALIZED (
+  SELECT l0.node, COALESCE(l0.label, w{i}.label) AS label
+  FROM l0 LEFT JOIN w{i} ON w{i}.node = l0.node AND w{i}.rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part, label FROM l{rounds} WHERE label IS NOT NULL"""
+    )
+    return "".join(parts)
+
+
+@register("parts_label_propagation", _lp_oracle_sql(_LP_ROUNDS))
+def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: 20% of parts keep their brand as
+    seed labels; two synchronous rounds spread labels over the
+    co-occurrence graph — each unlabeled node adopts the MAJORITY label of
+    its labeled neighbors, ties to the alphabetically smaller brand
+    (deterministic). Per round: one edge-label join + one
+    map-side-combined count + one min-struct argmax — never a collect. The
+    oracle unrolls both rounds (MATERIALIZED stages, pitfall 13); seeds
+    are immutable by construction in both engines."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("s"))
+    c = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("d"))
+    eu = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("s") < F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("s", "d")
+    )
+    e = eu.unionAll(eu.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    seeds = part.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") % 5 == 0, F.col("p_brand")).alias("seed_label"),
+    )
+    labels = seeds.select("node", F.col("seed_label").alias("label"))
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            e.join(labels.filter(F.col("label").isNotNull()).select(F.col("node").alias("d"), "label"), "d")
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("__w")
+        ).select("node", F.col("__w.label").alias("prop_label"))
+        labels = (
+            seeds.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("seed_label"), F.col("prop_label")).alias("label"),
+            )
+        )
+    return labels.filter(F.col("label").isNotNull()).select(F.col("node").alias("part"), "label")
