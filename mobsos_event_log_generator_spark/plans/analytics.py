@@ -3198,3 +3198,43 @@ def parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return labels.filter(F.col("label").isNotNull()).select(F.col("node").alias("part"), "label")
+
+
+@register(
+    "users_decayed_engagement",
+    """
+WITH mx AS (SELECT max(epoch_us(ts)) // 86400000000 AS max_day FROM events),
+d AS (
+  SELECT user_id,
+         CAST(max_day - epoch_us(ts) // 86400000000 AS BIGINT) AS age
+  FROM events, mx
+),
+w AS (
+  SELECT user_id, age FROM d WHERE age <= 30
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_recent,
+       CAST(sum(1::BIGINT << CAST(30 - age AS INTEGER)) AS BIGINT) AS decayed_score_q30,
+       CAST(max(30 - age) AS BIGINT) AS freshest_weight_log2
+FROM w GROUP BY 1
+""",
+)
+def users_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement: each event in the trailing 30 days
+    contributes weight 2^(30−age_days) — an EXACT half-life decay in fixed
+    point (the score is the Q30 integer; divide by 2³⁰ for the unit-decay
+    reading, but no engine ever does — integer sums only). The
+    feature-engineering primitive behind churn/activity models, with zero
+    float surface; one aggregate over a 1-row max-day broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.expr("max(unix_micros(ts)) div 86400000000").alias("max_day"))
+    d = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("max_day") - F.expr("unix_micros(ts) div 86400000000")).cast("long").alias("age"),
+    )
+    w = d.filter(F.col("age") <= 30)
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent"),
+        F.sum(F.expr("CAST(1L AS BIGINT) << CAST(30 - age AS INT)")).cast("long").alias("decayed_score_q30"),
+        F.max(F.lit(30) - F.col("age")).cast("long").alias("freshest_weight_log2"),
+    )
