@@ -3238,3 +3238,71 @@ def users_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(1L AS BIGINT) << CAST(30 - age AS INT)")).cast("long").alias("decayed_score_q30"),
         F.max(F.lit(30) - F.col("age")).cast("long").alias("freshest_weight_log2"),
     )
+
+
+@register(
+    "parts_sorted_neighborhood_pairs",
+    """
+WITH r AS (
+  SELECT p_partkey, p_name,
+         CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rk
+  FROM part
+)
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def parts_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández & Stolfo's
+    merge/purge): records sort by a blocking key and only a sliding window
+    of neighbors (here 3) is ever compared — the complement to token
+    blocking when typos break token equality but preserve sort locality.
+    The global sort rank comes from the two-phase prefix count, never a
+    single-partition window; the window join is a 1-D banded self-join on
+    the rank (each row replicates into its rank bucket ±1 — the spatial
+    grid join's little sibling); Levenshtein ≤ 4 verifies. The oracle's
+    global ORDER BY window is the single-node shape replaced."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # rank over (p_name, p_partkey): bucket by name ordering — use a numeric
+    # proxy of the name prefix for quantile bucketing (first 4 bytes), which
+    # is monotone in the name order; ties all land in one bucket, preserving
+    # the in-bucket total order.
+    proxied = part.withColumn(
+        "__proxy",
+        F.conv(F.substring(F.hex(F.encode(F.rpad(F.col("p_name"), 4, " "), "UTF-8")), 1, 8), 16, 10)
+        .cast("long"),
+    )
+    ranked = value_ordered_running_sum(
+        proxied.withColumn("__name", F.col("p_name")),
+        "__proxy",
+        ["__name", "p_partkey"],
+        F.lit(1).cast("long"),
+        out_col="rk",
+    ).select("p_partkey", "p_name", F.col("rk").cast("long"))
+    W = 3
+    a = ranked.select(
+        F.col("p_partkey").alias("id1"), F.col("p_name").alias("n1"), F.col("rk").alias("rk1"),
+        F.explode(F.array(*[F.expr(f"(rk div {W}) + {o}") for o in (0, 1)])).alias("bucket"),
+    )
+    b = ranked.select(
+        F.col("p_partkey").alias("id2"), F.col("p_name").alias("n2"), F.col("rk").alias("rk2"),
+        F.expr(f"rk div {W}").alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter((F.col("rk2") > F.col("rk1")) & (F.col("rk2") <= F.col("rk1") + W))
+        .withColumn("lev", F.levenshtein(F.col("n1"), F.col("n2")).cast("long"))
+        .filter(F.col("lev") <= 4)
+        .select(
+            "id1",
+            "id2",
+            (F.col("rk2") - F.col("rk1")).cast("long").alias("rank_gap"),
+            "lev",
+        )
+        .distinct()
+    )
