@@ -150,6 +150,7 @@ _NEW_THIS_ROUND = {
     "parts_label_propagation",
     "users_decayed_engagement",
     "parts_sorted_neighborhood_pairs",
+    "text_lexical_richness",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

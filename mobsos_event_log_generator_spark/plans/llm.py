@@ -3456,3 +3456,39 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
     return ahash_images(images, grid=8)
+
+
+@register(
+    "text_lexical_richness",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+t AS (SELECT doc_id, unnest(words) AS tok FROM w),
+c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((count(*) * 1000000) // sum(n) AS BIGINT) AS ttr_ppm,
+       CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_ppm
+FROM c GROUP BY 1
+""",
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary richness: type-token ratio and hapax-legomena
+    share in integer ppm — the quality signals that separate generated
+    boilerplate (low TTR) and OCR noise (hapax-heavy) from natural prose.
+    One explode → per-(doc, token) count → per-doc aggregate, all map-side
+    combinable; pure integers."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    c = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.expr("(count(1) * 1000000L) div sum(n)").cast("long").alias("ttr_ppm"),
+        F.expr("(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000L) div count(1)").cast("long").alias("hapax_ppm"),
+    )
