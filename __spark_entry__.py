@@ -151,6 +151,7 @@ _NEW_THIS_ROUND = {
     "users_decayed_engagement",
     "parts_sorted_neighborhood_pairs",
     "text_lexical_richness",
+    "search_boolean_and",
 }
 # Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
 # unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND

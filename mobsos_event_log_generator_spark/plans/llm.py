@@ -3492,3 +3492,51 @@ def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(count(1) * 1000000L) div sum(n)").cast("long").alias("ttr_ppm"),
         F.expr("(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000L) div count(1)").cast("long").alias("hapax_ppm"),
     )
+
+
+_BOOL_QUERIES = {1: ("hash", "join", "scan"), 2: ("window", "stream"), 3: ("vector", "batch", "merge")}
+
+_BOOL_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT {qid} AS query_id, doc_id
+FROM (SELECT DISTINCT doc_id, tok FROM toks WHERE tok IN ({", ".join(f"'{t}'" for t in terms)}))
+GROUP BY doc_id HAVING count(*) = {len(terms)}"""
+    for qid, terms in _BOOL_QUERIES.items()
+)
+
+
+@register(
+    "search_boolean_and",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents
+)
+{_BOOL_ORACLE}
+""",
+)
+def search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval over the inverted index: a document matches
+    when it contains EVERY query term — postings filtered to the query
+    vocabulary, distinct per (doc, term), then a count==n_terms group test
+    (the conjunctive-query plan every search engine runs before ranking).
+    Cost is the matched posting lists, never the corpus; all three probe
+    conjunctions ride one postings subtree. Completes the retrieval
+    family: boolean → phrase (positional) → BM25 (ranked sparse) → dense
+    ANN."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    postings = docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+    outs = []
+    for qid, terms in _BOOL_QUERIES.items():
+        hits = (
+            postings.filter(F.col("tok").isin(*terms))
+            .select("doc_id", "tok")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == len(terms))
+            .select(F.lit(qid).cast("int").alias("query_id"), "doc_id")
+        )
+        outs.append(hits)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
