@@ -30,13 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["eventlog_traces"](spark, SMOKE_SF_DIR)
 
 
-# Observed driver behavior (CORRECTNESS_r01-r03): exactly the first 50
+# Observed driver behavior (CORRECTNESS_r01-r05): exactly the first 50
 # registry entries get a correctness row per round, in dict insertion order.
 # The registry is larger than that window, so order is rotated per round for
-# cumulative coverage: queries WITHOUT a prior-round driver row come first;
-# names below (the union of r01+r02+r03 rows, 102 names) go last.
-# `tools/check_parity.py` still exact-cell-verifies all registered queries
-# locally regardless of order.
+# cumulative coverage: queries WITHOUT a fully-green prior-round driver row
+# come first. The verified set is computed from the CORRECTNESS_r*.json files
+# on disk (round 5's verdict found the old hand-curated sets had gone stale,
+# making the window re-verify the same 50 queries) — reading the artifacts
+# directly cannot go stale. `tools/check_parity.py` still exact-cell-verifies
+# all registered queries locally regardless of order.
+#
+# Legacy hand-curated set, kept only as a fallback if no CORRECTNESS files
+# are present (e.g. a fresh clone without round artifacts).
 _DRIVER_VERIFIED_PRIOR_ROUNDS = {
     "antijoin_parts_never_shipped", "asof_last_click_before_purchase", "bloom_semijoin_parts",
     "cms_user_frequencies", "corpus_chunk_documents", "corpus_chunk_documents_udtf",
@@ -73,109 +78,53 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = {
     "unpivot_part_metrics", "vocabulary_topk", "window_cumulative_customer_revenue",
     "window_rank_functions", "window_top_orders_per_customer", "xes_trace_xml",
 }
-# Re-checked eagerly this round: the two de-weakened analytics plans (global
-# ntile -> distributed cuts; global cumsum -> two-phase prefix sum) must
-# re-prove their oracles under the new plans even though r03 marked them green.
-_RECHECK_FIRST = ("customer_rfm_segments", "part_abc_analysis")
-# Queries added in round 4 — sorted behind the 31-query round-3 backlog so
-# every query that has EVER lacked a driver row gets one before brand-new
-# ones claim window slots. Budget: 31 backlog + len(this) must stay <= 50
-# (bpe_train_merges ~14 s sits in the backlog; keep the window under ~120 s).
-_NEW_THIS_ROUND = {
-    "dedup_repeated_substrings",
-    "streaming_ann_index_maintenance",
-    "semdedup_embeddings",
-    "eventlog_pagerank_activities",
-    "web_canonical_urls",
-    "dedup_canonical_urls",
-    "events_zorder_curve",
-    "eventlog_weekly_drift",
-    "streaming_left_outer_attribution",
-    "multimodal_audio_features",
-    "text_pmi_collocations",
-    "text_bigram_logprob",
-    "lake_cdc_incremental_view",
-    "basket_part_pairs",
-    "semdedup_embeddings_arrow",
-    "streaming_full_outer_attribution",
-    "parts_hierarchy_rollup",
-    "corpus_uniform_sample_k",
-    "corpus_per_lang_sample",
-    "asof_tolerance_attribution",
-    "events_scd2_user_state",
-    "text_unicode_nfc",
-    "events_props_variant",
-    "text_feature_hashing",
-    "similarity_topk_quantized",
-    "similarity_topk_rerank",
-    "search_bm25_topk",
-    # second-wave round-4 additions (sorted after the first wave by the
-    # registry's insertion order; they spill past the 50-row window into the
-    # r5 backlog, and tools/check_parity.py gates them locally meanwhile)
-    "dedup_jaccard_prefix_join",
-    "parts_cooccur_triangles",
-    "parts_skyline_price_size",
-    "lineitem_skyline_3d",
-    "events_sequence_patterns",
-    "scd2_point_in_time_join",
-    "orders_weighted_sample",
-    "customers_k_anonymity",
-    "search_phrase_match",
-    "er_golden_records",
-    "events_ks_drift",
-    "events_type_trends",
-    "vocabulary_growth_curve",
-    "streaming_drift_monitor",
-    "events_spatial_pairs",
-    "multimodal_video_keyframes",
-    "corpus_duplication_report",
-    "sketch_user_overlap",
-    "events_winsorized_stats",
-    "corpus_negative_pairs",
-    "parts_cooccur_similarity",
-    "events_type_correlation",
-    "parts_subtree_totals",
-    "orders_benford_audit",
-    "streaming_semi_attribution",
-    "events_quantile_normalize",
-    "asof_nearest_error_context",
-    "embedding_random_projection",
-    "events_changepoint_cusum",
-    "customers_revenue_gini",
-    "lineitem_partition_advisor",
-    "text_readability",
-    "doc_tfidf_cosine_pairs",
-    "multimodal_image_ahash",
-    "parts_cooccur_kcore",
-    "parts_label_propagation",
-    "users_decayed_engagement",
-    "parts_sorted_neighborhood_pairs",
-    "text_lexical_richness",
-    "search_boolean_and",
-}
-# Window math (second r4 session): 2 rechecks + 29-query r3 backlog (31
-# unseen minus the two listed above as new) + the first 19 _NEW_THIS_ROUND
-# entries = 50 (timed at 114 s via tools/time_registry.py). The remaining
-# new entries spill past the window and become r5 backlog via the rotation;
-# all are exact-cell green locally (check_parity 180/180 at sf0.01).
-
-
+# Queries whose plans changed this round and should re-prove their oracle
+# ahead of the already-verified tail (empty when nothing green was touched;
+# sf0.01-identical plan changes are covered by tools/check_parity.py locally).
+_RECHECK_FIRST = ()
 # Driver-coordinated iterative queries (~14 s each at sf0.01) sort to the
 # end of their group so a window time cutoff can't starve cheap queries.
 _BUDGET_LAST = ("bpe_train_merges",)
 
 
+def _driver_verified() -> set:
+    """Names with a fully-green driver row in ANY round's CORRECTNESS file.
+
+    A row counts as verified only when rows/schema/hash all matched and no
+    error was recorded — so `no_oracle` / errored rows (e.g. the historical
+    `bpe_train_merges` rows) keep sorting into the unverified-first group
+    until the driver sees them green.
+    """
+    import glob
+    import json
+
+    verified = set()
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            ):
+                verified.add(name)
+    return verified if verified else set(_DRIVER_VERIFIED_PRIOR_ROUNDS)
+
+
 def _driver_order(registry: dict) -> list[str]:
+    verified = _driver_verified()
     recheck = [n for n in _RECHECK_FIRST if n in registry]
-    backlog = [
-        n
-        for n in registry
-        if n not in _DRIVER_VERIFIED_PRIOR_ROUNDS and n not in _NEW_THIS_ROUND and n not in recheck
-    ]
+    backlog = [n for n in registry if n not in verified and n not in recheck]
     backlog.sort(key=lambda n: n in _BUDGET_LAST)
-    new = [n for n in registry if n in _NEW_THIS_ROUND]
-    seen = [n for n in registry if n in _DRIVER_VERIFIED_PRIOR_ROUNDS and n not in recheck]
-    return recheck + backlog + new + seen
+    seen = [n for n in registry if n in verified and n not in recheck]
+    return recheck + backlog + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
