@@ -108,16 +108,24 @@ def weighted_inclusion_sample(
 
     The inclusion test is EXACT integer arithmetic — u_i < k·w_i/W becomes
     h_i·W < k·w_i·2⁶⁰ with h_i the 60-bit md5 prefix. Spark evaluates it in
-    DECIMAL (h:20 digits × W:12 → 33 < 38, never overflows); the DuckDB
-    mirror uses HUGEINT. No float division ever runs, so the gate is
-    bit-exact. Rows with k·w ≥ W are always included (u < 1 ≤ k·w/W).
+    DECIMAL: the declared product type h(20) × W(20) caps at (38,0), but the
+    ACTUAL values fit exactly — h < 2⁶⁰ ≈ 1.16e18, so h·W < 1e38 whenever
+    W < 8.6e19 cents (8.6e17 currency units; comfortably beyond 100-TB
+    fact-table weight sums), and scale-0 decimals never round, they only
+    null on true overflow. The DuckDB mirror uses HUGEINT. No float
+    division ever runs, so the gate is bit-exact. Rows with k·w ≥ W are
+    always included (u < 1 ≤ k·w/W).
+
+    W is declared decimal(20,0), NOT a narrower type: sf0.1's orders table
+    already sums to W = 3.75e12 (13 digits), and W grows linearly with SF —
+    a decimal(12,0) here overflowed at 10× the oracle's scale factor.
 
     Scale shape: W is one map-side-combined aggregate broadcast back as a
     1-row dim; the filter is a narrow projection — no shuffle of the fact
     table, no sort, no state. Adds ``w_cents`` (the integer weight used).
     """
     weighted = df.withColumn("w_cents", weight_cents.cast("long"))
-    tot = weighted.agg(F.sum("w_cents").cast("decimal(12,0)").alias("__W"))
+    tot = weighted.agg(F.sum("w_cents").cast("decimal(20,0)").alias("__W"))
     h = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("decimal(20,0)")

@@ -340,6 +340,28 @@ def test_weighted_inclusion_sample_expected_size(spark):
     assert 60 <= n <= 140, n
 
 
+def test_weighted_inclusion_sample_large_total_weight(spark):
+    """Regression: W > 10^12 (13+ decimal digits) must not overflow.
+
+    sf0.1's orders table sums to W = 3,752,339,125,856 cents; the old
+    decimal(12,0) cast of W raised NUMERIC_VALUE_OUT_OF_RANGE there while
+    staying green at sf0.01 (W 10x smaller) — a dies-at-scale defect. Use
+    weights an order of magnitude past sf0.1's W and assert the sampler
+    both runs and keeps its always-include-dominant-row semantics.
+    """
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.sampling import weighted_inclusion_sample
+
+    # 100 rows x 10^12 cents each -> W = 10^14 (15 digits), plus one row
+    # holding half the total mass again so expected_k=3 forces it in.
+    rows = [(0, 50_000_000_000_000)] + [(i, 1_000_000_000_000) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, cents long")
+    out = weighted_inclusion_sample(df, "id", F.col("cents"), expected_k=3)
+    got = {r["id"] for r in out.collect()}  # must not raise
+    assert 0 in got  # k*w/W = 3*0.33 = 1.0: always included
+
+
 def test_suppress_small_groups(spark):
     from pyspark.sql import functions as F
 

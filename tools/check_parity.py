@@ -55,9 +55,11 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
@@ -89,7 +91,7 @@ def main() -> int:
             print(f"FAIL {name}: value mismatch; first diffs:\nspark:\n{diff_rows[0]}\noracle:\n{diff_rows[1]}")
             continue
         print(f"ok   {name}: {len(sdf)} rows, exact match")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass at {sf_dir}")
+    print(f"\n{checked - len(failures)}/{checked} queries pass at {sf_dir}")
     return 1 if failures else 0
 
 
