@@ -2037,19 +2037,88 @@ def sketch_token_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register("bpe_train_merges")  # rows-only: iterative (each merge depends on the last rewrite)
+_BPE_MERGES = 16
+
+
+def _bpe_oracle_sql(num_merges: int, min_pair_freq: int = 2) -> str:
+    """Unrolled MATERIALIZED-CTE replay of BPE training for DuckDB — the
+    k-core/pagerank technique applied to the last rows-only registry entry.
+
+    Representation: the oracle keeps each word's symbol string PIPE-delimited
+    with doubled interior pipes ("|h||e||l||l||o|") so the greedy
+    left-to-right non-overlapping rewrite is a plain literal ``replace`` of
+    "|l||r|" with "|lr|" — each match consumes one pipe from either side and
+    leaves the SHARED boundary pipe intact, which reproduces exactly the
+    zero-width-lookaround semantics of the Spark side's
+    ``(?<!\\S)l r(?!\\S)`` regexp (RE2 in DuckDB has no lookarounds, so the
+    regex itself cannot be mirrored). Safe because the fixture alphabet is
+    lowercase ASCII + space — '|' never occurs in a symbol (checked; the
+    Spark operator itself stays fully general). Each round: adjacent-pair
+    explode → weighted count → top-1 by (n DESC, l, r) with the
+    ``min_pair_freq`` floor → rewrite via LEFT JOIN ON TRUE against the
+    0-or-1-row winner (empty winner ⇒ no-op rewrite, matching early stop).
+    """
+    parts = [
+        r"""
+WITH v0 AS MATERIALIZED (
+  SELECT freq,
+         '|' || list_aggr([w[i] FOR i IN generate_series(1, length(w))],
+                          'string_agg', '||') || '|' AS symstr
+  FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents)
+    GROUP BY w
+  )
+)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS n
+  FROM (
+    SELECT freq,
+           unnest([{{'l': s[j], 'r': s[j + 1]}}
+                   FOR j IN generate_series(1, len(s) - 1)]) AS pr
+    FROM (SELECT freq, string_split(trim(symstr, '|'), '||') AS s FROM v{i - 1})
+  )
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT l, r, n FROM p{i} WHERE n >= {min_pair_freq} ORDER BY n DESC, l, r LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT v.freq,
+         CASE WHEN b.l IS NULL THEN v.symstr
+              ELSE replace(v.symstr, '|' || b.l || '||' || b.r || '|',
+                                     '|' || b.l || b.r || '|') END AS symstr
+  FROM v{i - 1} v LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({i - 1} AS INTEGER) AS "rank", l AS "left", r AS "right",
+       l || r AS merged, n AS pair_freq FROM b{i}"""
+        for i in range(1, num_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+@register("bpe_train_merges", _bpe_oracle_sql(_BPE_MERGES))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (16 merges over the corpus): the
-    one registry entry that is genuinely non-SQL-expressible — every merge
-    re-counts pairs over the vocabulary REWRITTEN by the previous merge, a
-    data-dependent driver loop no single SQL statement states. The gate is
-    therefore the exact unit suite (tests/test_bpe.py) proving merge-for-
-    merge equality with a pure-Python reference implementation of the
-    published algorithm, including tie-breaks and greedy overlap handling;
-    the driver records a rows-only check. Scale: iterations run on the
-    distinct-WORD vocabulary (not the corpus), pair counts are map-side-
-    combined sums, the rewrite is one JVM regexp_replace, and exactly one
-    row (the winning pair) reaches the driver per merge."""
+    """Distributed BPE tokenizer training (16 merges over the corpus): every
+    merge re-counts pairs over the vocabulary REWRITTEN by the previous
+    merge — a data-dependent driver loop. The oracle replays all 16 rounds
+    as unrolled MATERIALIZED CTEs (``_bpe_oracle_sql``; the k-core/pagerank
+    technique), so the driver now gets a full value-hash gate on top of the
+    exact unit suite (tests/test_bpe.py) that proves merge-for-merge
+    equality with a pure-Python reference of the published algorithm,
+    including tie-breaks and greedy overlap handling. Scale: iterations run
+    on the distinct-WORD vocabulary (not the corpus), pair counts are
+    map-side-combined sums, the rewrite is one JVM regexp_replace, and
+    exactly one row (the winning pair) reaches the driver per merge."""
     from mobsos_event_log_generator_spark.operators.bpe import bpe_merges_df
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
