@@ -91,7 +91,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -137,7 +137,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -165,7 +165,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 2)
@@ -404,7 +404,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, "l_orderkey")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_custkey",
             "c_name",
@@ -690,7 +690,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     sums = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2).alias("promo_rev"),
             F.round(F.sum(rev), 2).alias("total_rev"),
@@ -722,7 +722,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     beneath the join by CNF conversion where derivable."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15))
         | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 25))
@@ -842,7 +842,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -919,7 +919,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     to 6 dp on both engines before the comparison."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     li = load_table(spark, sf_dir, "lineitem")
-    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    li_brand = li.join(p, li.l_partkey == p.p_partkey)
     thresh = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qty_thresh")
     )
@@ -1051,7 +1051,7 @@ def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact before the aggregate, as in q17."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     li = load_table(spark, sf_dir, "lineitem")
-    li_brand = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    li_brand = li.join(p, li.l_partkey == p.p_partkey)
     mins = li_brand.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
         F.min("l_extendedprice").alias("min_price")
     )
@@ -1322,8 +1322,8 @@ def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1358,7 +1358,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(window)
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
-    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    li_b = li.join(p, li.l_partkey == p.p_partkey)
     per_sp = li_b.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("sp_qty"))
     per_p = li_b.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         F.sum("l_quantity").alias("p_qty")
@@ -1439,8 +1439,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -1480,7 +1480,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     v = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
@@ -1982,8 +1982,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
     )
     return (
-        pairs.join(F.broadcast(psup.select(F.col("l_partkey").alias("p1"), F.col("np").alias("np1"))), "p1")
-        .join(F.broadcast(psup.select(F.col("l_partkey").alias("p2"), F.col("np").alias("np2"))), "p2")
+        pairs.join(psup.select(F.col("l_partkey").alias("p1"), F.col("np").alias("np1")), "p1")
+        .join(psup.select(F.col("l_partkey").alias("p2"), F.col("np").alias("np2")), "p2")
         .crossJoin(F.broadcast(norder))
         .select(
             "p1",
@@ -2588,8 +2588,8 @@ def parts_cooccur_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("p2").alias("part"), F.col("p1").alias("other"), "n_co")
     )
     scored = (
-        sym.join(F.broadcast(psup.select(F.col("l_partkey").alias("part"), F.col("np").alias("np1"))), "part")
-        .join(F.broadcast(psup.select(F.col("l_partkey").alias("other"), F.col("np").alias("np2"))), "other")
+        sym.join(psup.select(F.col("l_partkey").alias("part"), F.col("np").alias("np1")), "part")
+        .join(psup.select(F.col("l_partkey").alias("other"), F.col("np").alias("np2")), "other")
         .select(
             "part",
             "other",

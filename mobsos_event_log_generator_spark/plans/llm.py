@@ -1368,14 +1368,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_len = sum of per-term counts — derived from tfc itself via a
     # doc_id window, so no second tokenize pass and, crucially, no broadcast
     # of a per-document table (dl grows with the corpus; broadcasting it at
-    # 100 TB would OOM the driver). Only the vocabulary (df_tbl) is a
-    # legitimately-small broadcast side.
+    # 100 TB would OOM the driver). The vocabulary join (df_tbl) carries no
+    # explicit hint either: vocabulary grows with the corpus (Heaps' law,
+    # ~1e8 terms at 100 TB), so broadcast-vs-shuffle is left to AQE, which
+    # broadcasts it only when the runtime size allows.
     dl_w = Window.partitionBy("doc_id")
     with_len = tfc.withColumn("doc_len", F.sum("cnt").over(dl_w).cast("long"))
     df_tbl = tfc.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
     scored = (
         with_len
-        .join(F.broadcast(df_tbl), "term")
+        .join(df_tbl, "term")
         .select(
             "doc_id",
             "term",
@@ -1536,8 +1538,8 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("component", F.col("__g.doc_id").alias("golden_id"))
     gm = members.select(F.col("doc_id").alias("golden_id"), F.col("source").alias("golden_source"))
     return (
-        members.join(F.broadcast(golden), "component")
-        .join(F.broadcast(gm), "golden_id")
+        members.join(golden, "component")
+        .join(gm, "golden_id")
         .select("doc_id", "source", "golden_id", "golden_source")
     )
 
@@ -2553,17 +2555,18 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, n-gram vocabulary induction). Each PMI is ONE log of an
     exact-integer ratio — no float summation anywhere, so cross-engine
     equality needs only the shared ln/round contract. Shuffle shape: one
-    bigram hash-agg over the corpus, then joins against the two
-    vocab-bounded marginal tables (broadcast) — the corpus is never
-    re-shuffled."""
+    bigram hash-agg over the corpus, then joins against the two marginal
+    tables — the corpus is never re-shuffled. Marginals grow with the
+    vocabulary (Heaps' law), so no explicit broadcast hint: AQE broadcasts
+    them only when the runtime size allows."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     c2 = _bigrams(docs).groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
     cl = c2.groupBy("a").agg(F.sum("n").alias("na"))
     cr = c2.groupBy("b").agg(F.sum("n").alias("nb"))
     t = c2.agg(F.sum("n").alias("tt"))
     return (
-        c2.join(F.broadcast(cl), "a")
-        .join(F.broadcast(cr), "b")
+        c2.join(cl, "a")
+        .join(cr, "b")
         .crossJoin(F.broadcast(t))
         .filter(F.col("n") >= 5)
         .select(
@@ -2603,8 +2606,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CONDITIONAL-probability sibling of the chargram unigram LM
     (KenLM-style filtering without the external binary): train corpus-level
     bigram counts, score each doc by its mean ln P(b|a) with
-    P = (c(a,b)+1)/(c(a·)+V). The model tables are vocab-bounded and
-    broadcast; per-doc scoring is one hash-agg — same two-pass shape as
+    P = (c(a,b)+1)/(c(a·)+V). The model tables scale with the
+    vocabulary, so their joins carry no broadcast hint (AQE decides at
+    runtime); per-doc scoring is one hash-agg — same two-pass shape as
     text_chargram_logprob, whose float-sum rounding contract (6 dp after
     one division) this reuses. Docs with < 2 tokens have no bigrams and
     drop out in both engines."""
@@ -2617,8 +2621,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").alias("vs"))
     )
     return (
-        dn.join(F.broadcast(c2), ["a", "b"])
-        .join(F.broadcast(cl), "a")
+        dn.join(c2, ["a", "b"])
+        .join(cl, "a")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
@@ -2865,7 +2869,7 @@ def similarity_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
     reranked = (
-        shortlist.join(F.broadcast(q), "query_id")
+        shortlist.join(q, "query_id")
         .join(c, "neighbor_id")
         .withColumn("cosine", S.cosine(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
@@ -3001,8 +3005,8 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         q.join(tf, "tok")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(idf), "tok")
-        .join(F.broadcast(dl), "doc_id")
+        .join(idf, "tok")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy(F.col("query_id"), F.col("doc_id").alias("result_id"))
         .agg(
@@ -3438,7 +3442,7 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("tok", F.log(F.col("n_docs").cast("double") / F.col("df")).alias("idf"))
     )
-    wv = tf.join(F.broadcast(idf), "tok").select(
+    wv = tf.join(idf, "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = wv.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
@@ -3452,8 +3456,8 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = norms.select(F.col("doc_id").alias("id1"), F.col("nrm").alias("nrm1"))
     n2 = norms.select(F.col("doc_id").alias("id2"), F.col("nrm").alias("nrm2"))
     return (
-        dots.join(F.broadcast(n1), "id1")
-        .join(F.broadcast(n2), "id2")
+        dots.join(n1, "id1")
+        .join(n2, "id2")
         .withColumn("cosine", F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6))
         .filter(F.col("cosine") >= 0.9)
         .select("id1", "id2", "cosine")

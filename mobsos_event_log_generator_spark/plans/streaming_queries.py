@@ -348,7 +348,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    enriched = events.join(F.broadcast(dim), events.user_id == dim.c_custkey).select(
+    enriched = events.join(dim, events.user_id == dim.c_custkey).select(
         "event_id", "user_id", "ts", "event_type",
         F.col("c_mktsegment").alias("segment"),
         F.col("c_nationkey").alias("nationkey"),

@@ -387,3 +387,109 @@ def test_weighted_sample_no_shuffle_of_facts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "orders_weighted_sample")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Explicit-broadcast-hint gate (source-level).
+#
+# An F.broadcast() hint FORCES the broadcast regardless of runtime size, so at
+# 100x the data it means executor/driver OOM instead of a graceful shuffle
+# degradation. Round-5's verdict found 17+ hints on SF-scaled inputs
+# (customer/supplier/part, per-part/per-doc/per-term aggregates); those are
+# now removed — AQE re-broadcasts the small-SF cases at runtime. Every hint
+# that REMAINS must name an input whose cardinality is bounded by something
+# other than the data volume: a 1-row scalar aggregate, a fixed-size sketch,
+# a num_centroids/num_buckets-bounded table, the 25-row nation / 5-row region
+# dims, a per-event-type (alphabet-bounded) aggregate, or a caller-provided
+# query/id set whose boundedness is an explicit API contract. Adding a new
+# hint means adding a justified entry here — the diff is the review moment.
+_BROADCAST_HINT_ALLOWLIST = {
+    # (relative file, normalized argument): (count, why it is bounded)
+    ("operators/bloom.py", "bloom"): (1, "fixed-width bloom bitmap rows"),
+    ("operators/cms.py", "cms"): (1, "fixed depth x width sketch cells"),
+    ("operators/filters.py", "ids_df"): (1, "caller-supplied resource id list (API contract: request-sized)"),
+    ("operators/graph.py", "closing"): (1, "explicit opt-in (broadcast_closing flag, default off)"),
+    ("operators/privacy.py", "small"): (1, "under-k quasi-identifier groups (k-anonymity audit output, contractually small)"),
+    ("operators/sampling.py", "tot"): (1, "1-row total-weight aggregate"),
+    ("operators/similarity.py", "q"): (5, "caller-provided query set (API contract: bounded workload)"),
+    ("operators/similarity.py", "centroids"): (1, "num_centroids-bounded"),
+    ("operators/similarity.py", "probes"): (2, "queries x nprobe routing rows"),
+    ("operators/similarity.py", "small"): (3, "cell ids below max_cell_size (num_centroids-bounded)"),
+    (
+        "operators/similarity.py",
+        'ivf_assign(queries, cents, nprobe, id_col, vec_col).select( F.col(id_col).alias("query_id"), "cid" )',
+    ): (2, "queries x nprobe assignment rows"),
+    ("operators/skyline.py", "offsets"): (1, "per-bucket offsets, fixed bucket count"),
+    ("operators/sweep.py", "offsets"): (2, "per-bucket offsets, fixed bucket count"),
+    ("plans/analytics.py", "n"): (6, "nation dim: 25 rows"),
+    ("plans/analytics.py", "n1"): (2, "nation dim: 25 rows"),
+    ("plans/analytics.py", "n2"): (2, "nation dim: 25 rows"),
+    ("plans/analytics.py", "r"): (2, "region dim: 5 rows"),
+    ("plans/analytics.py", "avg_bal"): (1, "1-row scalar"),
+    ("plans/analytics.py", "top"): (1, "1-row max"),
+    ("plans/analytics.py", "thresh"): (1, "1-row scalar"),
+    ("plans/analytics.py", "med"): (1, "per-event-type medians (alphabet-bounded)"),
+    ("plans/analytics.py", "mad"): (1, "per-event-type MADs (alphabet-bounded)"),
+    ("plans/analytics.py", "ref"): (1, "1-row reference date"),
+    ("plans/analytics.py", "total"): (1, "1-row scalar"),
+    ("plans/analytics.py", "b"): (1, "1-row bounds"),
+    ("plans/analytics.py", "norder"): (1, "1-row order count"),
+    ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
+    ("plans/analytics.py", "types"): (1, "event-type alphabet"),
+    ("plans/analytics.py", "n_ref_row"): (1, "1-row scalar"),
+    ("plans/analytics.py", "tot"): (1, "1-row scalar"),
+    ("plans/analytics.py", "mx"): (1, "1-row max"),
+    ("plans/llm.py", "model"): (1, "char-trigram counts (charset^3-bounded, not corpus-scaled)"),
+    ("plans/llm.py", "total"): (1, "1-row scalar"),
+    ("plans/llm.py", "cents"): (1, "num_centroids-bounded"),
+    ("plans/llm.py", "t"): (1, "1-row bigram total"),
+    ("plans/llm.py", "v"): (1, "1-row vocab size"),
+    ("plans/llm.py", "stats"): (2, "1-row (n_docs, avgdl)"),
+    ("plans/llm.py", "cov"): (1, "1-row coverage scalar"),
+    ("plans/llm.py", "span"): (1, "1-row span bounds"),
+    ("plans/llm.py", "n"): (1, "1-row doc count"),
+    ("plans/procmining.py", "total"): (1, "1-row scalar"),
+    ("plans/procmining.py", "model"): (1, "activity-alphabet^2 transition model"),
+    ("plans/procmining.py", 'totals.select(F.col("wk"), F.col("t").alias("t_cur"))'): (1, "per-week totals (calendar-bounded)"),
+    (
+        "plans/procmining.py",
+        'totals.select( (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"), F.col("t").alias("t_prev"), )',
+    ): (1, "per-week totals (calendar-bounded)"),
+    ("plans/temporal.py", "bounds"): (1, "1-row bounds"),
+}
+
+
+def test_broadcast_hints_only_on_bounded_inputs():
+    """Source gate: every F.broadcast() in the package must match a justified
+    allowlist entry, and every allowlist entry must still exist (no silent
+    drift in either direction)."""
+    import os
+    import re
+    from collections import Counter
+
+    import mobsos_event_log_generator_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    found: Counter = Counter()
+    for dirpath, _, filenames in os.walk(root):
+        for fn in filenames:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)
+            src = open(path).read()
+            for m in re.finditer(r"F\.broadcast\(", src):
+                i, depth = m.end(), 1
+                j = i
+                while depth:
+                    if src[j] == "(":
+                        depth += 1
+                    elif src[j] == ")":
+                        depth -= 1
+                    j += 1
+                found[(rel, " ".join(src[i : j - 1].split()))] += 1
+    expected = {k: c for k, (c, _why) in _BROADCAST_HINT_ALLOWLIST.items()}
+    unexpected = {k: v for k, v in found.items() if k not in expected}
+    assert not unexpected, f"unlisted F.broadcast() hints (justify in allowlist): {unexpected}"
+    drift = {k: (found.get(k, 0), c) for k, c in expected.items() if found.get(k, 0) != c}
+    assert not drift, f"allowlist count drift (found, expected): {drift}"
