@@ -84,6 +84,17 @@ def _prev_bench() -> tuple[str, dict] | None:
     # The driver wraps the bench JSON line as {"n", "rc", "tail", "parsed"}.
     if isinstance(rec.get("parsed"), dict):
         rec = rec["parsed"]
+    # The short final line carries only the cold lane; the warm lane lives in
+    # the BENCH_DETAIL.json sidecar written by the same run. Supplement when
+    # the sidecar clearly belongs to the recorded run (same cold timings).
+    if "queries_warm" not in rec:
+        try:
+            with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+                detail = json.load(f)
+            if detail.get("queries") == rec.get("queries"):
+                rec = dict(rec, queries_warm=detail.get("queries_warm", {}))
+        except (OSError, json.JSONDecodeError):
+            pass
     return best[1], rec
 
 
@@ -119,7 +130,9 @@ def main() -> None:
     from mobsos_event_log_generator_spark.session import get_spark
     from mobsos_event_log_generator_spark.plans.queries import QUERIES
 
-    spark = get_spark("bench")
+    # No console progress bars: the driver captures only the output tail, and
+    # progress redraw lines truncated the r4 record into "parsed": null.
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths once with a trivial job so the first timed
@@ -143,6 +156,13 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t1, 3)
 
     total = round(sum(timings.values()), 3)
+    # The final stdout line must stay SHORT: the driver records only the
+    # output tail, and r4's long line (warm lane + nested per-query deltas)
+    # was truncated into an unparseable record that also broke r5's
+    # deltas_vs_prev. Contract fields + per-query cold timings stay on the
+    # line; everything else (warm lane, deltas, regressions, errors) goes to
+    # the BENCH_DETAIL.json sidecar, which bench consumers and the next
+    # round's _prev_bench() read directly.
     record = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -150,23 +170,27 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "value_warm": round(sum(warm.values()), 3),
-        "queries_warm": warm,
     }
+    detail = dict(record, queries_warm=warm, detail_sidecar=True)
     if errors:
         record["errors"] = errors
+        detail["errors"] = errors
     trend = _deltas_vs_prev(timings, warm)
     if trend is not None:
         deltas, regressions = trend
-        record["deltas_vs_prev"] = deltas
+        detail["deltas_vs_prev"] = deltas
         if regressions:
-            record["warm_regressions"] = regressions
-            print("WARM-LANE REGRESSIONS (> +%.0f%% vs prior round):" % WARM_REGRESSION_PCT,
-                  file=sys.stderr)
-            for line in regressions:
-                print("  " + line, file=sys.stderr)
-            if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
-                print(json.dumps(record))
-                sys.exit(1)
+            detail["warm_regressions"] = regressions
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    if trend is not None and regressions:
+        print("WARM-LANE REGRESSIONS (> +%.0f%% vs prior round):" % WARM_REGRESSION_PCT,
+              file=sys.stderr)
+        for line in regressions:
+            print("  " + line, file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+            print(json.dumps(record))
+            sys.exit(1)
     print(json.dumps(record))
 
 

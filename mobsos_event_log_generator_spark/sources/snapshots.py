@@ -474,12 +474,22 @@ def snapshot_optimize(
     Scale shape: one full-table pass; the range partitioner samples z-value
     boundaries, so there is no single-partition global sort — the same
     layout contract as lake.zorder_layout, made transactional.
+
+    Concurrency: the manifest version is PINNED before the rewrite starts
+    and the commit targets pinned+1 — optimize rewrites exactly the
+    snapshot it read, so a concurrent append that lands meanwhile claims
+    pinned+1 first and this commit raises ``SnapshotConflict`` (retry on
+    the new latest) instead of silently dropping the appended rows. The
+    old read-latest-after-rewrite order was a lost-update race: the
+    append became the parent while its rows were absent from the
+    rewritten file list.
     """
     from pyspark.sql import functions as F
 
     from mobsos_event_log_generator_spark.sources.lake import interleave_bits
 
-    df = read_snapshot(spark, root)
+    parent = read_manifest(root)
+    df = read_snapshot(spark, root, version=parent["version"] or None)
     if zorder_cols is not None:
         cx, cy = zorder_cols
         span = (1 << bits) - 1
@@ -502,7 +512,6 @@ def snapshot_optimize(
     else:
         clustered = df.coalesce(target_files)
     files, n = _write_data_files(clustered, root)
-    parent = read_manifest(root)
     manifest = {
         "version": parent["version"] + 1,
         "parent": parent["version"] or None,

@@ -360,3 +360,37 @@ def test_snapshot_optimize_vacuum_keeps_history(spark, tmp_path):
     # vacuum removed nothing that a live manifest references
     assert read_snapshot(spark, root, v1).count() == 100
     assert read_snapshot(spark, root, v3).count() == 50
+
+
+def test_snapshot_optimize_concurrent_append_conflicts(spark, tmp_path, monkeypatch):
+    """Lost-update guard: an append landing between optimize's rewrite and
+    its commit must make the optimize commit raise SnapshotConflict — the
+    pre-fix read-latest-after-rewrite order instead adopted the append as
+    parent while omitting its rows from the rewritten file list, silently
+    erasing them from the optimized version."""
+    import pytest
+
+    from mobsos_event_log_generator_spark.sources import snapshots as S
+
+    root = str(tmp_path / "tbl")
+    S.snapshot_append(spark.range(100).selectExpr("id", "id AS x", "id AS y"), root)
+
+    real_write = S._write_data_files
+    state = {"raced": False}
+
+    def racing_write(df, r):
+        files, n = real_write(df, r)
+        if not state["raced"]:
+            # fire exactly once, from inside optimize's rewrite: a concurrent
+            # writer appends and commits before optimize reaches its commit
+            state["raced"] = True
+            S.snapshot_append(
+                spark.range(100, 150).selectExpr("id", "id AS x", "id AS y"), root
+            )
+        return files, n
+
+    monkeypatch.setattr(S, "_write_data_files", racing_write)
+    with pytest.raises(S.SnapshotConflict):
+        S.snapshot_optimize(spark, root, zorder_cols=("x", "y"), target_files=2)
+    # the concurrently appended rows survive in the latest snapshot
+    assert S.read_snapshot(spark, root).count() == 150
