@@ -30,6 +30,7 @@ def asof_join(
     ref_payload: list[str],
     direction: str = "backward",
     tolerance_seconds: int | None = None,
+    backward_equal_ts_tie: str = "greatest",
 ) -> DataFrame:
     """For each probe row: the nearest reference row per key — with
     ``direction="backward"`` the greatest (ts, tie) that is <= the probe's ts,
@@ -40,12 +41,20 @@ def asof_join(
     deterministic. Both directions are the same single-shuffle union + ordered
     window sweep, just mirrored.
 
+    ``backward_equal_ts_tie="least"`` keeps the greatest eligible timestamp
+    but resolves DUPLICATE-timestamp references to the smallest tie instead
+    of the greatest — the preference ``asof_join_nearest`` needs to match
+    pandas/the oracle, while the plain backward contract above stays the
+    default.
+
     ``tolerance_seconds`` matches pandas ``merge_asof(tolerance=...)``: a
     reference farther than the tolerance from the probe is treated as no
     match (ref columns NULL). Applied as a post-sweep projection — the sweep
     itself is unchanged, so tolerance costs nothing extra."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if backward_equal_ts_tie not in ("greatest", "least"):
+        raise ValueError(f"backward_equal_ts_tie must be 'greatest' or 'least', got {backward_equal_ts_tie!r}")
     ref_struct = F.struct(
         F.col(ts_col).alias("__ts"), F.col(tie_col).alias("__tie"), *[F.col(c) for c in ref_payload]
     )
@@ -59,10 +68,14 @@ def asof_join(
     unioned = tagged_probes.unionByName(tagged_refs, allowMissingColumns=True)
     if direction == "backward":
         # refs (side 0) sort before probes (side 1) at equal ts: "at or
-        # before"; carry the LAST ref seen up to the current row.
+        # before"; carry the LAST ref seen up to the current row. With
+        # "least", duplicate-ts refs sort tie-DESC so the last (carried) one
+        # is the smallest tie; probe-to-probe order is irrelevant to the
+        # sweep (their __ref is NULL), so the flip is safe to apply globally.
+        tie_order = F.col(tie_col).desc() if backward_equal_ts_tie == "least" else F.col(tie_col).asc()
         w = (
             Window.partitionBy(key_col)
-            .orderBy(F.col(ts_col), F.col("__side"), F.col(tie_col))
+            .orderBy(F.col(ts_col), F.col("__side"), tie_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = F.last("__ref", ignorenulls=True).over(w)
@@ -138,11 +151,16 @@ def asof_join_nearest(
     reference with the smallest |Δts| per key, composed from the backward
     and forward sweeps (each one single-shuffle). Tie on equal distance
     goes to the EARLIER reference (pandas' backward preference), then the
-    smaller tie column. Ref columns arrive ``ref_``-prefixed, NULL when
-    neither side has a match (or both fall outside the tolerance)."""
+    smaller tie column — the backward leg runs with
+    ``backward_equal_ts_tie="least"`` so duplicate-timestamp references
+    resolve to the smallest tie on BOTH legs, matching the oracle's
+    (|Δt|, backward-first, ref id ASC) ranking. Ref columns arrive
+    ``ref_``-prefixed, NULL when neither side has a match (or both fall
+    outside the tolerance)."""
     back = asof_join(
         probes, refs, key_col, ts_col, tie_col, ref_payload,
         direction="backward", tolerance_seconds=tolerance_seconds,
+        backward_equal_ts_tie="least",
     )
     fwd = asof_join(
         probes, refs, key_col, ts_col, tie_col, ref_payload,

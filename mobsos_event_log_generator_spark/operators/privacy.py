@@ -56,16 +56,28 @@ def suppress_small_groups(
     """Cell suppression: null every quasi-identifier on rows whose quasi
     group has fewer than k members. The under-k group list is tiny relative
     to the fact table, so it comes back as a broadcast LEFT SEMI-style mark
-    join; suppressed rows keep all non-quasi columns intact."""
+    join; suppressed rows keep all non-quasi columns intact.
+
+    The mark join matches on ``eqNullSafe``: groupBy treats NULL as a
+    grouping value, so a NULL-keyed under-k group is a real re-identification
+    group — a plain equality join would never match it back to its rows and
+    NULL-keyed groups would silently escape suppression."""
     small = (
         df.groupBy(*quasi_cols)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") < k)
-        .select(*quasi_cols, F.lit(True).alias("__suppress"))
+        .select(
+            *[F.col(c).alias(f"__q_{c}") for c in quasi_cols],
+            F.lit(True).alias("__suppress"),
+        )
     )
-    out = df.join(F.broadcast(small), quasi_cols, "left")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    out = df.join(F.broadcast(small), cond, "left")
     for c in quasi_cols:
         out = out.withColumn(
             c, F.when(F.col("__suppress").isNotNull(), F.lit(None)).otherwise(F.col(c))
         )
-    return out.drop("__suppress")
+    return out.drop("__suppress", *[f"__q_{c}" for c in quasi_cols])

@@ -496,3 +496,23 @@ def test_k_core_peels_tendrils(spark):
     # k=2: triangle pendant also survives (cycle), tail still peels
     out2 = {r["node"] for r in k_core(edges, 2).collect()}
     assert out2 == {1, 2, 3, 4, 7, 8, 9}
+
+
+def test_suppress_small_groups_null_quasi_group(spark):
+    """groupBy counts NULL as a grouping value, so an under-k NULL-keyed
+    group is a real re-identification group; the mark join must match it
+    back via eqNullSafe (plain equality never matches NULL keys and the
+    group silently escaped suppression pre-fix)."""
+    from mobsos_event_log_generator_spark.operators.privacy import suppress_small_groups
+
+    rows = [
+        (1, "US", "A", 10.0), (2, "US", "A", 20.0), (3, "US", "A", 30.0),
+        (4, None, "B", 40.0),  # NULL-keyed singleton -> must still suppress
+        (5, "DE", None, 50.0),  # NULL in the other quasi col
+    ]
+    df = spark.createDataFrame(rows, "id long, country string, seg string, v double")
+    out = {r["id"]: r for r in suppress_small_groups(df, ["country", "seg"], k=2).collect()}
+    assert out[1]["country"] == "US" and out[1]["seg"] == "A"
+    assert out[4]["country"] is None and out[4]["seg"] is None and out[4]["v"] == 40.0
+    assert out[5]["country"] is None and out[5]["seg"] is None and out[5]["v"] == 50.0
+    assert len(out) == 5

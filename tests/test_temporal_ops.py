@@ -203,3 +203,33 @@ def test_asof_nearest_tie_and_tolerance(spark):
         refs, "user_id", "ts", "event_id", ["event_id", "value"], tolerance_seconds=5,
     ).collect()[0]
     assert out3["ref_event_id"] == 100
+
+
+def test_asof_nearest_duplicate_ts_takes_smallest_tie(spark):
+    """Two references at the SAME timestamp and equal |Δt| from the probe:
+    the winner must be the smallest tie (ref id), matching the oracle's
+    (|Δt|, backward-first, ref id ASC) ranking — the backward sweep runs
+    with backward_equal_ts_tie='least' for this. Pre-fix the sweep carried
+    the GREATEST tie (latent: fixtures have no duplicate (user, ts) refs)."""
+    from datetime import datetime
+
+    from mobsos_event_log_generator_spark.operators.asof import asof_join, asof_join_nearest
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    probes = spark.createDataFrame([(1, 1, t(10))], "event_id long, user_id long, ts timestamp")
+    refs = spark.createDataFrame(
+        [(104, 1, t(8), 1.0), (101, 1, t(8), 2.0), (109, 1, t(12), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join_nearest(
+        probes, refs, "user_id", "ts", "event_id", ["event_id", "value"]
+    ).collect()[0]
+    # backward pair at -2s beats forward at +2s; among the two refs at t(8)
+    # the SMALLER id wins
+    assert out["ref_event_id"] == 101
+
+    # the plain backward contract is unchanged: greatest (ts, tie)
+    back = asof_join(
+        probes, refs, "user_id", "ts", "event_id", ["event_id", "value"]
+    ).collect()[0]
+    assert back["ref_event_id"] == 104
