@@ -2980,9 +2980,14 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN family): candidate generation is an INVERTED-INDEX equi-join — query
     tokens join the corpus postings on the token, so only documents sharing
     a term are ever scored (the search-engine shuffle shape; no all-pairs).
-    idf and doc-length tables are vocab-/corpus-bounded broadcast dims.
-    Scoring sums tens of per-term contributions per (query, doc) and rounds
-    6 dp — the chargram float-sum contract. Query set: every 50th doc as a
+    The idf and doc-length joins carry no broadcast hints (both scale with
+    the corpus/vocabulary; AQE broadcasts them only when runtime size
+    allows). At scale the repeated-query path is the persisted bucketed
+    index (operators/retrieval_index.py): postings/termdf bucketed on tok
+    and doclen on doc_id make all three corpus-side joins exchange-free —
+    bit-identical scores, gated by tests/test_bucketing.py. Scoring sums
+    tens of per-term contributions per (query, doc) and rounds 6 dp — the
+    chargram float-sum contract. Query set: every 50th doc as a
     'more-like-this' probe."""
     from pyspark.sql.window import Window
 

@@ -81,3 +81,58 @@ def test_ivf_persisted_index_matches_in_memory(spark, tmp_path):
     # partition pruning (probe cells -> pruned cid= directories).
     assert "PartitionFilters: [isnotnull(cid" in plan
     assert "dynamicpruning" in plan.lower()
+
+
+def test_retrieval_index_bm25_matches_adhoc_and_saves_shuffles(spark):
+    """The persisted bucketed inverted index (operators/retrieval_index.py)
+    must (a) reproduce plans/llm.py::search_bm25_topk bit-for-bit on the
+    same corpus and query set, and (b) remove the exchanges above the
+    corpus-scaled sides: postings/termdf ride the tok bucket layout and
+    doclen rides the doc_id layout, so the bucketed plan shuffles strictly
+    less than the identical joins over unbucketed copies."""
+    from mobsos_event_log_generator_spark.operators import retrieval_index as R
+    from mobsos_event_log_generator_spark.plans.queries import QUERIES
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    names = R.build_retrieval_index(docs, prefix="t_retr", num_buckets=4)
+    try:
+        queries = (
+            R.corpus_postings(docs)
+            .filter(F.col("doc_id") % 50 == 0)
+            .select(F.col("doc_id").alias("query_id"), "tok")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got_df = R.bm25_topk_from_index(spark, queries, prefix="t_retr", k=5)
+            plan_idx = got_df._jdf.queryExecution().executedPlan().toString()
+            got = {(r["query_id"], r["result_id"], r["bm25"], r["rank"]) for r in got_df.collect()}
+
+            # identical joins over UNBUCKETED copies of the same tables
+            for role in ("postings", "termdf", "doclen"):
+                spark.table(names[role]).write.mode("overwrite").saveAsTable(f"flat_{role}")
+            spark.table(names["stats"]).write.mode("overwrite").saveAsTable("flat_stats")
+            flat_names = {role: f"flat_{role}" for role in ("postings", "termdf", "doclen", "stats")}
+            import unittest.mock as mock
+
+            with mock.patch.object(R, "index_table_names", return_value=dict(R.index_table_names("x"), **flat_names)):
+                flat_df = R.bm25_topk_from_index(spark, queries, prefix="ignored", k=5)
+            plan_flat = flat_df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+        # (a) bit-identical to the ad-hoc registry query on the same corpus
+        want = {
+            (r["query_id"], r["result_id"], r["bm25"], r["rank"])
+            for r in QUERIES["search_bm25_topk"](spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want and got
+
+        # (b) the bucket layout removes the corpus-side exchanges: postings,
+        # termdf (tok) and doclen (doc_id) each stop shuffling
+        n_idx = plan_idx.count("Exchange hashpartitioning")
+        n_flat = plan_flat.count("Exchange hashpartitioning")
+        assert n_idx <= n_flat - 3, (n_idx, n_flat)
+    finally:
+        for t in list(names.values()) + [f"flat_{r}" for r in ("postings", "termdf", "doclen", "stats")]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
