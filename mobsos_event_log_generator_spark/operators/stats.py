@@ -33,10 +33,21 @@ def ks_statistic(
     df2: DataFrame,
     value_col: str,
     num_buckets: int = 32,
+    checkpoint_histogram: bool = False,
 ) -> DataFrame:
     """Exact two-sample KS distance. Returns one row:
     (n1, n2, ks_num, ks_ppm) where ks_num = max|n1·c2 − n2·c1| and
-    ks_ppm = ks_num·10⁶ div (n1·n2). Nulls are dropped (no CDF position)."""
+    ks_ppm = ks_num·10⁶ div (n1·n2). Nulls are dropped (no CDF position).
+
+    The ``per_value`` histogram lineage is consumed up to ~4x (the driver
+    ``first()`` for bounds/sizes plus the two-phase cumsum's two passes);
+    operators are persist-free by rule, so by default those are recomputes
+    OF THE HISTOGRAM — bounded by the distinct-value count, never re-scans
+    of the raw inputs beyond the first aggregation's own shuffle files,
+    which Spark reuses across the jobs. For a very expensive upstream
+    lineage (e.g. the histogram built over a join), pass
+    ``checkpoint_histogram=True`` to cut it once via an eager
+    localCheckpoint (the graph.py iteration pattern)."""
     s1 = df1.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
     s2 = df2.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
     tagged = s1.withColumn("__s", F.lit(1)).unionByName(s2.withColumn("__s", F.lit(2)))
@@ -44,6 +55,8 @@ def ks_statistic(
         F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).alias("d2"),
     )
+    if checkpoint_histogram:
+        per_value = per_value.localCheckpoint()
     # ONE driver action supplies the sample sizes AND the shared bucket
     # bounds for both cumsums (three separate actions cost ~3 job rounds;
     # measured 3.1 s -> ~2 s warm at sf0.1 when folded).

@@ -401,6 +401,10 @@ def test_ks_statistic_known_answer(spark):
     assert (r["n1"], r["n2"]) == (4, 4)
     assert r["ks_num"] == 8  # |4*0 - 4*2| at v=2
     assert r["ks_ppm"] == 500_000
+    # the opt-in histogram checkpoint (lineage cut for expensive upstreams)
+    # must not change the result
+    rc = ks_statistic(d1, d2, "v", checkpoint_histogram=True).collect()[0]
+    assert tuple(rc) == tuple(r)
 
 
 def test_ks_statistic_identical_samples_zero(spark):
