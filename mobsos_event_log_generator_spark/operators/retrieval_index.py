@@ -169,3 +169,46 @@ def bm25_topk_from_index(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def tfidf_cosine_pairs_from_index(
+    spark: SparkSession,
+    prefix: str = "retrieval",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine ≥ ``min_cosine`` over the persisted index —
+    the near-dup candidate sweep of plans/llm.py::doc_tfidf_cosine_pairs,
+    bit-identical (same idf = ln(N/df), same 6-dp round).
+
+    Join shape at scale: the weighted-vector build (postings ⋈ termdf on
+    tok) and the dot-product self-join both ride the ``tok`` bucket layout —
+    no Exchange above any postings/termdf scan; the norm joins ride the
+    ``doc_id`` layout of docnorm, so the corpus-scaled norm table never
+    re-shuffles — only the surviving dot-product pairs move."""
+    names = index_table_names(prefix)
+    postings = spark.table(names["postings"])
+    termdf = spark.table(names["termdf"])
+    norms = spark.table(names["docnorm"])
+    stats = spark.table(names["stats"])
+    idf = termdf.crossJoin(F.broadcast(stats)).select(
+        "tok", F.log(F.col("n_docs").cast("double") / F.col("df")).alias("idf")
+    )
+    wv = postings.join(idf, "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    a = wv.select(F.col("doc_id").alias("id1"), F.col("tok").alias("t1"), F.col("w").alias("w1"))
+    b = wv.select(F.col("doc_id").alias("id2"), F.col("tok").alias("t2"), F.col("w").alias("w2"))
+    dots = (
+        a.join(b, (F.col("t1") == F.col("t2")) & (F.col("id1") < F.col("id2")))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("id1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("doc_id").alias("id2"), F.col("nrm").alias("nrm2"))
+    return (
+        dots.join(n1, "id1")
+        .join(n2, "id2")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("nrm1") * F.col("nrm2")), 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id1", "id2", "cosine")
+    )

@@ -136,3 +136,28 @@ def test_retrieval_index_bm25_matches_adhoc_and_saves_shuffles(spark):
     finally:
         for t in list(names.values()) + [f"flat_{r}" for r in ("postings", "termdf", "doclen", "stats")]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_retrieval_index_tfidf_cosine_matches_adhoc(spark):
+    """tfidf_cosine_pairs_from_index must reproduce the registry's
+    doc_tfidf_cosine_pairs on the same corpus (same idf/norm/6-dp-round
+    contract), with the norm joins riding the doc_id bucket layout."""
+    from mobsos_event_log_generator_spark.operators import retrieval_index as R
+    from mobsos_event_log_generator_spark.plans.queries import QUERIES
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    names = R.build_retrieval_index(docs, prefix="t_retr2", num_buckets=4)
+    try:
+        got = {
+            (r["id1"], r["id2"], r["cosine"])
+            for r in R.tfidf_cosine_pairs_from_index(spark, prefix="t_retr2").collect()
+        }
+        want = {
+            (r["id1"], r["id2"], r["cosine"])
+            for r in QUERIES["doc_tfidf_cosine_pairs"](spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got == want
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
