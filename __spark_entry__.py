@@ -82,9 +82,14 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = {
 # ahead of the already-verified tail (empty when nothing green was touched;
 # sf0.01-identical plan changes are covered by tools/check_parity.py locally).
 _RECHECK_FIRST = ()
-# Driver-coordinated iterative queries (~14 s each at sf0.01) sort to the
-# end of their group so a window time cutoff can't starve cheap queries.
-_BUDGET_LAST = ("bpe_train_merges",)
+# Ordered tail of the unverified group: expensive driver-coordinated
+# queries (~14 s each at sf0.01) sort behind the cheap backlog so a window
+# time cutoff can't starve it, and brand-new round-6 queries sort behind
+# THOSE so they cannot evict a query that has waited longer for its first
+# driver row (the r6 window is exactly 49 backlog + bpe_train_merges = 50;
+# new additions spill to the r7 backlog and are check_parity-gated locally
+# meanwhile).
+_BUDGET_LAST = ("bpe_train_merges", "events_psi_drift")
 
 
 def _driver_verified() -> set:
@@ -122,7 +127,7 @@ def _driver_order(registry: dict) -> list[str]:
     verified = _driver_verified()
     recheck = [n for n in _RECHECK_FIRST if n in registry]
     backlog = [n for n in registry if n not in verified and n not in recheck]
-    backlog.sort(key=lambda n: n in _BUDGET_LAST)
+    backlog.sort(key=lambda n: _BUDGET_LAST.index(n) if n in _BUDGET_LAST else -1)
     seen = [n for n in registry if n in verified and n not in recheck]
     return recheck + backlog + seen
 

@@ -2349,6 +2349,110 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_psi_drift",
+    """
+WITH e AS (SELECT epoch_us(ts) AS us, value AS v FROM events WHERE value IS NOT NULL),
+b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+m AS (SELECT e.us, e.v, (b.lo + b.hi) // 2 AS mid FROM e, b),
+tot AS (SELECT CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+               CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS tc FROM m),
+pv AS (SELECT v, count(*) AS c FROM m WHERE us <= mid GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM pv),
+ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+cuts AS (SELECT k, min(v) AS cut FROM ks, cum, tot WHERE cc * 10 >= k * tr GROUP BY 1),
+qs AS (SELECT list(cut ORDER BY k) AS qs FROM cuts),
+sides AS (SELECT CASE WHEN us <= mid THEN 1 ELSE 2 END AS s,
+                 len(list_filter(qs.qs, c -> v > c)) AS bin
+          FROM m, qs),
+counts AS (SELECT bin, CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                  CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM sides GROUP BY 1),
+bins AS (SELECT unnest(generate_series(0, 9)) AS bin)
+SELECT CAST(bins.bin AS BIGINT) AS bin,
+       coalesce(n_ref, 0) AS n_ref,
+       coalesce(n_cur, 0) AS n_cur,
+       round(((coalesce(n_ref, 0) + 1.0) / (tr + 10.0) - (coalesce(n_cur, 0) + 1.0) / (tc + 10.0))
+             * ln(((coalesce(n_ref, 0) + 1.0) / (tr + 10.0))
+                  / ((coalesce(n_cur, 0) + 1.0) / (tc + 10.0))), 6) AS psi_term
+FROM bins LEFT JOIN counts ON bins.bin = counts.bin, tot
+""",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report (the industry-standard
+    companion to the KS monitor): events are split at the midpoint of the
+    observed time range, the REFERENCE half defines decile bins, and each
+    bin reports its Laplace-smoothed PSI term (p−q)·ln(p/q), rounded 6 dp —
+    the per-bin layout avoids any cross-row float summation, so the only
+    float op per row is one ln.
+
+    Engine-exactness: the decile cuts are RANK statistics, not interpolated
+    percentiles — cut_k = min value whose cumulative reference count
+    satisfies cc·10 ≥ k·n_ref, all integer arithmetic over the per-value
+    histogram, so both engines pick byte-identical data values as cuts and
+    bin membership (count of cuts strictly below the value) cannot drift.
+
+    Scale shape: the cumulative counts run through the two-phase bucket
+    prefix sum (operators/sweep.py — never a partition-less window over the
+    value domain); the cut selection is a 9-row inequality probe against
+    the bounded per-value histogram; bin assignment is a broadcast 9-cut
+    array filter in whole-stage codegen; everything else is one
+    map-side-combined aggregation pass."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.unix_micros(F.col("ts")).alias("us"), F.col("value").alias("v"))
+    )
+    b = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    m = e.crossJoin(F.broadcast(b)).withColumn("__mid", F.expr("(lo + hi) div 2"))
+    tot = m.agg(
+        F.sum(F.when(F.col("us") <= F.col("__mid"), 1).otherwise(0)).cast("long").alias("tr"),
+        F.sum(F.when(F.col("us") > F.col("__mid"), 1).otherwise(0)).cast("long").alias("tc"),
+    )
+    pv = (
+        m.filter(F.col("us") <= F.col("__mid"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = value_ordered_running_sum(pv, "v", [], F.col("c").cast("long"), out_col="cc")
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(ks, F.col("cc") * 10 >= F.col("k") * F.col("tr"))
+        .groupBy("k")
+        .agg(F.min("v").alias("cut"))
+    )
+    qs = cuts.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("k"), F.col("cut")))).alias("s")
+    ).select(F.expr("transform(s, x -> x.cut)").alias("qs"))
+    sides = (
+        m.select(F.when(F.col("us") <= F.col("__mid"), 1).otherwise(2).alias("s"), "v")
+        .crossJoin(F.broadcast(qs))
+        .select("s", F.size(F.filter(F.col("qs"), lambda c: F.col("v") > c)).alias("bin"))
+    )
+    counts = sides.groupBy("bin").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    nr = F.coalesce(F.col("n_ref"), F.lit(0)).cast("long")
+    nc = F.coalesce(F.col("n_cur"), F.lit(0)).cast("long")
+    p = (nr + F.lit(1.0)) / (F.col("tr") + F.lit(10.0))
+    q = (nc + F.lit(1.0)) / (F.col("tc") + F.lit(10.0))
+    return (
+        bins.join(counts, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            nr.alias("n_ref"),
+            nc.alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
+@register(
     "events_type_trends",
     """
 WITH daily AS (

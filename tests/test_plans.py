@@ -419,6 +419,7 @@ _BROADCAST_HINT_ALLOWLIST = {
         "operators/similarity.py",
         'ivf_assign(queries, cents, nprobe, id_col, vec_col).select( F.col(id_col).alias("query_id"), "cid" )',
     ): (2, "queries x nprobe assignment rows"),
+    ("operators/retrieval_index.py", "stats"): (3, "1-row (n_docs, avgdl) index stats"),
     ("operators/skyline.py", "offsets"): (1, "per-bucket offsets, fixed bucket count"),
     ("operators/sweep.py", "offsets"): (2, "per-bucket offsets, fixed bucket count"),
     ("plans/analytics.py", "n"): (6, "nation dim: 25 rows"),
@@ -432,13 +433,14 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "mad"): (1, "per-event-type MADs (alphabet-bounded)"),
     ("plans/analytics.py", "ref"): (1, "1-row reference date"),
     ("plans/analytics.py", "total"): (1, "1-row scalar"),
-    ("plans/analytics.py", "b"): (1, "1-row bounds"),
+    ("plans/analytics.py", "b"): (2, "1-row bounds"),
     ("plans/analytics.py", "norder"): (1, "1-row order count"),
     ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
     ("plans/analytics.py", "types"): (1, "event-type alphabet"),
     ("plans/analytics.py", "n_ref_row"): (1, "1-row scalar"),
-    ("plans/analytics.py", "tot"): (1, "1-row scalar"),
+    ("plans/analytics.py", "tot"): (3, "1-row scalar (incl. PSI ref/cur totals x2)"),
     ("plans/analytics.py", "mx"): (1, "1-row max"),
+    ("plans/analytics.py", "qs"): (1, "9-cut decile array (1 row)"),
     ("plans/llm.py", "model"): (1, "char-trigram counts (charset^3-bounded, not corpus-scaled)"),
     ("plans/llm.py", "total"): (1, "1-row scalar"),
     ("plans/llm.py", "cents"): (1, "num_centroids-bounded"),
