@@ -1545,6 +1545,96 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_blocking_quality",
+    r"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         md5(list_aggr(list_sort(list_filter(regexp_split_to_array(norm, ' '),
+                                             x -> x <> '')),
+                       'string_agg', ' ')) AS bag,
+         substring(norm, 1, 8) AS blk
+  FROM d
+),
+tg AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_true
+       FROM (SELECT count(*) AS n FROM keyed GROUP BY bag)),
+cg AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_cand
+       FROM (SELECT count(*) AS n FROM keyed GROUP BY blk)),
+cov AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_cov
+        FROM (SELECT count(*) AS n FROM keyed GROUP BY bag, blk)),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM keyed)
+SELECT n_docs,
+       n_true AS n_true_pairs,
+       n_cand AS n_candidate_pairs,
+       n_cov AS n_covered_true_pairs,
+       CAST(CASE WHEN n_docs >= 2
+                 THEN 1000000 - (n_cand * 1000000) // (n_docs * (n_docs - 1) // 2)
+            END AS BIGINT) AS reduction_ratio_ppm,
+       CAST(CASE WHEN n_true > 0 THEN (n_cov * 1000000) // n_true END AS BIGINT)
+         AS pairs_completeness_ppm
+FROM tot, tg, cg, cov
+""",
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (Christen's reduction ratio and pairs
+    completeness): truth = documents with identical token MULTISETS after
+    canonical normalization (order-insensitive content duplicates — the
+    md5 of the sorted token list); blocking = first 8 chars of the
+    normalized text. Reduction ratio = 1 − candidates/all-pairs;
+    completeness = the share of true pairs the blocks retain (order-variant
+    duplicates start with different words, land in different blocks, and
+    are genuinely missed — the quantity this metric exists to measure).
+
+    Scale shape: NO pair set is ever materialized — every pair count is
+    Σ n·(n−1)/2 over a groupBy (bag, block, and bag×block for the
+    intersection, since a true pair is covered iff both members share a
+    block), so the whole report is three map-side-combined aggregations of
+    the keyed projection. All-integer arithmetic, ppm via integer div."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    toks = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    keyed = docs.select(
+        F.md5(F.array_join(F.sort_array(toks), " ")).alias("bag"),
+        F.substring(norm, 1, 8).alias("blk"),
+    )
+    pair_sum = lambda keys, out: (  # noqa: E731
+        keyed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias(out))
+    )
+    tg = pair_sum(["bag"], "n_true")
+    cg = pair_sum(["blk"], "n_cand")
+    cov = pair_sum(["bag", "blk"], "n_cov")
+    tot = keyed.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        tot.join(F.broadcast(tg))
+        .join(F.broadcast(cg))
+        .join(F.broadcast(cov))
+        .select(
+            "n_docs",
+            F.col("n_true").alias("n_true_pairs"),
+            F.col("n_cand").alias("n_candidate_pairs"),
+            F.col("n_cov").alias("n_covered_true_pairs"),
+            F.when(
+                F.col("n_docs") >= 2,
+                F.lit(1_000_000)
+                - F.expr("(n_cand * 1000000L) div ((n_docs * (n_docs - 1)) div 2)"),
+            ).cast("long").alias("reduction_ratio_ppm"),
+            F.when(F.col("n_true") > 0, F.expr("(n_cov * 1000000L) div n_true"))
+            .cast("long")
+            .alias("pairs_completeness_ppm"),
+        )
+    )
+
+
+@register(
     "corpus_decontamination",
     f"""
 WITH b AS (

@@ -442,12 +442,14 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "mx"): (1, "1-row max"),
     ("plans/analytics.py", "qs"): (1, "9-cut decile array (1 row)"),
     ("plans/llm.py", "model"): (1, "char-trigram counts (charset^3-bounded, not corpus-scaled)"),
+    ("plans/llm.py", "tg"): (1, "1-row true-pair count"),
+    ("plans/llm.py", "cg"): (1, "1-row candidate-pair count"),
     ("plans/llm.py", "total"): (1, "1-row scalar"),
     ("plans/llm.py", "cents"): (1, "num_centroids-bounded"),
     ("plans/llm.py", "t"): (1, "1-row bigram total"),
     ("plans/llm.py", "v"): (1, "1-row vocab size"),
     ("plans/llm.py", "stats"): (2, "1-row (n_docs, avgdl)"),
-    ("plans/llm.py", "cov"): (1, "1-row coverage scalar"),
+    ("plans/llm.py", "cov"): (2, "1-row coverage / covered-pair scalars"),
     ("plans/llm.py", "span"): (1, "1-row span bounds"),
     ("plans/llm.py", "n"): (1, "1-row doc count"),
     ("plans/procmining.py", "total"): (1, "1-row scalar"),
