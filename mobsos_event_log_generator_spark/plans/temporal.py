@@ -369,7 +369,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
-         CAST(count(*) AS BIGINT) AS n_events, round(avg(value), 4) AS v
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(CAST((2 * sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                    + 100 * count(value))
+                   // (200 * count(value)) AS BIGINT) AS DOUBLE) / 10000 AS v
   FROM events GROUP BY 1, 2
 ),
 bounds AS (
@@ -423,9 +426,24 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("v"),
+    # Exact 4-dp per-bucket mean: quantize each value to integer micro-units
+    # via a DECIMAL(18,6) cast (deterministic per row on both engines), then
+    # half-up integer division — round(avg(double), 4) drifted one ulp
+    # between Spark's partial-merge sum order and DuckDB's sequential sum at
+    # sf0.1, flipping the 4-dp digit exactly at a .00005 midpoint.
+    micro = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("__a"),
+            F.count("value").alias("__nv"),
+        )
+        .withColumn(
+            "v",
+            (F.expr("(2 * __a + 100 * __nv) div (200 * __nv)")).cast("double") / 10_000,
+        )
+        .drop("__a", "__nv")
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
