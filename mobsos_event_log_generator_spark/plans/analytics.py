@@ -19,21 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mobsos_event_log_generator_spark.operators import exactmath as XM
 from mobsos_event_log_generator_spark.plans.queries import register
 from mobsos_event_log_generator_spark.sources.parquet import load_table
 
 
 @register(
     "tpch_q1_pricing_summary",
-    """
+    f"""
 SELECT l_returnflag, l_linestatus,
        round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {XM.sql_mean_round(f"sum({XM.sql_int_units('l_quantity')})", "count(*)", 4)} AS avg_qty,
+       {XM.sql_mean_round(f"sum({XM.sql_int_units('l_extendedprice')})", "count(*)", 4)} AS avg_price,
+       {XM.sql_mean_round(f"sum({XM.sql_int_units('l_discount')})", "count(*)", 4)} AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -42,8 +43,14 @@ GROUP BY l_returnflag, l_linestatus
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate; partial agg combines map-side so
-    the shuffle carries ~|groups| rows, not |lineitem|."""
+    the shuffle carries ~|groups| rows, not |lineitem|. The 4-dp means use
+    the exact integer-unit form (operators/exactmath.py): quantity/price/
+    discount are fixed-precision, so their true group means land exactly on
+    4-dp midpoints often enough that float-sum order would decide the digit
+    at large SFs. The 2-dp money SUMS stay float: the true sums are exact
+    multiples of 0.01, a full 0.005 from any midpoint."""
     li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -54,9 +61,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            XM.mean_round(F.sum(XM.int_units(F.col("l_quantity"))), n, 4).alias("avg_qty"),
+            XM.mean_round(F.sum(XM.int_units(F.col("l_extendedprice"))), n, 4).alias("avg_price"),
+            XM.mean_round(F.sum(XM.int_units(F.col("l_discount"))), n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -538,10 +545,10 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_status_priority",
-    """
+    f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(avg(o_totalprice), 4) AS avg_price
+       {XM.sql_mean_round(f"sum({XM.sql_int_units('o_totalprice')})", "count(*)", 4)} AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -552,7 +559,9 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        XM.mean_round(F.sum(XM.int_units(F.col("o_totalprice"))), F.count(F.lit(1)), 4).alias(
+            "avg_price"
+        ),
     )
 
 
@@ -988,9 +997,10 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q22_dormant_customers",
-    """
+    f"""
 WITH avg_bal AS (
-  SELECT round(avg(c_acctbal), 6) AS ab FROM customer WHERE c_acctbal > 0.0
+  SELECT {XM.sql_mean_round(f"sum({XM.sql_int_units('c_acctbal')})", "count(*)", 6)} AS ab
+  FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_nationkey AS cntrykey,
        CAST(count(*) AS BIGINT) AS numcust,
@@ -1018,7 +1028,11 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 6).alias("ab"))
+        .agg(
+            XM.mean_round(F.sum(XM.int_units(F.col("c_acctbal"))), F.count(F.lit(1)), 6).alias(
+                "ab"
+            )
+        )
     )
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-07-01 00:00:00").cast("timestamp")
@@ -2592,7 +2606,7 @@ def sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_winsorized_stats",
-    """
+    f"""
 WITH q AS (
   SELECT event_type,
          quantile_cont(value, 0.05) AS p05,
@@ -2603,10 +2617,11 @@ SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n,
        round(any_value(p05), 4) AS p05,
        round(any_value(p95), 4) AS p95,
-       round(avg(value), 4) AS raw_mean,
-       round(avg(CASE WHEN value < p05 THEN p05
-                      WHEN value > p95 THEN p95
-                      ELSE value END), 4) AS winsorized_mean
+       {XM.sql_mean_round(f"sum({XM.sql_int_units('value')})", "count(*)", 4)} AS raw_mean,
+       {XM.sql_mean_round("sum(CASE WHEN value < p05 THEN " + XM.sql_int_units("p05")
+                          + " WHEN value > p95 THEN " + XM.sql_int_units("p95")
+                          + " ELSE " + XM.sql_int_units("value") + " END)",
+                          "count(*)", 4)} AS winsorized_mean
 FROM events e JOIN q USING (event_type)
 GROUP BY 1
 """,
@@ -2623,9 +2638,14 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.05D)").alias("p05"),
         F.expr("percentile(value, 0.95D)").alias("p95"),
     )
-    clipped = F.when(F.col("value") < F.col("p05"), F.col("p05")).when(
-        F.col("value") > F.col("p95"), F.col("p95")
-    ).otherwise(F.col("value"))
+    # Clip DECISIONS compare against the raw interpolated percentiles (the
+    # engines produce identical doubles there); clip CONTRIBUTIONS are
+    # 6-dp-quantized integer units so the 4-dp means are exact integer
+    # arithmetic — order-independent (see operators/exactmath.py).
+    clipped_units = F.when(F.col("value") < F.col("p05"), XM.int_units(F.col("p05"))).when(
+        F.col("value") > F.col("p95"), XM.int_units(F.col("p95"))
+    ).otherwise(XM.int_units(F.col("value")))
+    n = F.count(F.lit(1))
     return (
         ev.join(F.broadcast(q), "event_type")
         .groupBy("event_type")
@@ -2633,8 +2653,8 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.round(F.first("p05"), 4).alias("p05"),
             F.round(F.first("p95"), 4).alias("p95"),
-            F.round(F.avg("value"), 4).alias("raw_mean"),
-            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            XM.mean_round(F.sum(XM.int_units(F.col("value"))), n, 4).alias("raw_mean"),
+            XM.mean_round(F.sum(clipped_units), n, 4).alias("winsorized_mean"),
         )
     )
 

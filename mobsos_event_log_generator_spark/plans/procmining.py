@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mobsos_event_log_generator_spark.operators import exactmath as XM
 from mobsos_event_log_generator_spark.plans.eventlog import EVENTS_FIXTURE_AS_EVENTLOG_SQL
 from mobsos_event_log_generator_spark.plans.queries import (
     _normalized_eventlog,
@@ -92,7 +93,7 @@ def _all_types_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "eventlog_activity_service_times",
     _CTE_STARTS_KEPT
-    + """
+    + f"""
 , numbered AS (
   SELECT "case", activity, ts, lifecycle,
          row_number() OVER (PARTITION BY "case", activity, lifecycle
@@ -109,7 +110,7 @@ paired AS (
 SELECT activity,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(epoch_us(complete_ts) - epoch_us(start_ts)) AS BIGINT) AS total_service_us,
-       round(avg(epoch_us(complete_ts) - epoch_us(start_ts)), 4) AS avg_service_us
+       {XM.sql_mean_round('sum(epoch_us(complete_ts) - epoch_us(start_ts))', 'count(*)', 4, in_scale=0)} AS avg_service_us
 FROM paired
 WHERE start_ts IS NOT NULL AND complete_ts IS NOT NULL
   AND complete_ts >= start_ts
@@ -149,7 +150,9 @@ def eventlog_activity_service_times(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(dur).cast("long").alias("total_service_us"),
-            F.round(F.avg(dur), 4).alias("avg_service_us"),
+            XM.mean_round(F.sum(dur), F.count(F.lit(1)), 4, in_scale=0).alias(
+                "avg_service_us"
+            ),
         )
     )
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mobsos_event_log_generator_spark.operators import exactmath as XM
 from mobsos_event_log_generator_spark.operators.asof import asof_join, banded_range_join
 from mobsos_event_log_generator_spark.plans.queries import TS_FMT_DUCK, TS_FMT_SPARK, register
 from mobsos_event_log_generator_spark.sources.parquet import load_table
@@ -503,7 +504,7 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        strftime(ts, '{TS_FMT_DUCK}') AS ts,
        CAST(count(*) OVER w AS BIGINT) AS n_in_window,
-       round(avg(value) OVER w, 4) AS avg_value_30m
+       {XM.sql_mean_round('sum(' + XM.sql_int_units('value') + ') OVER w', 'count(*) OVER w', 4)} AS avg_value_30m
 FROM events
 WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -530,7 +531,12 @@ def events_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", TS_FMT_SPARK).alias("ts"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
-        F.round(F.avg("value").over(w), 4).alias("avg_value_30m"),
+        # Exact integer-unit windowed mean (operators/exactmath.py): one
+        # trailing frame per purchase row is the densest dice-roll surface
+        # in the registry for the fixed-precision-mean midpoint bug.
+        XM.mean_round(
+            F.sum(XM.int_units(F.col("value"))).over(w), F.count(F.lit(1)).over(w), 4
+        ).alias("avg_value_30m"),
     )
 
 

@@ -520,3 +520,34 @@ def test_suppress_small_groups_null_quasi_group(spark):
     assert out[4]["country"] is None and out[4]["seg"] is None and out[4]["v"] == 40.0
     assert out[5]["country"] is None and out[5]["seg"] is None and out[5]["v"] == 50.0
     assert len(out) == 5
+
+
+def test_exact_mean_round_midpoints(spark):
+    """The exact integer-unit mean must round half-up AT midpoints regardless
+    of float summation order — the property round(avg(double)) lacks (the
+    sf0.1 gapfill ulp flip). Also covers the in_scale<out_dp duration path
+    and NULL propagation."""
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators import exactmath as XM
+
+    # mean = 0.00005 exactly (a 4-dp midpoint) -> half-up 0.0001
+    df = spark.createDataFrame([(0.0001,), (0.0,)], "v double")
+    r = df.agg(
+        XM.mean_round(F.sum(XM.int_units(F.col("v"))), F.count(F.lit(1)), 4).alias("m")
+    ).collect()[0]
+    assert r["m"] == 0.0001
+
+    # integer inputs, in_scale=0: mean of [1, 2] us at 4 dp = 1.5
+    d2 = spark.createDataFrame([(1,), (2,)], "us long")
+    r2 = d2.agg(
+        XM.mean_round(F.sum("us"), F.count(F.lit(1)), 4, in_scale=0).alias("m")
+    ).collect()[0]
+    assert r2["m"] == 1.5
+
+    # NULL propagation: empty-sum group yields NULL like avg
+    d3 = spark.createDataFrame([(None,)], "v double")
+    r3 = d3.agg(
+        XM.mean_round(F.sum(XM.int_units(F.col("v"))), F.count("v"), 4).alias("m")
+    ).collect()[0]
+    assert r3["m"] is None
