@@ -28,10 +28,39 @@ from pyspark.sql import functions as F
 
 def int_units(col: Column, scale: int = 6) -> Column:
     """``col`` quantized to integer 10^-scale units (exact for inputs with
-    <= ``scale`` decimals; deterministic for all doubles). DECIMAL(18,scale)
-    bounds the integer part at 10^(18-scale) — ample for money/metrics,
-    NOT for epoch-scale microsecond magnitudes (pass those in as longs)."""
-    return (col.cast(f"decimal(18,{scale})") * F.lit(10**scale)).cast("long")
+    <= ``scale`` decimals; deterministic for all doubles — same floor-trick
+    quantization as ``int_units_long``, whose magnitude bound applies);
+    epoch-scale microsecond magnitudes should still be passed in as longs
+    with in_scale=0.
+
+    Returns DECIMAL(29,0), not LONG: a full-table revenue sum in 10^-6
+    units crosses 2^63 around sf1000 (2.3e20 micro-units), and Spark's
+    non-ANSI long sum would WRAP silently there — decimal sums widen to
+    (38,0) instead. The DuckDB mirror keeps BIGINT per row (sums promote
+    to HUGEINT there). Wide-decimal ACCUMULATION costs ~2x a long sum per
+    expression (measured sf0.1), so use ``int_units_long`` instead
+    wherever the group-sum ceiling provably fits 63 bits at the design
+    scale (sf100k ~ 100 TB)."""
+    return int_units_long(col, scale).cast("decimal(29,0)")
+
+
+def int_units_long(col: Column, scale: int = 2) -> Column:
+    """Fast-path quantization to LONG integer units via pure double ops:
+    floor(x·10^scale + 0.5). EXACT — equal to the half-up DECIMAL cast —
+    whenever |x|·10^scale < ~1e15: the relative error of the double
+    product (~4·2^-53) stays under the 0.5 floor guard (verified
+    bit-identical to the DECIMAL path over sf0.1 lineitem), and it keeps
+    the whole expression in codegen'd double/long arithmetic (a DECIMAL
+    cast chain here tripled TPC-H q1's runtime). Non-negative inputs per
+    the module contract (floor(x+0.5) is half-toward-+inf on negatives).
+    Long ACCUMULATION is only for sites whose per-group unit sums
+    provably fit 2^63 at sf100k (~100 TB): 2-dp money per bounded key
+    (cents ceiling $9.2e16), integer quantities (scale 0), per-key 4-dp
+    revenue. Whole-table 4/6-dp sums (TPC-H q1 charge, q6/q14/q19-style
+    single-group revenue) must accumulate via ``int_units``."""
+    if scale == 0:
+        return col.cast("long")
+    return F.floor(col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
 
 
 def mean_round(sum_units: Column, count_col: Column, out_dp: int, in_scale: int = 6) -> Column:
@@ -54,9 +83,52 @@ def mean_round(sum_units: Column, count_col: Column, out_dp: int, in_scale: int 
     return q.cast("double") / F.lit(float(10**out_dp))
 
 
+def sum_round(sum_units: Column, out_dp: int, in_scale: int = 6) -> Column:
+    """Half-up rounded SUM of integer units, as DOUBLE — round(a/10^in, out)
+    exactly (``mean_round`` with divisor 1). Money sums are the long-fuse
+    version of the mean bug: the true sum sits ON the 2-dp grid, but float
+    accumulation error grows ~sqrt(n)·ulp(sum) with scale and crosses the
+    0.005 midpoint distance around sf100 — integer-unit sums never drift.
+    Product expressions stay exact too: 2dp·2dp(·2dp) inputs have <= 6
+    decimals, and the double product is within 1e-13 of that rational, so
+    the DECIMAL quantization recovers it exactly."""
+    return mean_round(sum_units, F.lit(1), out_dp, in_scale)
+
+
+def ratio_round(num_units: Column, den_units: Column, out_dp: int) -> Column:
+    """Half-up rounded ratio of two same-scale integer-unit quantities, as
+    DOUBLE — round(a/b, out) via integer arithmetic in DECIMAL(38,0); the
+    unit scale cancels. NULL if either side is NULL; caller guards b=0."""
+    a = num_units.cast("decimal(38,0)")
+    b = den_units.cast("decimal(38,0)")
+    s = 10**out_dp
+    num, den = a * F.lit(2 * s) + b, b * F.lit(2)
+    q = ((num - num % den) / den).cast("long")
+    return q.cast("double") / F.lit(float(s))
+
+
 def sql_int_units(col: str, scale: int = 6) -> str:
-    """DuckDB mirror of ``int_units``."""
-    return f"CAST(CAST({col} AS DECIMAL(18,{scale})) * {10**scale} AS BIGINT)"
+    """DuckDB mirror of ``int_units``/``int_units_long`` (BIGINT per row;
+    DuckDB sums promote to HUGEINT, so no wide/narrow split is needed).
+    Same floor(x·10^s + 0.5) form as the Spark side — identical IEEE ops
+    on identical doubles pick identical integers."""
+    if scale == 0:
+        return f"CAST({col} AS BIGINT)"
+    return f"CAST(floor(({col}) * {10**scale} + 0.5) AS BIGINT)"
+
+
+def sql_sum_round(sum_expr: str, out_dp: int, in_scale: int = 6) -> str:
+    """DuckDB mirror of ``sum_round``."""
+    return sql_mean_round(sum_expr, "1", out_dp, in_scale)
+
+
+def sql_ratio_round(num_expr: str, den_expr: str, out_dp: int) -> str:
+    """DuckDB mirror of ``ratio_round``."""
+    s = 10**out_dp
+    return (
+        f"(CAST(({2 * s} * ({num_expr}) + ({den_expr})) "
+        f"// (2 * ({den_expr})) AS DOUBLE) / {float(s)})"
+    )
 
 
 def sql_mean_round(sum_expr: str, count_expr: str, out_dp: int, in_scale: int = 6) -> str:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mobsos_event_log_generator_spark.operators import exactmath as XM
+
 
 def _order_key(ts_col: str, id_col: str) -> Column:
     return F.concat(
@@ -45,7 +47,7 @@ def resample_ohlc(
             F.min(value_col).alias("low"),
             F.max_by(value_col, order).alias("close"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), 6).alias("vsum"),
+            XM.sum_round(F.sum(XM.int_units(F.col(value_col))), 6).alias("vsum"),
         )
         .select(
             F.col("win.start").alias("bucket_start"),

@@ -27,54 +27,79 @@ from mobsos_event_log_generator_spark.sources.parquet import load_table
 @register(
     "tpch_q1_pricing_summary",
     f"""
+WITH u AS (
+  SELECT l_returnflag, l_linestatus,
+         sum({XM.sql_int_units('l_quantity', 0)}) AS qty_u,
+         sum({XM.sql_int_units('l_extendedprice', 2)}) AS ep_u,
+         sum({XM.sql_int_units('l_discount', 2)}) AS disc_u,
+         sum({XM.sql_int_units('l_extendedprice * (1 - l_discount)', 4)}) AS dp_u,
+         sum({XM.sql_int_units('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}) AS ch_u,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       {XM.sql_mean_round(f"sum({XM.sql_int_units('l_quantity')})", "count(*)", 4)} AS avg_qty,
-       {XM.sql_mean_round(f"sum({XM.sql_int_units('l_extendedprice')})", "count(*)", 4)} AS avg_price,
-       {XM.sql_mean_round(f"sum({XM.sql_int_units('l_discount')})", "count(*)", 4)} AS avg_disc,
-       CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+       {XM.sql_sum_round("qty_u", 2, in_scale=0)} AS sum_qty,
+       {XM.sql_sum_round("ep_u", 2, in_scale=2)} AS sum_base_price,
+       {XM.sql_sum_round("dp_u", 2, in_scale=4)} AS sum_disc_price,
+       {XM.sql_sum_round("ch_u", 2, in_scale=6)} AS sum_charge,
+       {XM.sql_mean_round("qty_u", "n", 4, in_scale=0)} AS avg_qty,
+       {XM.sql_mean_round("ep_u", "n", 4, in_scale=2)} AS avg_price,
+       {XM.sql_mean_round("disc_u", "n", 4, in_scale=2)} AS avg_disc,
+       n AS count_order
+FROM u
 """,
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate; partial agg combines map-side so
-    the shuffle carries ~|groups| rows, not |lineitem|. The 4-dp means use
-    the exact integer-unit form (operators/exactmath.py): quantity/price/
-    discount are fixed-precision, so their true group means land exactly on
-    4-dp midpoints often enough that float-sum order would decide the digit
-    at large SFs. The 2-dp money SUMS stay float: the true sums are exact
-    multiples of 0.01, a full 0.005 from any midpoint."""
+    the shuffle carries ~|groups| rows, not |lineitem|. Every output derives
+    from exact integer-unit sums (operators/exactmath.py): each input column
+    is summed ONCE at its minimal scale and both the rounded sum and the
+    4-dp mean reuse that sum, so float-summation order can never flip a
+    rounded digit at any SF. Per-column accumulator choice: quantity
+    (scale 0) / cents (scale 2) sums provably fit 63 bits at sf100k and use
+    the codegen long fast path; the whole-table-group 4-dp disc-price and
+    6-dp charge sums cross 2^63 near the design scale and pay the wide
+    DECIMAL accumulator instead — exactness is the point of q1's contract,
+    and a wrapped long would be silently wrong."""
     li = load_table(spark, sf_dir, "lineitem")
-    n = F.count(F.lit(1))
-    return (
+    u = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            XM.mean_round(F.sum(XM.int_units(F.col("l_quantity"))), n, 4).alias("avg_qty"),
-            XM.mean_round(F.sum(XM.int_units(F.col("l_extendedprice"))), n, 4).alias("avg_price"),
-            XM.mean_round(F.sum(XM.int_units(F.col("l_discount"))), n, 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(XM.int_units_long(F.col("l_quantity"), 0)).alias("qty_u"),
+            F.sum(XM.int_units_long(F.col("l_extendedprice"), 2)).alias("ep_u"),
+            F.sum(XM.int_units_long(F.col("l_discount"), 2)).alias("disc_u"),
+            F.sum(XM.int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("dp_u"),
+            F.sum(
+                XM.int_units(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+                )
+            ).alias("ch_u"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    return u.select(
+        "l_returnflag",
+        "l_linestatus",
+        XM.sum_round(F.col("qty_u"), 2, in_scale=0).alias("sum_qty"),
+        XM.sum_round(F.col("ep_u"), 2, in_scale=2).alias("sum_base_price"),
+        XM.sum_round(F.col("dp_u"), 2, in_scale=4).alias("sum_disc_price"),
+        XM.sum_round(F.col("ch_u"), 2, in_scale=6).alias("sum_charge"),
+        XM.mean_round(F.col("qty_u"), F.col("n"), 4, in_scale=0).alias("avg_qty"),
+        XM.mean_round(F.col("ep_u"), F.col("n"), 4, in_scale=2).alias("avg_price"),
+        XM.mean_round(F.col("disc_u"), F.col("n"), 4, in_scale=2).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
 @register(
     "tpch_q3_shipping_priority",
-    """
+    f"""
 WITH rev AS (
   SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)', 4)})", 2, in_scale=4)} AS revenue
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -100,7 +125,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(XM.sum_round(F.sum(XM.int_units_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 2, in_scale=4).alias("revenue"))
     )
     # Deterministic global top-10: orderBy+limit compiles to
     # TakeOrderedAndProject (per-partition top-k, then merge of k-sized heaps)
@@ -114,9 +139,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q5_local_supplier",
-    """
+    f"""
 SELECT n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)')})", 2)} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -148,7 +173,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(XM.sum_round(F.sum(XM.int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias("revenue"))
     )
 
 
@@ -181,10 +206,10 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "rollup_order_priority",
-    """
+    f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('o_totalprice', 2)})", 2, in_scale=2)} AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -195,7 +220,7 @@ def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        XM.sum_round(F.sum(XM.int_units_long(F.col("o_totalprice"), 2)), 2, in_scale=2).alias("total_price"),
     )
 
 
@@ -302,11 +327,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_daily_histogram",
-    """
+    f"""
 SELECT strftime(ts, '%Y-%m-%d') AS event_date,
        event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total_value
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('value', 2)})", 2, in_scale=2)} AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -319,7 +344,7 @@ def events_daily_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        XM.sum_round(F.sum(XM.int_units_long(F.col("value"), 2)), 2, in_scale=2).alias("total_value"),
     )
 
 
@@ -385,14 +410,14 @@ def subquery_exists_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> D
 
 @register(
     "tpch_q18_large_orders",
-    """
+    f"""
 WITH big AS (
   SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
 )
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(o.o_totalprice, 2) AS o_totalprice,
-       round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS total_qty
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_quantity', 0)})", 2, in_scale=0)} AS total_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -419,16 +444,16 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(XM.sum_round(F.sum(XM.int_units_long(F.col("l_quantity"), 0)), 2, in_scale=0).alias("total_qty"))
     )
 
 
 @register(
     "window_cumulative_customer_revenue",
-    """
+    f"""
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(o_totalprice) OVER w, 2) AS cum_revenue,
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('o_totalprice', 2)}) OVER w", 2, in_scale=2)} AS cum_revenue,
        round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta_vs_prev,
        CAST(row_number() OVER w AS BIGINT) AS order_seq
 FROM orders
@@ -448,7 +473,7 @@ def window_cumulative_customer_revenue(spark: SparkSession, sf_dir: str) -> Data
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+        XM.sum_round(F.sum(XM.int_units_long(F.col("o_totalprice"), 2)).over(w), 2, in_scale=2).alias("cum_revenue"),
         F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(wo), 2).alias("delta_vs_prev"),
         F.row_number().over(wo).cast("long").alias("order_seq"),
     )
@@ -548,7 +573,7 @@ def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       {XM.sql_mean_round(f"sum({XM.sql_int_units('o_totalprice')})", "count(*)", 4)} AS avg_price
+       {XM.sql_mean_round(f"sum({XM.sql_int_units('o_totalprice', 2)})", "count(*)", 4, in_scale=2)} AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -559,7 +584,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        XM.mean_round(F.sum(XM.int_units(F.col("o_totalprice"))), F.count(F.lit(1)), 4).alias(
+        XM.mean_round(F.sum(XM.int_units_long(F.col("o_totalprice"), 2)), F.count(F.lit(1)), 4, in_scale=2).alias(
             "avg_price"
         ),
     )
@@ -567,8 +592,8 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q6_forecast_revenue",
-    """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    f"""
+SELECT {XM.sql_sum_round(f"sum({XM.sql_int_units('l_extendedprice * l_discount')})", 2)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -627,10 +652,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q10_returned_items",
-    """
+    f"""
 WITH rev AS (
   SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)', 4)})", 2, in_scale=4)} AS revenue
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -662,7 +687,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(XM.sum_round(F.sum(XM.int_units_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 2, in_scale=4).alias("revenue"))
     )
     return (
         rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -673,11 +698,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14_promo_revenue",
-    """
+    f"""
 WITH sums AS (
-  SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
-                        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS promo_rev,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev
+  SELECT {XM.sql_sum_round("sum(" + XM.sql_int_units("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END") + ")", 2)} AS promo_rev,
+         {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)')})", 2)} AS total_rev
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -701,8 +725,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2).alias("promo_rev"),
-            F.round(F.sum(rev), 2).alias("total_rev"),
+            XM.sum_round(F.sum(XM.int_units(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))), 2).alias("promo_rev"),
+            XM.sum_round(F.sum(XM.int_units(rev)), 2).alias("total_rev"),
         )
     )
     return sums.select(
@@ -714,8 +738,8 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q19_disjunctive_revenue",
-    """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    f"""
+SELECT {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)')})", 2)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 15)
@@ -738,14 +762,14 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 35))
     )
     return joined.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        XM.sum_round(F.sum(XM.int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 @register(
     "tpch_q7_nation_volume",
-    """
+    f"""
 SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -799,21 +823,19 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            XM.sum_round(F.sum(XM.int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2).alias("revenue")
         )
     )
 
 
 @register(
     "tpch_q8_market_share",
-    """
+    f"""
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_7'
-                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2) AS nation_rev,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_rev,
-       round(round(sum(CASE WHEN n2.n_name = 'NATION_7'
-                            THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 2)
-             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6) AS mkt_share
+       {XM.sql_sum_round("sum(" + XM.sql_int_units("CASE WHEN n2.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END") + ")", 2)} AS nation_rev,
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)')})", 2)} AS total_rev,
+       round({XM.sql_sum_round("sum(" + XM.sql_int_units("CASE WHEN n2.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END") + ")", 2)}
+             / {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)')})", 2)}, 6) AS mkt_share
 FROM part p
 JOIN lineitem l ON p.p_partkey = l.l_partkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -860,10 +882,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     agged = joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
-        F.round(F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))), 2).alias(
+        XM.sum_round(F.sum(XM.int_units(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0)))), 2).alias(
             "nation_rev"
         ),
-        F.round(F.sum(rev), 2).alias("total_rev"),
+        XM.sum_round(F.sum(XM.int_units(rev)), 2).alias("total_rev"),
     )
     return agged.select(
         "o_year",
@@ -909,8 +931,8 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "tpch_q17_small_quantity_revenue",
-    """
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+SELECT {XM.sql_mean_round(f"sum({XM.sql_int_units('l.l_extendedprice', 2)})", "7", 2, in_scale=2)} AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#11'
@@ -935,7 +957,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         li_brand.join(thresh, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(XM.mean_round(F.sum(XM.int_units_long(F.col("l_extendedprice"), 2)), F.lit(7), 2, in_scale=2).alias("avg_yearly"))
     )
 
 
@@ -999,12 +1021,12 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_dormant_customers",
     f"""
 WITH avg_bal AS (
-  SELECT {XM.sql_mean_round(f"sum({XM.sql_int_units('c_acctbal')})", "count(*)", 6)} AS ab
+  SELECT {XM.sql_mean_round(f"sum({XM.sql_int_units('c_acctbal', 2)})", "count(*)", 6, in_scale=2)} AS ab
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_nationkey AS cntrykey,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c.c_acctbal), 2) AS totacctbal
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('c.c_acctbal', 2)})", 2, in_scale=2)} AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.ab
   AND c.c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
@@ -1029,7 +1051,7 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 0.0)
         .agg(
-            XM.mean_round(F.sum(XM.int_units(F.col("c_acctbal"))), F.count(F.lit(1)), 6).alias(
+            XM.mean_round(F.sum(XM.int_units_long(F.col("c_acctbal"), 2)), F.count(F.lit(1)), 6, in_scale=2).alias(
                 "ab"
             )
         )
@@ -1041,7 +1063,7 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return dormant.groupBy(F.col("c_nationkey").alias("cntrykey")).agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        XM.sum_round(F.sum(XM.int_units_long(F.col("c_acctbal"), 2)), 2, in_scale=2).alias("totacctbal"),
     )
 
 
@@ -1081,9 +1103,9 @@ def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q15_top_supplier",
-    """
+    f"""
 WITH rev AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  SELECT l_suppkey, {XM.sql_sum_round(f"sum({XM.sql_int_units('l_extendedprice * (1 - l_discount)', 4)})", 2, in_scale=4)} AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -1106,7 +1128,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev")
+        XM.sum_round(F.sum(XM.int_units_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 2, in_scale=4).alias("total_rev")
     )
     top = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
@@ -1163,10 +1185,10 @@ def quality_constraints_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_rank_functions",
-    """
+    f"""
 WITH rev AS (
   SELECT c.c_custkey, c.c_mktsegment AS segment,
-         round(sum(o.o_totalprice), 2) AS revenue
+         {XM.sql_sum_round(f"sum({XM.sql_int_units('o.o_totalprice', 2)})", 2, in_scale=2)} AS revenue
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 )
@@ -1190,7 +1212,7 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         c.join(o, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(XM.sum_round(F.sum(XM.int_units_long(F.col("o_totalprice"), 2)), 2, in_scale=2).alias("revenue"))
     )
     w = Window.partitionBy("segment").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return rev.select(
@@ -1467,9 +1489,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q11_important_parts",
-    """
+    f"""
 WITH v AS (
-  SELECT l.l_partkey, round(sum(l.l_extendedprice * l.l_quantity), 2) AS value
+  SELECT l.l_partkey, {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * l.l_quantity')})", 2)} AS value
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1478,7 +1500,7 @@ WITH v AS (
 )
 SELECT l_partkey, value
 FROM v
-WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM v)
+WHERE value > (SELECT {XM.sql_mean_round("sum(CAST(value * 100 AS BIGINT))", "1000", 2, in_scale=2)} FROM v)
 """,
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,9 +1519,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("value"))
+        .agg(XM.sum_round(F.sum(XM.int_units(F.col("l_extendedprice") * F.col("l_quantity"))), 2).alias("value"))
     )
-    thresh = v.agg(F.round(F.sum("value") * F.lit(0.001), 2).alias("__thresh"))
+    thresh = v.agg(
+        XM.mean_round(
+            F.sum((F.col("value") * 100).cast("long")), F.lit(1000), 2, in_scale=2
+        ).alias("__thresh")
+    )
     return (
         v.join(F.broadcast(thresh))
         .filter(F.col("value") > F.col("__thresh"))
@@ -1551,10 +1577,10 @@ def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "grouping_sets_status_priority",
-    """
+    f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('o_totalprice', 2)})", 2, in_scale=2)} AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
@@ -1572,7 +1598,7 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        XM.sum_round(F.sum(XM.int_units_long(F.col("o_totalprice"), 2)), 2, in_scale=2).alias("total_price"),
     )
 
 

@@ -100,7 +100,7 @@ SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '{TS_FMT_DUCK}') AS bucket_sta
        arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 6) AS vsum
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('value')})", 6)} AS vsum
 FROM events
 GROUP BY 1, 2
 """,
@@ -504,7 +504,7 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        strftime(ts, '{TS_FMT_DUCK}') AS ts,
        CAST(count(*) OVER w AS BIGINT) AS n_in_window,
-       {XM.sql_mean_round('sum(' + XM.sql_int_units('value') + ') OVER w', 'count(*) OVER w', 4)} AS avg_value_30m
+       {XM.sql_mean_round('sum(' + XM.sql_int_units('value', 2) + ') OVER w', 'count(*) OVER w', 4, in_scale=2)} AS avg_value_30m
 FROM events
 WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -535,7 +535,10 @@ def events_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # trailing frame per purchase row is the densest dice-roll surface
         # in the registry for the fixed-precision-mean midpoint bug.
         XM.mean_round(
-            F.sum(XM.int_units(F.col("value"))).over(w), F.count(F.lit(1)).over(w), 4
+            F.sum(XM.int_units_long(F.col("value"), 2)).over(w),
+            F.count(F.lit(1)).over(w),
+            4,
+            in_scale=2,
         ).alias("avg_value_30m"),
     )
 
