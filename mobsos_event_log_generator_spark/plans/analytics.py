@@ -593,7 +593,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     f"""
-SELECT {XM.sql_sum_round(f"sum({XM.sql_int_units('l_extendedprice * l_discount')})", 2)} AS revenue,
+SELECT {XM.sql_sum_round(f"sum({XM.sql_int_units('l_extendedprice * l_discount', 4)})", 2, in_scale=4)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -615,7 +615,9 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        XM.sum_round(
+            F.sum(XM.int_units(F.col("l_extendedprice") * F.col("l_discount"), 4)), 2, in_scale=4
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -770,7 +772,8 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q7_nation_volume",
     f"""
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       {XM.sql_sum_round(f"sum({XM.sql_int_units('volume')})", 2)} AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
