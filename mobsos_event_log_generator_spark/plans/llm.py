@@ -1331,6 +1331,60 @@ def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocabulary_zipf_slope",
+    f"""
+WITH w AS (SELECT {SQL_WORDS} AS words FROM documents),
+t AS (SELECT unnest(words) AS word FROM w),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+top AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+  FROM c ORDER BY n DESC, word LIMIT 500
+),
+pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM top)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
+       round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                        / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+             / count(*), 6) AS zipf_intercept
+FROM pts
+""",
+)
+def vocabulary_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS slope/intercept of ln(freq) against
+    ln(rank) over the top-500 vocabulary terms — the standard corpus-health
+    check (natural text ~ -1; templated or synthetic corpora deviate).
+    Rank assignment is the vocabulary_topk shape: distributed top-k first,
+    the row_number window only ever sees the post-LIMIT 500 rows. The OLS
+    aggregates are float sums of logs (irrational values — the midpoint
+    class measure-zero, unlike fixed-precision money) rounded 6 dp under
+    the shared ln/round contract."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("word")).limit(500)
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    pts = top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    cnt = F.count(F.lit(1))
+    slope = (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        cnt.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("zipf_intercept"),
+    )
+
+
+@register(
     "tfidf_top_terms",
     f"""
 WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),

@@ -99,6 +99,8 @@ def test_no_python_in_hot_paths(spark, sf_dir):
 # the canonical 100-TB scale-killer (operators/sweep.py).
 GLOBAL_WINDOW_ALLOWLIST = {
     "vocabulary_topk": "rank over a post-LIMIT 50-row table (plans/llm.py)",
+    "vocabulary_zipf_slope": "rank over the post-LIMIT 500-row top-vocabulary "
+    "table (plans/llm.py)",
     "similarity_topk_ann_ivf": "centroid-id row_number over the post-LIMIT "
     "num_centroids-row seed table (operators/similarity.py::ivf_seed_centroids)",
     "embedding_outliers": "same IVF seeding window: post-LIMIT centroid table",
