@@ -709,7 +709,7 @@ WITH sums AS (
     AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
 )
 SELECT promo_rev, total_rev,
-       round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+       {XM.sql_ratio_round('100 * ' + XM.sql_int_units('promo_rev', 2), XM.sql_int_units('total_rev', 2), 6)} AS promo_pct
 FROM sums
 """,
 )
@@ -734,7 +734,11 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "promo_rev",
         "total_rev",
-        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias("promo_pct"),
+        XM.ratio_round(
+            F.lit(100) * XM.int_units_long(F.col("promo_rev"), 2),
+            XM.int_units_long(F.col("total_rev"), 2),
+            6,
+        ).alias("promo_pct"),
     )
 
 
@@ -837,8 +841,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
        {XM.sql_sum_round("sum(" + XM.sql_int_units("CASE WHEN n2.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END") + ")", 2)} AS nation_rev,
        {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)')})", 2)} AS total_rev,
-       round({XM.sql_sum_round("sum(" + XM.sql_int_units("CASE WHEN n2.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END") + ")", 2)}
-             / {XM.sql_sum_round(f"sum({XM.sql_int_units('l.l_extendedprice * (1 - l.l_discount)')})", 2)}, 6) AS mkt_share
+       {XM.sql_ratio_round(XM.sql_int_units("nation_rev", 2), XM.sql_int_units("total_rev", 2), 6)} AS mkt_share
 FROM part p
 JOIN lineitem l ON p.p_partkey = l.l_partkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -894,7 +897,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year",
         "nation_rev",
         "total_rev",
-        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        XM.ratio_round(
+            XM.int_units_long(F.col("nation_rev"), 2),
+            XM.int_units_long(F.col("total_rev"), 2),
+            6,
+        ).alias("mkt_share"),
     )
 
 
@@ -939,7 +946,8 @@ SELECT {XM.sql_mean_round(f"sum({XM.sql_int_units('l.l_extendedprice', 2)})", "7
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#11'
-  AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
+  AND l.l_quantity < (SELECT {XM.sql_mean_round('sum(CAST(l2.l_quantity AS BIGINT))',
+                                                '5 * count(*)', 6, in_scale=0)}
                       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """,
 )
@@ -954,8 +962,13 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     li = load_table(spark, sf_dir, "lineitem")
     li_brand = li.join(p, li.l_partkey == p.p_partkey)
+    # round(0.2*avg(qty), 6) = round(sum/(5n), 6): exact half-up integer
+    # form — the threshold flips row MEMBERSHIP, so a midpoint float flip
+    # changes the revenue output, not just a displayed digit.
     thresh = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("qty_thresh")
+        XM.mean_round(
+            F.sum(F.col("l_quantity").cast("long")), F.lit(5) * F.count(F.lit(1)), 6, in_scale=0
+        ).alias("qty_thresh")
     )
     return (
         li_brand.join(thresh, F.col("l_partkey") == F.col("t_partkey"))

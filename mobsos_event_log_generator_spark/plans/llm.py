@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mobsos_event_log_generator_spark.operators import dedup as D
+from mobsos_event_log_generator_spark.operators import exactmath as XM
 from mobsos_event_log_generator_spark.operators import similarity as S
 from mobsos_event_log_generator_spark.operators import text as X
 from mobsos_event_log_generator_spark.operators.setjoin import prefix_filter_jaccard_join
@@ -793,8 +794,8 @@ ann AS (
 )
 SELECT CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_exact,
        CAST((SELECT count(*) FROM ann JOIN bf USING (query_id, neighbor_id)) AS BIGINT) AS n_hit,
-       round(CAST((SELECT count(*) FROM ann JOIN bf USING (query_id, neighbor_id)) AS DOUBLE)
-             / (SELECT count(*) FROM bf), 6) AS recall_at_5
+       {XM.sql_ratio_round('(SELECT count(*) FROM ann JOIN bf USING (query_id, neighbor_id))',
+                           '(SELECT count(*) FROM bf)', 6)} AS recall_at_5
 """,
 )
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,7 +813,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_exact",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"),
+            XM.ratio_round(F.col("n_hit"), F.col("n_exact"), 6).alias("recall_at_5"),
         )
     )
 
@@ -1712,7 +1713,7 @@ tot AS (SELECT doc_id, count(*) AS n_grams FROM ted GROUP BY 1)
 SELECT t.doc_id,
        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
        CAST(t.n_grams AS BIGINT) AS n_grams,
-       round(coalesce(h.n_hit, 0) * 1.0 / t.n_grams, 6) AS contamination
+       {XM.sql_ratio_round('coalesce(h.n_hit, 0)', 't.n_grams', 6)} AS contamination
 FROM tot t LEFT JOIN hits h USING (doc_id)
 """,
 )
@@ -1745,7 +1746,7 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_contaminated"),
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6).alias("contamination"),
+            XM.ratio_round(F.coalesce("n_hit", F.lit(0)), F.col("n_grams"), 6).alias("contamination"),
         )
     )
 
@@ -1789,7 +1790,7 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_gopher_rules",
-    r"""
+    rf"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
@@ -1803,7 +1804,7 @@ m AS (
 )
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       round(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+       {XM.sql_ratio_round('sum_len', 'n_words', 4)} AS mean_word_len,
        CAST(stop_hits AS BIGINT) AS stop_hits,
        CAST(CASE WHEN n_words BETWEEN 50 AND 100000
                   AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
@@ -1834,7 +1835,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
+        XM.ratio_round(F.col("sum_len"), F.col("n_words"), 4).alias("mean_word_len"),
         F.col("stop_hits").cast("long").alias("stop_hits"),
         keep.cast("int").alias("keep"),
     )

@@ -323,7 +323,7 @@ def eventlog_org_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "eventlog_conformance_dfg",
     _CTE_ALL_TYPES_COMPLETE
-    + """
+    + f"""
 , trans AS (
   SELECT "case", activity AS src,
          lead(activity) OVER (PARTITION BY "case" ORDER BY ts, activity) AS dst
@@ -340,8 +340,8 @@ model AS (
 SELECT t."case",
        CAST(count(*) AS BIGINT) AS n_transitions,
        CAST(sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming,
-       round(CAST(sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS fitness
+       {XM.sql_ratio_round('sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END)',
+                           'count(*)', 6)} AS fitness
 FROM t LEFT JOIN model m ON t.src = m.src AND t.dst = m.dst
 GROUP BY 1
 """,
@@ -378,7 +378,7 @@ def eventlog_conformance_dfg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("case").agg(
         F.count(F.lit(1)).alias("n_transitions"),
         conforming.cast("long").alias("n_conforming"),
-        F.round(conforming.cast("double") / F.count(F.lit(1)), 6).alias("fitness"),
+        XM.ratio_round(conforming, F.count(F.lit(1)), 6).alias("fitness"),
     )
 
 
