@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mobsos_event_log_generator_spark.operators import exactmath as XM
+
 from mobsos_event_log_generator_spark.operators.text import tokens, winnow_fingerprints, word_shingles
 
 NUM_MINHASHES = 12
@@ -166,7 +168,12 @@ def jaccard_verify(
     return (
         inter.join(c1, "id1")
         .join(c2, "id2")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6))
+        .withColumn(
+            "jaccard",
+            XM.ratio_round(
+                F.col("n_inter"), F.col("n1") + F.col("n2") - F.col("n_inter"), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -303,7 +310,12 @@ def ngram_jaccard_pairs(
     return (
         inter.join(c1, "id1")
         .join(c2, "id2")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6))
+        .withColumn(
+            "jaccard",
+            XM.ratio_round(
+                F.col("n_inter"), F.col("n1") + F.col("n2") - F.col("n_inter"), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )

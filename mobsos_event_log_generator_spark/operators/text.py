@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mobsos_event_log_generator_spark.operators import exactmath as XM
+
 # Stopword marker sets for the n-gram/stopword language-ID heuristic.
 # Deliberately tiny: language ID at 100 TB must stay in codegen; a real model
 # (fastText etc.) would slot in as a pandas UDF behind the same API.
@@ -222,7 +224,7 @@ def repetition_stats(
     stats = counts.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_fraction"),
+        XM.ratio_round(F.sum("c") - F.count(F.lit(1)), F.sum("c"), 6).alias("dup_fraction"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gram"))
     top = (
@@ -242,7 +244,7 @@ def repetition_stats(
             F.coalesce("top_gram", F.lit("")).alias("top_gram"),
             F.coalesce("top_count", F.lit(0)).cast("long").alias("top_count"),
             F.coalesce(
-                F.round(F.col("top_count") / F.col("n_grams"), 6), F.lit(0.0)
+                XM.ratio_round(F.col("top_count"), F.col("n_grams"), 6), F.lit(0.0)
             ).alias("top_fraction"),
         )
     )
@@ -261,9 +263,31 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             {
                 "n_tokens": F.size(w).cast("long"),
                 "n_tokens_bpe": bpe_ish_token_count(text_col),
-                "mean_word_len": F.round(mean_word_length(w), 6),
-                "stopword_ratio": F.round(stopword_ratio(w), 6),
-                "punct_ratio": F.round(punct_ratio(text_col), 6),
+                # Rounded outputs use the exact integer-ratio form: these
+                # per-doc ratios are small-denominator rationals whose true
+                # value can sit exactly on a 6-dp midpoint, where the two
+                # engines' round() functions may disagree. The UNROUNDED
+                # helpers still feed quality_score's comparisons (identical
+                # doubles on both engines -> deterministic).
+                "mean_word_len": F.when(
+                    F.size(w) > 0,
+                    XM.ratio_round(
+                        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+                        F.size(w),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)),
+                "stopword_ratio": F.when(
+                    F.size(w) > 0, XM.ratio_round(marker_hits(w, STOPWORDS), F.size(w), 6)
+                ).otherwise(F.lit(0.0)),
+                "punct_ratio": F.when(
+                    F.length(F.col(text_col)) > 0,
+                    XM.ratio_round(
+                        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")),
+                        F.length(F.col(text_col)),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)),
                 "lang_pred": lang_id(w),
                 "quality": quality_score(text_col, words=w),
                 "fingerprint": F.md5(F.array_join(w, " ")),

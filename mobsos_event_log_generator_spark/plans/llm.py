@@ -26,6 +26,7 @@ from mobsos_event_log_generator_spark.sources.parquet import ensure_min_partitio
 # ---------------------------------------------------------------------------
 
 SQL_WORDS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+SQL_PUNCT_COUNT = r"length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))"
 SQL_SHINGLES3 = (
     "CASE WHEN len(words) >= 3 THEN "
     "list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) "
@@ -66,13 +67,13 @@ scored AS (
              regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'),
              a -> (length(a) + 3) // 4)), 0) AS BIGINT) AS n_tokens_bpe,
          CASE WHEN len(words) > 0
-              THEN round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6)
+              THEN {XM.sql_ratio_round('list_sum(list_transform(words, x -> length(x)))', 'len(words)', 6)}
               ELSE 0.0 END AS mean_word_len,
          CASE WHEN len(words) > 0
-              THEN round(CAST({_sql_marker_count(X.STOPWORDS)} AS DOUBLE) / len(words), 6)
+              THEN {XM.sql_ratio_round(_sql_marker_count(X.STOPWORDS), 'len(words)', 6)}
               ELSE 0.0 END AS stopword_ratio,
          CASE WHEN length(text) > 0
-              THEN round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 6)
+              THEN {XM.sql_ratio_round(SQL_PUNCT_COUNT, 'length(text)', 6)}
               ELSE 0.0 END AS punct_ratio
   FROM w
 )
@@ -129,7 +130,7 @@ g AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS gram FROM w),
 c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
 stats AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_distinct,
-         round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_fraction
+         {XM.sql_ratio_round('sum(c) - count(*)', 'sum(c)', 6)} AS dup_fraction
   FROM c GROUP BY 1
 ),
 top AS (
@@ -143,7 +144,7 @@ SELECT d.doc_id,
        coalesce(s.dup_fraction, 0.0) AS dup_fraction,
        coalesce(t.top_gram, '') AS top_gram,
        coalesce(t.top_count, 0) AS top_count,
-       coalesce(round(t.top_count * 1.0 / s.n_grams, 6), 0.0) AS top_fraction
+       coalesce({XM.sql_ratio_round('t.top_count', 's.n_grams', 6)}, 0.0) AS top_fraction
 FROM documents d LEFT JOIN stats s USING (doc_id) LEFT JOIN top t USING (doc_id)
 """,
 )
@@ -316,7 +317,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     _SQL_SHINGLE_CTE
-    + """
+    + f"""
 , c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
@@ -324,7 +325,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id1, id2,
-       round(CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter), 6) AS jaccard
+       {XM.sql_ratio_round('n_inter', 'c1.n + c2.n - n_inter', 6)} AS jaccard
 FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
 WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
 """,
@@ -375,7 +376,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id1, id2,
-       round(CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter), 6) AS jaccard
+       {XM.sql_ratio_round('n_inter', 'c1.n + c2.n - n_inter', 6)} AS jaccard
 FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
 WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
 """,
@@ -398,7 +399,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id1, id2,
-       round(CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter), 6) AS jaccard
+       {XM.sql_ratio_round('n_inter', 'c1.n + c2.n - n_inter', 6)} AS jaccard
 FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
 WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
 """,
@@ -3763,3 +3764,11 @@ def search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# Cycle-safe oracle wiring for the streaming ANN query (registered in
+# plans/streaming_queries.py, which may load while THIS module is still
+# initializing when plans.llm is the first plans import of the process):
+# the definer completes before any ORACLES consumer runs, so assigning here
+# guarantees availability without a partial-module attribute read.
+ORACLES["streaming_ann_index_maintenance"] = SQL_IVF_STREAM

@@ -481,12 +481,12 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_streaming_ann() -> None:
-    # Deferred registration: the oracle SQL lives next to the batch IVF
-    # oracle in plans/llm.py (imported after llm is fully loaded — see the
-    # import order in plans/queries.py).
-    from mobsos_event_log_generator_spark.plans.llm import SQL_IVF_STREAM
-
-    @register("streaming_ann_index_maintenance", SQL_IVF_STREAM)
+    # The oracle SQL (SQL_IVF_STREAM) lives next to the batch IVF oracle in
+    # plans/llm.py, which wires it into ORACLES at ITS module end — reading
+    # it here would break when plans.llm is the process's first plans
+    # import (llm -> queries -> this module runs while llm is still
+    # partially initialized; the old direct import died exactly there).
+    @register("streaming_ann_index_maintenance")
     def streaming_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming ANN index maintenance (foreachBatch IVF refresh):
         embeddings arrive in four vec_id-ordered micro-batches; the first
