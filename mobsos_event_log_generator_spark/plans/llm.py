@@ -391,7 +391,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_jaccard_prefix_join",
     _SQL_SHINGLE_CTE
-    + """
+    + f"""
 , c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
