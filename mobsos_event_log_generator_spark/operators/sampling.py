@@ -93,6 +93,40 @@ def pack_sequences(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Epoch-seeded deterministic corpus shuffle: the per-epoch random
+    permutation every LLM training run needs, without a global sort or any
+    sampling state. Each row gets a pseudo-random ``shuffle_key`` =
+    md5(epoch ':' id) — a pure function of (epoch, id), so the permutation is
+    reproducible across re-runs, engines, and repartitioning, and changing
+    ``epoch`` yields an independent-looking reordering. The key's 32-bit
+    prefix routes the row to one of ``num_shards`` shards; ``pos`` is the
+    row's 0-based rank within its shard by (key, id).
+
+    Scale shape: one hash exchange on ``shard`` plus a per-shard sort —
+    shards parallelize the ordering the way ``pack_sequences`` shards its
+    running sum, so no single-reducer global sort ever happens. Readers
+    stream shards in (shard, pos) order to consume the epoch's permutation.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn(
+            "shard",
+            F.conv(F.substring(F.col("shuffle_key"), 1, 8), 16, 10).cast("long") % num_shards,
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
 def weighted_inclusion_sample(
     df: DataFrame,
     id_col: str,

@@ -1231,6 +1231,42 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+@register(
+    "corpus_epoch_shuffle",
+    """
+WITH k AS (
+  SELECT doc_id,
+         md5('1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shuffle_key,
+         ('0x' || substr(shuffle_key, 1, 8))::BIGINT % 16 AS shard
+  FROM k
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+FROM s
+""",
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 deterministic corpus shuffle: md5(epoch ':' doc_id) keys give
+    each epoch an independent pseudo-random permutation with zero sampling
+    state; rows land in 16 shards (32-bit key prefix) and take a 0-based
+    ``pos`` within the shard by (key, id). One hash exchange + per-shard
+    sorts — never a global sort — so the epoch reshuffle of a 100-TB corpus
+    parallelizes across every executor. The oracle replays the same md5
+    routing and in-shard ranks, proving the permutation is a pure
+    cross-engine function of (epoch, id)."""
+    from mobsos_event_log_generator_spark.operators.sampling import epoch_shuffle
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return epoch_shuffle(docs, "doc_id", epoch=1, num_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 #: Shared by the JVM and Python-UDTF chunkers (unit-tested row-identical).
 _SQL_CHUNK_DOCS = f"""
 WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),

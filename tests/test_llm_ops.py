@@ -480,6 +480,29 @@ def test_hash_split_deterministic_and_exhaustive(spark):
     assert set(buckets) <= set(range(10))
 
 
+def test_epoch_shuffle_permutation_properties(spark):
+    from mobsos_event_log_generator_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id", epoch=0, num_shards=8).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    # every row lands exactly once, shards are in range
+    assert len(rows) == 1000 and {r["doc_id"] for r in rows} == set(range(1000))
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # pos is a dense 0-based rank within each shard
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # deterministic: same epoch reproduces the identical permutation
+    again = epoch_shuffle(df, "doc_id", epoch=0, num_shards=8).select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # a different epoch produces a genuinely different ordering
+    other = epoch_shuffle(df, "doc_id", epoch=1, num_shards=8).select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+
+
 def test_dedup_against_corpus_drops_only_seen(spark):
     from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
 
