@@ -89,7 +89,13 @@ _RECHECK_FIRST = ()
 # driver row (the r6 window is exactly 49 backlog + bpe_train_merges = 50;
 # new additions spill to the r7 backlog and are check_parity-gated locally
 # meanwhile).
-_BUDGET_LAST = ("bpe_train_merges", "events_psi_drift", "er_blocking_quality", "vocabulary_zipf_slope")
+_BUDGET_LAST = (
+    "bpe_train_merges",
+    "events_psi_drift",
+    "er_blocking_quality",
+    "vocabulary_zipf_slope",
+    "corpus_epoch_shuffle",
+)
 
 
 def _driver_verified() -> set:
