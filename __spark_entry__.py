@@ -95,6 +95,7 @@ _BUDGET_LAST = (
     "er_blocking_quality",
     "vocabulary_zipf_slope",
     "corpus_epoch_shuffle",
+    "corpus_temperature_mix",
 )
 
 

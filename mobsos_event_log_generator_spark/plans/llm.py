@@ -1983,6 +1983,61 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Token budget the temperature-mix plan allocates across sources.
+_MIX_TOKEN_BUDGET = 1_000_000_000
+
+
+@register(
+    "corpus_temperature_mix",
+    f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({SQL_WORDS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM s),
+t AS (SELECT sum(w_raw) AS w_tot FROM w)
+SELECT source, n_docs, n_tokens,
+       round(w_raw / w_tot, 6) AS mix_share,
+       CASE WHEN n_tokens > 0
+            THEN round(w_raw / w_tot * {_MIX_TOKEN_BUDGET} / n_tokens, 6)
+            ELSE 0.0 END AS effective_epochs
+FROM w, t
+""",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multinomial alpha-sampling of
+    UniMax / multilingual-LM pipelines, alpha = 0.5): per-source sampling
+    shares proportional to n_tokens^alpha, flattening the head so low-resource
+    sources are not drowned, plus the effective epoch count each source runs
+    under a fixed token budget (shares > 1 epoch signal upsampling/repeat
+    risk). One map-side-combined aggregate to a bounded source dim, one 1-row
+    total joined back (AQE broadcasts it) — nothing here scales with corpus
+    size after the first agg. sqrt is correctly rounded IEEE on both engines
+    and the 6-dp rounds sit on irrational values (measure-zero midpoint
+    probability), so the oracle matches exactly."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(X.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    w = per_src.withColumn("w_raw", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(F.sum("w_raw").alias("w_tot"))
+    return w.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("w_raw") / F.col("w_tot"), 6).alias("mix_share"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("w_raw") / F.col("w_tot") * F.lit(_MIX_TOKEN_BUDGET) / F.col("n_tokens"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("effective_epochs"),
+    )
+
+
 @register(
     "text_token_quantiles",
     f"""

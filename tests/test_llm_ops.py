@@ -503,6 +503,29 @@ def test_epoch_shuffle_permutation_properties(spark):
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
 
 
+def test_temperature_mix_flattens_head(spark):
+    from mobsos_event_log_generator_spark.plans.llm import corpus_temperature_mix
+
+    out = corpus_temperature_mix(spark, "/root/testdata/sf0.001").collect()
+    shares = {r["source"]: r["mix_share"] for r in out}
+    tokens = {r["source"]: r["n_tokens"] for r in out}
+    # shares form a distribution
+    assert abs(sum(shares.values()) - 1.0) < 1e-4
+    # alpha=0.5 flattening: the biggest source's mix share sits strictly below
+    # its raw token share; the smallest source's strictly above
+    tot = sum(tokens.values())
+    big = max(tokens, key=tokens.get)
+    small = min(tokens, key=tokens.get)
+    if tokens[big] != tokens[small]:
+        assert shares[big] < tokens[big] / tot
+        assert shares[small] > tokens[small] / tot
+    # epochs: share * budget / tokens
+    for r in out:
+        if r["n_tokens"]:
+            expect = r["mix_share"] * 1_000_000_000 / r["n_tokens"]
+            assert abs(r["effective_epochs"] - expect) < 1e-2 * max(1.0, expect)
+
+
 def test_dedup_against_corpus_drops_only_seen(spark):
     from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
 
