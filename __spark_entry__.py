@@ -96,6 +96,7 @@ _BUDGET_LAST = (
     "vocabulary_zipf_slope",
     "corpus_epoch_shuffle",
     "corpus_temperature_mix",
+    "search_hybrid_rrf",
 )
 
 

@@ -3178,9 +3178,8 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "search_bm25_topk",
-    rf"""
+#: Shared by the standalone BM25 query and the hybrid RRF fusion oracle.
+_SQL_BM25_TOPK = rf"""
 WITH toks AS (
   SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents
 ),
@@ -3210,8 +3209,10 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY bm25 DESC, result_id) AS rn
       FROM scored)
 WHERE rn <= 5
-""",
-)
+"""
+
+
+@register("search_bm25_topk", _SQL_BM25_TOPK)
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARSE retrieval (Robertson BM25, the lexical complement to the dense
     ANN family): candidate generation is an INVERTED-INDEX equi-join — query
@@ -3269,6 +3270,83 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("result_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 5
+    )
+
+
+#: RRF rank constant (Cormack et al. 2009's k=60).
+_RRF_K = 60
+
+
+@register(
+    "search_hybrid_rrf",
+    f"""
+WITH sparse AS ({_SQL_BM25_TOPK}),
+dense AS ({_SQL_TOPK_BRUTEFORCE}),
+u AS (
+  SELECT query_id, result_id AS doc_id FROM sparse
+  UNION
+  SELECT query_id, neighbor_id AS doc_id FROM dense
+),
+f AS (
+  SELECT u.query_id, u.doc_id,
+         COALESCE(1e0 / ({_RRF_K} + s.rank), 0e0)
+           + COALESCE(1e0 / ({_RRF_K} + d.rank), 0e0) AS score,
+         s.rank IS NOT NULL AS in_sparse,
+         d.rank IS NOT NULL AS in_dense
+  FROM u
+  LEFT JOIN sparse s ON s.query_id = u.query_id AND s.result_id = u.doc_id
+  LEFT JOIN dense d ON d.query_id = u.query_id AND d.neighbor_id = u.doc_id
+)
+SELECT query_id, doc_id, round(score, 6) AS rrf, in_sparse, in_dense,
+       CAST(rn AS BIGINT) AS fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM f)
+WHERE rn <= 5
+""",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: fuse the sparse BM25 top-5 and the dense cosine
+    top-5 per query with reciprocal-rank fusion (score = sum over lists of
+    1/(60+rank), Cormack et al. 2009) — the standard lexical+semantic
+    ensemble of modern RAG stacks. Both candidate lists come from the
+    registry's own scale paths (inverted-index join; broadcast query
+    matmul), so fusion adds only a full-outer join on (query, doc) over two
+    top-k-bounded inputs — at most 10 rows per query — plus a per-query
+    top-5 window: the fusion stage's cost is independent of corpus size.
+    Scores are sums of at most two fixed rationals 1/(61..65); the set was
+    checked midpoint-free at 6 dp, so the rounded oracle compare is exact.
+    The ranks themselves are driver-verified by the two parent queries."""
+    from pyspark.sql.window import Window
+
+    sparse = search_bm25_topk(spark, sf_dir).select(
+        "query_id", F.col("result_id").alias("doc_id"), F.col("rank").alias("s_rank")
+    )
+    dense = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("d_rank")
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("s_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("d_rank")), F.lit(0.0))
+        ).alias("score"),
+        F.col("s_rank").isNotNull().alias("in_sparse"),
+        F.col("d_rank").isNotNull().alias("in_dense"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 6).alias("rrf"),
+            "in_sparse",
+            "in_dense",
+            "fused_rank",
+        )
     )
 
 

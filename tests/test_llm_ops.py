@@ -526,6 +526,44 @@ def test_temperature_mix_flattens_head(spark):
             assert abs(r["effective_epochs"] - expect) < 1e-2 * max(1.0, expect)
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    from mobsos_event_log_generator_spark.plans.llm import (
+        search_bm25_topk,
+        search_hybrid_rrf,
+        similarity_topk_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = search_hybrid_rrf(spark, sf).collect()
+    assert out, "fusion produced no rows"
+    sparse = {(r["query_id"], r["result_id"]): r["rank"] for r in search_bm25_topk(spark, sf).collect()}
+    dense = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in similarity_topk_bruteforce(spark, sf).collect()}
+    for r in out:
+        key = (r["query_id"], r["doc_id"])
+        # flags reflect true list membership
+        assert r["in_sparse"] == (key in sparse)
+        assert r["in_dense"] == (key in dense)
+        # score is exactly the RRF of the parent ranks
+        expect = (1.0 / (60 + sparse[key]) if key in sparse else 0.0) + (
+            1.0 / (60 + dense[key]) if key in dense else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-6
+    # per-query: exactly 5 results, fused_rank dense 1..5, scores non-increasing
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a["rrf"] >= b["rrf"] for a, b in zip(rows, rows[1:]))
+    # a doc in BOTH lists must outrank a doc in one list at an equal-or-worse rank
+    both = [r for r in out if r["in_sparse"] and r["in_dense"]]
+    if both:
+        assert max(r["rrf"] for r in out if not (r["in_sparse"] and r["in_dense"])) <= max(
+            r["rrf"] for r in both
+        ) + 1e-9
+
+
 def test_dedup_against_corpus_drops_only_seen(spark):
     from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
 
