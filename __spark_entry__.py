@@ -97,6 +97,7 @@ _BUDGET_LAST = (
     "corpus_epoch_shuffle",
     "corpus_temperature_mix",
     "search_hybrid_rrf",
+    "similarity_mmr_diversified",
 )
 
 

@@ -112,6 +112,109 @@ def cosine_topk(
     )
 
 
+def cosine_micro(a: Column, b: Column) -> Column:
+    """Cosine similarity quantized to EXACT integer micro-units (1e-6) via
+    floor(cos·1e6 + 0.5) — pure double/long codegen ops on the raw
+    (unrounded) cosine double, so both engines compute the identical IEEE
+    double and pick the identical integer; valid for negative cosines too
+    (floor semantics match on both sides, unlike decimal HALF_UP)."""
+    return F.floor(_dot(a, b) / (_norm(a) * _norm(b)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    1998, lambda = 0.5): per query, take the top-``pool`` cosine candidates,
+    then greedily select ``k`` of them, each round maximizing
+    relevance − max-similarity-to-already-selected. With lambda = 0.5 the
+    argmax ordering equals the integer score rel_micro − maxsim_micro, so
+    the whole selection runs in EXACT integer micro-units — no float
+    comparison anywhere, ties broken by doc_id.
+
+    Scale shape: candidate generation is the broadcast-query corpus scan
+    (one pass, no corpus shuffle); everything after is bounded — pool²
+    candidate-pair sims and k unrolled argmax rounds over ≤pool rows per
+    query — so diversification cost is independent of corpus size. Returns
+    (query_id, doc_id, rel_micro, mmr_score_micro, mmr_rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rel_micro").desc(), F.col("doc_id"))
+    cand_v = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "c_vec",
+            cosine_micro(F.col("q_vec"), F.col("c_vec")).alias("rel_micro"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .drop("rn")
+    )
+    pairs = (
+        cand_v.select("query_id", "doc_id", "c_vec")
+        .join(
+            cand_v.select(
+                "query_id",
+                F.col("doc_id").alias("other_id"),
+                F.col("c_vec").alias("o_vec"),
+            ),
+            "query_id",
+        )
+        .filter(F.col("doc_id") != F.col("other_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "other_id",
+            cosine_micro(F.col("c_vec"), F.col("o_vec")).alias("sim_micro"),
+        )
+    )
+    cand = cand_v.drop("c_vec")
+    sel_w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr_score_micro").desc(), F.col("doc_id")
+    )
+    first = (
+        cand.withColumn("mmr_score_micro", F.col("rel_micro"))
+        .withColumn("rn", F.row_number().over(sel_w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "doc_id", "rel_micro", "mmr_score_micro")
+        .withColumn("mmr_rank", F.lit(1).cast("long"))
+    )
+    selected = [first]
+    for i in range(2, k + 1):
+        sel_ids = selected[0].select("query_id", "doc_id")
+        for s in selected[1:]:
+            sel_ids = sel_ids.unionByName(s.select("query_id", "doc_id"))
+        pen = (
+            pairs.join(sel_ids.withColumnRenamed("doc_id", "other_id"), ["query_id", "other_id"])
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("sim_micro").alias("maxsim_micro"))
+        )
+        nxt = (
+            cand.join(sel_ids, ["query_id", "doc_id"], "left_anti")
+            .join(pen, ["query_id", "doc_id"], "left")
+            .withColumn(
+                "mmr_score_micro",
+                F.col("rel_micro") - F.coalesce(F.col("maxsim_micro"), F.lit(0)),
+            )
+            .withColumn("rn", F.row_number().over(sel_w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "doc_id", "rel_micro", "mmr_score_micro")
+            .withColumn("mmr_rank", F.lit(i).cast("long"))
+        )
+        selected.append(nxt)
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def bucketed_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

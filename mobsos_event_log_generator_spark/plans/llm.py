@@ -456,6 +456,82 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
+def _sql_mmr(pool: int = 10, k: int = 5) -> str:
+    """MMR selection replayed as unrolled CTE rounds (the BPE/k-core
+    technique): sel_i picks the argmax of rel_micro − max(sim_micro over
+    sel_1..sel_{i-1}) among not-yet-selected candidates. All comparisons are
+    BIGINT micro-units — zero float anywhere past the quantization."""
+    sql = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+rel0 AS (
+  SELECT query_id, doc_id,
+         CAST(floor(({_sql_dot('qv', 'cv')}) / (sqrt({_sql_sqnorm('qv')}) * sqrt({_sql_sqnorm('cv')}))
+                    * 1000000 + 0.5) AS BIGINT) AS rel_micro
+  FROM q, c WHERE query_id <> doc_id
+),
+cand AS (
+  SELECT query_id, doc_id, rel_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_micro DESC, doc_id) AS rn
+    FROM rel0
+  ) WHERE rn <= {pool}
+),
+pairs AS (
+  SELECT a.query_id, a.doc_id, b.doc_id AS other_id,
+         CAST(floor(({_sql_dot('ca.cv', 'cb.cv')}) / (sqrt({_sql_sqnorm('ca.cv')}) * sqrt({_sql_sqnorm('cb.cv')}))
+                    * 1000000 + 0.5) AS BIGINT) AS sim_micro
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+  JOIN c ca ON ca.doc_id = a.doc_id
+  JOIN c cb ON cb.doc_id = b.doc_id
+),
+sel1 AS (
+  SELECT query_id, doc_id, rel_micro, rel_micro AS mmr_score_micro, CAST(1 AS BIGINT) AS mmr_rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_micro DESC, doc_id) AS rn
+        FROM cand)
+  WHERE rn = 1
+)"""
+    for i in range(2, k + 1):
+        union = " UNION ALL ".join(f"SELECT query_id, doc_id FROM sel{j}" for j in range(1, i))
+        sql += f""",
+sel{i} AS (
+  SELECT query_id, doc_id, rel_micro, CAST(mmr_score_micro AS BIGINT) AS mmr_score_micro,
+         CAST({i} AS BIGINT) AS mmr_rank
+  FROM (
+    SELECT r.query_id, r.doc_id, r.rel_micro,
+           r.rel_micro - COALESCE(p.maxsim, 0) AS mmr_score_micro,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY r.rel_micro - COALESCE(p.maxsim, 0) DESC, r.doc_id) AS rn
+    FROM cand r
+    LEFT JOIN (
+      SELECT pr.query_id, pr.doc_id, max(pr.sim_micro) AS maxsim
+      FROM pairs pr JOIN ({union}) s ON pr.query_id = s.query_id AND pr.other_id = s.doc_id
+      GROUP BY 1, 2
+    ) p ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM ({union}) s2
+                      WHERE s2.query_id = r.query_id AND s2.doc_id = r.doc_id)
+  ) WHERE rn = 1
+)"""
+    sql += "\n" + " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+    return sql
+
+
+@register("similarity_mmr_diversified", _sql_mmr())
+def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR (Carbonell & Goldstein 1998) re-ranks each
+    query's cosine top-10 pool into 5 picks that trade relevance against
+    redundancy (lambda = 0.5 ⇒ integer score rel_micro − maxsim_micro). The
+    selection is greedy-iterative — exactly the class SQL can't express
+    directly — so the oracle replays the k rounds as unrolled MATERIALIZED
+    CTEs, and every comparison on both engines is exact BIGINT micro-units
+    (floor-quantized raw cosines; no float ordering anywhere). Candidate
+    generation reuses the broadcast-query scan; the per-query pool bounds
+    the pair matrix at pool², making diversification corpus-size-free."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.mmr_rerank(emb, queries, k=5, pool=10)
+
+
 @register(
     "similarity_topk_ann_bucketed",
     f"""

@@ -564,6 +564,37 @@ def test_hybrid_rrf_fusion_semantics(spark):
         ) + 1e-9
 
 
+def test_mmr_rerank_greedy_selection(spark):
+    from mobsos_event_log_generator_spark.operators.similarity import cosine_micro, mmr_rerank
+
+    # 1 query + corpus engineered so plain top-2 is redundant: docs 1 and 2
+    # are near-duplicates highly relevant to q; doc 3 is less relevant but
+    # orthogonal to both. MMR must pick {1, 3}, plain top-k would pick {1, 2}.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # the query vector
+        (1, [0.99, 0.1, 0.0]),  # relevant
+        (2, [0.98, 0.12, 0.0]),  # relevant, near-dup of 1
+        (3, [0.6, 0.0, 0.8]),   # less relevant, diverse
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mmr_rerank(df, df.filter(F.col("vec_id") == 0), k=2, pool=3)
+    got = {r["mmr_rank"]: r for r in out.collect()}
+    assert got[1]["doc_id"] == 1  # rank 1 = pure relevance argmax
+    assert got[2]["doc_id"] == 3  # rank 2 trades relevance for diversity
+    # rank-2 score is rel minus the max similarity to doc 1
+    a = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    import math
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v)))
+
+    rel3 = math.floor(cos(a[0], a[3]) * 1e6 + 0.5)
+    sim13 = math.floor(cos(a[1], a[3]) * 1e6 + 0.5)
+    assert got[2]["rel_micro"] == rel3
+    assert got[2]["mmr_score_micro"] == rel3 - sim13
+
+
 def test_dedup_against_corpus_drops_only_seen(spark):
     from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
 
