@@ -98,6 +98,7 @@ _BUDGET_LAST = (
     "corpus_temperature_mix",
     "search_hybrid_rrf",
     "similarity_mmr_diversified",
+    "text_tokenizer_fertility",
 )
 
 

@@ -2059,6 +2059,58 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tokenizer_fertility",
+    f"""
+WITH s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({SQL_WORDS})) AS BIGINT) AS n_words,
+         CAST(sum(coalesce(list_sum(list_transform(
+             regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'),
+             a -> (length(a) + 3) // 4)), 0)) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_words, n_bpe_tokens,
+       CASE WHEN n_words > 0
+            THEN {XM.sql_ratio_round('n_bpe_tokens', 'n_words', 6)} ELSE 0.0 END AS fertility,
+       CASE WHEN n_bpe_tokens > 0
+            THEN {XM.sql_ratio_round('total_chars', 'n_bpe_tokens', 6)} ELSE 0.0 END AS chars_per_token
+FROM s
+""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword tokens emitted per
+    whitespace word, the standard diagnostic for how much a tokenizer
+    penalizes each language's share of a fixed context window (high
+    fertility ⇒ fewer effective words per sequence), plus compression as
+    chars per subword token. One map-side-combined aggregate to a bounded
+    lang dim; both ratios are exact half-up integer divisions
+    (`exactmath.ratio_round`) over exact BIGINT sums, so the oracle compare
+    has no float class at all."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(X.token_count("text")).cast("long").alias("n_words"),
+        F.sum(X.bpe_ish_token_count("text")).cast("long").alias("n_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0, XM.ratio_round(F.col("n_bpe_tokens"), F.col("n_words"), 6)
+        ).otherwise(F.lit(0.0)).alias("fertility"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            XM.ratio_round(F.col("total_chars"), F.col("n_bpe_tokens"), 6),
+        ).otherwise(F.lit(0.0)).alias("chars_per_token"),
+    )
+
+
 #: Token budget the temperature-mix plan allocates across sources.
 _MIX_TOKEN_BUDGET = 1_000_000_000
 
