@@ -156,6 +156,13 @@ def mmr_rerank(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= pool)
         .drop("rn")
+        # The k selection rounds below re-reference the candidate set ~3
+        # times each; without truncation every round would re-run the full
+        # corpus scan (measured 5x wall at a 200k-vector probe). The
+        # checkpoint materializes only queries x pool rows — bounded by the
+        # MAX_COLLECTED_QUERY_ROWS query contract, never corpus-sized — the
+        # same lineage rule as graph.py's fixpoints.
+        .localCheckpoint(eager=True)
     )
     pairs = (
         cand_v.select("query_id", "doc_id", "c_vec")
