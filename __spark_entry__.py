@@ -99,6 +99,8 @@ _BUDGET_LAST = (
     "search_hybrid_rrf",
     "similarity_mmr_diversified",
     "text_tokenizer_fertility",
+    "vocabulary_coverage_p95",
+    "corpus_padding_waste",
 )
 
 

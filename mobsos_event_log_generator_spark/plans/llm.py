@@ -2111,6 +2111,138 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocabulary_coverage_p95",
+    f"""
+WITH toks AS (
+  SELECT lang, unnest({SQL_WORDS}) AS tok FROM documents
+),
+tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(tf) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM tf GROUP BY 1),
+cum AS (
+  SELECT lang, tok, tf,
+         CAST(sum(tf) OVER (PARTITION BY lang ORDER BY tf DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM tf
+),
+kept AS (
+  SELECT cum.lang, CAST(count(*) AS BIGINT) AS types_p95,
+         CAST(sum(tf) AS BIGINT) AS tokens_covered
+  FROM cum JOIN tot ON cum.lang = tot.lang
+  WHERE (cum.c - cum.tf) * 100 < 95 * tot.total_tokens
+  GROUP BY 1
+)
+SELECT t.lang, t.n_types, t.total_tokens, k.types_p95, k.tokens_covered,
+       {XM.sql_ratio_round('k.types_p95', 't.n_types', 6)} AS vocab_share,
+       {XM.sql_ratio_round('k.tokens_covered', 't.total_tokens', 6)} AS coverage
+FROM tot t JOIN kept k ON t.lang = k.lang
+""",
+)
+def vocabulary_coverage_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing: per language, the minimal frequency-ranked prefix
+    of word types covering >= 95% of token mass (Zipf makes this a tiny
+    share of types — the number a tokenizer's vocab budget must clear). The
+    95% cut is EXACT integer arithmetic — keep a type iff the cumulative
+    mass BEFORE it is under 95% of the total, via (cum − tf)·100 < 95·T —
+    and the two shares are exact half-up integer ratios. Shuffle shape: one
+    token-count agg, a per-lang window (sort within lang partitions only),
+    and a bounded per-lang rollup."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("lang", F.explode(X.tokens()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tot = tf.groupBy("lang").agg(
+        F.sum("tf").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tf.withColumn("c", F.sum("tf").over(w).cast("long"))
+    kept = (
+        cum.join(tot, "lang")
+        .filter((F.col("c") - F.col("tf")) * 100 < 95 * F.col("total_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("types_p95"),
+            F.sum("tf").cast("long").alias("tokens_covered"),
+        )
+    )
+    return tot.join(kept, "lang").select(
+        "lang",
+        "n_types",
+        "total_tokens",
+        "types_p95",
+        "tokens_covered",
+        XM.ratio_round(F.col("types_p95"), F.col("n_types"), 6).alias("vocab_share"),
+        XM.ratio_round(F.col("tokens_covered"), F.col("total_tokens"), 6).alias("coverage"),
+    )
+
+
+@register(
+    "corpus_padding_waste",
+    f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({SQL_WORDS}) AS BIGINT) AS n_tokens FROM documents
+),
+b AS (
+  SELECT CAST(n_tokens // 64 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(n_tokens) AS BIGINT) AS max_len,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_len
+  FROM d GROUP BY 1
+)
+SELECT bucket, n_docs, max_len, sum_len,
+       CAST(n_docs * max_len - sum_len AS BIGINT) AS padded_tokens,
+       CASE WHEN max_len > 0
+            THEN {XM.sql_ratio_round('n_docs * max_len - sum_len', 'n_docs * max_len', 6)}
+            ELSE 0.0 END AS waste_share
+FROM b
+""",
+)
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding efficiency: bucket documents into fixed 64-token length
+    classes and report the tokens wasted if each bucket were padded to its
+    longest member — the length-bucketed-batching diagnostic (vs. padding
+    the whole corpus to the global max). Pure integer arithmetic end to end
+    (counts, maxes, sums, exact half-up ratio); one hash agg on the bucket
+    key, no window, no sort."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    b = (
+        docs.select((X.token_count("text") / 64).cast("long").alias("bucket"),
+                    X.token_count("text").alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_len"),
+            F.sum("n_tokens").cast("long").alias("sum_len"),
+        )
+    )
+    return b.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "sum_len",
+        (F.col("n_docs") * F.col("max_len") - F.col("sum_len")).cast("long").alias("padded_tokens"),
+        F.when(
+            F.col("max_len") > 0,
+            XM.ratio_round(
+                F.col("n_docs") * F.col("max_len") - F.col("sum_len"),
+                F.col("n_docs") * F.col("max_len"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("waste_share"),
+    )
+
+
 #: Token budget the temperature-mix plan allocates across sources.
 _MIX_TOKEN_BUDGET = 1_000_000_000
 
