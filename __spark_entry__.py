@@ -101,6 +101,7 @@ _BUDGET_LAST = (
     "text_tokenizer_fertility",
     "vocabulary_coverage_p95",
     "corpus_padding_waste",
+    "similarity_mmr_arrow",
 )
 
 

@@ -222,6 +222,92 @@ def mmr_rerank(
     return out
 
 
+def mmr_rerank_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``mmr_rerank`` with the greedy selection as an Arrow kernel: candidate
+    generation stays JVM-side (identical scan + integer micro relevance), then
+    each query's pool flows through ONE ``applyInPandas`` pass — a pool×pool
+    BLAS matmul for the pair sims plus the k-round greedy loop in int64 —
+    instead of k unrolled join/window stages. Same integer selection rule and
+    doc_id tie-break, so it shares ``mmr_rerank``'s oracle (unit-gated
+    row-identical, the ``semdedup_arrow`` pattern); per-group memory is
+    O(pool·dim + pool²), bounded by construction."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rel_micro").desc(), F.col("doc_id"))
+    cand = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "c_vec",
+            cosine_micro(F.col("q_vec"), F.col("c_vec")).alias("rel_micro"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .drop("rn")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rel_micro", T.LongType()),
+            T.StructField("mmr_score_micro", T.LongType()),
+            T.StructField("mmr_rank", T.LongType()),
+        ]
+    )
+    kk = int(k)
+
+    def select_greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["rel_micro", "doc_id"], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        rel = pdf["rel_micro"].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sim = np.floor((mat @ mat.T) / np.outer(norms, norms) * 1e6 + 0.5).astype(np.int64)
+        n = len(ids)
+        picked: list[int] = []
+        scores: list[int] = []
+        taken = np.zeros(n, dtype=bool)
+        for rank in range(min(kk, n)):
+            if rank == 0:
+                # rows sorted by (rel desc, id): first row is the argmax
+                cur = np.where(~taken, rel, np.int64(-(2**62)))
+            else:
+                maxsim = sim[:, picked].max(axis=1)
+                cur = np.where(~taken, rel - maxsim, np.int64(-(2**62)))
+            best = np.lexsort((ids, -cur))[0]
+            picked.append(best)
+            scores.append(int(cur[best]))
+            taken[best] = True
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[picked],
+                "doc_id": ids[picked],
+                "rel_micro": rel[picked],
+                "mmr_score_micro": np.array(scores, dtype=np.int64),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(select_greedy, out_schema)
+
+
 def bucketed_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

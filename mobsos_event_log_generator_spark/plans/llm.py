@@ -532,6 +532,20 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(emb, queries, k=5, pool=10)
 
 
+@register("similarity_mmr_arrow", _sql_mmr())
+def similarity_mmr_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification through the Arrow escape hatch: identical JVM
+    candidate generation, then ONE applyInPandas pass per query runs the
+    pool×pool BLAS pair matmul and the k greedy rounds in int64 — replacing
+    k unrolled join/window stages with a single grouped kernel (the
+    ``semdedup_arrow`` pattern). Shares the unrolled-CTE oracle with
+    ``similarity_mmr_diversified``; a unit additionally gates the two
+    variants row-identical."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.mmr_rerank_arrow(emb, queries, k=5, pool=10)
+
+
 @register(
     "similarity_topk_ann_bucketed",
     f"""

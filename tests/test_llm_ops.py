@@ -595,6 +595,24 @@ def test_mmr_rerank_greedy_selection(spark):
     assert got[2]["mmr_score_micro"] == rel3 - sim13
 
 
+def test_mmr_arrow_matches_jvm(spark):
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from mobsos_event_log_generator_spark.operators.similarity import mmr_rerank, mmr_rerank_arrow
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    jvm = sorted(map(tuple, mmr_rerank(emb, queries, k=5, pool=10).collect()))
+    arrow = sorted(
+        map(
+            tuple,
+            mmr_rerank_arrow(emb, queries, k=5, pool=10)
+            .select("query_id", "doc_id", "rel_micro", "mmr_score_micro", "mmr_rank")
+            .collect(),
+        )
+    )
+    assert jvm == arrow and len(jvm) > 0
+
+
 def test_dedup_against_corpus_drops_only_seen(spark):
     from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
 

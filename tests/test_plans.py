@@ -71,6 +71,7 @@ PYTHON_SURFACE_ALLOWLIST = {
     "text_unicode_nfc",              # mapInPandas unicodedata NFC
     "similarity_topk_arrow",         # mapInPandas BLAS kernel
     "similarity_topk_ann_ivf_arrow", # mapInPandas BLAS kernel + IVF routing
+    "similarity_mmr_arrow",          # applyInPandas greedy MMR kernel
 }
 
 
@@ -413,7 +414,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/graph.py", "closing"): (1, "explicit opt-in (broadcast_closing flag, default off)"),
     ("operators/privacy.py", "small"): (1, "under-k quasi-identifier groups (k-anonymity audit output, contractually small)"),
     ("operators/sampling.py", "tot"): (1, "1-row total-weight aggregate"),
-    ("operators/similarity.py", "q"): (6, "caller-provided query set (API contract: bounded workload)"),
+    ("operators/similarity.py", "q"): (7, "caller-provided query set (API contract: bounded workload)"),
     ("operators/similarity.py", "centroids"): (1, "num_centroids-bounded"),
     ("operators/similarity.py", "probes"): (2, "queries x nprobe routing rows"),
     ("operators/similarity.py", "small"): (3, "cell ids below max_cell_size (num_centroids-bounded)"),
