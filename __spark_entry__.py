@@ -102,6 +102,7 @@ _BUDGET_LAST = (
     "vocabulary_coverage_p95",
     "corpus_padding_waste",
     "similarity_mmr_arrow",
+    "embedding_coreset_kcenter",
 )
 
 

@@ -529,6 +529,55 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approximation
+    behind data-efficient subset selection): seed with the smallest id, then
+    k−1 rounds each add the point FARTHEST from the current selection
+    (max-min squared L2). Distances are floor-quantized to integer
+    micro-units from the identical left-to-right fold both engines compute,
+    and ties break on vec_id — fully deterministic.
+
+    Scale shape: each round is ONE corpus scan — a broadcast join against
+    the ≤k selected rows, a per-point min, and a TakeOrdered(1) — so the
+    whole selection is k scans with no corpus shuffle (the algorithm's
+    inherent pass structure). Driver state is one (id, distance) row per
+    round. Returns (vec_id, sel_round, dmax_micro); dmax_micro is the
+    max-min distance when the point was chosen (0 for the seed) — the
+    covering-radius curve."""
+    pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    seed = pts.orderBy("vec_id").select("vec_id").first()
+    schema = "vec_id long, sel_round long, dmax_micro long"
+    spark = corpus.sparkSession
+    if seed is None:
+        return spark.createDataFrame([], schema)
+    sel: list[tuple[int, int, int]] = [(int(seed["vec_id"]), 1, 0)]
+    for rnd in range(2, k + 1):
+        sel_ids = [s[0] for s in sel]
+        sel_df = pts.filter(F.col("vec_id").isin(sel_ids)).select(
+            F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+        )
+        d = F.floor(_sqdist(F.col("v"), F.col("sv")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        best = (
+            pts.filter(~F.col("vec_id").isin(sel_ids))
+            .crossJoin(F.broadcast(sel_df))
+            .select("vec_id", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("dmin_micro"))
+            .orderBy(F.col("dmin_micro").desc(), F.col("vec_id"))
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        sel.append((int(best["vec_id"]), rnd, int(best["dmin_micro"])))
+    return spark.createDataFrame(sel, schema)
+
+
 def ivf_seed_centroids(
     corpus: DataFrame,
     num_centroids: int = 8,

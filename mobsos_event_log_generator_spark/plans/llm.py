@@ -532,6 +532,54 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_rerank(emb, queries, k=5, pool=10)
 
 
+def _sql_kcenter(k: int = 8, dim: int = 64) -> str:
+    """Greedy k-center replayed as unrolled CTE rounds: s_i is the point
+    maximizing the min integer-micro squared distance to s_1..s_{i-1}."""
+
+    def sqd(a: str, b: str) -> str:
+        return " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+
+    sql = """
+WITH pts AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings),
+s1 AS MATERIALIZED (
+  SELECT vec_id, CAST(1 AS BIGINT) AS sel_round, CAST(0 AS BIGINT) AS dmax_micro
+  FROM pts ORDER BY vec_id LIMIT 1)"""
+    for i in range(2, k + 1):
+        union = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT p.vec_id,
+         min(CAST(floor(({sqd('p.v', 's.v')}) * 1000000 + 0.5) AS BIGINT)) AS dmin_micro
+  FROM pts p, pts s
+  WHERE s.vec_id IN ({union}) AND p.vec_id NOT IN ({union})
+  GROUP BY 1
+),
+s{i} AS MATERIALIZED (
+  SELECT vec_id, CAST({i} AS BIGINT) AS sel_round, dmin_micro AS dmax_micro
+  FROM d{i} ORDER BY dmin_micro DESC, vec_id LIMIT 1
+)"""
+    sql += "\n" + " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return sql
+
+
+@register("embedding_coreset_kcenter", _sql_kcenter())
+def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset selection for data-efficient training: greedy k-center
+    (Gonzalez 1985) picks 8 embeddings maximizing pairwise spread — the
+    max-min objective behind diversity-driven subset selection. Inherently
+    iterative (each pick depends on all prior picks), so the oracle replays
+    the rounds as unrolled CTEs; every distance is an exact integer
+    micro-unit from the engines' identical left-to-right folds. Spark runs
+    k corpus scans (broadcast ≤k selected rows, per-point min, TakeOrdered
+    1) with no corpus shuffle — the algorithm's inherent pass structure."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.kcenter_select(emb, k=8)
+
+
 @register("similarity_mmr_arrow", _sql_mmr())
 def similarity_mmr_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification through the Arrow escape hatch: identical JVM

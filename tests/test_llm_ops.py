@@ -613,6 +613,25 @@ def test_mmr_arrow_matches_jvm(spark):
     assert jvm == arrow and len(jvm) > 0
 
 
+def test_kcenter_picks_one_per_cluster(spark):
+    from mobsos_event_log_generator_spark.operators.similarity import kcenter_select
+
+    # 4 tight clusters at the corners of a square; k=4 must pick one point
+    # from each cluster, and the covering radius must be non-increasing.
+    pts = []
+    for ci, (cx, cy) in enumerate([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)]):
+        for j in range(3):
+            pts.append((ci * 10 + j, [cx + 0.01 * j, cy - 0.01 * j]))
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = sorted(kcenter_select(df, k=4).collect(), key=lambda r: r["sel_round"])
+    assert [r["sel_round"] for r in out] == [1, 2, 3, 4]
+    assert out[0]["vec_id"] == 0 and out[0]["dmax_micro"] == 0  # smallest-id seed
+    clusters = {r["vec_id"] // 10 for r in out}
+    assert clusters == {0, 1, 2, 3}
+    radii = [r["dmax_micro"] for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
 def test_dedup_against_corpus_drops_only_seen(spark):
     from mobsos_event_log_generator_spark.operators.dedup import dedup_against_corpus
 

@@ -416,6 +416,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/sampling.py", "tot"): (1, "1-row total-weight aggregate"),
     ("operators/similarity.py", "q"): (7, "caller-provided query set (API contract: bounded workload)"),
     ("operators/similarity.py", "centroids"): (1, "num_centroids-bounded"),
+    ("operators/similarity.py", "sel_df"): (1, "k-center selected set (<= k rows)"),
     ("operators/similarity.py", "probes"): (2, "queries x nprobe routing rows"),
     ("operators/similarity.py", "small"): (3, "cell ids below max_cell_size (num_centroids-bounded)"),
     (
