@@ -57,6 +57,11 @@ HEADLINE = [
     "dedup_jaccard_prefix_join",
     "parts_cooccur_triangles",
     "events_ks_drift",
+    # round 6 additions: the hybrid retrieval ensemble (BM25 + dense + RRF
+    # fusion) and the Arrow greedy-MMR kernel (its JVM twin shares the
+    # oracle and stays registry-gated)
+    "search_hybrid_rrf",
+    "similarity_mmr_arrow",
 ]
 
 

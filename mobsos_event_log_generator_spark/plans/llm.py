@@ -470,13 +470,13 @@ rel0 AS (
                     * 1000000 + 0.5) AS BIGINT) AS rel_micro
   FROM q, c WHERE query_id <> doc_id
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, doc_id, rel_micro FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_micro DESC, doc_id) AS rn
     FROM rel0
   ) WHERE rn <= {pool}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.query_id, a.doc_id, b.doc_id AS other_id,
          CAST(floor(({_sql_dot('ca.cv', 'cb.cv')}) / (sqrt({_sql_sqnorm('ca.cv')}) * sqrt({_sql_sqnorm('cb.cv')}))
                     * 1000000 + 0.5) AS BIGINT) AS sim_micro
@@ -485,7 +485,7 @@ pairs AS (
   JOIN c ca ON ca.doc_id = a.doc_id
   JOIN c cb ON cb.doc_id = b.doc_id
 ),
-sel1 AS (
+sel1 AS MATERIALIZED (
   SELECT query_id, doc_id, rel_micro, rel_micro AS mmr_score_micro, CAST(1 AS BIGINT) AS mmr_rank
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_micro DESC, doc_id) AS rn
         FROM cand)
@@ -494,7 +494,7 @@ sel1 AS (
     for i in range(2, k + 1):
         union = " UNION ALL ".join(f"SELECT query_id, doc_id FROM sel{j}" for j in range(1, i))
         sql += f""",
-sel{i} AS (
+sel{i} AS MATERIALIZED (
   SELECT query_id, doc_id, rel_micro, CAST(mmr_score_micro AS BIGINT) AS mmr_score_micro,
          CAST({i} AS BIGINT) AS mmr_rank
   FROM (
