@@ -522,6 +522,48 @@ def test_suppress_small_groups_null_quasi_group(spark):
     assert len(out) == 5
 
 
+def test_ratio_round_three_way_property(spark):
+    """Property sweep: Spark `ratio_round`, its DuckDB mirror, and exact
+    rational half-up arithmetic (fractions) agree on 400 seeded-random
+    integer ratios PLUS engineered exact 6-dp midpoints (the class where
+    float round() diverges between engines). One Spark job / one DuckDB
+    table for the whole batch."""
+    import math
+    import random
+    from fractions import Fraction
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators import exactmath as XM
+
+    rng = random.Random(20260814)
+    cases = [(rng.randint(0, 10**12), rng.randint(1, 10**12)) for _ in range(400)]
+    # exact 6-dp midpoints: a/b = (2k+1) / 2e6 -> half-up must give (k+1)/1e6
+    for k in (0, 1, 7, 123456, 999999):
+        for m in (1, 3, 17):
+            cases.append((m * (2 * k + 1), 2_000_000 * m))
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["r"]
+        for r in df.select("a", "b", XM.ratio_round(F.col("a"), F.col("b"), 6).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    duck = {
+        (a, b): r
+        for a, b, r in con.execute(
+            f"SELECT a, b, {XM.sql_ratio_round('a', 'b', 6)} FROM t"
+        ).fetchall()
+    }
+    for a, b in cases:
+        exp_units = math.floor(Fraction(a, b) * 10**6 + Fraction(1, 2))
+        expected = exp_units / 1e6
+        assert got[(a, b)] == expected, (a, b, got[(a, b)], expected)
+        assert duck[(a, b)] == expected, (a, b, duck[(a, b)], expected)
+
+
 def test_exact_mean_round_midpoints(spark):
     """The exact integer-unit mean must round half-up AT midpoints regardless
     of float summation order — the property round(avg(double)) lacks (the
