@@ -121,6 +121,41 @@ def cosine_micro(a: Column, b: Column) -> Column:
     return F.floor(_dot(a, b) / (_norm(a) * _norm(b)) * F.lit(1e6) + F.lit(0.5)).cast("long")
 
 
+def _mmr_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pool: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared MMR candidate generation (JVM, oracle-exact): broadcast-query
+    corpus scan, integer micro relevance, per-query top-``pool`` by
+    (rel desc, id). Both MMR variants are contractually row-identical and
+    share one oracle, so they MUST share this block. The result is
+    localCheckpoint-ed: the selection that follows re-references it several
+    times, and without truncation every reference re-runs the full corpus
+    scan (measured 5x wall at a 200k-vector probe). The checkpoint
+    materializes only queries x pool rows — bounded by the
+    MAX_COLLECTED_QUERY_ROWS query contract, never corpus-sized — the same
+    lineage rule as graph.py's fixpoints."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rel_micro").desc(), F.col("doc_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "c_vec",
+            cosine_micro(F.col("q_vec"), F.col("c_vec")).alias("rel_micro"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,28 +177,7 @@ def mmr_rerank(
     candidate-pair sims and k unrolled argmax rounds over ≤pool rows per
     query — so diversification cost is independent of corpus size. Returns
     (query_id, doc_id, rel_micro, mmr_score_micro, mmr_rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec"))
-    w = Window.partitionBy("query_id").orderBy(F.col("rel_micro").desc(), F.col("doc_id"))
-    cand_v = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            "c_vec",
-            cosine_micro(F.col("q_vec"), F.col("c_vec")).alias("rel_micro"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= pool)
-        .drop("rn")
-        # The k selection rounds below re-reference the candidate set ~3
-        # times each; without truncation every round would re-run the full
-        # corpus scan (measured 5x wall at a 200k-vector probe). The
-        # checkpoint materializes only queries x pool rows — bounded by the
-        # MAX_COLLECTED_QUERY_ROWS query contract, never corpus-sized — the
-        # same lineage rule as graph.py's fixpoints.
-        .localCheckpoint(eager=True)
-    )
+    cand_v = _mmr_candidates(corpus, queries, pool, id_col, vec_col)
     pairs = (
         cand_v.select("query_id", "doc_id", "c_vec")
         .join(
@@ -230,11 +244,16 @@ def mmr_rerank_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """``mmr_rerank`` with the greedy selection as an Arrow kernel: candidate
-    generation stays JVM-side (identical scan + integer micro relevance), then
-    each query's pool flows through ONE ``applyInPandas`` pass — a pool×pool
-    BLAS matmul for the pair sims plus the k-round greedy loop in int64 —
-    instead of k unrolled join/window stages. Same integer selection rule and
+    """``mmr_rerank`` with the greedy selection as an Arrow kernel: identical
+    candidate generation (shared ``_mmr_candidates``), then each query's pool
+    flows through ONE ``applyInPandas`` pass — pair sims plus the k-round
+    greedy loop in int64 — instead of k unrolled join/window stages. The pair
+    cosines are accumulated DIMENSION-BY-DIMENSION in index order, exactly
+    the JVM fold's summation order, so the floor-quantized sim_micro is
+    bit-identical to ``cosine_micro`` (a BLAS matmul's pairwise/blocked
+    reduction could land one micro-unit away at a floor boundary and flip a
+    greedy round). Non-finite cosines (zero-norm vectors) are masked out of
+    the max like SQL's NULL-skipping max. Same integer selection rule and
     doc_id tie-break, so it shares ``mmr_rerank``'s oracle (unit-gated
     row-identical, the ``semdedup_arrow`` pattern); per-group memory is
     O(pool·dim + pool²), bounded by construction."""
@@ -242,21 +261,7 @@ def mmr_rerank_arrow(
 
     from pyspark.sql import types as T
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec"))
-    w = Window.partitionBy("query_id").orderBy(F.col("rel_micro").desc(), F.col("doc_id"))
-    cand = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            "c_vec",
-            cosine_micro(F.col("q_vec"), F.col("c_vec")).alias("rel_micro"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= pool)
-        .drop("rn")
-    )
+    cand = _mmr_candidates(corpus, queries, pool, id_col, vec_col)
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -277,10 +282,20 @@ def mmr_rerank_arrow(
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         rel = pdf["rel_micro"].to_numpy(dtype=np.int64)
         mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        norms[norms == 0.0] = 1.0
-        sim = np.floor((mat @ mat.T) / np.outer(norms, norms) * 1e6 + 0.5).astype(np.int64)
         n = len(ids)
+        # dot products and squared norms accumulated in DIMENSION ORDER —
+        # the JVM fold's exact summation sequence, never a BLAS reduction
+        dots = np.zeros((n, n), dtype=np.float64)
+        nsq = np.zeros(n, dtype=np.float64)
+        for dcol in range(mat.shape[1] if n else 0):
+            col = mat[:, dcol]
+            dots += np.multiply.outer(col, col)
+            nsq += col * col
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / np.outer(np.sqrt(nsq), np.sqrt(nsq))
+        finite = np.isfinite(cos)
+        sim = np.full((n, n), np.int64(-(2**62)), dtype=np.int64)
+        sim[finite] = np.floor(cos[finite] * 1e6 + 0.5).astype(np.int64)
         picked: list[int] = []
         scores: list[int] = []
         taken = np.zeros(n, dtype=bool)
@@ -290,6 +305,9 @@ def mmr_rerank_arrow(
                 cur = np.where(~taken, rel, np.int64(-(2**62)))
             else:
                 maxsim = sim[:, picked].max(axis=1)
+                # all-masked (non-finite) rows mirror SQL's NULL-skipping
+                # max + COALESCE(maxsim, 0)
+                maxsim = np.where(maxsim == np.int64(-(2**62)), np.int64(0), maxsim)
                 cur = np.where(~taken, rel - maxsim, np.int64(-(2**62)))
             best = np.lexsort((ids, -cur))[0]
             picked.append(best)
@@ -542,32 +560,31 @@ def kcenter_select(
     micro-units from the identical left-to-right fold both engines compute,
     and ties break on vec_id — fully deterministic.
 
-    Scale shape: each round is ONE corpus scan — a broadcast join against
-    the ≤k selected rows, a per-point min, and a TakeOrdered(1) — so the
-    whole selection is k scans with no corpus shuffle (the algorithm's
-    inherent pass structure). Driver state is one (id, distance) row per
-    round. Returns (vec_id, sel_round, dmax_micro); dmax_micro is the
-    max-min distance when the point was chosen (0 for the seed) — the
-    covering-radius curve."""
+    Scale shape: each round is ONE corpus scan — a broadcast join against a
+    driver-built literal of the ≤k selected vectors (k·dim floats of driver
+    state, the IVF-seed class), a per-point min, and a TakeOrdered(1) — so
+    the whole selection is k scans with no corpus shuffle (the algorithm's
+    inherent pass structure). Returns (vec_id, sel_round, dmax_micro);
+    dmax_micro is the max-min distance when the point was chosen (0 for the
+    seed) — the covering-radius curve."""
     pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    seed = pts.orderBy("vec_id").select("vec_id").first()
+    seed = pts.orderBy("vec_id").limit(1).first()
     schema = "vec_id long, sel_round long, dmax_micro long"
     spark = corpus.sparkSession
     if seed is None:
         return spark.createDataFrame([], schema)
     sel: list[tuple[int, int, int]] = [(int(seed["vec_id"]), 1, 0)]
+    sel_vecs: list[tuple[int, list[float]]] = [(int(seed["vec_id"]), [float(x) for x in seed["v"]])]
     for rnd in range(2, k + 1):
         sel_ids = [s[0] for s in sel]
-        sel_df = pts.filter(F.col("vec_id").isin(sel_ids)).select(
-            F.col("vec_id").alias("sid"), F.col("v").alias("sv")
-        )
+        sel_df = spark.createDataFrame(sel_vecs, "sid long, sv array<double>")
         d = F.floor(_sqdist(F.col("v"), F.col("sv")) * F.lit(1e6) + F.lit(0.5)).cast("long")
         best = (
             pts.filter(~F.col("vec_id").isin(sel_ids))
             .crossJoin(F.broadcast(sel_df))
-            .select("vec_id", d.alias("d"))
+            .select("vec_id", "v", d.alias("d"))
             .groupBy("vec_id")
-            .agg(F.min("d").alias("dmin_micro"))
+            .agg(F.min("d").alias("dmin_micro"), F.first("v").alias("v"))
             .orderBy(F.col("dmin_micro").desc(), F.col("vec_id"))
             .limit(1)
             .first()
@@ -575,6 +592,7 @@ def kcenter_select(
         if best is None:
             break
         sel.append((int(best["vec_id"]), rnd, int(best["dmin_micro"])))
+        sel_vecs.append((int(best["vec_id"]), [float(x) for x in best["v"]]))
     return spark.createDataFrame(sel, schema)
 
 

@@ -559,9 +559,10 @@ def test_hybrid_rrf_fusion_semantics(spark):
     # a doc in BOTH lists must outrank a doc in one list at an equal-or-worse rank
     both = [r for r in out if r["in_sparse"] and r["in_dense"]]
     if both:
-        assert max(r["rrf"] for r in out if not (r["in_sparse"] and r["in_dense"])) <= max(
-            r["rrf"] for r in both
-        ) + 1e-9
+        single_max = max(
+            (r["rrf"] for r in out if not (r["in_sparse"] and r["in_dense"])), default=0.0
+        )
+        assert single_max <= max(r["rrf"] for r in both) + 1e-9
 
 
 def test_mmr_rerank_greedy_selection(spark):
