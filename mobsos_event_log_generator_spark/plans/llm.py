@@ -2360,6 +2360,110 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hashed-feature dimensionality for DSIR importance weights (bounded dim —
+#: the ratio table can always be broadcast regardless of corpus size).
+_DSIR_BUCKETS = 256
+#: Docs selected by the importance-resampling ranking.
+_DSIR_TOP_N = 100
+
+
+@register(
+    "corpus_dsir_importance",
+    f"""
+WITH w AS (SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents),
+f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM w GROUP BY 1, 2
+),
+raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS raw_cnt FROM f GROUP BY 1),
+tgt AS (
+  SELECT f.bucket, CAST(sum(f.cnt) AS BIGINT) AS tgt_cnt
+  FROM f JOIN documents d ON f.doc_id = d.doc_id
+  WHERE d.lang = 'en' GROUP BY 1
+),
+dim AS (
+  SELECT raw.bucket,
+         CAST(((COALESCE(tgt.tgt_cnt, 0) + 1) * 1000000) // (raw.raw_cnt + 1)
+              AS BIGINT) AS r_units
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+),
+score AS (
+  SELECT f.doc_id, CAST(sum(f.cnt * dim.r_units) // sum(f.cnt) AS BIGINT) AS s
+  FROM f JOIN dim ON f.bucket = dim.bucket GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(COALESCE(score.s, 0) AS BIGINT) AS dsir_score_units
+FROM documents d LEFT JOIN score ON d.doc_id = score.doc_id
+ORDER BY dsir_score_units DESC, d.doc_id
+LIMIT {_DSIR_TOP_N}
+""",
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    rank raw-corpus documents by how target-like their hashed n-gram feature
+    profile is, here with word features hashed into a 256-bucket bounded
+    space, target = the ``lang = 'en'`` slice, and the per-feature
+    likelihood ratio replaced by the exact-integer add-1 ratio
+    ``((T_f + 1) * 1e6) div (R_f + 1)`` so both engines agree bit-for-bit
+    (the float log-ratio form would hand cross-engine summation-order drift
+    straight into a top-N cut). Per-doc importance is the PER-TOKEN average
+    ``(Σ cnt_f · r_units) div (Σ cnt_f)`` — pure BIGINT; without the
+    normalization the raw sum scales with document length and the top-N
+    degenerates to the longest docs (caught by the over-representation
+    unit).
+
+    Scale shape: one exploded hash-agg to (doc, bucket) with map-side
+    combine, two bucket rollups onto a ≤256-row ratio dim (AQE broadcasts
+    it — no hint needed), one per-doc agg, and a TakeOrdered(N) — no
+    corpus-sized shuffle beyond the per-doc combine, and the dim is
+    corpus-size-free by construction."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    feats = (
+        docs.select("doc_id", "lang", F.explode(X.tokens("text")).alias("word"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    raw = feats.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("raw_cnt"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("tgt_cnt"))
+    )
+    dim = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.expr(
+            "CAST(((COALESCE(tgt_cnt, 0) + 1) * 1000000) DIV (raw_cnt + 1) AS BIGINT)"
+        ).alias("r_units"),
+    )
+    score = (
+        feats.join(dim, "bucket")
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(cnt * r_units) DIV sum(cnt) AS BIGINT)").alias("s"))
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(score, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("dsir_score_units"),
+        )
+        .orderBy(F.col("dsir_score_units").desc(), "doc_id")
+        .limit(_DSIR_TOP_N)
+    )
+
+
 @register(
     "text_token_quantiles",
     f"""

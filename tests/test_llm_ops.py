@@ -526,6 +526,31 @@ def test_temperature_mix_flattens_head(spark):
             assert abs(r["effective_epochs"] - expect) < 1e-2 * max(1.0, expect)
 
 
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from mobsos_event_log_generator_spark.plans.llm import corpus_dsir_importance
+
+    out = corpus_dsir_importance(spark, "/root/testdata/sf0.001").collect()
+    assert out, "importance ranking produced no rows"
+    # scores are non-negative integers, ranking is (score desc, doc_id asc)
+    scores = [r["dsir_score_units"] for r in out]
+    assert all(isinstance(s, int) and s >= 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    for a, b in zip(out, out[1:]):
+        if a["dsir_score_units"] == b["dsir_score_units"]:
+            assert a["doc_id"] < b["doc_id"]
+    # the DSIR property: target-domain (en) docs must be over-represented in
+    # the selected top-N relative to their corpus share — the likelihood
+    # ratio up-weights buckets where en tokens concentrate
+    import duckdb
+
+    tot, en = duckdb.sql(
+        "SELECT count(*), count(*) FILTER (lang = 'en') "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()
+    sel_en_share = sum(1 for r in out if r["lang"] == "en") / len(out)
+    assert sel_en_share > en / tot
+
+
 def test_hybrid_rrf_fusion_semantics(spark):
     from mobsos_event_log_generator_spark.plans.llm import (
         search_bm25_topk,
