@@ -884,6 +884,69 @@ def semdedup_arrow(
     return swept.unionByName(passthrough) if passthrough is not None else swept
 
 
+def knn_graph_clusters(
+    corpus: DataFrame,
+    k: int = 3,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding clustering via a mutual-kNN graph: IVF-cell the corpus with
+    the shared deterministic quantizer, take each vector's top-``k``
+    cell-mates by (6-dp cosine desc, id), keep only MUTUAL edges (a in
+    kNN(b) and b in kNN(a) — the standard noise-robust symmetrization), and
+    label components with large-star/small-star contraction. Returns one row
+    per corpus vector: (vec_id, component, cluster_size); vectors with no
+    mutual neighbor are singleton components of themselves.
+
+    Scale shape: the only quadratic is within an IVF cell (cid is the
+    shuffle key; num_centroids scales with the corpus — the SemDeDup rule);
+    the kNN cut bounds the edge set at k·|corpus| before the mutual
+    semi-pairing halves it again, and the contraction runs O(log n) rounds
+    on that bounded edge list. Everything downstream of the cell pair join
+    is edge-sized, never pair-sized."""
+    from mobsos_event_log_generator_spark.operators.graph import connected_components_star
+
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    assigned = corpus.select(id_col, vec_col).join(
+        ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
+    )
+    # feeds both sides of the pair join — same lineage-truncation rule as
+    # semdedup (quantizer re-evaluates per branch otherwise)
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select("cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = assigned.select("cid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    knn = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .select("a_id", "b_id", "cos")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a_id", "b_id")
+    )
+    rev = knn.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    mutual = (
+        knn.join(rev, ["a_id", "b_id"], "left_semi")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("id1"), F.col("b_id").alias("id2"))
+    )
+    comp = connected_components_star(mutual)
+    labeled = (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).cast("long").alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return labeled.join(sizes, "component").select("vec_id", "component", "cluster_size")
+
+
 def quantize_int8(vec: Column, clip: float = 1.0) -> Column:
     """Scalar int8 quantization: q_i = floor(clip(v_i, ±clip)/clip · 127
     + 0.5) — the standard 4x-memory embedding compression (FAISS SQ8

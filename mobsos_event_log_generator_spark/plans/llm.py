@@ -1340,6 +1340,92 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(emb, threshold=_SEMDEDUP_TAU, num_centroids=8, iters=1)
 
 
+#: Neighbors per vector in the mutual-kNN graph.
+_KNN_GRAPH_K = 3
+
+_SQL_KNN_CLUSTERS = f"""
+WITH RECURSIVE embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+seedbase AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
+         {_SQL_SEED_COLS}
+  FROM embf f JOIN seedbase USING (vec_id)
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({{sqd_es}}, 6), s.cid) AS rk
+    FROM embf e CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+cents AS (
+  SELECT cid, {_SQL_CENTROID_MEANS}
+  FROM embf e JOIN a0 USING (vec_id)
+  GROUP BY cid
+),
+inv AS (
+  SELECT vec_id AS member_id, cid, {_SQL_INV_COLS}, sqn AS nsqn FROM (
+    SELECT e.*, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({{sqd_ec}}, 6), c.cid) AS rk
+    FROM embf e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+knn AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.member_id AS a_id, b.member_id AS b_id,
+           row_number() OVER (PARTITION BY a.member_id
+                              ORDER BY round(({_SQL_SEMDEDUP_DOT}) / (sqrt(a.nsqn) * sqrt(b.nsqn)), 6) DESC,
+                                       b.member_id) AS rk
+    FROM inv a JOIN inv b USING (cid)
+    WHERE b.member_id <> a.member_id
+  ) WHERE rk <= {_KNN_GRAPH_K}
+),
+mut AS (
+  SELECT k1.a_id AS id1, k1.b_id AS id2
+  FROM knn k1 JOIN knn k2 ON k2.a_id = k1.b_id AND k2.b_id = k1.a_id
+  WHERE k1.a_id < k1.b_id
+),
+edges AS (SELECT id1 AS a, id2 AS b FROM mut UNION SELECT id2, id1 FROM mut),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY 1),
+final AS (
+  SELECT e.vec_id, CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS component
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+)
+SELECT vec_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+FROM final
+""".format(sqd_es=_sql_flat_sqdist("e", "s"), sqd_ec=_sql_flat_sqdist("e", "c"))
+
+
+@register("embedding_knn_clusters", _SQL_KNN_CLUSTERS)
+def embedding_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph clustering over the embedding corpus — the
+    clustering-based curation step (SemDeDup/D4-style pipelines) that groups
+    semantically-close documents beyond pairwise dedup: IVF cells (shared
+    deterministic quantizer) → per-vector top-3 cell-mates by 6-dp cosine →
+    mutual-edge symmetrization → large-star/small-star components. The
+    oracle replays the quantizer AND computes TRUE reachability with a
+    recursive CTE, proving the distributed contraction exact on this graph
+    (the ``dedup_clusters`` gate pattern). Quadratic work is confined to a
+    cell; the edge list is ≤ k·|corpus| before contraction."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.knn_graph_clusters(emb, k=_KNN_GRAPH_K, num_centroids=8, iters=1)
+
+
 # ---------------------------------------------------------------------------
 # Corpus splitting / vocabulary / TF-IDF / incremental dedup
 # ---------------------------------------------------------------------------

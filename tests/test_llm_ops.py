@@ -526,6 +526,27 @@ def test_temperature_mix_flattens_head(spark):
             assert abs(r["effective_epochs"] - expect) < 1e-2 * max(1.0, expect)
 
 
+def test_knn_graph_clusters_mutual_semantics(spark):
+    # two tight pairs + one far outlier, a single IVF cell (num_centroids=1)
+    # so the kNN is exact brute within the cell
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.99, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["component"], r["cluster_size"])
+        for r in S.knn_graph_clusters(df, k=1, num_centroids=1, dim=4).collect()
+    }
+    assert len(out) == 5  # every vector labeled, singletons included
+    assert out[1] == (1, 2) and out[2] == (1, 2)  # mutual 1-NN pair
+    assert out[3] == (3, 2) and out[4] == (3, 2)
+    assert out[5] == (5, 1)  # outlier: its 1-NN is not reciprocated
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from mobsos_event_log_generator_spark.plans.llm import corpus_dsir_importance
 
