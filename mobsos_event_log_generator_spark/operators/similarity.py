@@ -884,6 +884,40 @@ def semdedup_arrow(
     return swept.unionByName(passthrough) if passthrough is not None else swept
 
 
+def _ivf_cell_knn(
+    corpus: DataFrame,
+    k: int,
+    num_centroids: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Directed within-cell kNN edges (a_id, b_id): IVF-assign the corpus
+    with the shared deterministic quantizer, then per vector keep the top-k
+    cell-mates by (6-dp cosine desc, id). Shared by the mutual-kNN
+    clustering and the kNN label audit — both oracles replay this exact
+    edge set, so it MUST be one block. The assignment feeds both sides of
+    the pair join (the semdedup lineage-truncation rule)."""
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    assigned = corpus.select(id_col, vec_col).join(
+        ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select("cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = assigned.select("cid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .select("a_id", "b_id", "cos")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a_id", "b_id")
+    )
+
+
 def knn_graph_clusters(
     corpus: DataFrame,
     k: int = 3,
@@ -909,25 +943,7 @@ def knn_graph_clusters(
     is edge-sized, never pair-sized."""
     from mobsos_event_log_generator_spark.operators.graph import connected_components_star
 
-    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
-    assigned = corpus.select(id_col, vec_col).join(
-        ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
-    )
-    # feeds both sides of the pair join — same lineage-truncation rule as
-    # semdedup (quantizer re-evaluates per branch otherwise)
-    assigned = assigned.localCheckpoint(eager=True)
-    a = assigned.select("cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = assigned.select("cid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
-    knn = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
-        .select("a_id", "b_id", "cos")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("a_id", "b_id")
-    )
+    knn = _ivf_cell_knn(corpus, k, num_centroids, iters, id_col, vec_col, dim)
     rev = knn.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     mutual = (
         knn.join(rev, ["a_id", "b_id"], "left_semi")
@@ -945,6 +961,52 @@ def knn_graph_clusters(
     )
     sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
     return labeled.join(sizes, "component").select("vec_id", "component", "cluster_size")
+
+
+def knn_label_audit(
+    corpus: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """kNN label-agreement audit (the confident-learning / cleanlab-style
+    label-error screen over training data): for each vector, the majority
+    label among its top-``k`` IVF-cell-mates — ties broken (votes desc,
+    label asc) — compared against its own label. Returns one row per corpus
+    vector: (vec_id, label, predicted_label, votes, agree); vectors with no
+    cell-mate carry NULL predicted_label/votes/agree (3VL on both engines).
+
+    Scale shape: the kNN edge generation is the shared ``_ivf_cell_knn``
+    block (quadratic confined to a cell, edges ≤ k·|corpus|); the vote is
+    one hash agg on (a_id, label) plus a per-a_id window over ≤k rows."""
+    knn = _ivf_cell_knn(corpus, k, num_centroids, iters, id_col, vec_col, dim)
+    labels = corpus.select(F.col(id_col).alias("b_id"), F.col(label_col).alias("cand"))
+    votes = (
+        knn.join(labels, "b_id")
+        .groupBy("a_id", "cand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("n").desc(), F.col("cand"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("a_id", F.col("cand").alias("predicted_label"), F.col("n").alias("votes"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("label"))
+        .join(pred, F.col("vec_id") == F.col("a_id"), "left")
+        .select(
+            "vec_id",
+            "label",
+            "predicted_label",
+            "votes",
+            (F.col("label") == F.col("predicted_label")).alias("agree"),
+        )
+    )
 
 
 def quantize_int8(vec: Column, clip: float = 1.0) -> Column:

@@ -1342,9 +1342,17 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Neighbors per vector in the mutual-kNN graph.
 _KNN_GRAPH_K = 3
+#: Neighbors voting in the kNN label audit.
+_KNN_AUDIT_K = 5
 
-_SQL_KNN_CLUSTERS = f"""
-WITH RECURSIVE embf AS (
+
+def _sql_inv_knn_ctes(k: int) -> str:
+    """Quantizer replay + within-cell top-``k`` kNN edges as a CTE list
+    (embf → seeds → assignment → Lloyd means → inverted lists → knn).
+    Shared by the mutual-kNN clustering and label-audit oracles — the Spark
+    side shares ``similarity._ivf_cell_knn`` the same way, so the two query
+    pairs provably replay one edge set."""
+    return f"""embf AS (
   SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
   FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
 ),
@@ -1361,7 +1369,7 @@ a0 AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, s.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({{sqd_es}}, 6), s.cid) AS rk
+                              ORDER BY round({_sql_flat_sqdist('e', 's')}, 6), s.cid) AS rk
     FROM embf e CROSS JOIN seeds s
   ) WHERE rk = 1
 ),
@@ -1374,7 +1382,7 @@ inv AS (
   SELECT vec_id AS member_id, cid, {_SQL_INV_COLS}, sqn AS nsqn FROM (
     SELECT e.*, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY round({{sqd_ec}}, 6), c.cid) AS rk
+                              ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
     FROM embf e CROSS JOIN cents c
   ) WHERE rk = 1
 ),
@@ -1386,8 +1394,12 @@ knn AS (
                                        b.member_id) AS rk
     FROM inv a JOIN inv b USING (cid)
     WHERE b.member_id <> a.member_id
-  ) WHERE rk <= {_KNN_GRAPH_K}
-),
+  ) WHERE rk <= {k}
+)"""
+
+
+_SQL_KNN_CLUSTERS = f"""
+WITH RECURSIVE {_sql_inv_knn_ctes(_KNN_GRAPH_K)},
 mut AS (
   SELECT k1.a_id AS id1, k1.b_id AS id2
   FROM knn k1 JOIN knn k2 ON k2.a_id = k1.b_id AND k2.b_id = k1.a_id
@@ -1408,7 +1420,7 @@ final AS (
 SELECT vec_id, component,
        CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
 FROM final
-""".format(sqd_es=_sql_flat_sqdist("e", "s"), sqd_ec=_sql_flat_sqdist("e", "c"))
+"""
 
 
 @register("embedding_knn_clusters", _SQL_KNN_CLUSTERS)
@@ -1424,6 +1436,39 @@ def embedding_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell; the edge list is ≤ k·|corpus| before contraction."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return S.knn_graph_clusters(emb, k=_KNN_GRAPH_K, num_centroids=8, iters=1)
+
+
+@register(
+    "embedding_label_knn_audit",
+    f"""
+WITH {_sql_inv_knn_ctes(_KNN_AUDIT_K)},
+votes AS (
+  SELECT k.a_id, e.label AS cand, CAST(count(*) AS BIGINT) AS n
+  FROM knn k JOIN embeddings e ON k.b_id = e.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT a_id, cand AS predicted_label, n AS votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY n DESC, cand) AS rk FROM votes
+  ) WHERE rk = 1
+)
+SELECT e.vec_id, e.label, p.predicted_label, p.votes,
+       e.label = p.predicted_label AS agree
+FROM embeddings e LEFT JOIN pred p ON e.vec_id = p.a_id
+""",
+)
+def embedding_label_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit (confident-learning / cleanlab-style label
+    noise screen): each vector's majority label among its 5 nearest IVF
+    cell-mates — ties (votes desc, label asc) — against its own ``label``
+    column; disagreements are the candidate annotation errors a curation
+    pass reviews. Shares the quantizer + kNN edge replay with
+    ``embedding_knn_clusters`` (one ``_sql_inv_knn_ctes`` /
+    ``_ivf_cell_knn`` block on both engines). The vote is one hash agg on
+    (vector, label) + a per-vector window over ≤5 rows — edge-sized
+    everywhere past the cell pair join."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.knn_label_audit(emb, k=_KNN_AUDIT_K, num_centroids=8, iters=1)
 
 
 # ---------------------------------------------------------------------------

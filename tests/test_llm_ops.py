@@ -547,6 +547,24 @@ def test_knn_graph_clusters_mutual_semantics(spark):
     assert out[5] == (5, 1)  # outlier: its 1-NN is not reciprocated
 
 
+def test_knn_label_audit_majority_vote(spark):
+    # one cell; vec 4 is a mislabeled member of the x-axis group, vec 5 has
+    # no cell-mate... all in one cell so 5 votes too. Use k=2.
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0], 10),
+        (2, [0.99, 0.01, 0.0, 0.0], 10),
+        (3, [0.98, 0.02, 0.0, 0.0], 10),
+        (4, [0.97, 0.03, 0.0, 0.0], 20),  # label noise: nearest mates all 10
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r for r in S.knn_label_audit(df, k=2, num_centroids=1, dim=4).collect()}
+    assert len(out) == 4
+    assert out[4]["predicted_label"] == 10 and out[4]["agree"] is False
+    assert out[1]["predicted_label"] == 10 and out[1]["agree"] is True
+    # votes bounded by k
+    assert all(r["votes"] <= 2 for r in out.values())
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from mobsos_event_log_generator_spark.plans.llm import corpus_dsir_importance
 
