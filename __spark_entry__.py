@@ -103,6 +103,9 @@ _BUDGET_LAST = (
     "corpus_padding_waste",
     "similarity_mmr_arrow",
     "embedding_coreset_kcenter",
+    "corpus_dsir_importance",
+    "embedding_knn_clusters",
+    "embedding_label_knn_audit",
 )
 
 
