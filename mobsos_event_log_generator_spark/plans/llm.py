@@ -1352,20 +1352,20 @@ def _sql_inv_knn_ctes(k: int) -> str:
     Shared by the mutual-kNN clustering and label-audit oracles — the Spark
     side shares ``similarity._ivf_cell_knn`` the same way, so the two query
     pairs provably replay one edge set."""
-    return f"""embf AS (
+    return f"""embf AS MATERIALIZED (
   SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
   FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
 ),
-seedbase AS (
+seedbase AS MATERIALIZED (
   SELECT vec_id FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
 ),
-seeds AS (
+seeds AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
          {_SQL_SEED_COLS}
   FROM embf f JOIN seedbase USING (vec_id)
 ),
-a0 AS (
+a0 AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, s.cid,
            row_number() OVER (PARTITION BY e.vec_id
@@ -1373,12 +1373,12 @@ a0 AS (
     FROM embf e CROSS JOIN seeds s
   ) WHERE rk = 1
 ),
-cents AS (
+cents AS MATERIALIZED (
   SELECT cid, {_SQL_CENTROID_MEANS}
   FROM embf e JOIN a0 USING (vec_id)
   GROUP BY cid
 ),
-inv AS (
+inv AS MATERIALIZED (
   SELECT vec_id AS member_id, cid, {_SQL_INV_COLS}, sqn AS nsqn FROM (
     SELECT e.*, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
@@ -1386,7 +1386,7 @@ inv AS (
     FROM embf e CROSS JOIN cents c
   ) WHERE rk = 1
 ),
-knn AS (
+knn AS MATERIALIZED (
   SELECT a_id, b_id FROM (
     SELECT a.member_id AS a_id, b.member_id AS b_id,
            row_number() OVER (PARTITION BY a.member_id
@@ -1400,20 +1400,20 @@ knn AS (
 
 _SQL_KNN_CLUSTERS = f"""
 WITH RECURSIVE {_sql_inv_knn_ctes(_KNN_GRAPH_K)},
-mut AS (
+mut AS MATERIALIZED (
   SELECT k1.a_id AS id1, k1.b_id AS id2
   FROM knn k1 JOIN knn k2 ON k2.a_id = k1.b_id AND k2.b_id = k1.a_id
   WHERE k1.a_id < k1.b_id
 ),
-edges AS (SELECT id1 AS a, id2 AS b FROM mut UNION SELECT id2, id1 FROM mut),
-nodes AS (SELECT DISTINCT a AS id FROM edges),
+edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM mut UNION SELECT id2, id1 FROM mut),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges),
 reach(src, dst) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
 ),
-comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY 1),
-final AS (
+comp AS MATERIALIZED (SELECT src AS node, min(dst) AS component FROM reach GROUP BY 1),
+final AS MATERIALIZED (
   SELECT e.vec_id, CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS component
   FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
 )
@@ -1442,12 +1442,12 @@ def embedding_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_knn_audit",
     f"""
 WITH {_sql_inv_knn_ctes(_KNN_AUDIT_K)},
-votes AS (
+votes AS MATERIALIZED (
   SELECT k.a_id, e.label AS cand, CAST(count(*) AS BIGINT) AS n
   FROM knn k JOIN embeddings e ON k.b_id = e.vec_id
   GROUP BY 1, 2
 ),
-pred AS (
+pred AS MATERIALIZED (
   SELECT a_id, cand AS predicted_label, n AS votes FROM (
     SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY n DESC, cand) AS rk FROM votes
   ) WHERE rk = 1
