@@ -106,6 +106,7 @@ _BUDGET_LAST = (
     "corpus_dsir_importance",
     "embedding_knn_clusters",
     "embedding_label_knn_audit",
+    "embedding_outlier_kdist",
 )
 
 

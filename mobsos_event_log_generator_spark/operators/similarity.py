@@ -893,12 +893,13 @@ def _ivf_cell_knn(
     vec_col: str,
     dim: int,
 ) -> DataFrame:
-    """Directed within-cell kNN edges (a_id, b_id): IVF-assign the corpus
-    with the shared deterministic quantizer, then per vector keep the top-k
-    cell-mates by (6-dp cosine desc, id). Shared by the mutual-kNN
-    clustering and the kNN label audit — both oracles replay this exact
-    edge set, so it MUST be one block. The assignment feeds both sides of
-    the pair join (the semdedup lineage-truncation rule)."""
+    """Directed within-cell kNN edges (a_id, b_id, cos, rk): IVF-assign the
+    corpus with the shared deterministic quantizer, then per vector keep the
+    top-k cell-mates by (6-dp cosine desc, id). Shared by the mutual-kNN
+    clustering, the kNN label audit, and the k-dist outlier score — their
+    oracles replay this exact edge set, so it MUST be one block. The
+    assignment feeds both sides of the pair join (the semdedup
+    lineage-truncation rule)."""
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
     assigned = corpus.select(id_col, vec_col).join(
         ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
@@ -914,7 +915,7 @@ def _ivf_cell_knn(
         .select("a_id", "b_id", "cos")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "cos", F.col("rk").cast("long").alias("rk"))
     )
 
 
@@ -1005,6 +1006,47 @@ def knn_label_audit(
             "predicted_label",
             "votes",
             (F.col("label") == F.col("predicted_label")).alias("agree"),
+        )
+    )
+
+
+def knn_kdist_outliers(
+    corpus: DataFrame,
+    k: int = 5,
+    n_out: int = 25,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """kNN-distance outlier scoring (the classic k-dist novelty screen —
+    Ramaswamy et al. 2000 — in cosine space): a vector's score is the 6-dp
+    cosine to its k-th nearest IVF cell-mate; LOW kth-cosine = isolated =
+    novel/noisy. Returns one row per corpus vector:
+    (vec_id, kth_cos, is_outlier) — the ``n_out`` lowest-kth-cosine vectors
+    flagged (ties on vec_id); vectors with fewer than k cell-mates carry
+    NULL kth_cos and are never flagged (their isolation is a cell-size
+    artifact, not a geometry measurement).
+
+    Scale shape: the shared ``_ivf_cell_knn`` edge block (quadratic confined
+    to a cell), one rk == k filter, and a TakeOrdered(n_out) — no global
+    sort, no corpus-sized shuffle past the cell pair join."""
+    knn = _ivf_cell_knn(corpus, k, num_centroids, iters, id_col, vec_col, dim)
+    kth = knn.filter(F.col("rk") == k).select(F.col("a_id"), F.col("cos").alias("kth_cos"))
+    flagged = (
+        kth.orderBy(F.col("kth_cos").asc(), F.col("a_id"))
+        .limit(n_out)
+        .select(F.col("a_id").alias("out_id"), F.lit(True).alias("flag"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(kth, F.col("vec_id") == F.col("a_id"), "left")
+        .join(flagged, F.col("vec_id") == F.col("out_id"), "left")
+        .select(
+            "vec_id",
+            "kth_cos",
+            F.coalesce(F.col("flag"), F.lit(False)).alias("is_outlier"),
         )
     )
 

@@ -1387,8 +1387,9 @@ inv AS MATERIALIZED (
   ) WHERE rk = 1
 ),
 knn AS MATERIALIZED (
-  SELECT a_id, b_id FROM (
+  SELECT a_id, b_id, cos, CAST(rk AS BIGINT) AS rk FROM (
     SELECT a.member_id AS a_id, b.member_id AS b_id,
+           round(({_SQL_SEMDEDUP_DOT}) / (sqrt(a.nsqn) * sqrt(b.nsqn)), 6) AS cos,
            row_number() OVER (PARTITION BY a.member_id
                               ORDER BY round(({_SQL_SEMDEDUP_DOT}) / (sqrt(a.nsqn) * sqrt(b.nsqn)), 6) DESC,
                                        b.member_id) AS rk
@@ -1469,6 +1470,40 @@ def embedding_label_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere past the cell pair join."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return S.knn_label_audit(emb, k=_KNN_AUDIT_K, num_centroids=8, iters=1)
+
+
+#: Lowest-kth-cosine vectors flagged by the k-dist outlier screen.
+_KDIST_N_OUT = 25
+
+
+@register(
+    "embedding_outlier_kdist",
+    f"""
+WITH {_sql_inv_knn_ctes(_KNN_AUDIT_K)},
+kth AS MATERIALIZED (
+  SELECT a_id, cos AS kth_cos FROM knn WHERE rk = {_KNN_AUDIT_K}
+),
+flagged AS MATERIALIZED (
+  SELECT a_id AS out_id, TRUE AS flag FROM kth
+  ORDER BY kth_cos ASC, a_id LIMIT {_KDIST_N_OUT}
+)
+SELECT e.vec_id, k.kth_cos, COALESCE(f.flag, FALSE) AS is_outlier
+FROM embeddings e
+LEFT JOIN kth k ON e.vec_id = k.a_id
+LEFT JOIN flagged f ON e.vec_id = f.out_id
+""",
+)
+def embedding_outlier_kdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier screen over the embedding corpus (k-dist,
+    Ramaswamy et al. 2000, in cosine space): score = 6-dp cosine to the 5th
+    nearest IVF cell-mate, the 25 most-isolated vectors flagged — the
+    novelty/noise triage step of embedding-space curation. Shares the
+    ``_ivf_cell_knn`` / ``_sql_inv_knn_ctes`` edge replay with the
+    clustering and label-audit pairs; vectors with fewer than 5 cell-mates
+    carry NULL scores and are never flagged. TakeOrdered(25) — no global
+    sort."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.knn_kdist_outliers(emb, k=_KNN_AUDIT_K, n_out=_KDIST_N_OUT, num_centroids=8, iters=1)
 
 
 # ---------------------------------------------------------------------------

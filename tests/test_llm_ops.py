@@ -565,6 +565,25 @@ def test_knn_label_audit_majority_vote(spark):
     assert all(r["votes"] <= 2 for r in out.values())
 
 
+def test_knn_kdist_outlier_flags_isolated_vector(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.98, 0.02, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),  # isolated: low cosine to everything
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in S.knn_kdist_outliers(df, k=2, n_out=1, num_centroids=1, dim=4).collect()}
+    assert len(out) == 4
+    assert out[4]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    assert out[4]["kth_cos"] == min(r["kth_cos"] for r in out.values())
+    # fewer than k cell-mates -> NULL score, never flagged
+    two = spark.createDataFrame(vecs[:2], "vec_id long, embedding array<double>")
+    out2 = S.knn_kdist_outliers(two, k=2, n_out=1, num_centroids=1, dim=4).collect()
+    assert all(r["kth_cos"] is None and r["is_outlier"] is False for r in out2)
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from mobsos_event_log_generator_spark.plans.llm import corpus_dsir_importance
 
