@@ -107,6 +107,7 @@ _BUDGET_LAST = (
     "embedding_knn_clusters",
     "embedding_label_knn_audit",
     "embedding_outlier_kdist",
+    "dedup_pairs_embedding_scored",
 )
 
 

@@ -1506,6 +1506,66 @@ def embedding_outlier_kdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_kdist_outliers(emb, k=_KNN_AUDIT_K, n_out=_KDIST_N_OUT, num_centroids=8, iters=1)
 
 
+_SQL_PAIR_DOT_E = " + ".join(f"a.e{i} * b.e{i}" for i in range(1, _IVF_DIM + 1))
+
+
+@register(
+    "dedup_pairs_embedding_scored",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2,
+         {XM.sql_ratio_round('n_inter', 'c1.n + c2.n - n_inter', 6)} AS jaccard
+  FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+),
+embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+)
+SELECT p.id1, p.id2, p.jaccard,
+       round(({_SQL_PAIR_DOT_E}) / (sqrt(a.sqn) * sqrt(b.sqn)), 6) AS emb_cos
+FROM pairs p JOIN embf a ON p.id1 = a.vec_id JOIN embf b ON p.id2 = b.vec_id
+""",
+)
+def dedup_pairs_embedding_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup verification: the lexical near-dup candidates
+    (minhash-LSH, exact Jaccard ≥ 0.8) annotated with their embedding-space
+    cosine — the semantic second opinion a curation pipeline consults before
+    dropping a candidate (boilerplate twins with different meanings score
+    low; true semantic dups score high). Emits (id1, id2, jaccard, emb_cos)
+    with NO baked-in confirm threshold: on these synthetic fixtures the
+    embedding cosines of text dups are uncorrelated scatter (measured
+    ±0.33), so any cut would be arbitrary — policy belongs downstream.
+    Scale shape: the pair list is LSH-bounded (never all-pairs) and the two
+    embedding joins are id-equi-joins on that bounded list."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.8)
+    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (
+        pairs.join(e1, "id1")
+        .join(e2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "jaccard",
+            S.cosine(F.col("v1"), F.col("v2")).alias("emb_cos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus splitting / vocabulary / TF-IDF / incremental dedup
 # ---------------------------------------------------------------------------

@@ -584,6 +584,22 @@ def test_knn_kdist_outlier_flags_isolated_vector(spark):
     assert all(r["kth_cos"] is None and r["is_outlier"] is False for r in out2)
 
 
+def test_dedup_pairs_embedding_scored_annotates_all_pairs(spark):
+    from mobsos_event_log_generator_spark.plans.llm import (
+        dedup_minhash_lsh,
+        dedup_pairs_embedding_scored,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r["id1"], r["id2"]): r for r in dedup_pairs_embedding_scored(spark, sf).collect()}
+    base = {(r["id1"], r["id2"]): r["jaccard"] for r in dedup_minhash_lsh(spark, sf).collect()}
+    # every lexical candidate is annotated, none invented, jaccard carried through
+    assert set(out) == set(base)
+    for key, r in out.items():
+        assert r["jaccard"] == base[key]
+        assert -1.0 <= r["emb_cos"] <= 1.0
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from mobsos_event_log_generator_spark.plans.llm import corpus_dsir_importance
 
