@@ -108,6 +108,7 @@ _BUDGET_LAST = (
     "embedding_label_knn_audit",
     "embedding_outlier_kdist",
     "dedup_pairs_embedding_scored",
+    "similarity_srp_hamming",
 )
 
 

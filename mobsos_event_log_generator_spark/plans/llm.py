@@ -4313,6 +4313,125 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zq.select("vec_id", *cols)
 
 
+# SRP (sign random projection) signatures: 32 fixed ±1 hyperplanes over the
+# int8-quantized vector; the sign bit of each exact-integer projection packs
+# into ONE BIGINT per vector. Same seed-derived constant-matrix scheme as the
+# JL projection above (Charikar 2002 SimHash for real vectors, public).
+_SRP_PLANES = 32
+_SRP_SIGNS = [
+    [
+        1 if int(_hashlib.md5(f"srp|{i}|{j}".encode()).hexdigest()[0], 16) >= 8 else -1
+        for i in range(1, _RP_IN_DIM + 1)
+    ]
+    for j in range(_SRP_PLANES)
+]
+
+_SQL_SRP_SIG = (
+    "CAST("
+    + " + ".join(
+        "(CASE WHEN "
+        + " + ".join((f"z{i + 1}" if s > 0 else f"- z{i + 1}") for i, s in enumerate(row))
+        + f" >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+        for j, row in enumerate(_SRP_SIGNS)
+    )
+    + " AS BIGINT)"
+)
+
+
+@register(
+    "similarity_srp_hamming",
+    f"""
+WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+zq AS (SELECT vec_id, {_SQL_QUANT_COLS} FROM embf),
+sig AS (SELECT vec_id, {_SQL_SRP_SIG} AS sig FROM zq),
+shortlist AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS rn
+    FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id % 50 = 0
+  ) WHERE rn <= 20
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         round(({_SQL_FLAT_QN_DOT.replace('p.q', 'q.e').replace('v.n', 'n.e')}) /
+               (sqrt(q.sqn) * sqrt(n.sqn)), 6) AS cosine
+  FROM shortlist s
+  JOIN embf q ON q.vec_id = s.query_id
+  JOIN embf n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, hamming, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM reranked)
+WHERE rn <= 5
+""",
+)
+def similarity_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-index ANN: each vector compresses to a SINGLE 32-bit SRP
+    signature (sign bits of 32 fixed ±1 hyperplane projections over the
+    int8-quantized vector — exact integer arithmetic, so the signature is
+    bit-identical on any engine and any partition order). Stage 1 ranks by
+    Hamming distance (one xor + popcount per pair — at 100 TB the signature
+    column is 8 bytes/vector, 32× less I/O than the float vectors, and the
+    scan never touches the embedding column at all); stage 2 reranks the
+    per-query top-20 shortlist with exact float cosine. Distinct from the
+    bucketed-LSH variants: signatures RANK (graceful recall degradation)
+    where buckets PARTITION (hard misses at boundaries)."""
+    from pyspark.sql.window import Window
+
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    zq = emb.select("vec_id", S.quantize_int8(F.col("embedding")).alias("q"))
+    projs = zq.select(
+        "vec_id",
+        *[
+            sum(
+                (F.element_at("q", i + 1) if s > 0 else -F.element_at("q", i + 1))
+                for i, s in enumerate(row)
+            ).cast("long").alias(f"p{j}")
+            for j, row in enumerate(_SRP_SIGNS)
+        ],
+    )
+    sig = projs.select(
+        "vec_id",
+        sum(
+            F.when(F.col(f"p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_SRP_PLANES)
+        ).cast("long").alias("sig"),
+    )
+    q = sig.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
+    )
+    c = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("c_sig"))
+    pairs = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig"))).cast("long").alias("hamming"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    shortlist = (
+        pairs.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    ce = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    reranked = (
+        shortlist.join(qe, "query_id")
+        .join(ce, "neighbor_id")
+        .select("query_id", "neighbor_id", "hamming", S.cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return reranked.withColumn("rank", F.row_number().over(w2).cast("long")).filter(
+        F.col("rank") <= 5
+    )
+
+
 @register(
     "text_readability",
     f"""

@@ -600,6 +600,43 @@ def test_dedup_pairs_embedding_scored_annotates_all_pairs(spark):
         assert -1.0 <= r["emb_cos"] <= 1.0
 
 
+def test_srp_hamming_matches_python_signature_replay(spark):
+    import pyarrow.parquet as pq
+
+    from mobsos_event_log_generator_spark.plans.llm import (
+        _SRP_SIGNS,
+        similarity_srp_hamming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = similarity_srp_hamming(spark, sf).collect()
+    # rank structure: exactly 5 rows per query, ranks 1..5, hamming in [0, 32]
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+        assert all(0 <= r["hamming"] <= 32 for r in rows)
+
+    # independent python replay of the signature math (int8 quantize -> ±1
+    # projection -> sign bits) must reproduce every emitted hamming distance
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    import math
+
+    def sig(vec):
+        z = [math.floor(max(-1.0, min(1.0, float(x))) / 1.0 * 127.0 + 0.5) for x in vec]
+        s = 0
+        for j, row in enumerate(_SRP_SIGNS):
+            if sum(h * zi for h, zi in zip(row, z)) >= 0:
+                s |= 1 << j
+        return s
+
+    sigs = {v: sig(e) for v, e in zip(tbl["vec_id"], tbl["embedding"])}
+    for r in out:
+        expect = bin(sigs[r["query_id"]] ^ sigs[r["neighbor_id"]]).count("1")
+        assert r["hamming"] == expect
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from mobsos_event_log_generator_spark.plans.llm import corpus_dsir_importance
 
