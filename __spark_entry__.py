@@ -109,6 +109,7 @@ _BUDGET_LAST = (
     "embedding_outlier_kdist",
     "dedup_pairs_embedding_scored",
     "similarity_srp_hamming",
+    "corpus_quality_funnel",
 )
 
 

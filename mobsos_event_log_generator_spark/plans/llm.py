@@ -2243,6 +2243,137 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_quality_funnel",
+    rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+m AS (
+  SELECT doc_id, sum(cnt) AS n_words, sum(length(tok) * cnt) AS sum_len,
+         sum(CASE WHEN tok IN ('the','a','and','of','to','is','in')
+                  THEN cnt ELSE 0 END) AS stop_hits,
+         max(cnt) AS top_tok_n
+  FROM tc GROUP BY 1
+),
+ff AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN coalesce(m.n_words, 0) NOT BETWEEN 50 AND 100000 THEN 1
+           WHEN CAST(m.sum_len AS DOUBLE) / m.n_words NOT BETWEEN 3 AND 10 THEN 2
+           WHEN m.stop_hits < 2 THEN 3
+           WHEN m.top_tok_n * 5 > m.n_words THEN 4
+           ELSE 0
+         END AS fail_stage
+  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+),
+agg AS (
+  SELECT count(*) AS n_total,
+         sum(CASE WHEN fail_stage = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN fail_stage = 2 THEN 1 ELSE 0 END) AS f2,
+         sum(CASE WHEN fail_stage = 3 THEN 1 ELSE 0 END) AS f3,
+         sum(CASE WHEN fail_stage = 4 THEN 1 ELSE 0 END) AS f4
+  FROM ff
+),
+stages AS (
+  SELECT 1 AS stage_idx, 'word_count' AS stage,
+         n_total AS n_in, f1 AS n_fail FROM agg
+  UNION ALL SELECT 2, 'mean_word_len', n_total - f1, f2 FROM agg
+  UNION ALL SELECT 3, 'stopwords', n_total - f1 - f2, f3 FROM agg
+  UNION ALL SELECT 4, 'repetition', n_total - f1 - f2 - f3, f4 FROM agg
+)
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       CAST(n_in AS BIGINT) AS n_in, CAST(n_fail AS BIGINT) AS n_fail,
+       CAST(n_in - n_fail AS BIGINT) AS n_out,
+       CASE WHEN n_in = 0 THEN NULL
+            ELSE CAST((n_fail * 1000000) // n_in AS BIGINT) END AS fail_ppm
+FROM stages
+""",
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style quality-funnel accounting (Penedo et al. 2024, public):
+    every document is attributed to the FIRST stage it fails — word count in
+    [50, 100000], mean word length in [3, 10], >= 2 stopword hits, top-token
+    share <= 20% (exact integer cross-multiply) — and the report shows, per
+    stage, how many documents entered, were rejected, and survived, plus an
+    exact integer rejection rate in ppm. The whole funnel is ONE pass: a
+    (doc, token) hash aggregate, a per-doc roll-up, a single 5-way
+    conditional count, and a 4-row literal unpivot — no per-stage corpus
+    re-scan, which is the difference between a report and four jobs at
+    100 TB. Zero-token documents enter via a left join and fail stage 1."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    m = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("sum_len"),
+        F.sum(
+            F.when(F.col("tok").isin(*X.STOPWORDS), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("stop_hits"),
+        F.max("cnt").alias("top_tok_n"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    ff = docs.select("doc_id").join(m, "doc_id", "left").select(
+        F.when(~F.coalesce(F.col("n_words"), F.lit(0)).between(50, 100000), 1)
+        .when(~mean_len.between(3, 10), 2)
+        .when(F.col("stop_hits") < 2, 3)
+        .when(F.col("top_tok_n") * 5 > F.col("n_words"), 4)
+        .otherwise(0)
+        .alias("fail_stage")
+    )
+    agg = ff.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(F.when(F.col("fail_stage") == k, 1).otherwise(0)).alias(f"f{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    n, f1, f2, f3 = (F.col(c) for c in ("n_total", "f1", "f2", "f3"))
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("word_count").alias("stage"),
+                    n.alias("n_in"),
+                    F.col("f1").alias("n_fail"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("mean_word_len").alias("stage"),
+                    (n - f1).alias("n_in"),
+                    F.col("f2").alias("n_fail"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("stopwords").alias("stage"),
+                    (n - f1 - f2).alias("n_in"),
+                    F.col("f3").alias("n_fail"),
+                ),
+                F.struct(
+                    F.lit(4).alias("stage_idx"),
+                    F.lit("repetition").alias("stage"),
+                    (n - f1 - f2 - f3).alias("n_in"),
+                    F.col("f4").alias("n_fail"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return stages.select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_fail").cast("long").alias("n_fail"),
+        (F.col("n_in") - F.col("n_fail")).cast("long").alias("n_out"),
+        F.when(F.col("n_in") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("CAST(n_fail * 1000000 DIV n_in AS BIGINT)"))
+        .alias("fail_ppm"),
+    )
+
+
+@register(
     "text_chargram_logprob",
     """
 WITH grams AS (

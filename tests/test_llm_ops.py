@@ -637,6 +637,31 @@ def test_srp_hamming_matches_python_signature_replay(spark):
         assert r["hamming"] == expect
 
 
+def test_quality_funnel_conserves_documents(spark):
+    from mobsos_event_log_generator_spark.plans.llm import (
+        corpus_quality_funnel,
+        quality_gopher_rules,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["stage_idx"]: r for r in corpus_quality_funnel(spark, sf).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    # conservation: each stage's survivors enter the next stage
+    for k in (1, 2, 3):
+        assert rows[k]["n_out"] == rows[k + 1]["n_in"]
+    for r in rows.values():
+        assert r["n_out"] == r["n_in"] - r["n_fail"] >= 0
+    # stage 1 sees the whole corpus
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert rows[1]["n_in"] == n_docs
+    # stages 1-3 are exactly the gopher rules: first-fail attribution means
+    # the stage-3 survivor count equals the gopher keep=1 count
+    gopher_keep = sum(r["keep"] for r in quality_gopher_rules(spark, sf).collect())
+    assert rows[3]["n_out"] == gopher_keep
+
+
 def test_dsir_importance_prefers_target_like_docs(spark):
     from mobsos_event_log_generator_spark.plans.llm import corpus_dsir_importance
 
