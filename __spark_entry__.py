@@ -110,6 +110,7 @@ _BUDGET_LAST = (
     "dedup_pairs_embedding_scored",
     "similarity_srp_hamming",
     "corpus_quality_funnel",
+    "dedup_cluster_representatives",
 )
 
 

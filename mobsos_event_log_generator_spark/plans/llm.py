@@ -1927,6 +1927,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_representatives",
+    f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+members AS (
+  SELECT comp.doc_id, comp.component, CAST(len(ww.words) AS BIGINT) AS n_words
+  FROM comp JOIN w ww USING (doc_id)
+),
+rep AS (
+  SELECT component,
+         min(struct_pack(negw := -n_words, doc_id := doc_id)).doc_id AS rep_id,
+         count(*) AS n_members
+  FROM members GROUP BY 1
+)
+SELECT m.doc_id, m.component, m.n_words, r.rep_id,
+       CAST(r.n_members AS BIGINT) AS n_members,
+       CAST(CASE WHEN m.doc_id = r.rep_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM members m JOIN rep r USING (component)
+""",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP: near-dup clusters (LSH pairs → connected
+    components) each elect ONE representative to keep — the longest member
+    (word count), doc id as the tiebreak; the rest are the drop list. This
+    is the step that turns a dedup ANALYSIS into a dedup DECISION (the
+    standard keep-longest heuristic: the longest variant subsumes its
+    truncated near-copies). Election is a min-struct aggregate — one hash
+    agg over cluster members, no window, no sort — and every member row
+    carries its cluster's representative and size, so both the kept corpus
+    (keep=1 plus all unclustered docs) and the audit trail of what was
+    dropped and why fall out of one equi-join."""
+    from mobsos_event_log_generator_spark.operators.graph import connected_components_star
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("id1", "id2")
+    comp = connected_components_star(pairs)
+    lens = docs.select("doc_id", F.size(X.tokens()).cast("long").alias("n_words"))
+    members = comp.join(lens, comp["node"] == F.col("doc_id")).select(
+        "doc_id", "component", "n_words"
+    )
+    rep = members.groupBy("component").agg(
+        F.min(F.struct((-F.col("n_words")).alias("negw"), F.col("doc_id"))).alias("__r"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    ).select("component", F.col("__r.doc_id").alias("rep_id"), "n_members")
+    return members.join(rep, "component").select(
+        "doc_id",
+        "component",
+        "n_words",
+        "rep_id",
+        "n_members",
+        (F.col("doc_id") == F.col("rep_id")).cast("int").alias("keep"),
+    )
+
+
+@register(
     "er_golden_records",
     f"""
 WITH RECURSIVE

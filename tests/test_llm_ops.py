@@ -637,6 +637,31 @@ def test_srp_hamming_matches_python_signature_replay(spark):
         assert r["hamming"] == expect
 
 
+def test_cluster_representatives_elect_longest_member(spark):
+    from mobsos_event_log_generator_spark.plans.llm import (
+        dedup_cluster_representatives,
+        dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_cluster_representatives(spark, sf).collect()
+    comp = {r["node"]: r["component"] for r in dedup_clusters(spark, sf).collect()}
+    # same membership as the clustering query
+    assert {(r["doc_id"], r["component"]) for r in out} == set(comp.items())
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r["component"], []).append(r)
+    for rows in by_c.values():
+        # exactly one representative per cluster, size annotated on every row
+        keeps = [r for r in rows if r["keep"] == 1]
+        assert len(keeps) == 1
+        assert all(r["n_members"] == len(rows) for r in rows)
+        # keep-longest, doc_id tiebreak
+        expect = min(rows, key=lambda r: (-r["n_words"], r["doc_id"]))
+        assert keeps[0]["doc_id"] == expect["doc_id"] == rows[0]["rep_id"]
+        assert all(r["rep_id"] == expect["doc_id"] for r in rows)
+
+
 def test_quality_funnel_conserves_documents(spark):
     from mobsos_event_log_generator_spark.plans.llm import (
         corpus_quality_funnel,
