@@ -111,6 +111,7 @@ _BUDGET_LAST = (
     "similarity_srp_hamming",
     "corpus_quality_funnel",
     "dedup_cluster_representatives",
+    "corpus_hard_negatives",
 )
 
 

@@ -1051,6 +1051,42 @@ def knn_kdist_outliers(
     )
 
 
+def knn_hard_negatives(
+    corpus: DataFrame,
+    k: int = 5,
+    n_neg: int = 3,
+    dup_cos: float = 0.95,
+    num_centroids: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``n_neg`` MOST similar cell-mates that are NOT near-duplicates
+    (6-dp cosine < ``dup_cos`` — near-dups are presumed positives/copies
+    and would be FALSE negatives if sampled). Returns
+    (anchor_id, negative_id, neg_cos, rank). Built on the shared
+    ``_ivf_cell_knn`` edge block: the top-``k`` cell-mate list is computed
+    once, the dup cutoff drops the false-negative head, and a per-anchor
+    re-rank keeps the hardest ``n_neg`` survivors — so mining cost is the
+    kNN block plus a bounded per-anchor window, never an extra corpus
+    scan."""
+    knn = _ivf_cell_knn(corpus, k, num_centroids, iters, id_col, vec_col, dim)
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return (
+        knn.filter(F.col("cos") < dup_cos)
+        .withColumn("rk2", F.row_number().over(w))
+        .filter(F.col("rk2") <= n_neg)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("b_id").alias("negative_id"),
+            F.col("cos").alias("neg_cos"),
+            F.col("rk2").cast("long").alias("rank"),
+        )
+    )
+
+
 def quantize_int8(vec: Column, clip: float = 1.0) -> Column:
     """Scalar int8 quantization: q_i = floor(clip(v_i, ±clip)/clip · 127
     + 0.5) — the standard 4x-memory embedding compression (FAISS SQ8

@@ -1506,6 +1506,44 @@ def embedding_outlier_kdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_kdist_outliers(emb, k=_KNN_AUDIT_K, n_out=_KDIST_N_OUT, num_centroids=8, iters=1)
 
 
+_HARDNEG_DUP_COS = 0.95
+_HARDNEG_N = 3
+
+
+@register(
+    "corpus_hard_negatives",
+    f"""
+WITH {_sql_inv_knn_ctes(_KNN_AUDIT_K)},
+hard AS (
+  SELECT a_id, b_id, cos,
+         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk2
+  FROM knn WHERE cos < {_HARDNEG_DUP_COS}
+)
+SELECT a_id AS anchor_id, b_id AS negative_id, cos AS neg_cos,
+       CAST(rk2 AS BIGINT) AS rank
+FROM hard WHERE rk2 <= {_HARDNEG_N}
+""",
+)
+def corpus_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-training
+    counterpart of ``corpus_negative_pairs``' RANDOM negatives): per anchor,
+    the 3 most-similar cell-mates below the 0.95 near-dup cutoff — similar
+    enough to be hard, not so similar they're unlabeled positives (the
+    false-negative trap in in-batch contrastive loss). Shares the
+    ``_ivf_cell_knn`` / ``_sql_inv_knn_ctes`` edge replay with the
+    clustering/audit/k-dist family — one more consumer of the same bounded
+    within-cell kNN block, zero additional corpus scans."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return S.knn_hard_negatives(
+        emb,
+        k=_KNN_AUDIT_K,
+        n_neg=_HARDNEG_N,
+        dup_cos=_HARDNEG_DUP_COS,
+        num_centroids=8,
+        iters=1,
+    )
+
+
 _SQL_PAIR_DOT_E = " + ".join(f"a.e{i} * b.e{i}" for i in range(1, _IVF_DIM + 1))
 
 

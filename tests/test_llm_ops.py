@@ -637,6 +637,30 @@ def test_srp_hamming_matches_python_signature_replay(spark):
         assert r["hamming"] == expect
 
 
+def test_hard_negatives_exclude_near_duplicates(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1: excluded as false negative
+        (3, [0.8, 0.6, 0.0, 0.0]),  # hard negative for 1
+        (4, [0.0, 1.0, 0.0, 0.0]),  # easy negative
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = S.knn_hard_negatives(df, k=3, n_neg=2, dup_cos=0.95, num_centroids=1, dim=4)
+    rows = {r["anchor_id"]: [] for r in out.collect()}
+    for r in out.collect():
+        rows[r["anchor_id"]].append(r)
+    # the near-dup pair never appears on either side's negative list
+    assert all(r["negative_id"] != 2 for r in rows[1])
+    assert all(r["negative_id"] != 1 for r in rows.get(2, []))
+    # every emitted cosine is below the dup cutoff, ranked hardest-first
+    for anchor, rs in rows.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert all(r["neg_cos"] < 0.95 for r in rs)
+        assert [r["neg_cos"] for r in rs] == sorted((r["neg_cos"] for r in rs), reverse=True)
+    # vector 3 is the hardest (most similar) valid negative for anchor 1
+    assert rows[1][0]["negative_id"] == 3
+
+
 def test_cluster_representatives_elect_longest_member(spark):
     from mobsos_event_log_generator_spark.plans.llm import (
         dedup_cluster_representatives,
