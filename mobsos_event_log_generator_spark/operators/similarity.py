@@ -1051,6 +1051,41 @@ def knn_kdist_outliers(
     )
 
 
+def srp_signatures(
+    corpus: DataFrame,
+    signs: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pack each vector into ONE BIGINT SRP signature: int8-quantize, project
+    through the fixed ±1 ``signs`` matrix (one row per plane), keep the sign
+    bit of each EXACT-INTEGER projection. Because the projections are integer
+    sums they are associative — partition-order-immune and bit-identical on
+    any engine — so unlike the float folds this kernel is free to pick its
+    plan shape: posexplode + per-plane conditional sums (constant-array
+    lookups), which stays inside whole-stage codegen where the unrolled
+    2048-term projection blows the Janino method limit and falls back to
+    interpreted (ENGINEERING_NOTES pitfall 2, measured in probe_round6c)."""
+    zq = corpus.select(id_col, quantize_int8(F.col(vec_col)).alias("__q"))
+    el = zq.select(id_col, F.posexplode("__q").alias("pos", "z"))
+    projs = el.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("z")
+                * F.element_at(F.array(*[F.lit(s) for s in row]), F.col("pos") + 1)
+            ).alias(f"__p{j}")
+            for j, row in enumerate(signs)
+        ]
+    )
+    return projs.select(
+        id_col,
+        sum(
+            F.when(F.col(f"__p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(len(signs))
+        ).cast("long").alias("sig"),
+    )
+
+
 def knn_hard_negatives(
     corpus: DataFrame,
     k: int = 5,

@@ -4633,24 +4633,7 @@ def similarity_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    zq = emb.select("vec_id", S.quantize_int8(F.col("embedding")).alias("q"))
-    projs = zq.select(
-        "vec_id",
-        *[
-            sum(
-                (F.element_at("q", i + 1) if s > 0 else -F.element_at("q", i + 1))
-                for i, s in enumerate(row)
-            ).cast("long").alias(f"p{j}")
-            for j, row in enumerate(_SRP_SIGNS)
-        ],
-    )
-    sig = projs.select(
-        "vec_id",
-        sum(
-            F.when(F.col(f"p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(_SRP_PLANES)
-        ).cast("long").alias("sig"),
-    )
+    sig = S.srp_signatures(emb, _SRP_SIGNS)
     q = sig.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
     )
