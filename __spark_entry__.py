@@ -112,6 +112,8 @@ _BUDGET_LAST = (
     "corpus_quality_funnel",
     "dedup_cluster_representatives",
     "corpus_hard_negatives",
+    "corpus_token_weighted_sample",
+    "split_leakage_neardup",
 )
 
 

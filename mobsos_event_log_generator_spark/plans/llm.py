@@ -1634,6 +1634,103 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_token_weighted_sample",
+    f"""
+WITH w AS (
+  SELECT doc_id, CAST(len({SQL_WORDS}) AS BIGINT) AS w_cents FROM documents
+),
+tot AS (SELECT CAST(sum(w_cents) AS BIGINT) AS total_w FROM w)
+SELECT doc_id, w_cents
+FROM w, tot
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::HUGEINT
+        * total_w::HUGEINT
+      < 100::HUGEINT * w_cents::HUGEINT * 1152921504606846976::HUGEINT
+""",
+)
+def corpus_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional document sampling (expected 100 docs, inclusion
+    probability ∝ word count): the carve every token-budgeted eval/ablation
+    set wants — sampling documents UNIFORMLY over tokens, not documents, so
+    a 10k-word doc is 100× likelier than a 100-word one and the sample's
+    token mass is unbiased. Same Horvitz-Thompson integer inclusion test as
+    ``orders_weighted_sample`` (60-bit md5 uniform vs k·w·2⁶⁰/W in
+    DECIMAL/HUGEINT — the decimal(20,0) W survives any corpus the weight
+    sum of which stays under 8.6e19), applied to the documents table with
+    w = n_words; zero-token docs carry weight 0 and are never sampled.
+    One broadcast scalar + a narrow filter — no shuffle, no state."""
+    from mobsos_event_log_generator_spark.operators.sampling import weighted_inclusion_sample
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = weighted_inclusion_sample(
+        docs,
+        "doc_id",
+        F.size(X.tokens()).cast("long"),
+        expected_k=100,
+    )
+    return out.select("doc_id", "w_cents")
+
+
+@register(
+    "split_leakage_neardup",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3}) AS shingle
+  FROM w WHERE len(words) >= 3
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2,
+         {XM.sql_ratio_round('n_inter', 'c1.n + c2.n - n_inter', 6)} AS jaccard
+  FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.8
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT p.id1, p.id2, p.jaccard, s1.split AS split1, s2.split AS split2
+FROM pairs p
+JOIN sp s1 ON p.id1 = s1.doc_id
+JOIN sp s2 ON p.id2 = s2.doc_id
+WHERE s1.split <> s2.split
+""",
+)
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE audit: near-duplicate pairs (LSH, Jaccard ≥ 0.8)
+    whose members landed in DIFFERENT splits of the 80/10/10 hash split — a
+    val/test doc that is a near-copy of a train doc inflates eval scores
+    without any literal overlap, which is why dedup must run BEFORE (or
+    cluster-aware of) splitting. Emits the offending pairs with both split
+    labels; an empty result is the pass condition. The pair list is
+    LSH-bounded and the split labels are a pure hash projection, so the
+    audit costs one dedup pass plus two id-equi-joins — nothing
+    corpus-quadratic."""
+    from mobsos_event_log_generator_spark.operators.sampling import hash_split
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup(docs, threshold=0.8)
+    splits = hash_split(docs, "doc_id").select("doc_id", "split")
+    s1 = splits.select(F.col("doc_id").alias("id1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("id2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("id1", "id2", "jaccard", "split1", "split2")
+    )
+
+
+@register(
     "corpus_epoch_shuffle",
     """
 WITH k AS (

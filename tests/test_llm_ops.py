@@ -637,6 +637,51 @@ def test_srp_hamming_matches_python_signature_replay(spark):
         assert r["hamming"] == expect
 
 
+def test_token_weighted_sample_replays_inclusion_test(spark):
+    import hashlib
+
+    from mobsos_event_log_generator_spark.plans.llm import corpus_token_weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r["w_cents"] for r in corpus_token_weighted_sample(spark, sf).collect()}
+    import duckdb
+
+    w = dict(
+        duckdb.sql(
+            f"SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+            f" FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    )
+    total = sum(w.values())
+    expect = {}
+    for doc_id, nw in w.items():
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        if h * total < 100 * nw * (1 << 60):
+            expect[doc_id] = nw
+    # exact python replay of the integer inclusion test
+    assert out == expect
+    # zero-weight docs can never be sampled
+    assert all(v >= 1 for v in out.values())
+
+
+def test_split_leakage_is_exactly_cross_split_neardup_pairs(spark):
+    from mobsos_event_log_generator_spark.plans.llm import (
+        corpus_hash_split,
+        dedup_minhash_lsh,
+        split_leakage_neardup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = split_leakage_neardup(spark, sf).collect()
+    splits = {r["doc_id"]: r["split"] for r in corpus_hash_split(spark, sf).collect()}
+    pairs = {(r["id1"], r["id2"]): r["jaccard"] for r in dedup_minhash_lsh(spark, sf).collect()}
+    expect = {k for k in pairs if splits[k[0]] != splits[k[1]]}
+    assert {(r["id1"], r["id2"]) for r in out} == expect
+    for r in out:
+        assert r["split1"] == splits[r["id1"]] and r["split2"] == splits[r["id2"]]
+        assert r["jaccard"] == pairs[(r["id1"], r["id2"])]
+
+
 def test_hard_negatives_exclude_near_duplicates(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0, 0.0]),
