@@ -114,6 +114,7 @@ _BUDGET_LAST = (
     "corpus_hard_negatives",
     "corpus_token_weighted_sample",
     "split_leakage_neardup",
+    "streaming_cms_maintenance",
 )
 
 

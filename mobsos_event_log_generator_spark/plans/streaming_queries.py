@@ -734,6 +734,86 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_cms_maintenance",
+    # Same sketch algebra as cms_user_frequencies (plans/analytics.py) — the
+    # gate proves the per-batch partials SUM to the one-pass batch sketch.
+    """
+WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cells AS (
+  SELECT r.row,
+         ('0x' || substr(md5('c' || r.row || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS col
+  FROM events, rows_ r
+),
+cms AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id, r.row,
+         ('0x' || substr(md5('c' || r.row || '|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS col
+  FROM keys, rows_ r
+),
+est AS (
+  SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+  FROM probes LEFT JOIN cms USING (row, col) GROUP BY 1
+),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt FROM events GROUP BY 1)
+SELECT e.user_id, est.est, e.exact_cnt
+FROM exact e JOIN est USING (user_id)
+""",
+)
+def streaming_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter sketch maintenance: events arrive in four
+    event_id-ordered micro-batches; each batch writes its PARTIAL count-min
+    grid to its own ``batch=<id>`` partition of a persisted cell index
+    (crash-replay overwrites, never double-counts), and the merged sketch is
+    the cell-wise sum. CMS merge is associative, so the final merged sketch
+    must equal the one-pass batch sketch over the full input — the oracle
+    replays that batch sketch counter-for-counter, proving the merge
+    algebra. Output: per-user estimate from the MERGED sketch vs exact
+    count. The sketch is O(depth × width) forever — the streaming state
+    that never grows."""
+    import os
+
+    from mobsos_event_log_generator_spark.operators.cms import estimate_counts
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from mobsos_event_log_generator_spark.streaming.cms_maintain import (
+        read_merged_cms,
+        run_cms_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("scms_")
+    src = os.path.join(root, "src")
+    _write_id_slices(ev, "event_id", src, root)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        run_cms_maintenance(
+            spark,
+            stream,
+            "user_id",
+            index_dir=os.path.join(root, "index"),
+            checkpoint_dir=os.path.join(root, "ck"),
+            depth=4,
+            width=64,
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    cms = read_merged_cms(spark, os.path.join(root, "index"))
+    keys = ev.select("user_id").distinct()
+    est = estimate_counts(keys, cms, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return exact.join(est, "user_id").select("user_id", "est", "exact_cnt")
+
+
+@register(
     "streaming_semi_attribution",
     f"""
 SELECT c.event_id AS click_id, c.user_id,

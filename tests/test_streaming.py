@@ -191,3 +191,45 @@ def test_drift_monitor_known_values_and_replay(spark, tmp_path):
     assert hist_all == {0: 15, 1: 5}
     hist_excl = {x["band"]: x["n"] for x in read_bands(spark, idx, exclude_batch=1).collect()}
     assert hist_excl == {0: 10}
+
+
+def test_cms_maintenance_merge_equals_one_pass_and_replay(spark, tmp_path):
+    """The merged per-batch partial sketches must equal the one-pass batch
+    sketch (CMS merge = cell-wise addition), and overwriting a batch's own
+    partition (crash replay) must not double-count."""
+    import os
+
+    from mobsos_event_log_generator_spark.operators.cms import build_cms
+    from mobsos_event_log_generator_spark.streaming.cms_maintain import (
+        read_merged_cms,
+        run_cms_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0 = spark.createDataFrame([(i, i % 3) for i in range(20)], "id long, user_id long")
+    b1 = spark.createDataFrame([(100 + i, i % 5) for i in range(20)], "id long, user_id long")
+    b0.coalesce(1).write.parquet(src + "/s0")
+    b1.coalesce(1).write.parquet(src + "/s1")
+    for i, d in enumerate(["s0", "s1"]):
+        for f in os.listdir(os.path.join(src, d)):
+            os.utime(os.path.join(src, d, f), (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/s*")
+    )
+    idx, ck = str(tmp_path / "idx"), str(tmp_path / "ck")
+    run_cms_maintenance(spark, stream, "user_id", idx, ck, depth=4, width=64)
+
+    merged = {(r["row"], r["col"]): r["cnt"] for r in read_merged_cms(spark, idx).collect()}
+    one_pass = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in build_cms(b0.union(b1), "user_id", depth=4, width=64).collect()
+    }
+    assert merged == one_pass
+    # crash replay: re-writing batch 0's partition overwrites, never adds
+    cells0 = build_cms(b0, "user_id", depth=4, width=64)
+    cells0.coalesce(1).write.mode("overwrite").parquet(os.path.join(idx, "batch=0"))
+    again = {(r["row"], r["col"]): r["cnt"] for r in read_merged_cms(spark, idx).collect()}
+    assert again == one_pass
