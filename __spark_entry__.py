@@ -115,6 +115,8 @@ _BUDGET_LAST = (
     "corpus_token_weighted_sample",
     "split_leakage_neardup",
     "streaming_cms_maintenance",
+    "quality_perplexity_buckets",
+    "corpus_source_cap_sample",
 )
 
 

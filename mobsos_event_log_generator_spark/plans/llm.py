@@ -2586,23 +2586,32 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_chargram_logprob",
-    """
+#: Per-doc char-trigram LM scores as a reusable CTE prefix — consumed by
+#: text_chargram_logprob (the raw scores) and quality_perplexity_buckets
+#: (the CCNet head/middle/tail split over the same scores). One definition
+#: keeps the two oracles lock-step with the single Spark scoring block.
+SQL_CHARGRAM_SCORES = """
 WITH grams AS (
   SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS g
   FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
 ),
 dc AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1, 2),
 model AS (SELECT g, sum(n) AS c FROM dc GROUP BY 1),
-tot AS (SELECT sum(c) AS total FROM model)
-SELECT doc_id,
-       round(sum(n * ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)))
-             / CAST(sum(n) AS DOUBLE), 6) AS avg_logprob,
-       CAST(sum(n) AS BIGINT) AS n_grams
-FROM dc JOIN model USING (g) CROSS JOIN tot
-GROUP BY doc_id
-""",
+tot AS (SELECT sum(c) AS total FROM model),
+chargram_scores AS (
+  SELECT doc_id,
+         round(sum(n * ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)))
+               / CAST(sum(n) AS DOUBLE), 6) AS avg_logprob,
+         CAST(sum(n) AS BIGINT) AS n_grams
+  FROM dc JOIN model USING (g) CROSS JOIN tot
+  GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "text_chargram_logprob",
+    SQL_CHARGRAM_SCORES + "SELECT doc_id, avg_logprob, n_grams FROM chargram_scores",
 )
 def text_chargram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model quality score (Wenzek et al. 2020, public):
@@ -2634,6 +2643,71 @@ def text_chargram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
             F.sum("n").cast("long").alias("n_grams"),
+        )
+    )
+
+
+@register(
+    "quality_perplexity_buckets",
+    SQL_CHARGRAM_SCORES
+    + """
+, lb AS (
+  SELECT d.lang, s.doc_id, s.avg_logprob, s.n_grams,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS bucket_idx
+  FROM chargram_scores s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CAST(bucket_idx AS INTEGER) AS bucket_idx,
+       CASE bucket_idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_logprob) AS min_logprob,
+       max(avg_logprob) AS max_logprob,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams
+FROM lb
+GROUP BY 1, 2, 3
+""",
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public): split
+    each language's documents into head/middle/tail tertiles by their LM
+    score — head (best-scoring) feeds pretraining first, tail is the
+    low-quality review pile. The scorer IS text_chargram_logprob (one shared
+    scoring block on both engines); the split is a per-language ntile over
+    the 6-dp-rounded score with doc_id tie-break, so bucket membership is
+    deterministic and engine-independent. The bucket report aggregates
+    order statistics (min/max) and integer gram counts only — no float
+    re-summation, so no cross-engine fold-order hazard. The ntile window is
+    partitioned by lang; at 100 TB each language's rank runs in its own
+    partition group and the output stays at 3 rows per language."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    scores = text_chargram_logprob(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    lb = (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket_idx", F.ntile(3).over(w))
+    )
+    return (
+        lb.groupBy("lang", F.col("bucket_idx").cast("int").alias("bucket_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_logprob").alias("min_logprob"),
+            F.max("avg_logprob").alias("max_logprob"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+        )
+        .select(
+            "lang",
+            "bucket_idx",
+            F.when(F.col("bucket_idx") == 1, F.lit("head"))
+            .when(F.col("bucket_idx") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+            "n_docs",
+            "min_logprob",
+            "max_logprob",
+            "total_grams",
         )
     )
 
@@ -2687,6 +2761,61 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+#: Per-(source, language) document quota for the cap sampler. 10 binds the
+#: over-represented cells (en runs ~11 docs/cell at sf0.01 and ~103 at
+#: sf0.1) while the tail languages pass untouched — both regimes exercised
+#: at every fixture SF.
+SOURCE_LANG_CAP = 10
+
+
+@register(
+    "corpus_source_cap_sample",
+    f"""
+WITH r AS (
+  SELECT source, lang, n_chars,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk <= {SOURCE_LANG_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk > {SOURCE_LANG_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN rk <= {SOURCE_LANG_CAP} THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM r
+GROUP BY 1, 2
+""",
+)
+def corpus_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (the RefinedWeb / CC per-domain cap, public):
+    cap every (source, language) cell at SOURCE_LANG_CAP documents so no
+    single crawl domain dominates a language's training mix — the absolute-
+    count sibling of corpus_sample_mix's rate-based downsampling. Selection
+    ranks a cell's docs by md5(doc_id) — a uniform, seedless permutation
+    that is stable under re-runs, appends, and repartitioning — and keeps
+    the first K; the report carries kept/dropped counts and surviving chars
+    per cell. The rank window is partitioned on (source, lang), so at
+    100 TB each cell ranks inside its own group after one hash exchange;
+    skew rides AQE. Output is one row per populated cell."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = F.col("rk") <= SOURCE_LANG_CAP
+    return (
+        docs.select("source", "lang", "n_chars", F.row_number().over(w).alias("rk"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("long").alias("kept_chars"),
         )
     )
 

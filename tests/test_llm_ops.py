@@ -1320,3 +1320,53 @@ def test_phrase_occurrences_overlapping(spark):
     assert out2 == {1: 1, 2: 2}
     out3 = {r["doc_id"]: r["n_occurrences"] for r in phrase_occurrences(p, "a b a").collect()}
     assert out3 == {2: 1}
+
+
+def test_perplexity_buckets_are_balanced_ordered_tertiles(spark):
+    """Per language: every scoreable doc lands in exactly one bucket, tertile
+    sizes differ by <= 1 (ntile contract), and the desc score order means
+    head's worst score is never below middle's best, middle's never below
+    tail's."""
+    from mobsos_event_log_generator_spark.plans.llm import (
+        quality_perplexity_buckets,
+        text_chargram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = quality_perplexity_buckets(spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == text_chargram_logprob(spark, sf).count()
+    names = {1: "head", 2: "middle", 3: "tail"}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket_idx"]] = r
+    for buckets in by_lang.values():
+        idxs = sorted(buckets)
+        assert idxs == list(range(1, len(idxs) + 1))
+        sizes = [buckets[i]["n_docs"] for i in idxs]
+        assert max(sizes) - min(sizes) <= 1
+        for i in idxs:
+            assert buckets[i]["bucket"] == names[i]
+            assert buckets[i]["min_logprob"] <= buckets[i]["max_logprob"]
+        for i in idxs[:-1]:
+            assert buckets[i]["min_logprob"] >= buckets[i + 1]["max_logprob"]
+
+
+def test_source_cap_sample_enforces_quota(spark):
+    """Every (source, lang) cell keeps min(n_docs, CAP) docs, conservation
+    holds, and the cap actually binds on the over-represented en cells at
+    sf0.01 (so the test would catch a cap that silently never fires)."""
+    import pyarrow.parquet as pq
+
+    from mobsos_event_log_generator_spark.plans.llm import (
+        SOURCE_LANG_CAP,
+        corpus_source_cap_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = corpus_source_cap_sample(spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    for r in rows:
+        assert r["n_kept"] == min(r["n_docs"], SOURCE_LANG_CAP)
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert 0 <= r["kept_chars"]
+    assert any(r["n_dropped"] > 0 for r in rows)
