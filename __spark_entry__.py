@@ -117,6 +117,7 @@ _BUDGET_LAST = (
     "streaming_cms_maintenance",
     "quality_perplexity_buckets",
     "corpus_source_cap_sample",
+    "orders_poisson_bootstrap",
 )
 
 

@@ -3472,3 +3472,100 @@ def parts_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (uncertainty at scale)
+# ---------------------------------------------------------------------------
+
+#: Number of bootstrap replicates.
+BOOTSTRAP_REPLICATES = 32
+
+#: floor(CDF_Poisson(1)(k) * 2^48) for k = 0..8, computed once with 60-digit
+#: decimal arithmetic. A 48-bit md5 uniform u gives the replicate weight
+#: w = #{k : u >= T_k} — an exact-integer inverse-CDF table lookup, identical
+#: in any engine that speaks md5. P(w > 9) ~ 1.1e-10 rolls into w = 9.
+_POISSON1_CDF_48 = (
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,
+    281474659994280,
+)
+
+
+@register(
+    "orders_poisson_bootstrap",
+    f"""
+WITH x AS (
+  SELECT o_orderkey, {XM.sql_int_units('o_totalprice', 2)} AS cents, b
+  FROM orders, unnest(range(1, {BOOTSTRAP_REPLICATES + 1})) AS t(b)
+),
+un AS (
+  SELECT b, cents,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 12))::BIGINT AS u
+  FROM x
+),
+wgt AS (
+  SELECT b, cents,
+         {' + '.join(f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POISSON1_CDF_48)}
+           AS w
+  FROM un
+)
+SELECT CAST(b AS INTEGER) AS replicate,
+       CAST(sum(w) AS BIGINT) AS n_sampled,
+       {XM.sql_sum_round('sum(w * cents)', 2, in_scale=2)} AS boot_total
+FROM wgt
+GROUP BY b
+""",
+)
+def orders_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, public — the bootstrap that
+    works on data too large to resample): instead of drawing n rows with
+    replacement per replicate (a global shuffle per replicate), each row
+    independently contributes a Poisson(1)-distributed weight to each of the
+    B replicates. The weight is deterministic — a 48-bit md5 uniform per
+    (row, replicate) pushed through an exact-integer inverse-CDF threshold
+    table (_POISSON1_CDF_48) — so both engines materialize the identical
+    resample and the replicate totals hash-match exactly. One corpus scan;
+    the B-way explode collapses map-side (partial aggregation emits <= B
+    rows per partition), so the shuffle carries B rows per partition
+    regardless of data size — at 100 TB the cost is one pass + 32 counters
+    per partition, where a classical bootstrap would be 32 global samples.
+    The spread of boot_total across replicates IS the sampling distribution
+    of total order value; downstream CI = order statistics over 32 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.explode(F.sequence(F.lit(1), F.lit(BOOTSTRAP_REPLICATES))).alias("b")
+    x = orders.select(
+        F.col("o_orderkey"), XM.int_units_long(F.col("o_totalprice"), 2).alias("cents"), b
+    )
+    # Materialize the 48-bit uniform through its own projection so the nine
+    # threshold comparisons reference a column, not nine inlined md5 chains
+    # (pitfall 1/2: CollapseProject keeps the boundary because the md5+conv
+    # expression is non-cheap and referenced > 1 time).
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"), F.col("b").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ux = x.select("cents", "b", u.alias("u"))
+    w = None
+    for t in _POISSON1_CDF_48:
+        term = F.when(F.col("u") >= F.lit(t), 1).otherwise(0)
+        w = term if w is None else w + term
+    return (
+        ux.withColumn("w", w)
+        .groupBy(F.col("b").cast("int").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("n_sampled"),
+            XM.sum_round(F.sum(F.col("w") * F.col("cents")), 2, in_scale=2).alias("boot_total"),
+        )
+    )

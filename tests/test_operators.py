@@ -593,3 +593,51 @@ def test_exact_mean_round_midpoints(spark):
         XM.mean_round(F.sum(XM.int_units(F.col("v"))), F.count("v"), 4).alias("m")
     ).collect()[0]
     assert r3["m"] is None
+
+
+def test_poisson_bootstrap_weights_and_moments(spark):
+    """The md5->threshold weight table must replay exactly in pure Python
+    (pins the inverse-CDF constants), replicate sizes must concentrate
+    around n (Poisson(1) sum: mean n, sd sqrt(n)), and the mean replicate
+    total must sit within a few sd of the point total."""
+    import hashlib
+    import math
+    import statistics
+
+    from mobsos_event_log_generator_spark.plans.analytics import (
+        _POISSON1_CDF_48,
+        BOOTSTRAP_REPLICATES,
+        orders_poisson_bootstrap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = orders_poisson_bootstrap(spark, sf).collect()
+    assert len(rows) == BOOTSTRAP_REPLICATES
+    assert sorted(r["replicate"] for r in rows) == list(range(1, BOOTSTRAP_REPLICATES + 1))
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    keys = tbl.column("o_orderkey").to_pylist()
+    prices = tbl.column("o_totalprice").to_pylist()
+    n = len(keys)
+    for r in rows:
+        assert abs(r["n_sampled"] - n) <= 6 * math.sqrt(n) + 1, (r["replicate"], r["n_sampled"], n)
+        assert r["boot_total"] > 0
+
+    # pure-Python replay of one full replicate
+    def weight(key, b):
+        u = int(hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:12], 16)
+        return sum(1 for t in _POISSON1_CDF_48 if u >= t)
+
+    b = 7
+    cents = {k: math.floor(p * 100 + 0.5) for k, p in zip(keys, prices)}
+    expect_n = sum(weight(k, b) for k in keys)
+    expect_total = round(sum(weight(k, b) * cents[k] for k in keys) / 100.0, 2)
+    got = next(r for r in rows if r["replicate"] == b)
+    assert got["n_sampled"] == expect_n
+    assert got["boot_total"] == expect_total
+
+    # the replicate spread is a real sampling distribution, not collapsed
+    totals = [r["boot_total"] for r in rows]
+    assert statistics.pstdev(totals) > 0
