@@ -118,6 +118,7 @@ _BUDGET_LAST = (
     "quality_perplexity_buckets",
     "corpus_source_cap_sample",
     "orders_poisson_bootstrap",
+    "similarity_topk_pq_adc",
 )
 
 

@@ -1353,3 +1353,147 @@ def ivf_query_index(
     cents = spark.read.parquet(f"{path}/centroids")
     lists = spark.read.parquet(f"{path}/lists")
     return ivf_probe_and_score(cents, lists, queries, k, nprobe, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ-ADC)
+# ---------------------------------------------------------------------------
+
+def _pq_subvectors(
+    df: DataFrame,
+    out_id: str,
+    m_subspaces: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, sub): each vector split into ``m_subspaces`` contiguous
+    ``sub_dim``-length slices — one narrow explode, no shuffle."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m"),
+            F.col(vec_col).alias("v"),
+        )
+        .select(out_id, "m", F.expr(f"slice(v, m * {sub_dim} + 1, {sub_dim})").alias("sub"))
+    )
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame, out_id: str, code_col: str) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): broadcast join against
+    the tiny (m, cid, cvec) table, rank by 6-dp-rounded squared L2 with cid
+    tie-break — the PQ analogue of ``ivf_assign``."""
+    scored = sub.join(F.broadcast(codebook), "m").withColumn(
+        "dist", F.round(_sqdist(F.col("sub"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy(out_id, "m").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(out_id, "m", F.col("cid").alias(code_col))
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m_subspaces: int = 4,
+    sub_dim: int = 16,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook (Jégou et al. 2011, public): per subspace, ``num_codes``
+    centroids = md5-ordered seed subvectors refined by ONE Lloyd round
+    (assign → per-(m, cid) dimension means, 6-dp rounded) — the same
+    deterministic, engine-portable training recipe as ``ivf_train``, run
+    independently in each of the ``m_subspaces`` slices. Returns
+    (m, cid, cvec). The seed window rides ``ivf_seed_centroids`` (LIMIT-
+    bounded); the Lloyd mean is one groupBy over (m, cid) — the shuffle
+    carries m_subspaces × num_codes × sub_dim partial sums per partition,
+    never the corpus."""
+    seeds = ivf_seed_centroids(corpus, num_codes, id_col, vec_col)
+    cb0 = (
+        seeds.select(
+            "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m"),
+            F.col("cvec").alias("v"),
+        )
+        .select("m", "cid", F.expr(f"slice(v, m * {sub_dim} + 1, {sub_dim})").alias("cvec"))
+    )
+    sub = _pq_subvectors(corpus, "nid", m_subspaces, sub_dim, id_col, vec_col)
+    a0 = _pq_assign(sub, cb0, "nid", "cid")
+    return (
+        sub.join(a0, ["nid", "m"])
+        .groupBy("m", "cid")
+        .agg(
+            *[
+                F.round(F.avg(F.element_at(F.col("sub"), j + 1).cast("double")), 6).alias(f"d{j}")
+                for j in range(sub_dim)
+            ]
+        )
+        .select("m", "cid", F.array(*[F.col(f"d{j}") for j in range(sub_dim)]).alias("cvec"))
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subspaces: int = 4,
+    sub_dim: int = 16,
+    num_codes: int = 16,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC ANN top-k: train a product quantizer, encode the corpus as
+    ``m_subspaces`` small integer codes per vector, score queries against
+    the CODES via asymmetric distance computation (per-query lookup table
+    of query-subvector -> codebook-entry distances), take a ``shortlist``
+    by approximate distance, then exact-cosine rerank to ``k``.
+
+    Scale shape: the persisted index is m_subspaces ints per vector
+    (4 codes vs 64 float64s = 128x smaller than raw vectors); the ADC scan
+    touches only codes plus a broadcast (query × m × num_codes) micro-unit
+    table, and the full vectors are read back for just shortlist × queries
+    rows. Distances accumulate as exact integer micro-units
+    (floor(d·1e6 + 0.5) per subspace, summed) so the ADC ranking is
+    order-free and engine-identical — no float re-summation across the
+    groupBy. Self-matches excluded. Returns
+    (query_id, neighbor_id, adc_micro, cosine, rank)."""
+    from mobsos_event_log_generator_spark.operators import exactmath as XM
+
+    cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col)
+    sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
+    codes = _pq_assign(sub, cb, "neighbor_id", "code")
+    qsub = _pq_subvectors(queries, "query_id", m_subspaces, sub_dim, id_col, vec_col)
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        XM.int_units_long(_sqdist(F.col("sub"), F.col("cvec")), 6).alias("d_micro"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["m"] == dtab["m"]) & (codes["code"] == dtab["cid"]),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    short = adc.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") <= shortlist)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    reranked = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_micro", "cosine", "rank")
+    )

@@ -1268,6 +1268,131 @@ def similarity_topk_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.ivf_ann_topk_arrow(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
 
 
+# Product-quantization oracle: the same flat-column replay style as the IVF
+# quantizer, run independently in each of the 4 16-dim subspaces (generated
+# below by Python loops so the 4 blocks cannot drift apart). ADC distances
+# accumulate as exact integer micro-units, so the approximate ranking is
+# fold-order-free on both engines.
+_PQ_M, _PQ_SUB, _PQ_CODES, _PQ_SHORT = 4, 16, 16, 50
+
+
+def _pq_sql() -> str:
+    sub_sel = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, "
+        + ", ".join(f"e{m * _PQ_SUB + j} AS s{j}" for j in range(1, _PQ_SUB + 1))
+        + " FROM embf"
+        for m in range(_PQ_M)
+    )
+    cb0_sel = "\n  UNION ALL ".join(
+        f"SELECT {m} AS m, cid, "
+        + ", ".join(f"c{m * _PQ_SUB + j} AS d{j}" for j in range(1, _PQ_SUB + 1))
+        + " FROM seeds"
+        for m in range(_PQ_M)
+    )
+    sq = " + ".join(f"(x.s{j} - y.d{j}) * (x.s{j} - y.d{j})" for j in range(1, _PQ_SUB + 1))
+    means = ", ".join(f"round(avg(x.s{j}), 6) AS d{j}" for j in range(1, _PQ_SUB + 1))
+    dot = " + ".join(f"qe.e{i} * ne.e{i}" for i in range(1, _IVF_DIM + 1))
+    from mobsos_event_log_generator_spark.operators import exactmath as _XM
+
+    return f"""
+WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+seedbase AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_CODES}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
+         {_SQL_SEED_COLS}
+  FROM embf f JOIN seedbase USING (vec_id)
+),
+cb0 AS ({cb0_sel}),
+sub AS ({sub_sel}),
+a0 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT x.vec_id, x.m, y.cid,
+           row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY round({sq}, 6), y.cid) AS rk
+    FROM sub x JOIN cb0 y USING (m)
+  ) WHERE rk = 1
+),
+cb1 AS (
+  SELECT x.m, a.cid, {means}
+  FROM sub x JOIN a0 a ON a.vec_id = x.vec_id AND a.m = x.m
+  GROUP BY x.m, a.cid
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+    SELECT x.vec_id, x.m, y.cid,
+           row_number() OVER (PARTITION BY x.vec_id, x.m
+                              ORDER BY round({sq}, 6), y.cid) AS rk
+    FROM sub x JOIN cb1 y USING (m)
+  ) WHERE rk = 1
+),
+dtab AS (
+  SELECT x.vec_id AS query_id, x.m, y.cid,
+         {_XM.sql_int_units(f'({sq})', 6)} AS d_micro
+  FROM sub x JOIN cb1 y USING (m)
+  WHERE x.vec_id % 50 = 0
+),
+adc AS (
+  SELECT d.query_id, c.neighbor_id, CAST(sum(d.d_micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN dtab d ON d.m = c.m AND d.cid = c.code
+  WHERE d.query_id <> c.neighbor_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id, adc_micro,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, neighbor_id) AS rk
+  FROM adc
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_micro,
+         round(({dot}) / (sqrt(qe.sqn) * sqrt(ne.sqn)), 6) AS cosine
+  FROM short s
+  JOIN embf qe ON qe.vec_id = s.query_id
+  JOIN embf ne ON ne.vec_id = s.neighbor_id
+  WHERE s.rk <= {_PQ_SHORT}
+)
+SELECT query_id, neighbor_id, adc_micro, cosine, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn FROM rr)
+WHERE rn <= 5
+"""
+
+
+@register("similarity_topk_pq_adc", _pq_sql())
+def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN top-5 (product quantization, Jégou et al. 2011, public):
+    4 subspaces × 16 codes trained by the deterministic seed + one-Lloyd
+    recipe, corpus encoded as 4 small ints per vector, queries scored
+    against codes via a broadcast asymmetric-distance table in exact
+    integer micro-units, top-50 shortlist, exact-cosine rerank to 5.
+    Measured recall@5 vs brute force by rerank budget (sf0.001 / sf0.01):
+    shortlist 20 → 0.24 / 0.44, 50 → 0.48 / 0.60, 100 → 0.74 / 0.76 — the
+    shortlist is an absolute rerank cost, so the probed fraction shrinks
+    as the corpus grows while recall is set by code distortion. The
+    completing member of the compression family next to int8
+    (`similarity_topk_quantized`): PQ codes are 128× smaller than the raw
+    float64 vectors, so at 100 TB the ADC scan reads a few bytes per
+    vector and only shortlist × queries full vectors come back for the
+    rerank. The oracle replays the entire per-subspace training, encode,
+    ADC, and rerank pipeline."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.pq_ann_topk(
+        emb,
+        queries,
+        k=5,
+        m_subspaces=_PQ_M,
+        sub_dim=_PQ_SUB,
+        num_codes=_PQ_CODES,
+        shortlist=_PQ_SHORT,
+    )
+
+
 #: Within-cell cosine threshold for SemDeDup. Measured distribution of ALL
 #: within-cell pairwise cosines on the fixtures (8-cell quantizer, 1 Lloyd
 #: iter): max 0.479 (sf0.001) / 0.493 (sf0.01); 0.4225 sits in a gap of

@@ -1370,3 +1370,45 @@ def test_source_cap_sample_enforces_quota(spark):
         assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
         assert 0 <= r["kept_chars"]
     assert any(r["n_dropped"] > 0 for r in rows)
+
+
+def test_pq_codebook_codes_and_recall(spark):
+    """PQ structure: 4x16 codebook entries of sub_dim-length rounded
+    centroids; every corpus vector gets exactly one code per subspace in
+    [0, 16); ADC+rerank keeps a usable share of the exact top-5 at the
+    registered shortlist (measured 0.48/0.60 at sf0.001/sf0.01 — assert a
+    floor, not the point estimate)."""
+    from mobsos_event_log_generator_spark.plans.llm import (
+        similarity_topk_bruteforce,
+        similarity_topk_pq_adc,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+
+    cb = S.pq_train(emb, m_subspaces=4, sub_dim=16, num_codes=16)
+    rows = cb.collect()
+    assert len(rows) == 4 * 16
+    assert {(r["m"], r["cid"]) for r in rows} == {(m, c) for m in range(4) for c in range(16)}
+    assert all(len(r["cvec"]) == 16 for r in rows)
+    assert all(round(x, 6) == x for r in rows for x in r["cvec"])  # engine-portable 6dp
+
+    sub = S._pq_subvectors(emb, "nid", 4, 16)
+    codes = S._pq_assign(sub, cb, "nid", "code").collect()
+    assert len(codes) == 4 * n  # one code per (vector, subspace)
+    assert all(0 <= r["code"] < 16 for r in codes)
+
+    pq = {(r["query_id"], r["neighbor_id"]) for r in similarity_topk_pq_adc(spark, sf).collect()}
+    bf = {(r["query_id"], r["neighbor_id"]) for r in similarity_topk_bruteforce(spark, sf).collect()}
+    assert len(pq & bf) / len(bf) >= 0.3
+    # reranked cosines are exact: every fused pair's cosine matches brute force
+    bf_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity_topk_bruteforce(spark, sf).collect()
+    }
+    for r in similarity_topk_pq_adc(spark, sf).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert r["cosine"] == bf_cos[key]
