@@ -1453,7 +1453,8 @@ def pq_ann_topk(
     by approximate distance, then exact-cosine rerank to ``k``.
 
     Scale shape: the persisted index is m_subspaces ints per vector
-    (4 codes vs 64 float64s = 128x smaller than raw vectors); the ADC scan
+    (4 codes vs 64 float64s: 32x smaller as int32 columns, 128x byte-packed
+    on disk); the ADC scan
     touches only codes plus a broadcast (query × m × num_codes) micro-unit
     table, and the full vectors are read back for just shortlist × queries
     rows. Distances accumulate as exact integer micro-units

@@ -1375,7 +1375,7 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist is an absolute rerank cost, so the probed fraction shrinks
     as the corpus grows while recall is set by code distortion. The
     completing member of the compression family next to int8
-    (`similarity_topk_quantized`): PQ codes are 128× smaller than the raw
+    (`similarity_topk_quantized`): PQ codes are 32-128× smaller than the raw
     float64 vectors, so at 100 TB the ADC scan reads a few bytes per
     vector and only shortlist × queries full vectors come back for the
     rerank. The oracle replays the entire per-subspace training, encode,
