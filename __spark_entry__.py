@@ -119,6 +119,7 @@ _BUDGET_LAST = (
     "corpus_source_cap_sample",
     "orders_poisson_bootstrap",
     "similarity_topk_pq_adc",
+    "similarity_topk_ann_ivfpq",
 )
 
 

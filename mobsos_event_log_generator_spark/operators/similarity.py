@@ -1498,3 +1498,81 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_micro", "cosine", "rank")
     )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    m_subspaces: int = 4,
+    sub_dim: int = 16,
+    num_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ ANN top-k (the FAISS IVFPQ composition, non-residual variant):
+    an IVF coarse quantizer prunes the candidate set to each query's
+    ``nprobe`` cells, and inside the probed cells vectors are scored by
+    PQ-ADC codes instead of full vectors — routing cuts WHICH vectors are
+    touched, codes cut HOW MANY BYTES each touch costs. Shortlist by
+    integer-micro approximate distance, exact-cosine rerank to ``k``.
+
+    Scale shape: the persisted index is (cell id + m codes) per vector;
+    the scan per query is |corpus| × nprobe/num_centroids rows of a few
+    bytes each, against broadcast (centroid, codebook, ADC-table) dims
+    that are all bounded by index hyperparameters — at 100 TB the lists
+    live bucketed by cell and a probe is a pruned scan of code columns.
+    Self-matches excluded. Returns
+    (query_id, neighbor_id, adc_micro, cosine, rank)."""
+    from mobsos_event_log_generator_spark.operators import exactmath as XM
+
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    cells = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col)
+    sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
+    codes = _pq_assign(sub, cb, "neighbor_id", "code").join(cells, "neighbor_id")
+    probes = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("cid").alias("cell")
+    )
+    qsub = _pq_subvectors(queries, "query_id", m_subspaces, sub_dim, id_col, vec_col)
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        XM.int_units_long(_sqdist(F.col("sub"), F.col("cvec")), 6).alias("d_micro"),
+    )
+    # a neighbor lives in exactly one cell and a query's nprobe cells are
+    # distinct, so the cell join matches each (query, neighbor) at most once
+    adc = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(
+            F.broadcast(dtab),
+            ["query_id", "m"],
+        )
+        .filter(F.col("cid") == F.col("code"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_micro").cast("long").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    short = adc.withColumn("rk", F.row_number().over(ws)).filter(F.col("rk") <= shortlist)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    reranked = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_micro", "cosine", "rank")
+    )

@@ -109,6 +109,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "semdedup_embeddings_arrow": "same IVF seeding window: post-LIMIT centroid table",
     "similarity_topk_pq_adc": "same IVF seeding window: post-LIMIT seed table "
     "(operators/similarity.py::pq_train via ivf_seed_centroids)",
+    "similarity_topk_ann_ivfpq": "same IVF seeding windows: post-LIMIT seed "
+    "tables for the coarse quantizer and the PQ codebook",
 }
 
 
@@ -419,12 +421,12 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/similarity.py", "q"): (6, "caller-provided query set (API contract: bounded workload)"),
     ("operators/similarity.py", "centroids"): (1, "num_centroids-bounded"),
     ("operators/similarity.py", "sel_df"): (1, "k-center selected set (<= k rows)"),
-    ("operators/similarity.py", "probes"): (2, "queries x nprobe routing rows"),
+    ("operators/similarity.py", "probes"): (3, "queries x nprobe routing rows"),
     ("operators/similarity.py", "small"): (3, "cell ids below max_cell_size (num_centroids-bounded)"),
     ("operators/similarity.py", "codebook"): (1, "PQ codebook: m_subspaces x num_codes rows"),
-    ("operators/similarity.py", "cb"): (1, "PQ codebook: m_subspaces x num_codes rows"),
-    ("operators/similarity.py", "dtab"): (1, "queries x m_subspaces x num_codes ADC table (query set bounded by API contract)"),
-    ("operators/similarity.py", "qv"): (1, "caller-provided query vectors (API contract: bounded workload)"),
+    ("operators/similarity.py", "cb"): (2, "PQ codebook: m_subspaces x num_codes rows"),
+    ("operators/similarity.py", "dtab"): (2, "queries x m_subspaces x num_codes ADC table (query set bounded by API contract)"),
+    ("operators/similarity.py", "qv"): (2, "caller-provided query vectors (API contract: bounded workload)"),
     (
         "operators/similarity.py",
         'ivf_assign(queries, cents, nprobe, id_col, vec_col).select( F.col(id_col).alias("query_id"), "cid" )',
