@@ -120,6 +120,7 @@ _BUDGET_LAST = (
     "orders_poisson_bootstrap",
     "similarity_topk_pq_adc",
     "similarity_topk_ann_ivfpq",
+    "similarity_truncated_dim_audit",
 )
 
 

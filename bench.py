@@ -62,6 +62,10 @@ HEADLINE = [
     # oracle and stays registry-gated)
     "search_hybrid_rrf",
     "similarity_mmr_arrow",
+    # round 6 fourth wave: the compression ANN path (PQ train + encode +
+    # integer-micro ADC + rerank) and the one-scan Poisson bootstrap
+    "similarity_topk_pq_adc",
+    "orders_poisson_bootstrap",
 ]
 
 

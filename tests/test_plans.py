@@ -464,6 +464,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/llm.py", "cov"): (2, "1-row coverage / covered-pair scalars"),
     ("plans/llm.py", "span"): (1, "1-row span bounds"),
     ("plans/llm.py", "n"): (1, "1-row doc count"),
+    ("plans/llm.py", "qv"): (1, "caller-bounded query vectors (every-50th-id sample)"),
     ("plans/procmining.py", "total"): (1, "1-row scalar"),
     ("plans/procmining.py", "model"): (1, "activity-alphabet^2 transition model"),
     ("plans/procmining.py", 'totals.select(F.col("wk"), F.col("t").alias("t_cur"))'): (1, "per-week totals (calendar-bounded)"),
