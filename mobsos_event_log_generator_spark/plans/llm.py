@@ -4973,9 +4973,10 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_keyframes(videos, luma_sum_threshold=256)
 
 
-@register(
-    "corpus_duplication_report",
-    f"""
+#: Cross-document repeated-substring span CTEs (the Lee et al. suffix-window
+#: replay) — shared prefix of the corpus-level duplication report and the
+#: per-document duplication profile, so the two oracles cannot drift.
+_SQL_DUP_SPAN_CTES = f"""
 WITH w AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
 wins AS (
   SELECT doc_id, CAST(p AS BIGINT) AS p, md5(array_to_string(words[p:p+7], ' ')) AS h
@@ -4995,8 +4996,15 @@ isl AS (
 spans AS (
   SELECT doc_id, CAST(min(p) AS BIGINT) AS s, CAST(max(p) + 8 AS BIGINT) AS e
   FROM isl GROUP BY doc_id, island
-),
-cov AS (SELECT CAST(COALESCE(sum(e - s), 0) AS BIGINT) AS covered_tokens,
+)
+"""
+
+
+@register(
+    "corpus_duplication_report",
+    _SQL_DUP_SPAN_CTES
+    + """
+, cov AS (SELECT CAST(COALESCE(sum(e - s), 0) AS BIGINT) AS covered_tokens,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_with_dups
         FROM spans),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -5030,6 +5038,54 @@ def corpus_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "covered_tokens",
         F.expr("(covered_tokens * 1000000L) div total_tokens").cast("long").alias("dup_ppm"),
+    )
+
+
+@register(
+    "dedup_doc_dup_profile",
+    _SQL_DUP_SPAN_CTES
+    + """
+, percov AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered FROM spans GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN len(words) = 0 THEN 0
+            ELSE CAST((COALESCE(p.covered, 0) * 1000000) // len(words) AS BIGINT)
+       END AS dup_ppm
+FROM w LEFT JOIN percov p USING (doc_id)
+""",
+)
+def dedup_doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile — the per-doc view of
+    corpus_duplication_report (same suffix-window span pipeline, same
+    shared oracle CTEs): for every document, how many of its tokens lie
+    inside cross-document repeated substrings of >= 8 tokens, as an exact
+    integer ppm. This is the drop-decision signal Lee et al.-style
+    pipelines act on (docs dominated by boilerplate/repeats get culled,
+    not just trimmed); zero-dup docs appear with dup_ppm 0 via the left
+    join. Cost is the span pipeline plus one per-doc aggregate."""
+    from mobsos_event_log_generator_spark.operators.dedup import repeated_substring_spans
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    percov = (
+        repeated_substring_spans(docs, window_tokens=8)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("covered"))
+    )
+    base = docs.select("doc_id", F.size(X.tokens()).cast("long").alias("n_tokens"))
+    return (
+        base.join(percov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(F.expr("(COALESCE(covered, 0) * 1000000L) div n_tokens"))
+            .cast("long")
+            .alias("dup_ppm"),
+        )
     )
 
 

@@ -1488,3 +1488,27 @@ def test_truncated_dim_audit_consistency(spark):
     tq = trunc.filter(F.col("vec_id") % 20 == 0)
     t = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(trunc, tq, k=5).collect()}
     assert len(t & full) / len(full) >= 0.8
+
+
+def test_doc_dup_profile_sums_to_corpus_report(spark):
+    """The per-doc duplication profile must re-aggregate EXACTLY to the
+    corpus-level report: same covered-token total, same dup-doc count, and
+    every doc appears once (zero-dup docs included with ppm 0)."""
+    import pyarrow.parquet as pq
+
+    from mobsos_event_log_generator_spark.plans.llm import (
+        corpus_duplication_report,
+        dedup_doc_dup_profile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prof = dedup_doc_dup_profile(spark, sf).collect()
+    rep = corpus_duplication_report(spark, sf).collect()[0]
+    assert len(prof) == pq.read_metadata(f"{sf}/documents.parquet").num_rows == rep["n_docs"]
+    assert sum(r["covered_tokens"] for r in prof) == rep["covered_tokens"]
+    assert sum(1 for r in prof if r["covered_tokens"] > 0) == rep["docs_with_dups"]
+    assert sum(r["n_tokens"] for r in prof) == rep["total_tokens"]
+    for r in prof:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        if r["n_tokens"]:
+            assert r["dup_ppm"] == r["covered_tokens"] * 1_000_000 // r["n_tokens"]
