@@ -122,6 +122,7 @@ _BUDGET_LAST = (
     "similarity_topk_ann_ivfpq",
     "similarity_truncated_dim_audit",
     "dedup_doc_dup_profile",
+    "eventlog_alignment_cost",
 )
 
 

@@ -3538,7 +3538,11 @@ def orders_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition, where a classical bootstrap would be 32 global samples.
     The spread of boot_total across replicates IS the sampling distribution
     of total order value; downstream CI = order statistics over 32 rows."""
-    orders = load_table(spark, sf_dir, "orders")
+    from mobsos_event_log_generator_spark.sources.parquet import ensure_min_partitions
+
+    # per-row-heavy (x32 explode + md5 per replicate): spread the scan even
+    # when the fixture arrives as a single parquet split
+    orders = ensure_min_partitions(load_table(spark, sf_dir, "orders"))
     b = F.explode(F.sequence(F.lit(1), F.lit(BOOTSTRAP_REPLICATES))).alias("b")
     x = orders.select(
         F.col("o_orderkey"), XM.int_units_long(F.col("o_totalprice"), 2).alias("cents"), b

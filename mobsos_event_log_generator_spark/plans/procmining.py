@@ -663,3 +663,78 @@ def events_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("s"), F.lit(r"v[^e]*p")).cast("long").alias("clean_view_purchases"),
         F.regexp_count(F.col("s"), F.lit(r"ee+")).cast("long").alias("error_bursts"),
     )
+
+
+@register(
+    "eventlog_alignment_cost",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, alpha AS (
+  SELECT activity, chr(64 + CAST(row_number() OVER (ORDER BY activity) AS INTEGER)) AS code
+  FROM (SELECT DISTINCT activity FROM kept)
+),
+seqs AS (
+  SELECT k."case",
+         string_agg(a.code, '' ORDER BY k.ts, k.activity) AS seq,
+         string_agg(k.activity, ',' ORDER BY k.ts, k.activity) AS variant
+  FROM kept k JOIN alpha a ON a.activity = k.activity
+  GROUP BY 1
+),
+vars AS (SELECT variant, seq, CAST(count(*) AS BIGINT) AS n_cases FROM seqs GROUP BY 1, 2),
+modal AS (SELECT seq AS mseq, variant AS mvariant FROM vars ORDER BY n_cases DESC, variant LIMIT 1)
+SELECT v.variant, v.n_cases,
+       CAST(levenshtein(v.seq, m.mseq) AS BIGINT) AS alignment_cost,
+       v.variant = m.mvariant AS is_modal
+FROM vars v CROSS JOIN modal m
+""",
+)
+def eventlog_alignment_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant alignment cost: edit distance from every trace variant to
+    the MODAL variant (most-frequent ordered activity sequence; count
+    tie-break on the variant string) — the cheap sequence-alignment
+    approximation of pm4py's alignment-based conformance, scored at
+    ACTIVITY granularity by first recoding each activity to one character
+    of a deterministic alphabet (sorted distinct activities → chr(65+i)),
+    so levenshtein counts activity edits, not character edits inside
+    names. Plan: the alphabet is an alphabet-bounded distinct + window
+    (O(|activities|) rows), variants reuse the trace-assembly shuffle,
+    the modal row is a 1-row TakeOrdered broadcast, and the edit distance
+    runs once per VARIANT (not per case) — variants are the Pareto-small
+    side of any real log."""
+    e = _all_types_complete(spark, sf_dir)
+    acts = e.select("activity").distinct()
+    wa = Window.orderBy("activity")
+    alpha = acts.withColumn("rn", F.row_number().over(wa)).select(
+        "activity", F.expr("char(64 + rn)").alias("code")
+    )
+    enr = e.join(F.broadcast(alpha), "activity")
+    seqs = enr.groupBy(F.col("case")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ts"), F.col("activity"), F.col("code")))
+                ),
+                lambda x: x["code"],
+            ),
+            "",
+        ).alias("seq"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("ts"), F.col("activity")))),
+                lambda x: x["activity"],
+            ),
+            ",",
+        ).alias("variant"),
+    )
+    variants = seqs.groupBy("variant", "seq").agg(F.count(F.lit(1)).alias("n_cases"))
+    modal = (
+        variants.orderBy(F.col("n_cases").desc(), "variant")
+        .limit(1)
+        .select(F.col("seq").alias("mseq"), F.col("variant").alias("mvariant"))
+    )
+    return variants.crossJoin(F.broadcast(modal)).select(
+        "variant",
+        "n_cases",
+        F.levenshtein("seq", "mseq").cast("long").alias("alignment_cost"),
+        (F.col("variant") == F.col("mvariant")).alias("is_modal"),
+    )

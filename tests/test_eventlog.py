@@ -190,3 +190,28 @@ def test_sequence_patterns_counts_match_python_re(spark, tmp_path):
         assert r["direct_conversions"] == len(re.findall(r"c+p", s)), (uid, s)
         assert r["clean_view_purchases"] == len(re.findall(r"v[^e]*p", s)), (uid, s)
         assert r["error_bursts"] == len(re.findall(r"ee+", s)), (uid, s)
+
+
+def test_alignment_cost_modal_and_replay(spark):
+    """Exactly one modal variant (cost 0, flagged); every cost replays in
+    pure Python as the activity-level edit distance to the modal sequence."""
+    from mobsos_event_log_generator_spark.plans.procmining import eventlog_alignment_cost
+
+    rows = eventlog_alignment_cost(spark, "/root/testdata/sf0.001").collect()
+    modal = [r for r in rows if r["is_modal"]]
+    assert len(modal) == 1
+    assert modal[0]["alignment_cost"] == 0
+    assert modal[0]["n_cases"] == max(r["n_cases"] for r in rows)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    mseq = tuple(modal[0]["variant"].split(","))
+    for r in rows:
+        assert r["alignment_cost"] == lev(tuple(r["variant"].split(",")), mseq)

@@ -111,6 +111,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "(operators/similarity.py::pq_train via ivf_seed_centroids)",
     "similarity_topk_ann_ivfpq": "same IVF seeding windows: post-LIMIT seed "
     "tables for the coarse quantizer and the PQ codebook",
+    "eventlog_alignment_cost": "activity-alphabet code window: row_number over "
+    "DISTINCT activities (alphabet-bounded input)",
 }
 
 
@@ -466,6 +468,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/llm.py", "n"): (1, "1-row doc count"),
     ("plans/llm.py", "qv"): (1, "caller-bounded query vectors (every-50th-id sample)"),
     ("plans/procmining.py", "total"): (1, "1-row scalar"),
+    ("plans/procmining.py", "alpha"): (1, "activity-alphabet code map (bounded)"),
+    ("plans/procmining.py", "modal"): (1, "1-row modal variant"),
     ("plans/procmining.py", "model"): (1, "activity-alphabet^2 transition model"),
     ("plans/procmining.py", 'totals.select(F.col("wk"), F.col("t").alias("t_cur"))'): (1, "per-week totals (calendar-bounded)"),
     (
