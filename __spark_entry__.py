@@ -123,6 +123,7 @@ _BUDGET_LAST = (
     "similarity_truncated_dim_audit",
     "dedup_doc_dup_profile",
     "eventlog_alignment_cost",
+    "events_type_entropy_daily",
 )
 
 

@@ -3573,3 +3573,55 @@ def orders_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             XM.sum_round(F.sum(F.col("w") * F.col("cents")), 2, in_scale=2).alias("boot_total"),
         )
     )
+
+
+@register(
+    "events_type_entropy_daily",
+    """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_date, sum(n) AS nn FROM c GROUP BY 1)
+SELECT c.event_date,
+       CAST(t.nn AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(ln(CAST(t.nn AS DOUBLE))
+             - sum(n * ln(CAST(n AS DOUBLE))) / CAST(t.nn AS DOUBLE), 6) AS entropy
+FROM c JOIN t USING (event_date)
+GROUP BY c.event_date, t.nn
+""",
+)
+def events_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Shannon entropy of the event-type mix — the distribution-shape
+    drift lens next to the KS/PSI/CUSUM monitors: a day whose traffic
+    collapses onto one event type (incident, bot flood) drops toward 0
+    bits even when total volume looks normal. Same exact form as
+    text_unigram_entropy (H = ln N − Σ n·ln n / N, 6 dp): the inner sum
+    runs over the bounded event-type alphabet per day, so the whole query
+    is two map-side-combined aggregates over (day, type) counts — no
+    per-event float math and nothing scales past the (days × types)
+    grid."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_date").agg(F.sum("n").alias("nn"))
+    return (
+        c.join(t, "event_date")
+        .groupBy("event_date", "nn")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                F.log(F.col("nn").cast("double"))
+                - F.sum(F.col("n") * F.log(F.col("n").cast("double"))) / F.col("nn").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+        .select(
+            "event_date",
+            F.col("nn").cast("long").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+    )

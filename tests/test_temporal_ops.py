@@ -233,3 +233,30 @@ def test_asof_nearest_duplicate_ts_takes_smallest_tie(spark):
         probes, refs, "user_id", "ts", "event_id", ["event_id", "value"]
     ).collect()[0]
     assert back["ref_event_id"] == 104
+
+
+def test_daily_entropy_bounds_and_replay(spark):
+    """Entropy bounded by [0, ln(n_types)]; exact Python replay per day."""
+    import math
+
+    from mobsos_event_log_generator_spark.plans.analytics import events_type_entropy_daily
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_type_entropy_daily(spark, sf).collect()
+    assert rows
+    counts = {}
+    for r in (
+        load_table(spark, sf, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+        .count()
+        .collect()
+    ):
+        counts.setdefault(r["d"], []).append(r["count"])
+    for r in rows:
+        ns = counts[r["event_date"]]
+        assert r["n_events"] == sum(ns) and r["n_types"] == len(ns)
+        expect = round(math.log(sum(ns)) - sum(n * math.log(n) for n in ns) / sum(ns), 6)
+        assert abs(r["entropy"] - expect) <= 1e-6
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 1e-9
