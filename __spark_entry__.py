@@ -124,6 +124,7 @@ _BUDGET_LAST = (
     "dedup_doc_dup_profile",
     "eventlog_alignment_cost",
     "events_type_entropy_daily",
+    "corpus_quality_dup_calibration",
 )
 
 

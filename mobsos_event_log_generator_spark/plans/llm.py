@@ -5089,6 +5089,87 @@ def dedup_doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Splice the span CTE chain after another WITH prefix: drop its leading
+# "WITH" so it continues an existing CTE list (DuckDB allows independent
+# chains in one WITH).
+_SQL_SPAN_CTES_TAIL = _SQL_DUP_SPAN_CTES.strip()
+assert _SQL_SPAN_CTES_TAIL.startswith("WITH")
+_SQL_SPAN_CTES_TAIL = _SQL_SPAN_CTES_TAIL[len("WITH") :]
+
+
+@register(
+    "corpus_quality_dup_calibration",
+    SQL_CHARGRAM_SCORES
+    + ","
+    + _SQL_SPAN_CTES_TAIL
+    + """
+, percov AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered FROM spans GROUP BY doc_id
+),
+lb AS (
+  SELECT d.lang, s.doc_id,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logprob DESC, s.doc_id) AS bucket_idx
+  FROM chargram_scores s JOIN documents d USING (doc_id)
+),
+j AS (
+  SELECT l.lang, l.bucket_idx,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         COALESCE(p.covered, 0) AS covered
+  FROM lb l
+  JOIN w ON w.doc_id = l.doc_id
+  LEFT JOIN percov p ON p.doc_id = l.doc_id
+)
+SELECT lang,
+       CAST(bucket_idx AS INTEGER) AS bucket_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(covered) AS BIGINT) AS covered_tokens,
+       CASE WHEN sum(n_tokens) = 0 THEN 0
+            ELSE CAST((sum(covered) * 1000000) // sum(n_tokens) AS BIGINT)
+       END AS dup_ppm
+FROM j
+GROUP BY 1, 2
+""",
+)
+def corpus_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal calibration: duplication rate per LM-quality tertile —
+    the audit that catches the known failure mode where heavily duplicated
+    text scores HIGH on corpus-trained LM likelihood (the model has seen
+    it many times), so a perplexity-only filter silently enriches
+    boilerplate. Joins the two per-doc signal blocks this registry already
+    verifies (chargram LM score tertiles per language; repeated-substring
+    coverage per doc) and reports exact integer ppm per (lang, tertile).
+    Both signal pipelines are shared CTE prefixes on the oracle side, so
+    the calibration cannot drift from its inputs."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    scores = text_chargram_logprob(spark, sf_dir)
+    wl = Window.partitionBy("lang").orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    lb = (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket_idx", F.ntile(3).over(wl))
+        .select("doc_id", "lang", "bucket_idx")
+    )
+    prof = dedup_doc_dup_profile(spark, sf_dir).select("doc_id", "n_tokens", "covered_tokens")
+    j = lb.join(prof, "doc_id")
+    return (
+        j.groupBy("lang", F.col("bucket_idx").cast("int").alias("bucket_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("covered_tokens").cast("long").alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.when(F.col("total_tokens") == 0, F.lit(0))
+            .otherwise(F.expr("(covered_tokens * 1000000L) div total_tokens"))
+            .cast("long"),
+        )
+    )
+
+
 @register(
     "corpus_negative_pairs",
     """

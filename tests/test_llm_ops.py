@@ -1512,3 +1512,26 @@ def test_doc_dup_profile_sums_to_corpus_report(spark):
         assert 0 <= r["covered_tokens"] <= r["n_tokens"]
         if r["n_tokens"]:
             assert r["dup_ppm"] == r["covered_tokens"] * 1_000_000 // r["n_tokens"]
+
+
+def test_quality_dup_calibration_consistency(spark):
+    """Calibration rows must re-aggregate from the two per-doc signal
+    queries it joins (bucket assignment x dup profile)."""
+    from mobsos_event_log_generator_spark.plans.llm import (
+        corpus_quality_dup_calibration,
+        dedup_doc_dup_profile,
+        quality_perplexity_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cal = corpus_quality_dup_calibration(spark, sf).collect()
+    buckets = {(r["lang"], r["bucket_idx"]): r for r in quality_perplexity_buckets(spark, sf).collect()}
+    prof_total = sum(r["covered_tokens"] for r in dedup_doc_dup_profile(spark, sf).collect())
+    assert {(r["lang"], r["bucket_idx"]) for r in cal} == set(buckets)
+    for r in cal:
+        assert r["n_docs"] == buckets[(r["lang"], r["bucket_idx"])]["n_docs"]
+        assert 0 <= r["covered_tokens"] <= r["total_tokens"]
+        if r["total_tokens"]:
+            assert r["dup_ppm"] == r["covered_tokens"] * 1_000_000 // r["total_tokens"]
+    # scoreable docs cover all docs on this fixture, so totals line up
+    assert sum(r["covered_tokens"] for r in cal) == prof_total
