@@ -125,6 +125,7 @@ _BUDGET_LAST = (
     "eventlog_alignment_cost",
     "events_type_entropy_daily",
     "corpus_quality_dup_calibration",
+    "eventlog_handover_network",
 )
 
 

@@ -738,3 +738,63 @@ def eventlog_alignment_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("seq", "mseq").cast("long").alias("alignment_cost"),
         (F.col("variant") == F.col("mvariant")).alias("is_modal"),
     )
+
+
+@register(
+    "eventlog_handover_network",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, seq AS (
+  SELECT "case", resource AS src_resource,
+         lead(resource) OVER (PARTITION BY "case"
+                              ORDER BY ts, activity, resource NULLS FIRST)
+           AS dst_resource
+  FROM kept
+),
+h AS (
+  SELECT "case", src_resource, dst_resource
+  FROM seq WHERE dst_resource IS NOT NULL
+),
+tot AS (SELECT count(*) AS n_total FROM h)
+SELECT src_resource, dst_resource,
+       CAST(count(*) AS BIGINT) AS n_handovers,
+       CAST(count(DISTINCT "case") AS BIGINT) AS n_cases,
+       CAST((count(*) * 1000000) // n_total AS BIGINT) AS share_ppm
+FROM h, tot
+GROUP BY src_resource, dst_resource, n_total
+""",
+)
+def eventlog_handover_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handover-of-work social network (pm4py's org/sna miner over the XES
+    the reference emits, app.py:216-217): within each case ordered by
+    timestamp, every consecutive event pair hands work from one resource
+    to the next; edges aggregate handover counts, distinct cases, and the
+    exact-integer ppm share of all handovers. Same single trace-assembly
+    window shuffle as the DFG (keyed on case — co-partitioned with every
+    other per-case query at 100 TB); the edge table is bounded by
+    |resources|^2, so the share join is a 1-row broadcast total. Ties at
+    equal (ts, activity) break on resource so successor pairs are
+    engine-deterministic."""
+    e = _all_types_complete(spark, sf_dir)
+    w = Window.partitionBy("case").orderBy("ts", "activity", "resource")
+    h = (
+        e.withColumn("dst_resource", F.lead("resource").over(w))
+        .filter(F.col("dst_resource").isNotNull())
+        .select("case", F.col("resource").alias("src_resource"), "dst_resource")
+    )
+    tot = h.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        h.groupBy("src_resource", "dst_resource")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_handovers"),
+            F.countDistinct("case").cast("long").alias("n_cases"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src_resource",
+            "dst_resource",
+            "n_handovers",
+            "n_cases",
+            F.expr("(n_handovers * 1000000L) div n_total").cast("long").alias("share_ppm"),
+        )
+    )

@@ -215,3 +215,25 @@ def test_alignment_cost_modal_and_replay(spark):
     mseq = tuple(modal[0]["variant"].split(","))
     for r in rows:
         assert r["alignment_cost"] == lev(tuple(r["variant"].split(",")), mseq)
+
+
+def test_handover_network_invariants(spark):
+    """Handover edges re-aggregate to per-case transition counts; ppm shares
+    partition the total; resource-type self-handovers dominate nothing odd."""
+    from mobsos_event_log_generator_spark.plans.procmining import (
+        _all_types_complete,
+        eventlog_handover_network,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = eventlog_handover_network(spark, sf).collect()
+    assert rows
+    total = sum(r["n_handovers"] for r in rows)
+    # per-case transitions = n_events - 1 summed over cases with >=2 events
+    sizes = (
+        _all_types_complete(spark, sf).groupBy("case").count().collect()
+    )
+    assert total == sum(r["count"] - 1 for r in sizes if r["count"] >= 2)
+    for r in rows:
+        assert 1 <= r["n_cases"] <= r["n_handovers"]
+        assert r["share_ppm"] == r["n_handovers"] * 1_000_000 // total
