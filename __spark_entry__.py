@@ -126,6 +126,7 @@ _BUDGET_LAST = (
     "events_type_entropy_daily",
     "corpus_quality_dup_calibration",
     "eventlog_handover_network",
+    "events_mannwhitney_drift",
 )
 
 

@@ -115,3 +115,83 @@ def group_trend_slopes(
             F.col("slope_den") != 0, F.expr("(slope_num * 1000000L) div slope_den")
         ).cast("long"),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    group_cols: list[str] | None = None,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) per group.
+
+    ``side_col`` tags each row 1 (sample A) or 2 (sample B); nulls in
+    ``value_col`` are dropped. All rank arithmetic is exact integer via the
+    DOUBLED-rank trick: for a tie group of ``t`` equal values preceded by
+    ``cumc`` smaller ones, the average rank is ``cumc + (t+1)/2``, so its
+    double ``2·cumc + t + 1`` is an integer — doubled rank sums, the
+    doubled statistic ``u2 = 2·U_A = R_A·2 − n1·(n1+1)``, and the tie
+    correction ``Σ(t³−t)`` are all integers, bit-identical on any engine.
+    The normal-approximation z (the only float) divides exact integers:
+    z = ((u2 − n1·n2)/2) / sqrt(n1·n2·((n+1) − T/(n·(n−1)))/12), 6 dp,
+    NULL when either sample is empty or the tie-corrected variance is 0.
+
+    Scale shape: one (group, value) histogram aggregation (map-side
+    combined), the grouped two-phase prefix sum from operators/sweep.py
+    (never a partition-less window), then one bounded per-group aggregate.
+    Internal sums accumulate in decimal(38,0): doubled rank sums grow as
+    n², past int64 around n ≈ 3·10⁹ rows per group — the OUTPUT cast to
+    bigint is fixture-safe but would need widening at that size.
+    """
+    gcols = list(group_cols or [])
+    s = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, F.col(value_col).alias("v"), F.col(side_col).alias("__s")
+    )
+    g = s.groupBy(*gcols, "v").agg(
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("__s") == 2, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    c = value_ordered_running_sum(
+        g,
+        "v",
+        [],
+        (F.col("a") + F.col("b")),
+        out_col="ct",
+        num_buckets=num_buckets,
+        group_cols=gcols,
+    ).withColumn("t", F.col("a") + F.col("b"))
+    dec = "decimal(38,0)"
+    agg = c.groupBy(*gcols).agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(
+            (F.col("a") * (F.lit(2) * F.col("ct") - F.col("t") + F.lit(1))).cast(dec)
+        ).alias("__r1x2"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(dec)
+        ).alias("__tie"),
+    )
+    out = agg.select(
+        *gcols,
+        "n1",
+        "n2",
+        (
+            F.col("__r1x2") - (F.col("n1").cast(dec) * (F.col("n1") + 1).cast(dec))
+        )
+        .cast("long")
+        .alias("u2_before"),
+        F.col("__tie").cast("long").alias("tie_term"),
+    )
+    return out.withColumn(
+        "z_approx",
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 AND "
+            "CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE) / "
+            "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)) > 0 "
+            "THEN round((CAST(u2_before - n1 * n2 AS DOUBLE) / 2.0) / "
+            "sqrt(CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE) - "
+            "CAST(tie_term AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * "
+            "CAST(n1 + n2 - 1 AS DOUBLE))) / 12.0), 6) END"
+        ),
+    )

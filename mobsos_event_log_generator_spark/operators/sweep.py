@@ -64,6 +64,7 @@ def value_ordered_running_sum(
     bounds: list[float] | None = None,
     num_buckets: int = 32,
     accuracy: int = 10_000,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive global running sum over the total order (``order_col``
     ASC|DESC, ``*tie_cols`` ASC) — the time-grain-free sibling of
@@ -83,6 +84,15 @@ def value_ordered_running_sum(
     Pass precomputed ``bounds`` to skip the quantile probe action — callers
     that need several orderings batch all probes into one aggregate pass.
     ``order_col`` must be non-null (null comparisons would null the bucket).
+
+    ``group_cols`` makes the running sum restart per group (the grouped
+    sibling: one cumsum per group, all sharing the global bucket bounds —
+    any bounds are CORRECT per the monotonicity argument above, shared
+    ones just skip a per-group probe). The offsets table grows to
+    groups × buckets rows, so this path is for BOUNDED group alphabets
+    (event types, languages, status codes) — an unbounded group key would
+    turn the broadcast offsets join into a real shuffle; use a grouped
+    window directly if the per-group histogram is small instead.
     """
     v = F.col(order_col).cast("double")
     if bounds is None:
@@ -98,20 +108,28 @@ def value_ordered_running_sum(
         # the rows that sort FIRST, so bucket order == global order.
         passed = (v < F.lit(b)) if descending else (v > F.lit(b))
         bucket = bucket + passed.cast("int")
+    gcols = list(group_cols or [])
     bucketed = df.withColumn("__bucket", bucket)
     head = F.col(order_col).desc() if descending else F.col(order_col).asc()
     w_in = (
-        Window.partitionBy("__bucket")
+        Window.partitionBy(*gcols, "__bucket")
         .orderBy(head, *[F.col(c) for c in tie_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = bucketed.withColumn("__within", F.sum(value_col).over(w_in))
-    totals = bucketed.groupBy("__bucket").agg(F.sum(value_col).alias("__total"))
-    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    totals = bucketed.groupBy(*gcols, "__bucket").agg(F.sum(value_col).alias("__total"))
+    if gcols:
+        w_b = (
+            Window.partitionBy(*gcols)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "__bucket", F.coalesce(F.sum("__total").over(w_b), F.lit(0)).alias("__offset")
+        *gcols, "__bucket", F.coalesce(F.sum("__total").over(w_b), F.lit(0)).alias("__offset")
     )
-    out = within.join(F.broadcast(offsets), "__bucket").withColumn(
+    out = within.join(F.broadcast(offsets), [*gcols, "__bucket"]).withColumn(
         out_col, F.col("__offset") + F.col("__within")
     )
     return out.drop("__bucket", "__within", "__offset")

@@ -3625,3 +3625,80 @@ def events_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
         )
     )
+
+
+@register(
+    "events_mannwhitney_drift",
+    """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, value AS v
+  FROM events WHERE value IS NOT NULL
+),
+bnd AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+m AS (
+  SELECT event_type, v,
+         CASE WHEN us <= (lo + hi) // 2 THEN 1 ELSE 2 END AS s
+  FROM e, bnd
+),
+g AS (
+  SELECT event_type, v,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM m GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, a, b, a + b AS t,
+         sum(a + b) OVER (PARTITION BY event_type ORDER BY v) AS ct
+  FROM g
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(a) AS BIGINT) AS n1,
+         CAST(sum(b) AS BIGINT) AS n2,
+         CAST(sum(a * (2 * ct - t + 1)) AS BIGINT) AS r1x2,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+  FROM c GROUP BY 1
+),
+u AS (
+  SELECT event_type, n1, n2,
+         CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u2_before,
+         tie_term
+  FROM agg
+)
+SELECT event_type, n1, n2, u2_before, tie_term,
+       CASE WHEN n1 > 0 AND n2 > 0 AND
+                 CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE) /
+                 (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)) > 0
+         THEN round((CAST(u2_before - n1 * n2 AS DOUBLE) / 2.0) /
+              sqrt(CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE) -
+              CAST(tie_term AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) *
+              CAST(n1 + n2 - 1 AS DOUBLE))) / 12.0), 6)
+       END AS z_approx
+FROM u
+""",
+)
+def events_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U drift per event type: the rank-based two-sample test
+    next to the KS/PSI monitors — sensitive to median/stochastic-dominance
+    shifts where KS's max-gap can stay flat, and immune to the outliers
+    that wreck a t-test on heavy-tailed telemetry values. Events split at
+    the global midpoint timestamp (the PSI convention); each type compares
+    its before/after value distributions. The doubled-rank trick keeps
+    U, rank sums, and the tie correction exact-integer cross-engine
+    (operators/stats.py::mannwhitney_u); the oracle's per-type global
+    ORDER BY window is the single-node shape the grouped two-phase prefix
+    sum replaces."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select("event_type", F.unix_micros("ts").alias("us"), "value")
+    bnd = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    m = (
+        e.crossJoin(F.broadcast(bnd))
+        .select(
+            "event_type",
+            "value",
+            F.when(F.col("us") <= F.expr("(lo + hi) div 2"), 1).otherwise(2).alias("side"),
+        )
+    )
+    from mobsos_event_log_generator_spark.operators.stats import mannwhitney_u
+
+    return mannwhitney_u(m, "value", "side", group_cols=["event_type"])

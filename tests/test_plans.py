@@ -477,6 +477,8 @@ _BROADCAST_HINT_ALLOWLIST = {
         'totals.select( (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"), F.col("t").alias("t_prev"), )',
     ): (1, "per-week totals (calendar-bounded)"),
     ("plans/temporal.py", "bounds"): (1, "1-row bounds"),
+    ("plans/procmining.py", "tot"): (1, "1-row handover total"),
+    ("plans/analytics.py", "bnd"): (1, "1-row (lo, hi) timestamp bounds"),
 }
 
 
