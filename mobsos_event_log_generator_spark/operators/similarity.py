@@ -1576,3 +1576,82 @@ def ivfpq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_micro", "cosine", "rank")
     )
+
+
+def kmeans_convergence(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """k-means commissioning report: per-Lloyd-iteration inertia, live-cell
+    count, and cell-size balance for iterations 0..``iters`` (0 = the
+    deterministic md5 seeds) — the convergence/elbow audit run before an
+    IVF quantizer or clustering config ships. One row per iteration:
+    (iter, n_cells, n_vectors, inertia_micro, largest_cell, smallest_cell).
+
+    Exactness: per-row squared distance folds left-to-right over the
+    dims (identical IEEE doubles on any engine); assignment ranks by
+    (round(d, 6), cid) — the SAME rule as ``ivf_assign``, so iteration 1
+    of this audit trains byte-identical centroids to ``ivf_train`` and
+    the report audits exactly the quantizer the IVF/IVFPQ family ships.
+    Inertia quantizes each distance via the floor(x·1e6 + 0.5) trick, so
+    sums and cell sizes are exact integers. Inertia accumulates in decimal(38,0) — per-row micro
+    distances are ~1e6-1e9, so a long sum would wrap near 1e12 rows.
+
+    Scale shape: iteration i replays assignments 0..i (operators stay
+    persist-free), so cost is O(iters²) broadcast-scan passes over the
+    corpus — fine for the 2-3 iterations a quantizer needs; localCheckpoint
+    the centroid lineage (graph.py pattern) before pushing iters higher.
+    The corpus never shuffles for assignment (centroids broadcast); the
+    only shuffles are the k-row mean/stat aggregations, map-side combined.
+    """
+    from mobsos_event_log_generator_spark.operators import exactmath as XM
+
+    cents = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
+    out = None
+    for it in range(iters + 1):
+        scored = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("d_rank", F.round(_sqdist(F.col(vec_col), F.col("cvec")), 6))
+            .withColumn(
+                "d_micro", XM.int_units_long(_sqdist(F.col(vec_col), F.col("cvec")), 6)
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy("d_rank", "cid")
+        a = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(id_col, "cid", "d_micro")
+        )
+        per_cell = a.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum(F.col("d_micro").cast("decimal(38,0)")).alias("cell_inertia"),
+        )
+        summary = per_cell.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("sz").cast("long").alias("n_vectors"),
+            F.sum("cell_inertia").cast("long").alias("inertia_micro"),
+            F.max("sz").cast("long").alias("largest_cell"),
+            F.min("sz").cast("long").alias("smallest_cell"),
+        ).select(F.lit(it).cast("long").alias("iter"), "*")
+        out = summary if out is None else out.unionByName(summary)
+        if it < iters:
+            assigned = a.select(id_col, "cid")
+            cents = (
+                corpus.join(assigned, id_col)
+                .groupBy("cid")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), 6
+                        ).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .select("cid", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"))
+            )
+    return out

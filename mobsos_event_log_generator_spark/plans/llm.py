@@ -5672,3 +5672,79 @@ def search_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the definer completes before any ORACLES consumer runs, so assigning here
 # guarantees availability without a partial-module attribute read.
 ORACLES["streaming_ann_index_maintenance"] = SQL_IVF_STREAM
+
+
+def _kmeans_convergence_sql(iters: int = 2) -> str:
+    """Unrolled Lloyd-iteration replay (the pagerank/k-core MATERIALIZED-CTE
+    technique applied to clustering): every iteration's assignment, per-cell
+    stats, and refined centroids are generated from ONE Python loop, so the
+    oracle cannot drift from the Spark loop in operators/similarity.py."""
+    sqd = _sql_flat_sqdist
+    parts = [
+        f"""WITH embf AS (
+  SELECT vec_id, {_SQL_EMB_COLS}
+  FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
+),
+seedbase AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(f.vec_id AS VARCHAR)), f.vec_id) - 1 AS cid,
+         {_SQL_SEED_COLS}
+  FROM embf f JOIN seedbase USING (vec_id)
+)"""
+    ]
+    for it in range(iters + 1):
+        dm = f"CAST(floor(({sqd('e', 'c')}) * 1000000 + 0.5) AS BIGINT)"
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT vec_id, cid, d_micro FROM (
+    SELECT e.vec_id, c.cid, {dm} AS d_micro,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dm}, c.cid) AS rk
+    FROM embf e CROSS JOIN c{it} c
+  ) WHERE rk = 1
+),
+p{it} AS (
+  SELECT cid, count(*) AS sz, sum(d_micro) AS ci FROM a{it} GROUP BY 1
+),
+s{it} AS (
+  SELECT CAST({it} AS BIGINT) AS iter,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(sz) AS BIGINT) AS n_vectors,
+         CAST(sum(ci) AS BIGINT) AS inertia_micro,
+         CAST(max(sz) AS BIGINT) AS largest_cell,
+         CAST(min(sz) AS BIGINT) AS smallest_cell
+  FROM p{it}
+)"""
+        )
+        if it < iters:
+            parts.append(
+                f""",
+c{it + 1} AS (
+  SELECT cid, {_SQL_CENTROID_MEANS}
+  FROM embf e JOIN a{it} USING (vec_id)
+  GROUP BY cid
+)"""
+            )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(iters + 1))
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+@register("embedding_kmeans_convergence", _kmeans_convergence_sql(2))
+def embedding_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means convergence/elbow audit over the embedding corpus: inertia,
+    live-cell count, and cell-size balance at Lloyd iterations 0 (md5
+    seeds), 1, and 2 — the commissioning report behind every IVF/IVFPQ
+    quantizer this registry ships (their centroids are exactly iteration 1
+    of this loop). Everything integer-exact (floor-micro distances,
+    (d_micro, cid)-ranked assignment); the oracle unrolls the training
+    loop from one shared Python generator (`operators/similarity.py::
+    kmeans_convergence`)."""
+    from mobsos_event_log_generator_spark.operators.similarity import kmeans_convergence
+
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_convergence(emb, num_centroids=8, iters=2)

@@ -1535,3 +1535,37 @@ def test_quality_dup_calibration_consistency(spark):
             assert r["dup_ppm"] == r["covered_tokens"] * 1_000_000 // r["total_tokens"]
     # scoreable docs cover all docs on this fixture, so totals line up
     assert sum(r["covered_tokens"] for r in cal) == prof_total
+
+
+def test_kmeans_convergence_monotone_and_consistent(spark):
+    """Lloyd inertia is non-increasing across iterations; vector counts are
+    conserved; iteration-1 centroids are the ones the IVF family trains."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        kmeans_convergence,
+    )
+    from mobsos_event_log_generator_spark.plans.llm import ensure_min_partitions
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = ensure_min_partitions(load_table(spark, sf, "embeddings"))
+    rows = {r["iter"]: r for r in kmeans_convergence(emb, 8, 2).collect()}
+    assert set(rows) == {0, 1, 2}
+    n = emb.count()
+    for r in rows.values():
+        assert r["n_vectors"] == n
+        assert r["smallest_cell"] >= 1
+        assert r["largest_cell"] <= n
+        assert 1 <= r["n_cells"] <= 8
+    assert rows[0]["inertia_micro"] >= rows[1]["inertia_micro"] >= rows[2]["inertia_micro"]
+
+    # iteration-1 stats must equal a fresh assignment over ivf_train(iters=1)
+    # centroids (the audit's c1 IS the IVF family's trained quantizer), so
+    # the two training loops share one recipe:
+    cents = ivf_train(emb, 8, 1)
+    sizes = sorted(
+        r["count"] for r in ivf_assign(emb, cents, 1).groupBy("cid").count().collect()
+    )
+    assert rows[1]["n_cells"] == len(sizes)
+    assert (rows[1]["smallest_cell"], rows[1]["largest_cell"]) == (sizes[0], sizes[-1])

@@ -111,6 +111,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "(operators/similarity.py::pq_train via ivf_seed_centroids)",
     "similarity_topk_ann_ivfpq": "same IVF seeding windows: post-LIMIT seed "
     "tables for the coarse quantizer and the PQ codebook",
+    "embedding_kmeans_convergence": "same IVF seeding window: post-LIMIT "
+    "centroid table (one per replayed Lloyd iteration)",
     "eventlog_alignment_cost": "activity-alphabet code window: row_number over "
     "DISTINCT activities (alphabet-bounded input)",
 }
@@ -478,6 +480,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ): (1, "per-week totals (calendar-bounded)"),
     ("plans/temporal.py", "bounds"): (1, "1-row bounds"),
     ("plans/procmining.py", "tot"): (1, "1-row handover total"),
+    ("operators/similarity.py", "cents"): (1, "num_centroids-bounded (kmeans_convergence)"),
     ("plans/analytics.py", "bnd"): (1, "1-row (lo, hi) timestamp bounds"),
 }
 
