@@ -127,6 +127,7 @@ _BUDGET_LAST = (
     "corpus_quality_dup_calibration",
     "eventlog_handover_network",
     "events_mannwhitney_drift",
+    "embedding_kmeans_convergence",
 )
 
 
