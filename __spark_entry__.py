@@ -128,6 +128,8 @@ _BUDGET_LAST = (
     "eventlog_handover_network",
     "events_mannwhitney_drift",
     "embedding_kmeans_convergence",
+    "eventlog_dependency_graph",
+    "events_autocorrelation",
 )
 
 

@@ -3702,3 +3702,113 @@ def events_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mobsos_event_log_generator_spark.operators.stats import mannwhitney_u
 
     return mannwhitney_u(m, "value", "side", group_cols=["event_type"])
+
+
+@register(
+    "events_autocorrelation",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+bnd AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bnd b
+),
+series AS (
+  SELECT s.d, CAST(COALESCE(dl.x, 0) AS HUGEINT) AS x
+  FROM spine s LEFT JOIN daily dl USING (d)
+),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS s,
+         CAST(sum(x * x) AS HUGEINT) AS q
+  FROM series
+),
+p AS (
+  SELECT l.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(t.x * u.x) AS HUGEINT) AS sxy,
+         CAST(sum(t.x) AS HUGEINT) AS sa,
+         CAST(sum(u.x) AS HUGEINT) AS sb
+  FROM (SELECT unnest([1, 2, 3, 7]) AS lag) l
+  JOIN series t ON TRUE
+  JOIN series u ON u.d = t.d + l.lag
+  GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       floor((CAST(n * n * sxy - n * s * (sa + sb) + n_pairs * s * s AS DOUBLE)
+              / CAST(n * n * q - n * s * s AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS acf
+FROM p, g
+ORDER BY lag
+""",
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1/2/3/7 --
+    the periodicity lens next to the KS/PSI/CUSUM/MWU drift monitors (a
+    healthy weekly-seasonal service shows acf(7) >> acf(3); a flatlined
+    or bursty one does not). Days are zero-filled over the observed
+    calendar spine so lags mean calendar days, not observation gaps.
+    Pearson r_L = sum_t (x_t-mean)(x_{t+L}-mean) / sum_t (x_t-mean)^2 is
+    computed from N^2-scaled integer sums (num = N^2*Sxy - N*S*(Sa+Sb) +
+    n_pairs*S^2, den = N^2*Q - N*S^2, decimal(38,0) -- doubled-rank-style
+    exactness, good to ~1e9 events/day), so the only float is ONE
+    structurally-identical double division, rounded via floor(x*1e6+0.5)
+    (the gapfill midpoint-safe form). Scale shape: one map-side-combined
+    scan to daily counts; everything after runs on the calendar-bounded
+    day grid (spine, lag self-join, 1-row stats broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    bnd = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bnd.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0)).cast("decimal(38,0)").alias("x")
+    )
+    g = series.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"),
+    )
+    lags = spine.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in (1, 2, 3, 7)])).alias("lag")
+    )
+    t = series.select(F.col("d").alias("td"), F.col("x").alias("tx"))
+    u = series.select(F.col("d").alias("ud"), F.col("x").alias("ux"))
+    p = (
+        t.crossJoin(F.broadcast(lags))
+        .join(u, F.col("ud") == F.date_add(F.col("td"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("tx") * F.col("ux")).cast("decimal(38,0)").alias("sxy"),
+            F.sum("tx").cast("decimal(38,0)").alias("sa"),
+            F.sum("ux").cast("decimal(38,0)").alias("sb"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + F.col("n_pairs").cast("decimal(38,0)") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (
+                F.floor(
+                    (num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

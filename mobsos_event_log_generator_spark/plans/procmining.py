@@ -798,3 +798,103 @@ def eventlog_handover_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_handovers * 1000000L) div n_total").cast("long").alias("share_ppm"),
         )
     )
+
+
+@register(
+    "eventlog_dependency_graph",
+    _CTE_ALL_TYPES_COMPLETE
+    + """
+, seq AS (
+  SELECT "case", activity AS src,
+         lead(activity) OVER (PARTITION BY "case" ORDER BY ts, activity) AS dst
+  FROM kept
+),
+d AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+pairs AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         CAST(sum(CASE WHEN src < dst THEN n ELSE 0 END) AS BIGINT) AS n_ab,
+         CAST(sum(CASE WHEN src > dst THEN n ELSE 0 END) AS BIGINT) AS n_ba
+  FROM d WHERE src <> dst GROUP BY 1, 2
+),
+oriented AS (
+  SELECT CASE WHEN n_ab >= n_ba THEN a ELSE b END AS src,
+         CASE WHEN n_ab >= n_ba THEN b ELSE a END AS dst,
+         greatest(n_ab, n_ba) AS n_forward,
+         least(n_ab, n_ba) AS n_reverse
+  FROM pairs
+)
+SELECT src, dst, n_forward, n_reverse,
+       CAST(((n_forward - n_reverse) * 1000000)
+            // (n_forward + n_reverse + 1) AS BIGINT) AS dep_ppm,
+       FALSE AS is_loop
+FROM oriented
+UNION ALL
+SELECT src, dst, n AS n_forward, CAST(0 AS BIGINT) AS n_reverse,
+       CAST((n * 1000000) // (n + 1) AS BIGINT) AS dep_ppm,
+       TRUE AS is_loop
+FROM d WHERE src = dst
+""",
+)
+def eventlog_dependency_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristics-miner dependency graph (Weijters & van der Aalst; pm4py's
+    heuristics_miner over the XES the reference emits, app.py:216-217):
+    each unordered activity pair {a,b} is oriented in its dominant
+    directly-follows direction and scored dep = (f-r)/(f+r+1); length-1
+    loops score n/(n+1). Orienting the edge before dividing keeps the
+    numerator non-negative, so truncating integer division IS floor
+    division and the ppm measure is exact on both engines (ties orient
+    lexicographically a->b). Reuses the DFG's single case-keyed window
+    shuffle (ts, activity tie-break makes successor pairs deterministic);
+    everything after the edge count is algebra over a table bounded by
+    |activity alphabet|^2 -- nothing downstream scales with the log."""
+    e = _all_types_complete(spark, sf_dir)
+    w = Window.partitionBy("case").orderBy("ts", "activity")
+    d = (
+        e.withColumn("dst", F.lead("activity").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("activity").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    loops = d.filter(F.col("src") == F.col("dst")).select(
+        "src",
+        "dst",
+        F.col("n").alias("n_forward"),
+        F.lit(0).cast("long").alias("n_reverse"),
+        F.expr("(n * 1000000L) div (n + 1)").cast("long").alias("dep_ppm"),
+        F.lit(True).alias("is_loop"),
+    )
+    pairs = (
+        d.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(
+            F.sum(F.when(F.col("src") < F.col("dst"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_ab"),
+            F.sum(F.when(F.col("src") > F.col("dst"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_ba"),
+        )
+    )
+    fwd = F.col("n_ab") >= F.col("n_ba")
+    oriented = pairs.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.greatest("n_ab", "n_ba").alias("n_forward"),
+        F.least("n_ab", "n_ba").alias("n_reverse"),
+    ).select(
+        "src",
+        "dst",
+        "n_forward",
+        "n_reverse",
+        F.expr("((n_forward - n_reverse) * 1000000L) div (n_forward + n_reverse + 1)")
+        .cast("long")
+        .alias("dep_ppm"),
+        F.lit(False).alias("is_loop"),
+    )
+    return oriented.unionByName(loops)

@@ -237,3 +237,86 @@ def test_handover_network_invariants(spark):
     for r in rows:
         assert 1 <= r["n_cases"] <= r["n_handovers"]
         assert r["share_ppm"] == r["n_handovers"] * 1_000_000 // total
+
+
+def test_dependency_graph_invariants(spark):
+    """Dependency edges re-derive from raw directly-follows counts: oriented
+    in the dominant direction, exact-ppm measure, loops scored n/(n+1);
+    counts conserve the total number of successor pairs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mobsos_event_log_generator_spark.plans.procmining import (
+        _all_types_complete,
+        eventlog_dependency_graph,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = eventlog_dependency_graph(spark, sf).collect()
+    assert rows
+
+    e = _all_types_complete(spark, sf)
+    w = Window.partitionBy("case").orderBy("ts", "activity")
+    raw = {
+        (r["src"], r["dst"]): r["n"]
+        for r in (
+            e.withColumn("dst", F.lead("activity").over(w))
+            .filter(F.col("dst").isNotNull())
+            .groupBy(F.col("activity").alias("src"), "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert sum(r["n_forward"] + r["n_reverse"] for r in rows) == sum(raw.values())
+    seen = set()
+    for r in rows:
+        key = (r["src"], r["dst"])
+        assert key not in seen
+        seen.add(key)
+        f, rev = r["n_forward"], r["n_reverse"]
+        if r["is_loop"]:
+            assert r["src"] == r["dst"] and rev == 0
+            assert f == raw[key]
+            assert r["dep_ppm"] == f * 1_000_000 // (f + 1)
+        else:
+            assert r["src"] != r["dst"]
+            assert f == raw.get(key, 0) and rev == raw.get((r["dst"], r["src"]), 0)
+            assert f >= rev >= 0
+            if f == rev:  # tie orients lexicographically
+                assert r["src"] < r["dst"]
+            assert r["dep_ppm"] == (f - rev) * 1_000_000 // (f + rev + 1)
+            assert (r["dst"], r["src"]) not in seen
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """ACF rows match a pure-Python recomputation over the zero-filled daily
+    series; pair counts are N - lag; |acf| bounded by 1 within rounding."""
+    import datetime
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.plans.analytics import events_autocorrelation
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["lag"]: r for r in events_autocorrelation(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3, 7}
+
+    ev = load_table(spark, sf, "events")
+    daily = {
+        r["d"]: r["x"]
+        for r in ev.groupBy(F.to_date("ts").alias("d")).count().withColumnRenamed("count", "x").collect()
+    }
+    lo, hi = min(daily), max(daily)
+    xs = [daily.get(lo + datetime.timedelta(days=i), 0) for i in range((hi - lo).days + 1)]
+    n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+    for lag, r in rows.items():
+        assert r["n_pairs"] == n - lag
+        sxy = sum(xs[i] * xs[i + lag] for i in range(n - lag))
+        sa = sum(xs[: n - lag])
+        sb = sum(xs[lag:])
+        num = n * n * sxy - n * s * (sa + sb) + (n - lag) * s * s
+        den = n * n * q - n * s * s
+        assert r["acf"] == math.floor((num / den) * 1_000_000 + 0.5) / 1_000_000
+        assert abs(r["acf"]) <= 1.000001
