@@ -130,6 +130,7 @@ _BUDGET_LAST = (
     "embedding_kmeans_convergence",
     "eventlog_dependency_graph",
     "events_autocorrelation",
+    "parts_link_prediction",
 )
 
 

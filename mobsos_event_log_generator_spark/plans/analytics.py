@@ -3812,3 +3812,104 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "parts_link_prediction",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS s, c.l_partkey AS d
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (SELECT s AS src, d AS dst FROM e UNION ALL SELECT d, s FROM e),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+w AS (
+  SELECT w1.src AS p1, w2.dst AS p2, w1.dst AS mid
+  FROM sym w1 JOIN sym w2 ON w2.src = w1.dst
+  WHERE w1.src < w2.dst
+),
+cand AS (
+  SELECT w.p1, w.p2,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(1000000 // dm.deg) AS BIGINT) AS ra_micro
+  FROM w JOIN deg dm ON dm.node = w.mid
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = w.p1 AND e.d = w.p2)
+  GROUP BY 1, 2
+)
+SELECT p1, p2, common_neighbors,
+       CAST((common_neighbors * 1000000)
+            // (d1.deg + d2.deg - common_neighbors) AS BIGINT) AS jaccard_ppm,
+       ra_micro
+FROM cand JOIN deg d1 ON d1.node = p1 JOIN deg d2 ON d2.node = p2
+ORDER BY common_neighbors DESC, ra_micro DESC, p1, p2
+LIMIT 100
+""",
+)
+def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction candidate generation on the part co-purchase graph
+    (edges = pairs bought together in >= 2 orders): the top-100 2-hop
+    NON-edges ranked by common-neighbor count, with exact-integer Jaccard
+    (cn*1e6 div (deg1+deg2-cn)) and a resource-allocation index (Zhou et
+    al. 2009) quantized per term as sum(1e6 div deg(mid)) so the score is
+    an exact integer on any engine (documented floor-per-term variant of
+    sum 1/deg). This is the positive/negative candidate miner behind
+    graph-ML training sets -- the graph-edge analogue of
+    corpus_hard_negatives. Scale shape: one distinct scan + the same
+    thresholded edge build as the triangle/k-core family; the wedge join
+    is keyed on the middle vertex and the candidate table is
+    wedge-bounded -- at 100 TB, hub middles dominate, so raise the
+    co-purchase threshold or cap middle degree before the wedge join
+    (same mitigation documented on parts_cooccur_triangles); the final
+    ORDER BY .. LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-k, no global sort), with a total ordering key so the cut is
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("s"))
+    c = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("d"))
+    edges = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("s") < F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("s", "d")
+    )
+    sym = edges.select(F.col("s").alias("src"), F.col("d").alias("dst")).unionAll(
+        edges.select(F.col("d").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    w1 = sym.select(F.col("src").alias("p1"), F.col("dst").alias("mid"))
+    w2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("p2"))
+    wedges = w1.join(w2, "mid").filter(F.col("p1") < F.col("p2"))
+    cand = (
+        wedges.join(edges, (F.col("p1") == F.col("s")) & (F.col("p2") == F.col("d")), "left_anti")
+        .join(deg.select(F.col("node").alias("mid"), F.col("deg").alias("dm")), "mid")
+        .groupBy("p1", "p2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr("1000000L div dm")).cast("long").alias("ra_micro"),
+        )
+    )
+    return (
+        cand.join(deg.select(F.col("node").alias("p1"), F.col("deg").alias("deg1")), "p1")
+        .join(deg.select(F.col("node").alias("p2"), F.col("deg").alias("deg2")), "p2")
+        .select(
+            "p1",
+            "p2",
+            "common_neighbors",
+            F.expr("(common_neighbors * 1000000L) div (deg1 + deg2 - common_neighbors)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+            "ra_micro",
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("ra_micro").desc(), "p1", "p2"
+        )
+        .limit(100)
+    )

@@ -708,3 +708,52 @@ def test_value_ordered_running_sum_grouped_restarts(spark):
     for r in out:
         expected = (r["v"] + 1) * (1 if r["g"] == "a" else 2)
         assert r["run"] == expected, r
+
+
+def test_link_prediction_matches_python_replay(spark):
+    """Every emitted candidate is a 2-hop NON-edge; cn / jaccard_ppm /
+    ra_micro match a pure-Python adjacency replay; ranking cut is the
+    documented total order."""
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.plans.analytics import parts_link_prediction
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = parts_link_prediction(spark, sf).collect()
+    assert 1 <= len(rows) <= 100
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = {}
+    for r in li.collect():
+        baskets.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    from collections import Counter
+
+    co = Counter()
+    for parts in baskets.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                co[(ps[i], ps[j])] += 1
+    edges = {p for p, n in co.items() if n >= 2}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    scored = []
+    seen_pairs = set()
+    for s in adj:
+        for mid in adj[s]:
+            for d in adj[mid]:
+                if s < d and (s, d) not in edges and (s, d) not in seen_pairs:
+                    seen_pairs.add((s, d))
+                    common = adj[s] & adj[d]
+                    cn = len(common)
+                    ra = sum(1_000_000 // len(adj[m]) for m in common)
+                    jac = cn * 1_000_000 // (len(adj[s]) + len(adj[d]) - cn)
+                    scored.append((-cn, -ra, s, d, jac))
+    scored.sort()
+    expect = scored[: len(rows)]
+    got = [(-r["common_neighbors"], -r["ra_micro"], r["p1"], r["p2"], r["jaccard_ppm"]) for r in rows]
+    assert got == expect
