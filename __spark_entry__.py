@@ -131,6 +131,7 @@ _BUDGET_LAST = (
     "eventlog_dependency_graph",
     "events_autocorrelation",
     "parts_link_prediction",
+    "events_theilsen_trend",
 )
 
 

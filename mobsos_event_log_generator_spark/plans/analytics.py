@@ -3913,3 +3913,135 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "events_theilsen_trend",
+    """
+WITH bnd AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS d, b.lo
+  FROM bnd b
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT t.event_type,
+         CAST(date_diff('day', s.lo, s.d) AS HUGEINT) AS ti,
+         CAST(COALESCE(dl.x, 0) AS HUGEINT) AS x
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN spine s
+  LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.d = s.d
+),
+p AS (
+  SELECT a.event_type,
+         CAST(((b.x - a.x) * 1000000) // (b.ti - a.ti) AS BIGINT) AS slope
+  FROM series a JOIN series b
+    ON b.event_type = a.event_type AND b.ti > a.ti
+),
+r AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM p
+),
+med AS (
+  SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+         CAST(slope AS BIGINT) AS theilsen_slope_micro
+  FROM r WHERE rk = (np + 1) // 2
+),
+o AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(ti) AS HUGEINT) AS st,
+         CAST(sum(x) AS HUGEINT) AS sy,
+         CAST(sum(ti * x) AS HUGEINT) AS sty,
+         CAST(sum(ti * ti) AS HUGEINT) AS stt
+  FROM series GROUP BY 1
+),
+ols AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         CAST(((n * sty - st * sy) * 1000000) // (n * stt - st * st) AS BIGINT)
+           AS ols_slope_micro
+  FROM o
+)
+SELECT event_type, n_days, n_pairs, theilsen_slope_micro, ols_slope_micro
+FROM ols JOIN med USING (event_type)
+""",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type volume trend, robust and classical side by side:
+    Theil-Sen slope (lower median of all pairwise day slopes -- immune to
+    the outlier days that bend OLS) and the OLS slope, both in exact
+    integer micro-events/day. Daily counts zero-fill over the global
+    calendar spine so slopes mean calendar time. Every division is
+    truncating integer division, which Spark's `div` and DuckDB's `//`
+    both implement (verified incl. negatives and decimals), so no float
+    enters the gate; OLS sums ride decimal(38,0) (y up to ~1e9/day safe).
+    Scale shape: one map-side scan to (type, day) counts, then everything
+    runs on the calendar-bounded grid -- the pairwise table is
+    O(types x days^2) rows (66k/type at a 1-year spine), never touching
+    raw events; the median window partitions by type over that bounded
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    bnd = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bnd.select(
+        F.explode(F.sequence("lo", "hi")).alias("d"), "lo"
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    series = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.datediff("d", "lo").cast("decimal(38,0)").alias("ti"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("decimal(38,0)").alias("x"),
+        )
+    )
+    a = series.select("event_type", F.col("ti").alias("ai"), F.col("x").alias("ax"))
+    b = series.select("event_type", F.col("ti").alias("bi"), F.col("x").alias("bx"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("bi") > F.col("ai"))
+        .select(
+            "event_type",
+            F.expr("((bx - ax) * 1000000) div (bi - ai)").cast("long").alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    med = (
+        p.withColumn("rk", F.row_number().over(wr))
+        .withColumn("np", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == F.expr("(np + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope").cast("long").alias("theilsen_slope_micro"),
+        )
+    )
+    o = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("ti").cast("decimal(38,0)").alias("st"),
+        F.sum("x").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("ti") * F.col("x")).cast("decimal(38,0)").alias("sty"),
+        F.sum(F.col("ti") * F.col("ti")).cast("decimal(38,0)").alias("stt"),
+    )
+    ols = o.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("((n * sty - st * sy) * 1000000) div (n * stt - st * st)")
+        .cast("long")
+        .alias("ols_slope_micro"),
+    )
+    return ols.join(med, "event_type").select(
+        "event_type", "n_days", "n_pairs", "theilsen_slope_micro", "ols_slope_micro"
+    )

@@ -320,3 +320,46 @@ def test_autocorrelation_matches_numpy(spark):
         den = n * n * q - n * s * s
         assert r["acf"] == math.floor((num / den) * 1_000_000 + 0.5) / 1_000_000
         assert abs(r["acf"]) <= 1.000001
+
+
+def test_theilsen_trend_matches_python_replay(spark):
+    """Theil-Sen lower-median and OLS micro-slopes match a pure-Python
+    replay over the zero-filled per-type daily series."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.plans.analytics import events_theilsen_trend
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    def tdiv(a, b):  # truncating integer division (Spark div / DuckDB //)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["event_type"]: r for r in events_theilsen_trend(spark, sf).collect()}
+    assert rows
+
+    ev = load_table(spark, sf, "events")
+    daily = {}
+    for r in ev.groupBy("event_type", F.to_date("ts").alias("d")).count().collect():
+        daily.setdefault(r["event_type"], {})[r["d"]] = r["count"]
+    all_days = [d for per in daily.values() for d in per]
+    lo, hi = min(all_days), max(all_days)
+    n = (hi - lo).days + 1
+    for et, per in daily.items():
+        xs = [per.get(lo + datetime.timedelta(days=i), 0) for i in range(n)]
+        slopes = sorted(
+            tdiv((xs[j] - xs[i]) * 1_000_000, j - i)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        r = rows[et]
+        assert r["n_days"] == n
+        assert r["n_pairs"] == len(slopes)
+        assert r["theilsen_slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
+        st = sum(range(n))
+        sy = sum(xs)
+        sty = sum(i * x for i, x in enumerate(xs))
+        stt = sum(i * i for i in range(n))
+        assert r["ols_slope_micro"] == tdiv((n * sty - st * sy) * 1_000_000, n * stt - st * st)

@@ -484,6 +484,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "bnd"): (1, "1-row (lo, hi) timestamp bounds"),
     ("plans/analytics.py", "lags"): (1, "4-row literal lag dim (autocorrelation)"),
     ("plans/analytics.py", "g"): (1, "1-row (N, S, Q) day-series stats"),
+    ("plans/analytics.py", "spine"): (1, "calendar-bounded day spine"),
 }
 
 
