@@ -132,6 +132,7 @@ _BUDGET_LAST = (
     "events_autocorrelation",
     "parts_link_prediction",
     "events_theilsen_trend",
+    "customers_t_closeness",
 )
 
 

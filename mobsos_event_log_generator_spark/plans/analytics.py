@@ -4045,3 +4045,111 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols.join(med, "event_type").select(
         "event_type", "n_days", "n_pairs", "theilsen_slope_micro", "ols_slope_micro"
     )
+
+
+@register(
+    "customers_t_closeness",
+    """
+WITH s AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS sv
+  FROM customer
+),
+gs AS (
+  SELECT c_nationkey, c_mktsegment, sv, CAST(count(*) AS HUGEINT) AS n_gs
+  FROM s GROUP BY 1, 2, 3
+),
+gt AS (
+  SELECT c_nationkey, c_mktsegment, CAST(sum(n_gs) AS HUGEINT) AS n_g
+  FROM gs GROUP BY 1, 2
+),
+alpha AS (SELECT sv, CAST(sum(n_gs) AS HUGEINT) AS n_s FROM gs GROUP BY 1),
+nn_tot AS (SELECT CAST(sum(n_gs) AS HUGEINT) AS nn FROM gs),
+j AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, a.sv, a.n_s,
+         COALESCE(gs.n_gs, 0) AS n_gs
+  FROM gt g CROSS JOIN alpha a
+  LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+              AND gs.c_mktsegment = g.c_mktsegment AND gs.sv = a.sv
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(n_g AS BIGINT) AS group_size,
+       CAST(sum(CASE WHEN n_gs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sensitive,
+       round(ln(CAST(n_g AS DOUBLE))
+             - sum(CASE WHEN n_gs > 0
+                        THEN CAST(n_gs AS DOUBLE) * ln(CAST(n_gs AS DOUBLE)) END)
+               / CAST(n_g AS DOUBLE), 6) AS sensitive_entropy,
+       CAST(sum(abs(n_gs * nn - n_s * n_g)) * 1000000
+            // (2 * n_g * nn) AS BIGINT) AS tvd_ppm,
+       CAST(sum(abs(n_gs * nn - n_s * n_g)) * 1000000
+            // (2 * n_g * nn) AS BIGINT) > 250000 AS t_fail
+FROM j, nn_tot
+GROUP BY c_nationkey, c_mktsegment, n_g, nn
+""",
+)
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) over the k-anonymity quasi-grid
+    (nation x market segment, sensitive = acctbal bucket): per group, the
+    total-variation distance between the group's sensitive distribution
+    and the global one, as an EXACT integer ppm -- TVD = sum_s |n_gs*N -
+    n_s*N_g| / (2*N_g*N), cross-multiplied so no division happens before
+    the final quantization -- plus entropy l-diversity (the 6-dp entropy
+    form shared with events_type_entropy_daily) and the distinct-value
+    count. Absent sensitive values still contribute |0 - n_s*N_g| to TVD,
+    so the group rows expand over the FULL sensitive alphabet (quasi-grid
+    x alphabet -- both bounded dims; the alphabet side broadcasts). One
+    scan to (group, sv) counts; everything downstream is bounded-grid
+    algebra in decimal(38,0) (safe past 1e10 rows where n_gs*N passes
+    int64). Flags t > 0.25 (tvd_ppm > 250000)."""
+    cust = load_table(spark, sf_dir, "customer")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("sv"),
+    )
+    gs = s.groupBy("c_nationkey", "c_mktsegment", "sv").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_gs")
+    )
+    gt = gs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_gs").cast("decimal(38,0)").alias("n_g")
+    )
+    alpha = gs.groupBy("sv").agg(F.sum("n_gs").cast("decimal(38,0)").alias("n_s"))
+    nn_tot = gs.agg(F.sum("n_gs").cast("decimal(38,0)").alias("nn"))
+    j = (
+        gt.crossJoin(F.broadcast(alpha))
+        .join(gs, ["c_nationkey", "c_mktsegment", "sv"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "n_s",
+            F.coalesce(F.col("n_gs"), F.lit(0).cast("decimal(38,0)")).alias("n_gs"),
+        )
+        .crossJoin(F.broadcast(nn_tot))
+    )
+    tvd_num = F.sum(F.abs(F.col("n_gs") * F.col("nn") - F.col("n_s") * F.col("n_g")))
+    out = j.groupBy("c_nationkey", "c_mktsegment", "n_g", "nn").agg(
+        F.sum(F.when(F.col("n_gs") > 0, 1).otherwise(0)).cast("long").alias("n_sensitive"),
+        F.round(
+            F.log(F.col("n_g").cast("double"))
+            - F.sum(
+                F.when(
+                    F.col("n_gs") > 0,
+                    F.col("n_gs").cast("double") * F.log(F.col("n_gs").cast("double")),
+                )
+            )
+            / F.col("n_g").cast("double"),
+            6,
+        ).alias("sensitive_entropy"),
+        tvd_num.alias("tvd_num"),
+    )
+    tvd = F.expr("(tvd_num * 1000000) div (2 * n_g * nn)").cast("long")
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_g").cast("long").alias("group_size"),
+        "n_sensitive",
+        "sensitive_entropy",
+        tvd.alias("tvd_ppm"),
+        (tvd > 250000).alias("t_fail"),
+    )

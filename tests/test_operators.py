@@ -757,3 +757,36 @@ def test_link_prediction_matches_python_replay(spark):
     expect = scored[: len(rows)]
     got = [(-r["common_neighbors"], -r["ra_micro"], r["p1"], r["p2"], r["jaccard_ppm"]) for r in rows]
     assert got == expect
+
+
+def test_t_closeness_matches_python_replay(spark):
+    """Per-group TVD ppm, entropy, and distinct counts match a pure-Python
+    replay; TVD includes alphabet values ABSENT from the group."""
+    import math
+    from collections import Counter
+
+    from mobsos_event_log_generator_spark.plans.analytics import customers_t_closeness
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r["c_nationkey"], r["c_mktsegment"]): r for r in customers_t_closeness(spark, sf).collect()}
+    assert rows
+
+    cust = load_table(spark, sf, "customer").select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+    per_group, global_s = {}, Counter()
+    for c in cust:
+        sv = math.floor(c["c_acctbal"] / 2000)
+        per_group.setdefault((c["c_nationkey"], c["c_mktsegment"]), Counter())[sv] += 1
+        global_s[sv] += 1
+    nn = sum(global_s.values())
+    for key, cnt in per_group.items():
+        r = rows[key]
+        n_g = sum(cnt.values())
+        assert r["group_size"] == n_g
+        assert r["n_sensitive"] == len(cnt)
+        num = sum(abs(cnt.get(sv, 0) * nn - n_s * n_g) for sv, n_s in global_s.items())
+        tvd = num * 1_000_000 // (2 * n_g * nn)
+        assert r["tvd_ppm"] == tvd
+        assert r["t_fail"] == (tvd > 250_000)
+        h = math.log(n_g) - sum(v * math.log(v) for v in cnt.values()) / n_g
+        assert abs(r["sensitive_entropy"] - h) < 1e-5
