@@ -133,6 +133,7 @@ _BUDGET_LAST = (
     "parts_link_prediction",
     "events_theilsen_trend",
     "customers_t_closeness",
+    "events_chisq_independence",
 )
 
 

@@ -4153,3 +4153,76 @@ def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         tvd.alias("tvd_ppm"),
         (tvd > 250000).alias("t_fail"),
     )
+
+
+@register(
+    "events_chisq_independence",
+    """
+WITH c AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS HUGEINT) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, CAST(sum(o) AS HUGEINT) AS r FROM c GROUP BY 1),
+ct AS (SELECT dow, CAST(sum(o) AS HUGEINT) AS cc FROM c GROUP BY 1),
+nn_tot AS (SELECT CAST(sum(o) AS HUGEINT) AS nn FROM c),
+grid AS (
+  SELECT rt.event_type, ct.dow, rt.r, ct.cc, COALESCE(c.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN c ON c.event_type = rt.event_type AND c.dow = ct.dow
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
+         AS dof,
+       CAST(sum(((o * nn - r * cc) * (o * nn - r * cc) * 1000000)
+                // (nn * r * cc)) AS BIGINT) AS chisq_micro
+FROM grid, nn_tot
+""",
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type vs day-of-week -- the
+    weekly-mix drift lens next to KS/PSI/MWU (a type whose traffic
+    migrates across weekdays shifts chi2 even when daily totals stay
+    flat). Each cell's (O-E)^2/E rides the cross-multiplied integer form
+    ((O*N - r*c)^2 * 1e6) div (N*r*c), quantized per term so the statistic
+    is an exact integer on any engine (the ra_micro convention); absent
+    (type, dow) cells still contribute, so the grid expands over
+    types x 7. One map-side scan to the bounded contingency table;
+    everything downstream is grid algebra in decimal(38,0) -- exact while
+    N^4 < 1e38, i.e. to ~3e9 events; past that, pre-aggregate per day.
+    Spark dayofweek == DuckDB dayofweek + 1 (Sun=1 vs Sun=0) -- the
+    oracle uses DuckDB's dayofweek; Spark shifts by -1 to match."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("o"))
+    rt = c.groupBy("event_type").agg(F.sum("o").cast("decimal(38,0)").alias("r"))
+    ct = c.groupBy("dow").agg(F.sum("o").cast("decimal(38,0)").alias("cc"))
+    nn_tot = c.agg(F.sum("o").cast("decimal(38,0)").alias("nn"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(c, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "r",
+            "cc",
+            F.coalesce(F.col("o"), F.lit(0).cast("decimal(38,0)")).alias("o"),
+        )
+        .crossJoin(F.broadcast(nn_tot))
+    )
+    return grid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.sum(
+            F.expr(
+                "((o * nn - r * cc) * (o * nn - r * cc) * 1000000) div (nn * r * cc)"
+            )
+        )
+        .cast("long")
+        .alias("chisq_micro"),
+    )

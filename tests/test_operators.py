@@ -790,3 +790,36 @@ def test_t_closeness_matches_python_replay(spark):
         assert r["t_fail"] == (tvd > 250_000)
         h = math.log(n_g) - sum(v * math.log(v) for v in cnt.values()) / n_g
         assert abs(r["sensitive_entropy"] - h) < 1e-5
+
+
+def test_chisq_independence_matches_python_replay(spark):
+    """chi2_micro / dof match a pure-Python contingency replay, including
+    zero cells on the full types x dow grid."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.plans.analytics import events_chisq_independence
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    r = events_chisq_independence(spark, sf).collect()[0]
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).collect()
+    o = Counter((e["event_type"], e["dow"]) for e in ev)
+    rows = Counter()
+    cols = Counter()
+    for (et, dw), n in o.items():
+        rows[et] += n
+        cols[dw] += n
+    nn = sum(o.values())
+    chisq = sum(
+        ((o.get((et, dw), 0) * nn - rr * cc) ** 2 * 1_000_000) // (nn * rr * cc)
+        for et, rr in rows.items()
+        for dw, cc in cols.items()
+    )
+    assert r["n_cells"] == len(rows) * len(cols)
+    assert r["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert r["chisq_micro"] == chisq

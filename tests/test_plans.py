@@ -486,7 +486,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "g"): (1, "1-row (N, S, Q) day-series stats"),
     ("plans/analytics.py", "spine"): (1, "calendar-bounded day spine"),
     ("plans/analytics.py", "alpha"): (1, "sensitive-alphabet dim (acctbal buckets)"),
-    ("plans/analytics.py", "nn_tot"): (1, "1-row grand total"),
+    ("plans/analytics.py", "nn_tot"): (2, "1-row grand total"),
+    ("plans/analytics.py", "ct"): (1, "7-row day-of-week margin"),
 }
 
 
