@@ -134,6 +134,7 @@ _BUDGET_LAST = (
     "events_theilsen_trend",
     "customers_t_closeness",
     "events_chisq_independence",
+    "corpus_boilerplate_sentences",
 )
 
 

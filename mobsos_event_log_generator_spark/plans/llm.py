@@ -5748,3 +5748,67 @@ def embedding_kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return kmeans_convergence(emb, num_centroids=8, iters=2)
+
+
+@register(
+    "corpus_boilerplate_sentences",
+    """
+WITH sent AS (
+  SELECT doc_id, trim(s) AS sentence
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+        FROM documents)
+  WHERE len(trim(s)) >= 20
+),
+agg AS (
+  SELECT sentence,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM sent GROUP BY 1
+)
+SELECT CAST(sum(n_occ) AS BIGINT) AS n_sentences,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
+         AS boilerplate_occurrences,
+       CAST((sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) * 1000000)
+            // sum(n_occ) AS BIGINT) AS boilerplate_ppm
+FROM agg
+""",
+)
+def corpus_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate sentence report -- the signal behind
+    CCNet/RefinedWeb line-level dedup (their first filtering stage drops
+    duplicated lines): sentences (same '[.!?]+' splitter the readability
+    query gates, trimmed, >= 20 chars) are boilerplate when they appear
+    in >= 2 distinct documents; the report gives total/distinct sentence
+    counts, the boilerplate sentence count, and the exact-ppm share of
+    all sentence occurrences that are boilerplate -- the number that
+    decides whether line-dedup is worth a pass over the corpus. Scale
+    shape: one linear explode + a hash aggregate keyed on the sentence
+    string (at 100 TB group on md5(sentence) instead to bound shuffle
+    key width) + a second tiny aggregate; nothing else scales with the
+    corpus."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    sent = (
+        docs.select("doc_id", F.explode(F.split("text", r"[.!?]+")).alias("s"))
+        .select("doc_id", F.trim(F.col("s")).alias("sentence"))
+        .filter(F.length("sentence") >= 20)
+    )
+    agg = sent.groupBy("sentence").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    bp = F.when(F.col("n_docs") >= 2, F.col("n_occ")).otherwise(0)
+    return agg.agg(
+        F.sum("n_occ").cast("long").alias("n_sentences"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long").alias("n_boilerplate"),
+        F.sum(bp).cast("long").alias("boilerplate_occurrences"),
+        F.expr(
+            "(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) * 1000000L)"
+            " div sum(n_occ)"
+        )
+        .cast("long")
+        .alias("boilerplate_ppm"),
+    )

@@ -1569,3 +1569,37 @@ def test_kmeans_convergence_monotone_and_consistent(spark):
     )
     assert rows[1]["n_cells"] == len(sizes)
     assert (rows[1]["smallest_cell"], rows[1]["largest_cell"]) == (sizes[0], sizes[-1])
+
+
+def test_boilerplate_sentences_replay(spark):
+    """The boilerplate report matches a pure-Python split/trim/count replay
+    at sf0.1 (where the fixture plants cross-doc duplicates) and reports
+    exact zeros at sf0.001 (no exact sentence repeats there)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from mobsos_event_log_generator_spark.plans.llm import corpus_boilerplate_sentences
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    for sf, expect_hits in (("sf0.001", False), ("sf0.1", True)):
+        sf_dir = f"/root/testdata/{sf}"
+        r = corpus_boilerplate_sentences(spark, sf_dir).collect()[0]
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        occ = Counter()
+        reach = defaultdict(set)
+        for d in docs:
+            for s in re.split(r"[.!?]+", d["text"]):
+                s = s.strip(" ")
+                if len(s) >= 20:
+                    occ[s] += 1
+                    reach[s].add(d["doc_id"])
+        bp = {s for s in occ if len(reach[s]) >= 2}
+        total = sum(occ.values())
+        bp_occ = sum(occ[s] for s in bp)
+        assert r["n_sentences"] == total
+        assert r["n_distinct"] == len(occ)
+        assert r["n_boilerplate"] == len(bp)
+        assert r["boilerplate_occurrences"] == bp_occ
+        assert r["boilerplate_ppm"] == bp_occ * 1_000_000 // total
+        assert (r["n_boilerplate"] > 0) == expect_hits
