@@ -135,6 +135,7 @@ _BUDGET_LAST = (
     "customers_t_closeness",
     "events_chisq_independence",
     "corpus_boilerplate_sentences",
+    "search_rm3_expansion",
 )
 
 

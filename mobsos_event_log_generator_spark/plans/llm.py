@@ -4670,8 +4670,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-#: Shared by the standalone BM25 query and the hybrid RRF fusion oracle.
-_SQL_BM25_TOPK = rf"""
+#: CTE prefix shared by the standalone BM25 query, the hybrid RRF fusion
+#: oracle, and the RM3 pseudo-relevance-feedback oracle (one definition,
+#: zero drift between the three consumers).
+_SQL_BM25_CTES = rf"""
 WITH toks AS (
   SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents
 ),
@@ -4695,13 +4697,18 @@ scored AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   WHERE tf.doc_id <> q.query_id
   GROUP BY 1, 2
-)
+)"""
+
+_SQL_BM25_TOPK = (
+    _SQL_BM25_CTES
+    + """
 SELECT query_id, result_id, bm25, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY bm25 DESC, result_id) AS rn
       FROM scored)
 WHERE rn <= 5
 """
+)
 
 
 @register("search_bm25_topk", _SQL_BM25_TOPK)
@@ -5811,4 +5818,156 @@ def corpus_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("boilerplate_ppm"),
+    )
+
+
+_SQL_RM3 = (
+    _SQL_BM25_CTES
+    + f""",
+fb AS (
+  SELECT query_id, result_id FROM (
+    SELECT query_id, result_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY bm25 DESC, result_id) AS rn
+    FROM scored) WHERE rn <= 5
+),
+cand AS (
+  SELECT f.query_id, tf.tok, round(sum(tf.tf * idf.idf), 6) AS w
+  FROM fb f
+  JOIN tf ON tf.doc_id = f.result_id
+  JOIN idf ON idf.tok = tf.tok
+  GROUP BY 1, 2
+),
+topexp AS (
+  SELECT query_id, tok FROM (
+    SELECT query_id, tok,
+           row_number() OVER (PARTITION BY query_id ORDER BY w DESC, tok) AS rn
+    FROM cand) WHERE rn <= 10
+),
+expq AS (
+  SELECT query_id, tok, 1.0 AS wq FROM q
+  UNION ALL
+  SELECT t.query_id, t.tok, 0.5 AS wq
+  FROM topexp t
+  WHERE NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = t.query_id AND q.tok = t.tok)
+),
+rescored AS (
+  SELECT e.query_id, tf.doc_id AS result_id,
+         round(sum(e.wq * idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dlen
+                                            / (SELECT avgdl FROM stats)))), 6)
+           AS rm3_score
+  FROM expq e
+  JOIN tf ON tf.tok = e.tok
+  JOIN idf ON idf.tok = e.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE tf.doc_id <> e.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, result_id, rm3_score, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rm3_score DESC, result_id) AS rn
+      FROM rescored)
+WHERE rn <= 5
+"""
+)
+
+
+@register("search_rm3_expansion", _SQL_RM3)
+def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback (Lavrenko/Croft relevance
+    models, the classic two-stage lexical retriever): BM25 retrieves 5
+    feedback docs per query, the 10 heaviest feedback terms (by summed
+    tf*idf, rounded-6 + token tie-break) expand the query at half the
+    original terms' weight, and the expanded query rescores with the
+    SAME BM25 saturation. Shares the inverted-index/tf/idf/dl subtree
+    with search_bm25_topk and search_hybrid_rrf (one CTE prefix on the
+    oracle side, one postings build here), so the second stage costs one
+    extra postings equi-join, never a corpus rescan. Both stages are
+    inverted-index joins — only docs sharing a term are scored; no
+    broadcast hints (idf/dl scale with corpus; AQE decides). Float sums
+    follow the established round-6 contract; every rank cut carries a
+    deterministic tie key."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
+    )
+    q = tf.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+
+    def bm25_scores(qterms: DataFrame, score_name: str) -> DataFrame:
+        wq = F.col("wq") if "wq" in qterms.columns else F.lit(1.0)
+        return (
+            qterms.join(tf, "tok")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .join(idf, "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", F.col("doc_id").alias("result_id"))
+            .agg(
+                F.round(
+                    F.sum(
+                        wq
+                        * F.col("idf")
+                        * (F.col("tf") * (_BM25_K1 + 1.0))
+                        / (
+                            F.col("tf")
+                            + _BM25_K1
+                            * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+                        )
+                    ),
+                    6,
+                ).alias(score_name)
+            )
+        )
+
+    wtop = Window.partitionBy("query_id")
+    fb = (
+        bm25_scores(q, "bm25")
+        .withColumn(
+            "rn",
+            F.row_number().over(wtop.orderBy(F.col("bm25").desc(), "result_id")),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "result_id")
+    )
+    cand = (
+        fb.join(tf, fb["result_id"] == tf["doc_id"])
+        .join(idf, "tok")
+        .groupBy("query_id", "tok")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("w"))
+    )
+    topexp = (
+        cand.withColumn(
+            "rn", F.row_number().over(wtop.orderBy(F.col("w").desc(), "tok"))
+        )
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "tok")
+    )
+    expq = q.select("query_id", "tok", F.lit(1.0).alias("wq")).unionByName(
+        topexp.join(q, ["query_id", "tok"], "left_anti").select(
+            "query_id", "tok", F.lit(0.5).alias("wq")
+        )
+    )
+    return (
+        bm25_scores(expq, "rm3_score")
+        .withColumn(
+            "rn",
+            F.row_number().over(wtop.orderBy(F.col("rm3_score").desc(), "result_id")),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "result_id", "rm3_score", F.col("rn").cast("long").alias("rank"))
     )

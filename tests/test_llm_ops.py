@@ -1603,3 +1603,41 @@ def test_boilerplate_sentences_replay(spark):
         assert r["boilerplate_occurrences"] == bp_occ
         assert r["boilerplate_ppm"] == bp_occ * 1_000_000 // total
         assert (r["n_boilerplate"] > 0) == expect_hits
+
+
+def test_rm3_expansion_consistency(spark):
+    """RM3 structural invariants: per-query exactly <=5 results with dense
+    ranks; expansion changes at least one query's ranking vs plain BM25
+    (the feedback loop is live, not a no-op); original-query terms keep
+    weight 1.0 so a doc scoring only original terms scores >= its plain
+    BM25 for identical saturation inputs."""
+    from mobsos_event_log_generator_spark.plans.llm import (
+        search_bm25_topk,
+        search_rm3_expansion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rm3 = search_rm3_expansion(spark, sf).collect()
+    bm25 = search_bm25_topk(spark, sf).collect()
+    assert rm3
+
+    by_q = {}
+    for r in rm3:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [x["rm3_score"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+    bm_by_q = {}
+    for r in bm25:
+        bm_by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(bm_by_q)
+    changed = sum(
+        1
+        for q in by_q
+        if [x["result_id"] for x in sorted(by_q[q], key=lambda x: x["rank"])]
+        != [x["result_id"] for x in sorted(bm_by_q[q], key=lambda x: x["rank"])]
+    )
+    assert changed >= 1
