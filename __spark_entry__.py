@@ -136,6 +136,7 @@ _BUDGET_LAST = (
     "events_chisq_independence",
     "corpus_boilerplate_sentences",
     "search_rm3_expansion",
+    "embedding_dim_correlation",
 )
 
 

@@ -5971,3 +5971,122 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "result_id", "rm3_score", F.col("rn").cast("long").alias("rank"))
     )
+
+
+@register(
+    "embedding_dim_correlation",
+    """
+WITH e AS (
+  SELECT vec_id, r.j,
+         CAST(CAST(embedding[r.j] AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) r(j)
+),
+pair_s AS (
+  SELECT a.j AS j, b.j AS k, CAST(sum(a.u * b.u) AS HUGEINT) AS s
+  FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.j >= a.j
+  GROUP BY 1, 2
+),
+dims AS (
+  SELECT j, CAST(sum(u) AS HUGEINT) AS sj, CAST(count(*) AS HUGEINT) AS n
+  FROM e GROUP BY 1
+),
+diag AS (SELECT j, s AS sjj FROM pair_s WHERE j = k),
+c AS (
+  SELECT p.j, p.k,
+         dj.n * p.s - dj.sj * dk.sj AS num,
+         dj.n * djj.sjj - dj.sj * dj.sj AS den_j,
+         dk.n * dkk.sjj - dk.sj * dk.sj AS den_k
+  FROM pair_s p
+  JOIN dims dj ON dj.j = p.j
+  JOIN dims dk ON dk.j = p.k
+  JOIN diag djj ON djj.j = p.j
+  JOIN diag dkk ON dkk.j = p.k
+  WHERE p.j < p.k
+)
+SELECT CAST(j AS BIGINT) AS dim_j, CAST(k AS BIGINT) AS dim_k,
+       CAST(((num * 1000) // den_j) * ((num * 1000) // den_k) AS BIGINT)
+         AS corr2_ppm,
+       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS corr_sign
+FROM c
+ORDER BY corr2_ppm DESC, dim_j, dim_k
+LIMIT 10
+""",
+)
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension-redundancy audit (the PCA-precursor next to the
+    Matryoshka truncation audit): the 10 most correlated dimension pairs
+    of the 64-dim corpus, scored by squared Pearson correlation in ppm.
+    Everything is integer-exact until the last step: values quantize to
+    6-dp micro units per row, co-moments num = n*S_jk - S_j*S_k and
+    variances den = n*S_jj - S_j^2 are exact decimal(38,0), and corr^2 is
+    the deterministic two-step truncating-div product
+    ((num*1000) div den_j) * ((num*1000) div den_k) -- both engines
+    truncate identically (the div/// note in ENGINEERING_NOTES), so the
+    ~0.1% quantization is bit-reproducible, never float-drifted. Scale
+    shape: one posexplode (constant factor dim) + a per-vector self-join
+    (constant dim^2/2 = 2080 pairs/vector -- linear in the corpus) into a
+    2080-row aggregate; the 64-row dim tables broadcast. At very large
+    corpora swap the pair explode for a mapInPandas Gram partial-sum
+    (the Arrow BLAS path) feeding the same 2080-row algebra."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).alias("j"),
+        (F.col("v").cast("decimal(18,6)") * 1_000_000).cast("decimal(38,0)").alias("u"),
+    )
+    a = e.select("vec_id", F.col("j").alias("aj"), F.col("u").alias("au"))
+    b = e.select("vec_id", F.col("j").alias("bj"), F.col("u").alias("bu"))
+    pair_s = (
+        a.join(b, "vec_id")
+        .filter(F.col("bj") >= F.col("aj"))
+        .groupBy(F.col("aj").alias("j"), F.col("bj").alias("k"))
+        .agg(F.sum(F.col("au") * F.col("bu")).cast("decimal(38,0)").alias("s"))
+    )
+    dims = e.groupBy("j").agg(
+        F.sum("u").cast("decimal(38,0)").alias("sj"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    diag = pair_s.filter(F.col("j") == F.col("k")).select("j", F.col("s").alias("sjj"))
+    dimstats = dims.join(diag, "j")
+    dj = dimstats.select(
+        F.col("j").alias("dim_j"), F.col("sj").alias("sj_j"),
+        F.col("n").alias("n"), F.col("sjj").alias("den_raw_j"),
+    )
+    dk = dimstats.select(
+        F.col("j").alias("dim_k"), F.col("sj").alias("sj_k"),
+        F.col("sjj").alias("den_raw_k"),
+    )
+    c = (
+        pair_s.filter(F.col("j") < F.col("k"))
+        .select(F.col("j").alias("dim_j"), F.col("k").alias("dim_k"), "s")
+        .join(F.broadcast(dj), "dim_j")
+        .join(F.broadcast(dk), "dim_k")
+        .select(
+            "dim_j",
+            "dim_k",
+            (F.col("n") * F.col("s") - F.col("sj_j") * F.col("sj_k")).alias("num"),
+            (F.col("n") * F.col("den_raw_j") - F.col("sj_j") * F.col("sj_j")).alias("den_j"),
+            (F.col("n") * F.col("den_raw_k") - F.col("sj_k") * F.col("sj_k")).alias("den_k"),
+        )
+    )
+    return (
+        c.select(
+            F.col("dim_j").cast("long").alias("dim_j"),
+            F.col("dim_k").cast("long").alias("dim_k"),
+            (
+                F.expr("(num * 1000) div den_j") * F.expr("(num * 1000) div den_k")
+            )
+            .cast("long")
+            .alias("corr2_ppm"),
+            F.when(F.col("num") > 0, 1)
+            .when(F.col("num") < 0, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("corr_sign"),
+        )
+        .orderBy(F.col("corr2_ppm").desc(), "dim_j", "dim_k")
+        .limit(10)
+    )

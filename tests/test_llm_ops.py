@@ -1641,3 +1641,38 @@ def test_rm3_expansion_consistency(spark):
         != [x["result_id"] for x in sorted(bm_by_q[q], key=lambda x: x["rank"])]
     )
     assert changed >= 1
+
+
+def test_dim_correlation_matches_numpy(spark):
+    """Top correlated dimension pairs match a numpy replay of the quantized
+    integer pipeline; corr2_ppm tracks the true squared Pearson r within
+    the documented two-floor quantization error."""
+    import numpy as np
+
+    from mobsos_event_log_generator_spark.plans.llm import embedding_dim_correlation
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = embedding_dim_correlation(spark, sf).collect()
+    assert len(rows) == 10
+
+    emb = load_table(spark, sf, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    U = np.array([[int(__import__("decimal").Decimal(f"{v:.6f}") * 1_000_000) for v in row] for row in X], dtype=object)
+    n = len(U)
+    S = U.sum(axis=0)
+    got_pairs = {(r["dim_j"], r["dim_k"]): r for r in rows}
+    for (j, k), r in got_pairs.items():
+        uj, uk = U[:, j - 1], U[:, k - 1]
+        num = n * int((uj * uk).sum()) - int(S[j - 1]) * int(S[k - 1])
+        dj = n * int((uj * uj).sum()) - int(S[j - 1]) ** 2
+        dk = n * int((uk * uk).sum()) - int(S[k - 1]) ** 2
+
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        assert r["corr2_ppm"] == tdiv(num * 1000, dj) * tdiv(num * 1000, dk)
+        assert r["corr_sign"] == (1 if num > 0 else -1 if num < 0 else 0)
+        true_r2 = (num * num) / (dj * dk)
+        assert abs(r["corr2_ppm"] / 1e6 - true_r2) < 3e-3

@@ -465,6 +465,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/llm.py", "t"): (1, "1-row bigram total"),
     ("plans/llm.py", "v"): (1, "1-row vocab size"),
     ("plans/llm.py", "stats"): (4, "1-row (n_docs, avgdl)"),
+    ("plans/llm.py", "dj"): (1, "64-row dimension stats (dim-bounded)"),
+    ("plans/llm.py", "dk"): (1, "64-row dimension stats (dim-bounded)"),
     ("plans/llm.py", "cov"): (2, "1-row coverage / covered-pair scalars"),
     ("plans/llm.py", "span"): (1, "1-row span bounds"),
     ("plans/llm.py", "n"): (1, "1-row doc count"),
