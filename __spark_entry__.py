@@ -137,6 +137,7 @@ _BUDGET_LAST = (
     "corpus_boilerplate_sentences",
     "search_rm3_expansion",
     "embedding_dim_correlation",
+    "parts_cooccur_ktruss",
 )
 
 

@@ -435,3 +435,58 @@ def k_core(
         f"k_core did not reach a fixpoint in {max_rounds} rounds — "
         "pathological peeling depth; raise max_rounds"
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-truss: the maximal subgraph where every edge closes ≥ k-2
+    triangles — a strictly denser backbone than the k-core (every k-truss
+    is inside the (k-1)-core), the standard cohesive-subgraph extractor
+    for community cores.
+
+    Input: undirected unique edges (src < dst). Output: (src, dst,
+    support) for every surviving edge, with its triangle support INSIDE
+    the truss.
+
+    Algorithm: iterative support peeling — count per-edge triangle
+    support via the two-hop join (edge (a,b) matched with wedges a-w,
+    b-w), drop edges with support < k-2, repeat to the fixpoint. Each
+    round costs O(Σ deg²) join rows (the wedge fan-out; degree-cap hub
+    middles at extreme skew); lineage is truncated per round
+    (localCheckpoint) so the plan stays flat. Rounds = peeling depth
+    (2 at the fixtures); the budget raises rather than returning a
+    non-fixpoint."""
+    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        sym = cur.select(F.col("a").alias("s1"), F.col("b").alias("w")).unionAll(
+            cur.select(F.col("b").alias("s1"), F.col("a").alias("w"))
+        )
+        sup = (
+            cur.join(sym.select(F.col("s1").alias("a"), "w"), "a")
+            .join(sym.select(F.col("s1").alias("b"), "w"), ["b", "w"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        nxt = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("a", "b", "support")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            return nxt.select(
+                F.col("a").alias(src),
+                F.col("b").alias(dst),
+                F.col("support").cast("long").alias("support"),
+            )
+        cur = nxt.select("a", "b").localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"k_truss did not reach a fixpoint in {max_rounds} rounds — "
+        "pathological peeling depth; raise max_rounds"
+    )

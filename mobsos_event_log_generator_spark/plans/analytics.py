@@ -4226,3 +4226,77 @@ def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chisq_micro"),
     )
+
+
+_KTRUSS_K = 3
+_KTRUSS_STAGES = 5  # fixpoint depth is 2 at every fixture SF; extras are idempotent
+
+
+def _ktruss_oracle_sql(k: int, stages: int) -> str:
+    """Unrolled support-peeling replay (the k-core/pagerank MATERIALIZED-CTE
+    technique): each stage recounts per-edge triangle support via the
+    two-hop wedge join and drops edges below k-2."""
+    parts = [
+        """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t0 AS MATERIALIZED (
+  SELECT a.l_partkey AS s, c.l_partkey AS d
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)"""
+    ]
+    for i in range(1, stages + 1):
+        parts.append(
+            f""",
+sym{i} AS MATERIALIZED (
+  SELECT s AS s1, d AS w FROM t{i - 1} UNION ALL SELECT d, s FROM t{i - 1}
+),
+sup{i} AS MATERIALIZED (
+  SELECT e.s, e.d, count(*) AS support
+  FROM t{i - 1} e
+  JOIN sym{i} x ON x.s1 = e.s
+  JOIN sym{i} y ON y.s1 = e.d AND y.w = x.w
+  GROUP BY 1, 2
+),
+t{i} AS MATERIALIZED (
+  SELECT s, d FROM sup{i} WHERE support >= {k - 2}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT s AS part_a, d AS part_b, CAST(support AS BIGINT) AS support
+FROM sup{stages} WHERE support >= {k - 2}"""
+    )
+    return "".join(parts)
+
+
+@register("parts_cooccur_ktruss", _ktruss_oracle_sql(_KTRUSS_K, _KTRUSS_STAGES))
+def parts_cooccur_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-truss of the part co-occurrence graph: edges closing >= 1
+    triangle after iterated support peeling -- a strictly denser backbone
+    than the k-core (every k-truss sits inside the (k-1)-core), the
+    standard community-core extractor next to the triangle/k-core/LP
+    family. The operator peels to the TRUE fixpoint with a per-round
+    convergence check (operators/graph.py::k_truss -- peel depth 2 at
+    every fixture SF, each round one wedge join bounded by sum(deg^2));
+    the oracle unrolls 5 peel stages, safely past the fixpoint since
+    further stages are idempotent (the k-core 16-stage technique).
+    Returns each surviving edge with its in-truss triangle support."""
+    from mobsos_event_log_generator_spark.operators.graph import k_truss
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("s"))
+    c = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("d"))
+    edges = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("s") < F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("s", "d")
+    )
+    return k_truss(edges, _KTRUSS_K, "s", "d").select(
+        F.col("s").alias("part_a"), F.col("d").alias("part_b"), "support"
+    )

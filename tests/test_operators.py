@@ -823,3 +823,23 @@ def test_chisq_independence_matches_python_replay(spark):
     assert r["n_cells"] == len(rows) * len(cols)
     assert r["dof"] == (len(rows) - 1) * (len(cols) - 1)
     assert r["chisq_micro"] == chisq
+
+
+def test_k_truss_known_graph(spark):
+    """K4 plus a pendant triangle sharing one edge: the 4-truss keeps only
+    K4 (each K4 edge closes 2 triangles in K4; the pendant's edges close
+    1); the 3-truss keeps everything except the bridge; supports are the
+    in-truss triangle counts."""
+    from mobsos_event_log_generator_spark.operators.graph import k_truss
+
+    # K4 on 1-4; triangle (3,4,5) glued on edge (3,4); bridge 5-6.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5), (5, 6)],
+        "src int, dst int",
+    )
+    t4 = {(r["src"], r["dst"]): r["support"] for r in k_truss(edges, 4).collect()}
+    assert t4 == {(1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2}
+    t3 = {(r["src"], r["dst"]): r["support"] for r in k_truss(edges, 3).collect()}
+    assert set(t3) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
+    assert t3[(3, 4)] == 3  # two K4 triangles + the glued one
+    assert t3[(3, 5)] == 1 and t3[(4, 5)] == 1
