@@ -138,6 +138,7 @@ _BUDGET_LAST = (
     "search_rm3_expansion",
     "embedding_dim_correlation",
     "parts_cooccur_ktruss",
+    "events_spearman_type_pairs",
 )
 
 

@@ -4300,3 +4300,143 @@ def parts_cooccur_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(edges, _KTRUSS_K, "s", "d").select(
         F.col("s").alias("part_a"), F.col("d").alias("part_b"), "support"
     )
+
+
+@register(
+    "events_spearman_type_pairs",
+    """
+WITH bnd AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+spine AS (
+  SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bnd b
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT t.event_type, s.d, COALESCE(dl.x, 0) AS x
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN spine s
+  LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.d = s.d
+),
+h AS (
+  SELECT event_type, x, count(*) AS c FROM series GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, x,
+         2 * (sum(c) OVER (PARTITION BY event_type ORDER BY x) - c) + c + 1 AS dr
+  FROM h
+),
+r AS (
+  SELECT s.event_type, s.d, CAST(rk.dr AS HUGEINT) AS dr
+  FROM series s JOIN rk ON rk.event_type = s.event_type AND rk.x = s.x
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(dr) AS HUGEINT) AS sd,
+         CAST(sum(dr * dr) AS HUGEINT) AS sdd
+  FROM r GROUP BY 1
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(a.dr * b.dr) AS HUGEINT) AS sab
+  FROM r a JOIN r b ON b.d = a.d AND b.event_type > a.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(ga.n AS BIGINT) AS n_days,
+       CAST(((ga.n * sab - ga.sd * gb.sd) * 1000 // (ga.n * ga.sdd - ga.sd * ga.sd))
+            * ((ga.n * sab - ga.sd * gb.sd) * 1000 // (gb.n * gb.sdd - gb.sd * gb.sd))
+         AS BIGINT) AS rho2_ppm,
+       CAST(CASE WHEN ga.n * sab - ga.sd * gb.sd > 0 THEN 1
+                 WHEN ga.n * sab - ga.sd * gb.sd < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS rho_sign
+FROM p
+JOIN g ga ON ga.event_type = type_a
+JOIN g gb ON gb.event_type = type_b
+""",
+)
+def events_spearman_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation between the zero-filled daily
+    volume series of every event-type pair -- the monotone-association
+    complement to the Pearson-based type correlation (robust to the
+    heavy-tailed day counts that bend a linear fit). Ties get average
+    ranks via the DOUBLED-rank trick (2*cum_smaller + t + 1, the
+    mannwhitney_u machinery), so rank sums stay exact integers; rho is
+    Pearson on doubled ranks with num/den as N-scaled decimal(38,0)
+    integers, reported as the deterministic two-step truncating-div
+    rho2_ppm + sign (the dim-correlation convention). Scale shape: one
+    map-side scan to (type, day) counts; ranks come from the per-type
+    value histogram (bounded) + one partitioned running sum -- never a
+    per-day global sort; the pair join runs on the types x days grid."""
+    ev = load_table(spark, sf_dir, "events")
+    bnd = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bnd.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    series = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    h = series.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rk = h.select(
+        "event_type",
+        "x",
+        (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias("dr"),
+    )
+    r = series.join(rk, ["event_type", "x"]).select(
+        "event_type", "d", F.col("dr").cast("decimal(38,0)").alias("dr")
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("dr").cast("decimal(38,0)").alias("sd"),
+        F.sum(F.col("dr") * F.col("dr")).cast("decimal(38,0)").alias("sdd"),
+    )
+    a = r.select(F.col("event_type").alias("type_a"), "d", F.col("dr").alias("dra"))
+    b = r.select(F.col("event_type").alias("type_b"), "d", F.col("dr").alias("drb"))
+    p = (
+        a.join(b, "d")
+        .filter(F.col("type_b") > F.col("type_a"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("dra") * F.col("drb")).cast("decimal(38,0)").alias("sab"))
+    )
+    ga = g.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na"),
+        F.col("sd").alias("sda"), F.col("sdd").alias("sdda"),
+    )
+    gb = g.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb"),
+        F.col("sd").alias("sdb"), F.col("sdd").alias("sddb"),
+    )
+    out = (
+        p.join(F.broadcast(ga), "type_a")
+        .join(F.broadcast(gb), "type_b")
+        .withColumn("num", F.col("na") * F.col("sab") - F.col("sda") * F.col("sdb"))
+        .withColumn("dena", F.col("na") * F.col("sdda") - F.col("sda") * F.col("sda"))
+        .withColumn("denb", F.col("nb") * F.col("sddb") - F.col("sdb") * F.col("sdb"))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("long").alias("n_days"),
+        (F.expr("(num * 1000) div dena") * F.expr("(num * 1000) div denb"))
+        .cast("long")
+        .alias("rho2_ppm"),
+        F.when(F.col("num") > 0, 1)
+        .when(F.col("num") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rho_sign"),
+    )

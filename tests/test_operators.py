@@ -843,3 +843,57 @@ def test_k_truss_known_graph(spark):
     assert set(t3) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
     assert t3[(3, 4)] == 3  # two K4 triangles + the glued one
     assert t3[(3, 5)] == 1 and t3[(4, 5)] == 1
+
+
+def test_spearman_matches_scipy_style_replay(spark):
+    """rho2_ppm/rho_sign match a pure-Python average-rank Spearman replay
+    over the zero-filled per-type daily series (doubled ranks, two-step
+    truncating division)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.plans.analytics import events_spearman_type_pairs
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r["type_a"], r["type_b"]): r for r in events_spearman_type_pairs(spark, sf).collect()}
+    assert rows
+
+    ev = load_table(spark, sf, "events")
+    daily = {}
+    for r in ev.groupBy("event_type", F.to_date("ts").alias("d")).count().collect():
+        daily.setdefault(r["event_type"], {})[r["d"]] = r["count"]
+    days = [d for per in daily.values() for d in per]
+    lo, hi = min(days), max(days)
+    n = (hi - lo).days + 1
+    grid = [lo + datetime.timedelta(days=i) for i in range(n)]
+
+    def doubled_ranks(xs):
+        order = sorted(xs)
+        first = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i)
+        cnt = {}
+        for v in order:
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] + 1 for v in xs]
+
+    dr = {et: doubled_ranks([per.get(d, 0) for d in grid]) for et, per in daily.items()}
+    types = sorted(dr)
+    expected_pairs = {(a, b) for i, a in enumerate(types) for b in types[i + 1:]}
+    assert set(rows) == expected_pairs
+    for (ta, tb), r in rows.items():
+        ra, rb = dr[ta], dr[tb]
+        sab = sum(x * y for x, y in zip(ra, rb))
+        sa, sb = sum(ra), sum(rb)
+        num = n * sab - sa * sb
+        dena = n * sum(x * x for x in ra) - sa * sa
+        denb = n * sum(x * x for x in rb) - sb * sb
+        assert r["n_days"] == n
+        assert r["rho2_ppm"] == tdiv(num * 1000, dena) * tdiv(num * 1000, denb)
+        assert r["rho_sign"] == (1 if num > 0 else -1 if num < 0 else 0)

@@ -486,7 +486,9 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "bnd"): (1, "1-row (lo, hi) timestamp bounds"),
     ("plans/analytics.py", "lags"): (1, "4-row literal lag dim (autocorrelation)"),
     ("plans/analytics.py", "g"): (1, "1-row (N, S, Q) day-series stats"),
-    ("plans/analytics.py", "spine"): (1, "calendar-bounded day spine"),
+    ("plans/analytics.py", "spine"): (2, "calendar-bounded day spine"),
+    ("plans/analytics.py", "ga"): (1, "per-type rank stats (alphabet-bounded)"),
+    ("plans/analytics.py", "gb"): (1, "per-type rank stats (alphabet-bounded)"),
     ("plans/analytics.py", "alpha"): (1, "sensitive-alphabet dim (acctbal buckets)"),
     ("plans/analytics.py", "nn_tot"): (2, "1-row grand total"),
     ("plans/analytics.py", "ct"): (1, "7-row day-of-week margin"),
