@@ -139,6 +139,7 @@ _BUDGET_LAST = (
     "embedding_dim_correlation",
     "parts_cooccur_ktruss",
     "events_spearman_type_pairs",
+    "lake_merge_timetravel_view",
 )
 
 

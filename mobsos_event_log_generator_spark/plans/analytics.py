@@ -4440,3 +4440,74 @@ def events_spearman_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho_sign"),
     )
+
+
+@register(
+    "lake_merge_timetravel_view",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+v1 AS (SELECT st, price FROM base WHERE k % 4 IN (0, 1, 2)),
+v3 AS (
+  SELECT st,
+         CASE WHEN k % 4 IN (2, 3) THEN price + 10.00 ELSE price END AS price
+  FROM base
+  WHERE k % 4 IN (0, 1, 2, 3) AND k % 100 <> 7
+)
+SELECT CAST(1 AS BIGINT) AS version, st AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(price) AS DOUBLE), 2) AS total_price
+FROM v1 GROUP BY 2
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS version, st, CAST(count(*) AS BIGINT),
+       round(CAST(sum(price) AS DOUBLE), 2)
+FROM v3 GROUP BY 2
+""",
+)
+def lake_merge_timetravel_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate over the snapshot table format's WRITE path: land a
+    base version (keys k%4 in 0-2), copy-on-write MERGE an upsert batch
+    (k%4==2 rows repriced +10.00, k%4==3 rows inserted), row-level DELETE
+    k%100==7 (the GDPR primitive), then read BOTH the live table (v3) and
+    the time-travel view (v1) and aggregate each per status. The oracle
+    recomputes both versions' content as pure SQL over orders, so a merge
+    that drops a carried-over file, a delete that misses a footer-pruned
+    file, or a time-travel read that leaks post-v1 rows all break the
+    hash. Prices ride DECIMAL(18,2) (exact under rewrite); file pruning
+    and conflict protection themselves are unit-gated in
+    tests/test_snapshots.py -- this query gates the semantics the stack
+    composes to."""
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_delete_keys,
+        snapshot_merge,
+    )
+    from mobsos_event_log_generator_spark.workdirs import scratch_dir
+
+    root = scratch_dir("mergetv_")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    snapshot_append(base.filter(F.col("k") % 4 <= 2), root)  # v1
+    upserts = base.filter(F.col("k") % 4 >= 2).withColumn(
+        "price", F.col("price") + F.lit(10.00).cast("decimal(18,2)")
+    )
+    snapshot_merge(spark, upserts, root, "k")  # v2
+    doomed = base.filter(F.col("k") % 100 == 7).select("k")
+    snapshot_delete_keys(spark, doomed, root, "k")  # v3
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy(F.col("st").alias("status")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+        ).select(F.lit(version).cast("long").alias("version"), "*")
+
+    live = agg(read_snapshot(spark, root), 3)
+    travel = agg(read_snapshot(spark, root, 1), 1)
+    return travel.unionByName(live)
