@@ -140,6 +140,9 @@ _BUDGET_LAST = (
     "parts_cooccur_ktruss",
     "events_spearman_type_pairs",
     "lake_merge_timetravel_view",
+    "referential_integrity_audit",
+    "basket_association_rules",
+    "events_markov_stationary",
 )
 
 

@@ -219,6 +219,80 @@ def pagerank_fixed_point(
     return ranks
 
 
+def markov_stationary_fixed_point(
+    trans: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+) -> DataFrame:
+    """Stationary distribution of a WEIGHTED Markov chain (power iteration
+    pi' = pi.P over the row-stochastic transition matrix), in FIXED-POINT
+    integer arithmetic so every iteration is bit-identical on any engine —
+    the weighted sibling of ``pagerank_fixed_point``:
+
+        pi_0(v)   = scale div N
+        pi_t+1(v) = Σ_{u→v} (pi_t(u) * n_uv) div rowtot(u)
+                  + dangling_mass_t div N
+
+    with every division INTEGER (``div``/``//``), integer sums associative
+    (shuffle order can never change a bit), and mass from DANGLING states
+    (no outgoing transitions) redistributed uniformly so total probability
+    cannot leak across iterations. Fixed-iteration semantics, not the
+    normalized limit.
+
+    Per iteration: one equi-join of the pi table on src + one groupBy(dst)
+    sum — the same canonical shuffle shape as distributed PageRank — plus a
+    1-row dangling aggregate (broadcast). Lineage is truncated per round via
+    localCheckpoint. int64 headroom: the per-edge product pi*n needs
+    scale * max_row_count < 2^63, i.e. counts up to ~9·10^6 at the default
+    scale 10^12 — for 100 TB transition counts drop scale to 10^9 or widen
+    the product to decimal(38,0). Returns (state, pi_fp) in units of
+    1/scale."""
+    t = trans.select(
+        F.col(src).alias("t_src"), F.col(dst).alias("t_dst"), F.col(weight).alias("t_n")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        t.select(F.col("t_src").alias("state"))
+        .union(t.select(F.col("t_dst").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded driver scalar: one long
+    if n == 0:
+        return nodes.withColumn("pi_fp", F.lit(0).cast("long"))
+    rowtot = t.groupBy("t_src").agg(F.sum("t_n").alias("tot"))
+    pi = nodes.withColumn("pi_fp", F.lit(scale // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            t.join(rowtot, "t_src")
+            .join(pi, F.col("t_src") == F.col("state"))
+            .select(
+                F.col("t_dst").alias("c_state"),
+                F.expr("(pi_fp * t_n) div tot").alias("c"),
+            )
+            .groupBy("c_state")
+            .agg(F.sum("c").alias("s"))
+        )
+        dang = (
+            pi.join(rowtot, pi["state"] == rowtot["t_src"], "left_anti")
+            .agg(F.coalesce(F.sum("pi_fp"), F.lit(0)).cast("long").alias("d"))
+        )
+        pi = (
+            nodes.join(contrib, nodes["state"] == contrib["c_state"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "state",
+                (F.coalesce(F.col("s"), F.lit(0)) + F.expr(f"d div {n}L"))
+                .cast("long")
+                .alias("pi_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi
+
+
 def resolve_hierarchy(
     nodes: DataFrame,
     id_col: str = "id",

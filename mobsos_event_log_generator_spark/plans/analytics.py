@@ -4511,3 +4511,210 @@ def lake_merge_timetravel_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = agg(read_snapshot(spark, root), 3)
     travel = agg(read_snapshot(spark, root, 1), 1)
     return travel.unionByName(live)
+
+
+@register(
+    "referential_integrity_audit",
+    """
+SELECT 'orders.o_custkey -> customer' AS relationship,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit (the dbt-test / constraint-
+    validation class): per declared FK relationship, the child row count
+    and the number of orphaned children (left ANTI join -- the broadcast-
+    able probe side is the PARENT key set, so each check is one scan of
+    the child plus a key-only join; AQE picks broadcast when the parent's
+    distinct keys fit). Zero orphans is the expected healthy answer on
+    the TPC-H fixtures; the child counts keep the row value-bearing. At
+    100 TB run the checks off the snapshot manifests' newest files only
+    (incremental audit) -- the full-scan form here is the baseline."""
+    checks = [
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for label, child, ck, parent, pk in checks:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias(ck)).distinct()
+        row = c.select(F.lit(1).alias("one"), ck).agg(
+            F.count(F.lit(1)).cast("long").alias("n_child")
+        ).crossJoin(
+            c.select(ck).join(p, ck, "left_anti").agg(
+                F.count(F.lit(1)).cast("long").alias("n_orphans")
+            )
+        ).select(F.lit(label).alias("relationship"), "n_child", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "basket_association_rules",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+norder AS (SELECT count(DISTINCT l_orderkey) AS t FROM b),
+psup AS (SELECT l_partkey, count(*) AS np FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS ante, c.l_partkey AS cons, count(*) AS n_both
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey <> c.l_partkey
+  GROUP BY 1, 2
+)
+SELECT ante, cons, CAST(n_both AS BIGINT) AS n_both,
+       CAST((n_both * 1000000) // s1.np AS BIGINT) AS confidence_ppm,
+       CAST((n_both * t * 1000000) // (s1.np * s2.np) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN psup s1 ON s1.l_partkey = ante
+JOIN psup s2 ON s2.l_partkey = cons
+CROSS JOIN norder
+WHERE n_both >= 2 AND (n_both * 1000000) // s1.np >= 500000
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED association rules over order baskets (the Apriori / FP-
+    growth output surface at the pair level): for each ordered part pair
+    (antecedent -> consequent) with joint support >= 2 and confidence
+    >= 50%, emit support, confidence and lift in EXACT integer ppm
+    (truncating div, the lift_ppm convention from basket_part_pairs) so
+    no float ratio enters the gate. The pair generation keys the self-
+    join on the order id, so per-order work is quadratic only in basket
+    size (bounded ~7 by the data model) and the total stays linear in
+    lineitem; the per-part support dim and the 1-row order count join
+    AFTER the >=2 support filter has shrunk the pair set. The confidence
+    threshold is applied on the exact integer form, mirroring classic
+    min-confidence pruning. Reference analog: none (beyond-reference
+    training-data/analytics op; SURVEY.md LLM-pipeline family)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    norder = li.agg(F.countDistinct("l_orderkey").alias("t"))
+    psup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("np"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("ante"))
+    c = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    return (
+        pairs.join(psup.select(F.col("l_partkey").alias("ante"), F.col("np").alias("np1")), "ante")
+        .join(psup.select(F.col("l_partkey").alias("cons"), F.col("np").alias("np2")), "cons")
+        .crossJoin(F.broadcast(norder))
+        .filter(F.expr("(n_both * 1000000L) div np1") >= 500000)
+        .select(
+            "ante",
+            "cons",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr("(n_both * 1000000L) div np1").cast("long").alias("confidence_ppm"),
+            F.expr("(n_both * t * 1000000L) div (np1 * np2)").cast("long").alias("lift_ppm"),
+        )
+    )
+
+
+_MARKOV_SCALE = 10**12
+_MARKOV_ITERS = 3
+
+
+def _markov_iter_cte(k: int) -> str:
+    prev = f"mk{k - 1}" if k > 1 else "mk0"
+    return f"""
+mk{k} AS (
+  SELECT v.state,
+         COALESCE(s.s, 0)
+         + (SELECT COALESCE(sum(p.pi_fp), 0) FROM {prev} p
+            WHERE p.state NOT IN (SELECT t_src FROM rowtot))
+           // (SELECT n FROM nn) AS pi_fp
+  FROM nodes v LEFT JOIN (
+    SELECT t.dst AS state, sum((p.pi_fp * t.n) // r.tot) AS s
+    FROM trans t
+    JOIN {prev} p ON p.state = t.src
+    JOIN rowtot r ON r.t_src = t.src
+    GROUP BY t.dst
+  ) s ON v.state = s.state
+)"""
+
+
+_SQL_MARKOV_STATIONARY = (
+    f"""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+rowtot AS (SELECT src AS t_src, sum(n) AS tot FROM trans GROUP BY 1),
+nodes AS (SELECT src AS state FROM trans UNION SELECT dst FROM trans),
+nn AS (SELECT count(*) AS n FROM nodes),
+mk0 AS (
+  SELECT state, {_MARKOV_SCALE} // (SELECT n FROM nn) AS pi_fp FROM nodes
+),"""
+    + ",".join(_markov_iter_cte(k) for k in range(1, _MARKOV_ITERS + 1))
+    + f"""
+SELECT state AS event_type, CAST(pi_fp AS BIGINT) AS pi_fp
+FROM mk{_MARKOV_ITERS}
+"""
+)
+
+
+@register("events_markov_stationary", _SQL_MARKOV_STATIONARY)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run occupancy of the user behavioral Markov chain: transition
+    counts between consecutive event types per user (the events-table
+    sibling of the directly-follows graph) feed the generic
+    ``markov_stationary_fixed_point`` operator — 3 power iterations of
+    pi' = pi.P in fixed-point BIGINT (scale 10^12), weighted by the exact
+    transition counts and with dangling mass redistributed uniformly, so
+    every intermediate distribution is bit-identical across engines. The
+    oracle unrolls the identical iterations as CTEs (the pagerank/k-core
+    technique), proving the whole trajectory. Per iteration the shuffle
+    shape is one src equi-join + one groupBy(dst); the chain's state space
+    is the event-type alphabet (bounded), but the operator never assumes
+    that. Reference analog: none (beyond-reference analytics op)."""
+    from mobsos_event_log_generator_spark.operators.graph import markov_stationary_fixed_point
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pi = markov_stationary_fixed_point(
+        trans, iterations=_MARKOV_ITERS, scale=_MARKOV_SCALE
+    )
+    return pi.select(F.col("state").alias("event_type"), "pi_fp")

@@ -254,6 +254,40 @@ def test_pagerank_empty_edges(spark):
     assert pagerank_fixed_point(edges, iterations=2).count() == 0
 
 
+def test_markov_stationary_known_chain_and_dangling(spark):
+    from mobsos_event_log_generator_spark.operators.graph import markov_stationary_fixed_point
+
+    # a->b (3), a->c (1), b->a (2); c has NO outgoing row -> dangling state
+    trans = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 2)], "src string, dst string, n long"
+    )
+    out = {
+        r["state"]: r["pi_fp"]
+        for r in markov_stationary_fixed_point(trans, iterations=3).collect()
+    }
+    scale, n = 10**12, 3
+    rowtot = {"a": 4, "b": 2}
+    edges = {("a", "b"): 3, ("a", "c"): 1, ("b", "a"): 2}
+    pi = {v: scale // n for v in "abc"}
+    # replay the fixed-point recurrence exactly in python ints
+    for _ in range(3):
+        contrib = {v: 0 for v in "abc"}
+        for (s, d), w in edges.items():
+            contrib[d] += pi[s] * w // rowtot[s]
+        dang = sum(pi[v] for v in "abc" if v not in rowtot)
+        pi = {v: contrib[v] + dang // n for v in "abc"}
+    assert out == pi
+    # mass is conserved up to truncation: within n units of scale per round
+    assert scale - 3 * 3 * n <= sum(out.values()) <= scale
+
+
+def test_markov_stationary_empty(spark):
+    from mobsos_event_log_generator_spark.operators.graph import markov_stationary_fixed_point
+
+    trans = spark.createDataFrame([], "src string, dst string, n long")
+    assert markov_stationary_fixed_point(trans, iterations=2).count() == 0
+
+
 def test_resolve_hierarchy_chain_star_isolated(spark):
     from mobsos_event_log_generator_spark.operators.graph import resolve_hierarchy
 

@@ -450,7 +450,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "ref"): (1, "1-row reference date"),
     ("plans/analytics.py", "total"): (1, "1-row scalar"),
     ("plans/analytics.py", "b"): (2, "1-row bounds"),
-    ("plans/analytics.py", "norder"): (1, "1-row order count"),
+    ("plans/analytics.py", "norder"): (2, "1-row order count (basket pairs + association rules)"),
+    ("operators/graph.py", "dang"): (1, "1-row dangling-mass aggregate (markov stationary)"),
     ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
     ("plans/analytics.py", "types"): (1, "event-type alphabet"),
     ("plans/analytics.py", "n_ref_row"): (1, "1-row scalar"),
