@@ -143,6 +143,7 @@ _BUDGET_LAST = (
     "referential_integrity_audit",
     "basket_association_rules",
     "events_markov_stationary",
+    "parts_fuzzy_name_pairs",
 )
 
 

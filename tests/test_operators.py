@@ -281,6 +281,34 @@ def test_markov_stationary_known_chain_and_dangling(spark):
     assert scale - 3 * 3 * n <= sum(out.values()) <= scale
 
 
+def test_edit_distance_join_matches_bruteforce(spark):
+    from mobsos_event_log_generator_spark.operators.setjoin import edit_distance_join
+
+    # substitution, deletion, insertion, transposition (=2 subs), far pair
+    names = ["widget", "wadget", "widgt", "widgett", "wigdet", "sprocket", "a", "ab"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in edit_distance_join(df, key_col="name", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for a in names
+        for b in names
+        if a < b and lev(a, b) <= 2
+    }
+    assert got == want and len(want) >= 6
+
+
 def test_markov_stationary_empty(spark):
     from mobsos_event_log_generator_spark.operators.graph import markov_stationary_fixed_point
 
