@@ -144,6 +144,7 @@ _BUDGET_LAST = (
     "basket_association_rules",
     "events_markov_stationary",
     "parts_fuzzy_name_pairs",
+    "orders_nelson_aalen",
 )
 
 

@@ -4759,3 +4759,118 @@ def parts_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("long").alias("n_b"),
         )
     )
+
+
+@register(
+    "orders_nelson_aalen",
+    """
+WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+cut AS (SELECT max(l_shipdate) AS mx FROM lineitem),
+pts AS (
+  SELECT CASE WHEN f.first_ship IS NOT NULL
+              THEN date_diff('day', o.o_orderdate, f.first_ship)
+              ELSE greatest(0, date_diff('day', o.o_orderdate, (SELECT mx FROM cut))) END
+           AS duration_days,
+         (f.first_ship IS NOT NULL) AS is_event
+  FROM orders o LEFT JOIN f ON f.l_orderkey = o.o_orderkey
+),
+hist AS (
+  SELECT duration_days,
+         sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS c
+  FROM pts WHERE duration_days >= 0 GROUP BY 1
+),
+tot AS (SELECT sum(d + c) AS t FROM hist),
+risk AS (
+  SELECT duration_days, d, c,
+         (SELECT t FROM tot)
+           - sum(d + c) OVER (ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+           + d + c AS n_risk
+  FROM hist
+),
+haz AS (
+  SELECT duration_days, d, c, n_risk, (d * 1000000) // n_risk AS hazard_ppm FROM risk
+),
+cum AS (
+  SELECT duration_days, d, c, n_risk, hazard_ppm,
+         sum(hazard_ppm) OVER (ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+           AS cum_hazard_ppm
+  FROM haz
+)
+SELECT CAST(duration_days AS BIGINT) AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(cum_hazard_ppm AS BIGINT) AS cum_hazard_ppm
+FROM cum WHERE d > 0
+""",
+)
+def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis of order->first-shipment latency with RIGHT
+    CENSORING: orders that never shipped are censored at the study cutoff
+    (global max shipdate). The estimator is Nelson-Aalen cumulative hazard
+    H(t) = sum_{t_i <= t} d_i/n_i — chosen over Kaplan-Meier because it is
+    a SUM of per-step hazards, so the whole trajectory stays in exact
+    integer ppm (truncating div per step, associative integer running sum;
+    a KM product would force float products that drift across engines).
+    At-risk counts come from total − exclusive-prefix over the duration
+    HISTOGRAM (calendar-bounded rows), via the two-phase distributed
+    prefix sum (``operators/sweep.py``) — no global single-partition sort
+    ever touches row-scaled data. Negative synthetic durations are
+    excluded as data errors; censored durations clamp at 0. Rows = event
+    times only (d > 0). Reference analog: none (beyond-reference
+    reliability-analytics op)."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    cut = li.agg(F.max("l_shipdate").alias("mx"))
+    pts = (
+        o.join(f, o["o_orderkey"] == f["l_orderkey"], "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(
+                F.col("first_ship").isNotNull(),
+                F.datediff("first_ship", "o_orderdate"),
+            )
+            .otherwise(F.greatest(F.lit(0), F.datediff("mx", "o_orderdate")))
+            .cast("long")
+            .alias("duration_days"),
+            F.col("first_ship").isNotNull().alias("is_event"),
+        )
+        .filter(F.col("duration_days") >= 0)
+    )
+    hist = pts.groupBy("duration_days").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1)).alias("c"),
+    )
+    tot = hist.agg(F.sum(F.col("d") + F.col("c")).alias("t"))
+    risk = (
+        value_ordered_running_sum(
+            hist,
+            order_col="duration_days",
+            tie_cols=[],
+            value_col=F.col("d") + F.col("c"),
+            out_col="cum_le",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("t") - F.col("cum_le") + F.col("d") + F.col("c"))
+        .withColumn("hazard_ppm", F.expr("(d * 1000000L) div n_risk"))
+    )
+    cum = value_ordered_running_sum(
+        risk,
+        order_col="duration_days",
+        tie_cols=[],
+        value_col=F.col("hazard_ppm"),
+        out_col="cum_hazard_ppm",
+    )
+    return cum.filter(F.col("d") > 0).select(
+        F.col("duration_days").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.col("hazard_ppm").cast("long").alias("hazard_ppm"),
+        F.col("cum_hazard_ppm").cast("long").alias("cum_hazard_ppm"),
+    )

@@ -455,7 +455,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
     ("plans/analytics.py", "types"): (1, "event-type alphabet"),
     ("plans/analytics.py", "n_ref_row"): (1, "1-row scalar"),
-    ("plans/analytics.py", "tot"): (3, "1-row scalar (incl. PSI ref/cur totals x2)"),
+    ("plans/analytics.py", "tot"): (4, "1-row scalar (incl. PSI ref/cur totals x2, Nelson-Aalen total)"),
+    ("plans/analytics.py", "cut"): (1, "1-row study-cutoff max shipdate"),
     ("plans/analytics.py", "mx"): (1, "1-row max"),
     ("plans/analytics.py", "qs"): (1, "9-cut decile array (1 row)"),
     ("plans/llm.py", "model"): (1, "char-trigram counts (charset^3-bounded, not corpus-scaled)"),
