@@ -145,6 +145,7 @@ _BUDGET_LAST = (
     "events_markov_stationary",
     "parts_fuzzy_name_pairs",
     "orders_nelson_aalen",
+    "embedding_pca_power",
 )
 
 

@@ -6090,3 +6090,88 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("corr2_ppm").desc(), "dim_j", "dim_k")
         .limit(10)
     )
+
+
+_SQL_PCA_POWER = """
+WITH e AS (
+  SELECT vec_id, r.j,
+         CAST(floor(CAST(embedding[r.j] AS DOUBLE) * 1000000) AS HUGEINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) r(j)
+),
+dims AS (
+  SELECT j, CAST(sum(u) AS HUGEINT) AS sj, CAST(count(*) AS HUGEINT) AS n
+  FROM e GROUP BY 1
+),
+y AS (SELECT e.vec_id, e.j, d.n * e.u - d.sj AS y FROM e JOIN dims d ON d.j = e.j),
+s1 AS (SELECT vec_id, sum(y * 1000000) AS score FROM y GROUP BY 1),
+w1 AS (SELECT y.j, sum(y.y * s1.score) AS w FROM y JOIN s1 ON s1.vec_id = y.vec_id GROUP BY 1),
+m1 AS (SELECT max(abs(w)) AS m FROM w1),
+v1 AS (SELECT j, (w * 1000000) // (SELECT m FROM m1) AS v FROM w1),
+s2 AS (SELECT y.vec_id, sum(y.y * v1.v) AS score FROM y JOIN v1 ON v1.j = y.j GROUP BY 1),
+w2 AS (SELECT y.j, sum(y.y * s2.score) AS w FROM y JOIN s2 ON s2.vec_id = y.vec_id GROUP BY 1),
+m2 AS (SELECT max(abs(w)) AS m FROM w2)
+SELECT CAST(j AS BIGINT) AS dim,
+       CAST((w * 1000000) // (SELECT m FROM m2) AS BIGINT) AS v_fp
+FROM w2
+"""
+
+
+@register("embedding_pca_power", _SQL_PCA_POWER)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER ITERATION,
+    fully in exact integer arithmetic so both engines agree to the bit:
+    values quantize to 6-dp micro units, centering uses the n-scaled form
+    y = n*u - S_j (integers, no mean division), and each of the two
+    iterations is v' = (Y^T (Y v)) renormalized by max|component| via
+    truncating div to the 1e6 grid. The matrix-vector products are the
+    classic distributed shape: Y v is a per-vector sum over the exploded
+    (vec_id, dim) rows with the 64-row v broadcast; Y^T s is a per-dim
+    sum with the per-vector scores joined back — two linear passes per
+    iteration, no dim x dim Gram materialization (that alternative is
+    O(D^2) rows/vector; fine at D=64, ruinous at D=4096 — this shape is
+    the one that survives). decimal(38,0)/HUGEINT headroom documented:
+    |w*1e6| < 1e37 at sf0.1; at much larger n, drop the per-row micro
+    precision one decade per 10x corpus growth. The all-ones start vector
+    is deterministic; convergence quality is not the gate's concern, the
+    exact 2-iteration trajectory is. Reference analog: none
+    (beyond-reference embedding-pipeline op)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", F.posexplode("embedding").alias("p", "v")).select(
+        "vec_id",
+        (F.col("p") + 1).alias("j"),
+        F.floor(F.col("v").cast("double") * 1_000_000).cast("decimal(38,0)").alias("u"),
+    )
+    dims = e.groupBy("j").agg(
+        F.sum("u").cast("decimal(38,0)").alias("sj"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    yc = e.join(F.broadcast(dims), "j").select(
+        "vec_id", "j", (F.col("n") * F.col("u") - F.col("sj")).alias("y")
+    )
+    # iteration 1: v0 = all-ones at the 1e6 grid (deterministic start)
+    s1 = yc.groupBy("vec_id").agg(F.sum(F.col("y") * F.lit(1_000_000)).alias("score"))
+    w1 = (
+        yc.join(s1, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("y") * F.col("score")).alias("w"))
+    )
+    m1 = w1.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    v1 = w1.crossJoin(F.broadcast(m1)).select(
+        "j", F.expr("(w * 1000000) div m").alias("v")
+    )
+    # iteration 2: same shape with the renormalized v1 broadcast back in
+    s2 = (
+        yc.join(F.broadcast(v1), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("y") * F.col("v")).alias("score"))
+    )
+    w2 = (
+        yc.join(s2, "vec_id")
+        .groupBy("j")
+        .agg(F.sum(F.col("y") * F.col("score")).alias("w"))
+    )
+    m2 = w2.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    return w2.crossJoin(F.broadcast(m2)).select(
+        F.col("j").cast("long").alias("dim"),
+        F.expr("(w * 1000000) div m").cast("long").alias("v_fp"),
+    )

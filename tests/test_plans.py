@@ -468,6 +468,10 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/llm.py", "v"): (1, "1-row vocab size"),
     ("plans/llm.py", "stats"): (4, "1-row (n_docs, avgdl)"),
     ("plans/llm.py", "dj"): (1, "64-row dimension stats (dim-bounded)"),
+    ("plans/llm.py", "dims"): (1, "64-row dimension stats (dim-bounded, PCA centering)"),
+    ("plans/llm.py", "m1"): (1, "1-row max-abs renormalizer"),
+    ("plans/llm.py", "m2"): (1, "1-row max-abs renormalizer"),
+    ("plans/llm.py", "v1"): (1, "64-row iterate vector (dim-bounded)"),
     ("plans/llm.py", "dk"): (1, "64-row dimension stats (dim-bounded)"),
     ("plans/llm.py", "cov"): (2, "1-row coverage / covered-pair scalars"),
     ("plans/llm.py", "span"): (1, "1-row span bounds"),
