@@ -146,6 +146,7 @@ _BUDGET_LAST = (
     "parts_fuzzy_name_pairs",
     "orders_nelson_aalen",
     "embedding_pca_power",
+    "text_keywords_rake",
 )
 
 

@@ -6175,3 +6175,95 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("dim"),
         F.expr("(w * 1000000) div m").cast("long").alias("v_fp"),
     )
+
+
+_RAKE_STOPWORDS = ("a", "the")
+
+
+_SQL_RAKE = f"""
+WITH w AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents)
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN {str(tuple(_RAKE_STOPWORDS))} THEN 1 ELSE 0 END AS stop
+  FROM w WHERE w <> ''
+),
+grouped AS (
+  SELECT doc_id, pos, w, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS phrase_id
+  FROM marked
+),
+content AS (SELECT doc_id, phrase_id, w FROM grouped WHERE stop = 0),
+plen AS (
+  SELECT doc_id, phrase_id, count(*) AS phrase_len
+  FROM content GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.w,
+         CAST(sum(p.phrase_len) AS BIGINT) AS degree,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM content c JOIN plen p ON p.doc_id = c.doc_id AND p.phrase_id = c.phrase_id
+  GROUP BY 1
+)
+SELECT w AS keyword, degree, freq,
+       CAST((degree * 1000) // freq AS BIGINT) AS score_milli
+FROM scored
+ORDER BY score_milli DESC, degree DESC, keyword
+LIMIT 20
+"""
+
+
+@register("text_keywords_rake", _SQL_RAKE)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public algorithm) at
+    corpus level: split each document into candidate phrases at stopword
+    boundaries, score every content word by degree(w)/freq(w) where
+    degree sums the lengths of all phrases the word occurs in (words
+    living in longer phrases rank higher) — the classic cheap
+    co-occurrence keyword score. The phrase segmentation is one per-doc
+    window (running stopword count = phrase id; PARTITIONED by doc, never
+    global); degree/freq is one groupBy(word); score is exact integer
+    milli (truncating div). Stopword alphabet is the fixture's two
+    function words — swap the tuple for a real list in production; the
+    plan shape is stopword-count-independent. Top-20 with a total
+    (score, degree, keyword) tiebreak so LIMIT is deterministic.
+    Reference analog: none (beyond-reference text-analysis op)."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .filter(F.col("w") != "")
+        .withColumn("stop", F.col("w").isin(*_RAKE_STOPWORDS).cast("int"))
+    )
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = words.withColumn("phrase_id", F.sum("stop").over(wnd))
+    content = grouped.filter(F.col("stop") == 0).select("doc_id", "phrase_id", "w")
+    plen = content.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    scored = (
+        content.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.sum("phrase_len").cast("long").alias("degree"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("w").alias("keyword"),
+            "degree",
+            "freq",
+            F.expr("(degree * 1000) div freq").cast("long").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("degree").desc(), "keyword")
+        .limit(20)
+    )
