@@ -147,6 +147,7 @@ _BUDGET_LAST = (
     "orders_nelson_aalen",
     "embedding_pca_power",
     "text_keywords_rake",
+    "lineitem_ols_multifeature",
 )
 
 

@@ -4874,3 +4874,101 @@ def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hazard_ppm").cast("long").alias("hazard_ppm"),
         F.col("cum_hazard_ppm").cast("long").alias("cum_hazard_ppm"),
     )
+
+
+@register(
+    "lineitem_ols_multifeature",
+    """
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS z
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(z) AS HUGEINT) AS sz,
+         CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
+         CAST(sum(x*y) AS HUGEINT) AS sxy, CAST(sum(x*z) AS HUGEINT) AS sxz,
+         CAST(sum(y*z) AS HUGEINT) AS syz
+  FROM q GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, l_linestatus, n, sx, sy, sz,
+         n*sxx - sx*sx AS cxx, n*syy - sy*sy AS cyy, n*sxy - sx*sy AS cxy,
+         n*sxz - sx*sz AS cxz, n*syz - sy*sz AS cyz
+  FROM s
+),
+b AS (
+  SELECT l_returnflag, l_linestatus, n, sx, sy, sz,
+         ((cxz*cyy - cyz*cxy) * 1000000) // (cxx*cyy - cxy*cxy) AS b1,
+         ((cyz*cxx - cxz*cxy) * 1000000) // (cxx*cyy - cxy*cxy) AS b2
+  FROM c
+)
+SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+       CAST(b1 AS BIGINT) AS beta_qty_micro,
+       CAST(b2 AS BIGINT) AS beta_disc_micro,
+       CAST((sz * 1000000 - b1 * sx - b2 * sy) // n AS BIGINT) AS alpha_micro
+FROM b
+""",
+)
+def lineitem_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MULTIPLE linear regression by closed-form normal equations
+    (the MLlib-style one-pass co-moment aggregation): per (returnflag,
+    linestatus) group, fit extendedprice ~ quantity + discount by
+    Cramer's rule on the 2x2 centered co-moment matrix. EVERYTHING is
+    exact integers: features quantize via floor(v*100 + 0.5) (half-up,
+    no engine tie divergence), the nine sufficient statistics are one
+    map-side-combined groupBy pass (the only shuffle — this is the shape
+    that turns regression into a single distributed aggregate), the
+    n-scaled centering C = n*S2 - S*S avoids any mean division, and the
+    slopes/intercept land as truncating-div micro units. decimal(38,0)/
+    HUGEINT headroom: the Cramer numerators scale as n^3; at ~1e6-row
+    groups the *1e6 output scaling saturates 38 digits — drop the
+    feature quantization one decade per 10x group growth (documented,
+    same rule as embedding_pca_power). Reference analog: none
+    (beyond-reference ML-adjacent analytics op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("y"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("z"),
+    )
+    d38 = lambda c: F.sum(c).cast("decimal(38,0)")  # noqa: E731
+    s = q.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        d38(F.col("x")).alias("sx"),
+        d38(F.col("y")).alias("sy"),
+        d38(F.col("z")).alias("sz"),
+        d38(F.col("x") * F.col("x")).alias("sxx"),
+        d38(F.col("y") * F.col("y")).alias("syy"),
+        d38(F.col("x") * F.col("y")).alias("sxy"),
+        d38(F.col("x") * F.col("z")).alias("sxz"),
+        d38(F.col("y") * F.col("z")).alias("syz"),
+    )
+    c = s.select(
+        "l_returnflag", "l_linestatus", "n", "sx", "sy", "sz",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+        (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")).alias("cxz"),
+        (F.col("n") * F.col("syz") - F.col("sy") * F.col("sz")).alias("cyz"),
+    )
+    b = c.select(
+        "l_returnflag", "l_linestatus", "n", "sx", "sy", "sz",
+        F.expr("((cxz*cyy - cyz*cxy) * 1000000) div (cxx*cyy - cxy*cxy)").alias("b1"),
+        F.expr("((cyz*cxx - cxz*cxy) * 1000000) div (cxx*cyy - cxy*cxy)").alias("b2"),
+    )
+    return b.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("b1").cast("long").alias("beta_qty_micro"),
+        F.col("b2").cast("long").alias("beta_disc_micro"),
+        F.expr("(sz * 1000000 - b1 * sx - b2 * sy) div n").cast("long").alias("alpha_micro"),
+    )
