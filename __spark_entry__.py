@@ -148,6 +148,7 @@ _BUDGET_LAST = (
     "embedding_pca_power",
     "text_keywords_rake",
     "lineitem_ols_multifeature",
+    "customer_supplier_hits",
 )
 
 

@@ -564,3 +564,73 @@ def k_truss(
         f"k_truss did not reach a fixpoint in {max_rounds} rounds — "
         "pathological peeling depth; raise max_rounds"
     )
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 10**6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public algorithm) in
+    FIXED-POINT integer arithmetic, max-normalized per half-step so every
+    intermediate score is bit-identical across engines (the
+    pagerank/markov/PCA renormalization rule — truncating div to the
+    ``scale`` grid, identical in Spark ``div`` and DuckDB ``//``):
+
+        h_0(u)  = scale
+        a_t(v)  = maxnorm( Σ_{u→v} h_t-1(u) )
+        h_t(u)  = maxnorm( Σ_{u→v} a_t(v) )
+
+    Per half-step: one equi-join of the score table against the edge list
+    + one groupBy — the same canonical shuffle shape as distributed
+    PageRank — plus a 1-row max aggregate (broadcast). Sums stay under
+    deg_max * scale, far from int64. Fixed-iteration semantics, not the
+    eigenvector limit. Returns (node, hub_fp, auth_fp) over src ∪ dst
+    nodes, 0 for the side a node never plays."""
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    hubs = e.select(F.col("e_src").alias("node")).distinct().withColumn(
+        "h", F.lit(scale).cast("long")
+    )
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, F.col("e_src") == F.col("node"))
+            .groupBy(F.col("e_dst").alias("a_node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        ma = a_raw.agg(F.max("a_raw").alias("m"))
+        auth = a_raw.crossJoin(F.broadcast(ma)).select(
+            F.col("a_node").alias("node"),
+            F.expr(f"(a_raw * {scale}L) div m").alias("a"),
+        )
+        h_raw = (
+            e.join(auth, F.col("e_dst") == F.col("node"))
+            .groupBy(F.col("e_src").alias("h_node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        mh = h_raw.agg(F.max("h_raw").alias("m"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(mh))
+            .select(
+                F.col("h_node").alias("node"),
+                F.expr(f"(h_raw * {scale}L) div m").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )

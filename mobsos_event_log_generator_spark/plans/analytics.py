@@ -4972,3 +4972,71 @@ def lineitem_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b2").cast("long").alias("beta_disc_micro"),
         F.expr("(sz * 1000000 - b1 * sx - b2 * sy) div n").cast("long").alias("alpha_micro"),
     )
+
+
+_HITS_SCALE = 10**6
+_HITS_ITERS = 2
+
+
+def _hits_iter_ctes(k: int) -> str:
+    prev_h = f"h{k - 1}"
+    return f"""
+ar{k} AS (
+  SELECT e.dst AS node, sum(h.h) AS a_raw
+  FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
+),
+am{k} AS (SELECT max(a_raw) AS m FROM ar{k}),
+a{k} AS (
+  SELECT node, (a_raw * {_HITS_SCALE}) // (SELECT m FROM am{k}) AS a FROM ar{k}
+),
+hr{k} AS (
+  SELECT e.src AS node, sum(a.a) AS h_raw
+  FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY 1
+),
+hm{k} AS (SELECT max(h_raw) AS m FROM hr{k}),
+h{k} AS (
+  SELECT node, (h_raw * {_HITS_SCALE}) // (SELECT m FROM hm{k}) AS h FROM hr{k}
+)"""
+
+
+_SQL_HITS = (
+    f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+h0 AS (SELECT DISTINCT src AS node, {_HITS_SCALE} AS h FROM edges),"""
+    + ",".join(_hits_iter_ctes(k) for k in range(1, _HITS_ITERS + 1))
+    + f"""
+, nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+SELECT n.node AS node,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_fp,
+       CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_fp
+FROM nodes n
+LEFT JOIN h{_HITS_ITERS} h ON h.node = n.node
+LEFT JOIN a{_HITS_ITERS} a ON a.node = n.node
+"""
+)
+
+
+@register("customer_supplier_hits", _SQL_HITS)
+def customer_supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs & authorities over the bipartite customer -> supplier purchase
+    graph (which customers aggregate demand across the most central
+    suppliers, and which suppliers that demand concentrates on): the
+    generic ``hits_fixed_point`` operator — 2 HITS iterations, every
+    half-step max-normalized to the 1e6 grid by truncating div so the
+    whole trajectory is bit-identical across engines; the oracle unrolls
+    the identical half-steps as CTEs. Edge extraction is one orders x
+    lineitem equi-join + distinct; per half-step one equi-join + one
+    groupBy (the PageRank shuffle shape) and a 1-row max broadcast.
+    Reference analog: none (beyond-reference graph-analytics op)."""
+    from mobsos_event_log_generator_spark.operators.graph import hits_fixed_point
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    return hits_fixed_point(edges, iterations=_HITS_ITERS, scale=_HITS_SCALE)
