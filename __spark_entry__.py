@@ -149,6 +149,7 @@ _BUDGET_LAST = (
     "text_keywords_rake",
     "lineitem_ols_multifeature",
     "customer_supplier_hits",
+    "lake_schema_evolution_view",
 )
 
 

@@ -5040,3 +5040,81 @@ def customer_supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
     )
     return hits_fixed_point(edges, iterations=_HITS_ITERS, scale=_HITS_SCALE)
+
+
+@register(
+    "lake_schema_evolution_view",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority AS pr
+  FROM orders
+),
+v1 AS (SELECT st, price FROM base WHERE k % 3 = 0),
+live AS (
+  SELECT st, price, NULL AS pr FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT st, price, pr FROM base WHERE k % 3 = 1
+)
+SELECT CAST(1 AS BIGINT) AS version, 'ALL' AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(price) AS DOUBLE), 2) AS total_price
+FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), coalesce(pr, 'NONE'), CAST(count(*) AS BIGINT),
+       round(CAST(sum(price) AS DOUBLE), 2)
+FROM live GROUP BY 2
+""",
+)
+def lake_schema_evolution_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end gate over ADDITIVE SCHEMA EVOLUTION in the snapshot
+    format: v1 lands (k, st, price); v2 appends a batch carrying a NEW
+    `priority` column. The live read must impose the evolution-merged
+    manifest schema — old files surface NULL for the added column (a
+    plain parquet read would take one file's schema and silently drop or
+    crash on the other; sources/snapshots.py:186-193 is the code under
+    test) — while the v1 time-travel read keeps the ORIGINAL 3-column
+    schema. The oracle recomputes both views as pure SQL, so a reader
+    that loses the old files' rows, widens v1's schema, or misaligns the
+    evolved column breaks the hash. Type-conflicting evolution is
+    rejected (SchemaEvolutionError) and unit-gated in
+    tests/test_snapshots.py."""
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+    )
+    from mobsos_event_log_generator_spark.workdirs import scratch_dir
+
+    root = scratch_dir("schevo_")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    snapshot_append(base.filter(F.col("k") % 3 == 0).select("st", "price"), root)  # v1
+    snapshot_append(base.filter(F.col("k") % 3 == 1).select("st", "price", "pr"), root)  # v2
+
+    travel = (
+        read_snapshot(spark, root, 1)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+        )
+        .select(
+            F.lit(1).cast("long").alias("version"),
+            F.lit("ALL").alias("priority"),
+            "n",
+            "total_price",
+        )
+    )
+    live = (
+        read_snapshot(spark, root)
+        .groupBy(F.coalesce(F.col("pr"), F.lit("NONE")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+        )
+        .select(F.lit(2).cast("long").alias("version"), "priority", "n", "total_price")
+    )
+    return travel.unionByName(live)
