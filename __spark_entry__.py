@@ -150,6 +150,7 @@ _BUDGET_LAST = (
     "lineitem_ols_multifeature",
     "customer_supplier_hits",
     "lake_schema_evolution_view",
+    "streaming_mg_topk_maintenance",
 )
 
 

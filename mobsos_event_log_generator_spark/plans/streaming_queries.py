@@ -857,3 +857,110 @@ def streaming_semi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
     )
+
+
+_MG_K = 8
+
+
+def _mg_oracle_sql(k: int, n_batches: int = 4) -> str:
+    parts = [
+        "WITH bounds AS (SELECT min(event_id) AS mn, max(event_id) + 1 AS mx FROM events)"
+    ]
+    for i in range(n_batches):
+        parts.append(
+            f""",
+b{i} AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events, bounds
+  WHERE event_id >= mn + ((mx - mn) * {i}) // {n_batches}
+    AND event_id <  mn + ((mx - mn) * {i + 1}) // {n_batches}
+  GROUP BY 1
+)"""
+        )
+    for j in range(1, n_batches + 1):
+        if j == 1:
+            parts.append(",\ns1 AS (SELECT key, cnt FROM b0)")
+        else:
+            parts.append(
+                f""",
+s{j} AS (
+  SELECT key, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (SELECT key, cnt FROM m{j - 1} UNION ALL SELECT key, cnt FROM b{j - 1})
+  GROUP BY 1
+)"""
+            )
+        parts.append(
+            f""",
+t{j} AS (SELECT cnt AS c FROM s{j} ORDER BY cnt DESC, key LIMIT {k + 1}),
+thr{j} AS (SELECT CASE WHEN count(*) = {k + 1} THEN min(c) ELSE 0 END AS t FROM t{j}),
+m{j} AS (
+  SELECT key, cnt - (SELECT t FROM thr{j}) AS cnt
+  FROM s{j} WHERE cnt - (SELECT t FROM thr{j}) > 0
+)"""
+        )
+    parts.append(
+        f""",
+exact AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS exact_cnt FROM events GROUP BY 1)
+SELECT m.key AS user_id, CAST(m.cnt AS BIGINT) AS mg_cnt, e.exact_cnt
+FROM m{n_batches} m JOIN exact e ON e.key = m.key
+"""
+    )
+    return "".join(parts)
+
+
+@register("streaming_mg_topk_maintenance", _mg_oracle_sql(_MG_K))
+def streaming_mg_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter maintenance: events arrive in four
+    event_id-ordered micro-batches; each batch merges its exact counts into
+    the <= k-counter state inherited from the previous batch and applies the
+    deterministic MG reduction (subtract the (k+1)-th largest under
+    (count DESC, key), drop non-positives). Unlike the CMS gate's
+    order-free cell sums, this proves a SEQUENTIAL state recurrence — the
+    oracle replays the identical four merge+reduce stages as unrolled CTEs,
+    so a wrong threshold tiebreak, a double-subtraction on replay, or a
+    state read off the wrong batch all break the hash. Output: surviving
+    counters vs exact counts (undercount bounded by the summed
+    thresholds). State is O(k) forever; the top-(k+1) probe is a
+    distributed TakeOrderedAndProject, never a global sort."""
+    import os
+
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from mobsos_event_log_generator_spark.streaming.mg_maintain import (
+        read_final_mg,
+        run_mg_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("smg_")
+    src = os.path.join(root, "src")
+    _write_id_slices(ev, "event_id", src, root)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        run_mg_maintenance(
+            spark,
+            stream,
+            "user_id",
+            state_dir=os.path.join(root, "state"),
+            checkpoint_dir=os.path.join(root, "ck"),
+            k=_MG_K,
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    mg = read_final_mg(spark, os.path.join(root, "state"))
+    exact = ev.groupBy(F.col("user_id").cast("long").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    return mg.join(exact, "key").select(
+        F.col("key").alias("user_id"),
+        F.col("cnt").cast("long").alias("mg_cnt"),
+        "exact_cnt",
+    )

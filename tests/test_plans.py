@@ -453,6 +453,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "norder"): (2, "1-row order count (basket pairs + association rules)"),
     ("operators/graph.py", "dang"): (1, "1-row dangling-mass aggregate (markov stationary)"),
     ("operators/graph.py", "ma"): (1, "1-row max-abs renormalizer (HITS authorities)"),
+    ("streaming/mg_maintain.py", "thr"): (1, "1-row (k+1)-th-largest threshold"),
     ("operators/graph.py", "mh"): (1, "1-row max-abs renormalizer (HITS hubs)"),
     ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
     ("plans/analytics.py", "types"): (1, "event-type alphabet"),

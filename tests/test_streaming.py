@@ -233,3 +233,72 @@ def test_cms_maintenance_merge_equals_one_pass_and_replay(spark, tmp_path):
     cells0.coalesce(1).write.mode("overwrite").parquet(os.path.join(idx, "batch=0"))
     again = {(r["row"], r["col"]): r["cnt"] for r in read_merged_cms(spark, idx).collect()}
     assert again == one_pass
+
+
+def test_mg_maintenance_matches_python_replay_and_replay_safe(spark, tmp_path):
+    """The final MG state must equal a python replay of the sequential
+    merge+reduce recurrence, stay at <= k counters, and re-running a crashed
+    batch from its predecessor state must be idempotent."""
+    import os
+
+    from mobsos_event_log_generator_spark.streaming.mg_maintain import (
+        read_final_mg,
+        read_mg_state,
+        run_mg_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(i, i % 3) for i in range(30)],          # keys 0,1,2 heavy
+        [(100 + i, i % 7) for i in range(21)],    # spread across 0..6
+        [(200 + i, 0) for i in range(10)],        # key 0 surge
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "id long, user_id long")
+        df.coalesce(1).write.parquet(src + f"/s{i}")
+        for f in os.listdir(os.path.join(src, f"s{i}")):
+            os.utime(os.path.join(src, f"s{i}", f), (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/s*")
+    )
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    k = 3
+    run_mg_maintenance(spark, stream, "user_id", state, ck, k=k)
+
+    got = {r["key"]: r["cnt"] for r in read_final_mg(spark, state).collect()}
+
+    def reduce_mg(counts):
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        thr = ordered[k][1] if len(ordered) > k else 0
+        return {key: c - thr for key, c in counts.items() if c - thr > 0}
+
+    want = {}
+    for rows in batches:
+        merged = dict(want)
+        for _, u in rows:
+            merged[u] = merged.get(u, 0) + 1
+        want = reduce_mg(merged)
+    assert got == want
+    assert len(got) <= k
+    # crash replay of the LAST batch: recompute from state 1, overwrite state 2
+    prev = read_mg_state(spark, state, 1)
+    b2 = spark.createDataFrame(batches[2], "id long, user_id long")
+    merged = (
+        prev.unionByName(
+            b2.groupBy(F.col("user_id").cast("long").alias("key")).agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")
+            )
+        )
+        .groupBy("key")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    from mobsos_event_log_generator_spark.streaming.mg_maintain import _reduce_mg
+
+    _reduce_mg(merged, k).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state, "batch=2")
+    )
+    again = {r["key"]: r["cnt"] for r in read_final_mg(spark, state).collect()}
+    assert again == want
