@@ -151,6 +151,7 @@ _BUDGET_LAST = (
     "customer_supplier_hits",
     "lake_schema_evolution_view",
     "streaming_mg_topk_maintenance",
+    "lineitem_zorder_layout",
 )
 
 
