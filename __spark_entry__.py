@@ -152,6 +152,7 @@ _BUDGET_LAST = (
     "lake_schema_evolution_view",
     "streaming_mg_topk_maintenance",
     "lineitem_zorder_layout",
+    "events_multitouch_attribution",
 )
 
 

@@ -800,3 +800,114 @@ def asof_nearest_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ref_ts", TS_FMT_SPARK).alias("ref_ts"),
         F.round("ref_value", 2).alias("ref_value"),
     )
+
+
+@register(
+    "events_multitouch_attribution",
+    """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT c.conv_id, e.event_id AS touch_id, e.event_type, e.ts
+  FROM conv c JOIN events e
+    ON e.user_id = c.user_id
+   AND e.event_type IN ('click', 'view')
+   AND e.ts < c.conv_ts
+   AND e.ts >= c.conv_ts - INTERVAL 3600 SECONDS
+),
+ranked AS (
+  SELECT conv_id, touch_id, event_type,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts, touch_id) AS rk,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM touch
+),
+credits AS (
+  SELECT 'first_touch' AS model, event_type,
+         CASE WHEN rk = 1 THEN 1000000 ELSE 0 END AS credit
+  FROM ranked
+  UNION ALL
+  SELECT 'last_touch', event_type,
+         CASE WHEN rk = n THEN 1000000 ELSE 0 END
+  FROM ranked
+  UNION ALL
+  SELECT 'linear', event_type,
+         1000000 // n + CASE WHEN rk = n THEN 1000000 - n * (1000000 // n) ELSE 0 END
+  FROM ranked
+)
+SELECT model, event_type,
+       CAST(sum(credit) AS BIGINT) AS credit_micro,
+       CAST(count(*) FILTER (WHERE credit > 0) AS BIGINT) AS n_credited
+FROM credits
+GROUP BY 1, 2
+""",
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (the ad-tech model family):
+    every purchase credits the clicks/views of the SAME user in the hour
+    before it under three models — first-touch (100% to the earliest),
+    last-touch (100% to the latest), linear (1/n split). Credit is exact
+    integer micro: linear gives each touch 1e6 div n and parks the
+    division remainder on the LAST touch, so per-conversion credit sums
+    to exactly 1e6 under every model and the corpus totals reconcile to
+    n_conversions * 1e6 — auditable conservation no float split gives.
+    The conversion x touch pairing runs through ``banded_range_join``
+    (bucketed equi-join on (user, time-band) — never a cross product;
+    the exact window filter prunes corners); per-conversion ranking is a
+    window PARTITIONED by conversion (bounded by touches-per-hour).
+    Reference analog: none (beyond-reference temporal-analytics op)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("conv_ts")
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    paired = banded_range_join(
+        conv.withColumnRenamed("conv_ts", "ts"), touches, "user_id", "ts", 3600
+    ).filter(
+        (F.col("r_ts") < F.col("ts"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 3600 SECONDS"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("r_ts", "r_event_id")
+    ranked = paired.select(
+        "conv_id",
+        F.col("r_event_type").alias("event_type"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n"),
+    )
+    first = ranked.select(
+        F.lit("first_touch").alias("model"),
+        "event_type",
+        F.when(F.col("rk") == 1, 1_000_000).otherwise(0).alias("credit"),
+    )
+    last = ranked.select(
+        F.lit("last_touch").alias("model"),
+        "event_type",
+        F.when(F.col("rk") == F.col("n"), 1_000_000).otherwise(0).alias("credit"),
+    )
+    linear = ranked.select(
+        F.lit("linear").alias("model"),
+        "event_type",
+        (
+            F.expr("1000000 div n")
+            + F.when(
+                F.col("rk") == F.col("n"),
+                F.lit(1_000_000) - F.col("n") * F.expr("1000000 div n"),
+            ).otherwise(0)
+        ).alias("credit"),
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(linear)
+        .groupBy("model", "event_type")
+        .agg(
+            F.sum("credit").cast("long").alias("credit_micro"),
+            F.sum(F.when(F.col("credit") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_credited"),
+        )
+    )
