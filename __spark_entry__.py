@@ -153,6 +153,7 @@ _BUDGET_LAST = (
     "streaming_mg_topk_maintenance",
     "lineitem_zorder_layout",
     "events_multitouch_attribution",
+    "lineitem_weighted_median_price",
 )
 
 

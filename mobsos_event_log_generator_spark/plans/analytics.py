@@ -5222,3 +5222,71 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_linenumber"], "f", bounds=probe["ob"],
     )
     return spans(z, "zorder").unionByName(spans(nv, "orderkey"))
+
+
+@register(
+    "lineitem_weighted_median_price",
+    """
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, pc, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h
+)
+SELECT l_returnflag,
+       CAST(min(pc) AS BIGINT) AS median_cents,
+       CAST(min(tot) AS BIGINT) AS w_total
+FROM c WHERE 2 * cumw >= tot GROUP BY 1
+""",
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped WEIGHTED median (the weighted-quantile operator): per
+    returnflag, the smallest price whose quantity-weighted cumulative mass
+    reaches half the group total — the lower weighted median, exact by
+    definition (prices ride half-up cents, weights exact integer
+    quantities). The cumulative mass comes from the grouped two-phase
+    prefix sum over the (flag, price)-aggregated HISTOGRAM
+    (``operators/sweep.py::value_ordered_running_sum`` with group_cols —
+    shared bucket bounds, offsets = groups x buckets rows), so no global
+    or per-group single-partition sort ever touches row-scaled data;
+    the selection is one alphabet-bounded filter + min. This is the
+    exact-median machinery generalized to arbitrary non-negative weights
+    (median_price_by_priority is the w=1 special case).
+    Reference analog: none (beyond-reference stats op)."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_returnflag", "pc")
+        .agg(F.sum("q").cast("long").alias("w"))
+    )
+    c = value_ordered_running_sum(
+        h,
+        order_col="pc",
+        tie_cols=[],
+        value_col=F.col("w"),
+        out_col="cumw",
+        group_cols=["l_returnflag"],
+    )
+    tot = h.groupBy("l_returnflag").agg(F.sum("w").cast("long").alias("tot"))
+    return (
+        c.join(F.broadcast(tot), "l_returnflag")
+        .filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("pc").cast("long").alias("median_cents"),
+            F.min("tot").cast("long").alias("w_total"),
+        )
+    )
