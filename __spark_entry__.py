@@ -154,6 +154,7 @@ _BUDGET_LAST = (
     "lineitem_zorder_layout",
     "events_multitouch_attribution",
     "lineitem_weighted_median_price",
+    "customer_cohort_ltv_curve",
 )
 
 

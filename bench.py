@@ -66,6 +66,14 @@ HEADLINE = [
     # integer-micro ADC + rerank) and the one-scan Poisson bootstrap
     "similarity_topk_pq_adc",
     "orders_poisson_bootstrap",
+    # round 6 seventh wave: the integer power-iteration families (PCA top
+    # component, bipartite HITS), the FastSS edit-distance join, the
+    # Morton/ntile layout audit, and the banded-range attribution models
+    "embedding_pca_power",
+    "customer_supplier_hits",
+    "parts_fuzzy_name_pairs",
+    "lineitem_zorder_layout",
+    "events_multitouch_attribution",
 ]
 
 

@@ -5290,3 +5290,66 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("tot").cast("long").alias("w_total"),
         )
     )
+
+
+@register(
+    "customer_cohort_ltv_curve",
+    """
+WITH first_o AS (SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY 1),
+base AS (
+  SELECT date_trunc('month', f.fd) AS cm,
+         (date_part('year', o.o_orderdate) - date_part('year', f.fd)) * 12
+         + (date_part('month', o.o_orderdate) - date_part('month', f.fd)) AS age_months,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+),
+agg AS (
+  SELECT cm, age_months, CAST(count(*) AS BIGINT) AS n_orders, sum(price) AS rev
+  FROM base GROUP BY 1, 2
+)
+SELECT strftime(cm, '%Y-%m') AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       n_orders,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(sum(rev) OVER (PARTITION BY cm ORDER BY age_months
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS cum_revenue
+FROM agg
+""",
+)
+def customer_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue sibling of the retention
+    matrix: customers cohort by first-order month; every order lands at
+    integer month age (year*12+month arithmetic, exact — months_between's
+    fractional days never enter); revenue aggregates per (cohort, age) in
+    DECIMAL(18,2) and accumulates over age per cohort. The cumulative
+    window runs over the (cohort x age) AGGREGATE (calendar-bounded rows),
+    partitioned by cohort — row-scaled data only ever sees the one
+    groupBy. Output rounds to 2dp after the exact decimal algebra.
+    Reference analog: none (beyond-reference business-analytics op)."""
+    o = load_table(spark, sf_dir, "orders")
+    first_o = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("fd"))
+    base = o.join(first_o, "o_custkey").select(
+        F.date_trunc("month", "fd").alias("cm"),
+        (
+            (F.year("o_orderdate") - F.year("fd")) * 12
+            + (F.month("o_orderdate") - F.month("fd"))
+        ).alias("age_months"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    agg = base.groupBy("cm", "age_months").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price").alias("rev"),
+    )
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        F.col("age_months").cast("long").alias("age_months"),
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("cum_revenue"),
+    )
