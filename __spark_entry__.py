@@ -155,6 +155,7 @@ _BUDGET_LAST = (
     "events_multitouch_attribution",
     "lineitem_weighted_median_price",
     "customer_cohort_ltv_curve",
+    "parts_recommendations_itemknn",
 )
 
 

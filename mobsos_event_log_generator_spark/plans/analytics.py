@@ -5353,3 +5353,110 @@ def customer_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev").cast("double"), 2).alias("revenue"),
         F.round(F.sum("rev").over(w).cast("double"), 2).alias("cum_revenue"),
     )
+
+
+@register(
+    "parts_recommendations_itemknn",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+psup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS np FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_co
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT p1 AS part, p2 AS other, n_co FROM pairs
+  UNION ALL
+  SELECT p2, p1, n_co FROM pairs
+),
+scored AS (
+  SELECT part, other, n_co,
+         CAST((n_co * n_co * 1000000) // (s1.np * s2.np) AS BIGINT) AS cos2_ppm
+  FROM sym JOIN psup s1 ON s1.l_partkey = part JOIN psup s2 ON s2.l_partkey = other
+),
+nbr AS (
+  SELECT part, other, cos2_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY part
+                                     ORDER BY cos2_ppm DESC, n_co DESC, other) AS rn
+        FROM scored)
+  WHERE rn <= 3
+),
+up AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+cand AS (
+  SELECT u.custkey, n.other AS rec,
+         CAST(sum(n.cos2_ppm) AS BIGINT) AS score_ppm,
+         CAST(count(*) AS BIGINT) AS n_paths
+  FROM up u JOIN nbr n ON n.part = u.partkey
+  WHERE NOT EXISTS (
+    SELECT 1 FROM up o WHERE o.custkey = u.custkey AND o.partkey = n.other
+  )
+  GROUP BY 1, 2
+)
+SELECT custkey, rec AS rec_partkey, score_ppm, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+                                   ORDER BY score_ppm DESC, n_paths DESC, rec) AS rn
+      FROM cand)
+WHERE rn <= 3
+""",
+)
+def parts_recommendations_itemknn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-kNN collaborative-filtering RECOMMENDER — the scoring stage on
+    top of `parts_cooccur_similarity`'s neighbor lists (called directly, so
+    both queries provably share one similarity definition): a customer's
+    candidate set is the union of the top-3 cosine neighbors of every part
+    they bought, already-bought parts are removed by an anti-join, and each
+    candidate scores the EXACT integer sum of cos^2 ppm over all paths that
+    reach it; top-3 per customer under the total (score, n_paths, part)
+    order. Scale shape: candidate fan-out is |P(u)| x 3 (neighbor lists are
+    rank-pruned BEFORE the user join), the anti-join is key-only, and the
+    per-customer window sits on the pruned candidates — the standard
+    item-based top-N serving precompute (Sarwar et al. WWW'01, public
+    algorithm). Reference analog: none (beyond-reference recommender op)."""
+    from pyspark.sql.window import Window
+
+    from mobsos_event_log_generator_spark.plans.queries import QUERIES
+
+    nbr = (
+        QUERIES["parts_cooccur_similarity"](spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("part", F.col("other"), "cos2_ppm")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    up = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    cand = (
+        up.join(nbr, up["partkey"] == nbr["part"])
+        .join(
+            up.select(F.col("custkey"), F.col("partkey").alias("other")),
+            ["custkey", "other"],
+            "left_anti",
+        )
+        .groupBy("custkey", F.col("other").alias("rec"))
+        .agg(
+            F.sum("cos2_ppm").cast("long").alias("score_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+        )
+    )
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("score_ppm").desc(), F.col("n_paths").desc(), F.col("rec")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "custkey",
+            F.col("rec").alias("rec_partkey"),
+            "score_ppm",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
