@@ -156,6 +156,7 @@ _BUDGET_LAST = (
     "lineitem_weighted_median_price",
     "customer_cohort_ltv_curve",
     "parts_recommendations_itemknn",
+    "lineitem_gini_feature_ranking",
 )
 
 

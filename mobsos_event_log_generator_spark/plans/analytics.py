@@ -5460,3 +5460,128 @@ def parts_recommendations_itemknn(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+_GINI_SQL_FEATURES = """
+  SELECT 'qty_band' AS feature,
+         CASE WHEN l_quantity <= 10 THEN 'low'
+              WHEN l_quantity <= 25 THEN 'mid' ELSE 'high' END AS bucket,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  UNION ALL
+  SELECT 'disc_band',
+         CASE WHEN l_discount = 0 THEN 'none'
+              WHEN l_discount < 0.05 THEN 'small' ELSE 'large' END,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+  FROM lineitem
+  UNION ALL
+  SELECT 'linestatus', l_linestatus,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+  FROM lineitem
+"""
+
+
+@register(
+    "lineitem_gini_feature_ranking",
+    f"""
+WITH f AS ({_GINI_SQL_FEATURES}),
+cell AS (
+  SELECT feature, bucket, y, CAST(count(*) AS BIGINT) AS n
+  FROM f GROUP BY 1, 2, 3
+),
+branch AS (
+  SELECT feature, bucket,
+         CAST(sum(n) AS BIGINT) AS nb,
+         CAST(sum(n * n) AS BIGINT) AS sb
+  FROM cell GROUP BY 1, 2
+),
+cls AS (
+  SELECT feature, y, CAST(sum(n) AS BIGINT) AS nc FROM cell GROUP BY 1, 2
+),
+parent AS (
+  SELECT feature, CAST(sum(nc) AS BIGINT) AS n, CAST(sum(nc * nc) AS BIGINT) AS s
+  FROM cls GROUP BY 1
+),
+purity AS (
+  SELECT b.feature, b.bucket, b.nb, (b.sb * 1000000) // (b.nb * b.nb) AS purity_ppm
+  FROM branch b
+),
+agg AS (
+  SELECT p.feature,
+         CAST(count(*) AS BIGINT) AS n_branches,
+         CAST(sum(u.nb * u.purity_ppm) // min(p.n) AS BIGINT) AS child_purity_ppm,
+         CAST(min((p.s * 1000000) // (p.n * p.n)) AS BIGINT) AS parent_purity_ppm
+  FROM purity u JOIN parent p ON p.feature = u.feature
+  GROUP BY 1
+)
+SELECT feature, n_branches, parent_purity_ppm, child_purity_ppm,
+       CAST(child_purity_ppm - parent_purity_ppm AS BIGINT) AS gini_gain_ppm
+FROM agg
+""",
+)
+def lineitem_gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split statistics — Gini-gain feature ranking for the
+    label "was the line returned" over three candidate splits (quantity
+    band, discount band, linestatus), in EXACT integers end to end: Gini
+    purity 1 - impurity is Σ n_c²/n² per node, so per-branch purity is the
+    truncating-div ppm (S_b·10⁶) div n_b², the weighted child purity is
+    Σ(n_b · purity_b) div n, and the gain is their difference against the
+    parent's (S·10⁶) div n² — the deterministic two-step quantization used
+    across the stats family (no float probability ever enters). One scan
+    builds all features' cells via a stacked explode (feature alphabet x
+    bucket alphabet x 2 labels rows — alphabet-bounded aggregates all the
+    way up). This is the statistic a distributed decision-tree trainer
+    (e.g. PLANET-style) computes per candidate split per node.
+    Reference analog: none (beyond-reference ML-statistics op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    f = li.select(
+        F.explode(
+            F.create_map(
+                F.lit("qty_band"),
+                F.when(F.col("l_quantity") <= 10, "low")
+                .when(F.col("l_quantity") <= 25, "mid")
+                .otherwise("high"),
+                F.lit("disc_band"),
+                F.when(F.col("l_discount") == 0, "none")
+                .when(F.col("l_discount") < 0.05, "small")
+                .otherwise("large"),
+                F.lit("linestatus"),
+                F.col("l_linestatus"),
+            )
+        ).alias("feature", "bucket"),
+        y.alias("y"),
+    )
+    cell = f.groupBy("feature", "bucket", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    branch = cell.groupBy("feature", "bucket").agg(
+        F.sum("n").cast("long").alias("nb"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sb"),
+    )
+    cls = cell.groupBy("feature", "y").agg(F.sum("n").cast("long").alias("nc"))
+    parent = cls.groupBy("feature").agg(
+        F.sum("nc").cast("long").alias("n"),
+        F.sum(F.col("nc") * F.col("nc")).cast("long").alias("s"),
+    )
+    purity = branch.select(
+        "feature", "nb", F.expr("(sb * 1000000) div (nb * nb)").alias("purity_ppm")
+    )
+    agg = (
+        purity.join(parent, "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_branches"),
+            F.expr("sum(nb * purity_ppm) div min(n)").cast("long").alias("child_purity_ppm"),
+            F.expr("min((s * 1000000) div (n * n))").cast("long").alias("parent_purity_ppm"),
+        )
+    )
+    return agg.select(
+        "feature",
+        "n_branches",
+        "parent_purity_ppm",
+        "child_purity_ppm",
+        (F.col("child_purity_ppm") - F.col("parent_purity_ppm"))
+        .cast("long")
+        .alias("gini_gain_ppm"),
+    )
