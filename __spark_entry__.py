@@ -157,6 +157,7 @@ _BUDGET_LAST = (
     "customer_cohort_ltv_curve",
     "parts_recommendations_itemknn",
     "lineitem_gini_feature_ranking",
+    "functional_dependency_audit",
 )
 
 

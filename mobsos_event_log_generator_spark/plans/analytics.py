@@ -5585,3 +5585,68 @@ def lineitem_gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("gini_gain_ppm"),
     )
+
+
+@register(
+    "functional_dependency_audit",
+    """
+WITH checks AS (
+  SELECT 'part.p_partkey -> p_brand' AS fd, p_partkey AS lhs, p_brand AS rhs FROM part
+  UNION ALL
+  SELECT 'part.p_brand -> p_type', p_brand, p_type FROM part
+  UNION ALL
+  SELECT 'part.p_name -> p_brand', p_name, p_brand FROM part
+  UNION ALL
+  SELECT 'orders.o_custkey -> o_orderpriority', CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'customer.c_custkey -> c_nationkey', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR) FROM customer
+),
+g AS (
+  SELECT fd, lhs, count(DISTINCT rhs) AS n_rhs
+  FROM checks GROUP BY 1, 2
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_lhs_groups,
+       CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT) AS n_violating_groups,
+       CAST((count(*) FILTER (WHERE n_rhs > 1)) * 1000000 // count(*) AS BIGINT)
+         AS violation_ppm
+FROM g GROUP BY 1
+""",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the data-profiling sibling of the
+    referential-integrity audit (the TANE/dbt-expectations check class):
+    for each candidate FD X -> Y, the number of X-groups whose Y takes
+    more than one value, plus the violation rate in exact ppm. Key FDs
+    (p_partkey -> p_brand, c_custkey -> c_nationkey) must hold; the
+    attribute-level candidates (brand -> type, name -> brand,
+    custkey -> priority) quantify HOW functional a relationship is —
+    the signal schema-inference and normalization advisors run on. One
+    stacked scan per table, then a groupBy(fd, lhs) countDistinct — the
+    only shuffle, map-side combined; keys are cast to a common string
+    type so the stacked form stays one schema. Reference analog: none
+    (beyond-reference data-quality op)."""
+    parts = []
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    checks = [
+        (p, "part.p_partkey -> p_brand", F.col("p_partkey").cast("string"), F.col("p_brand")),
+        (p, "part.p_brand -> p_type", F.col("p_brand"), F.col("p_type")),
+        (p, "part.p_name -> p_brand", F.col("p_name"), F.col("p_brand")),
+        (o, "orders.o_custkey -> o_orderpriority", F.col("o_custkey").cast("string"), F.col("o_orderpriority")),
+        (c, "customer.c_custkey -> c_nationkey", F.col("c_custkey").cast("string"), F.col("c_nationkey").cast("string")),
+    ]
+    for df, label, lhs, rhs in checks:
+        parts.append(df.select(F.lit(label).alias("fd"), lhs.alias("lhs"), rhs.alias("rhs")))
+    stacked = parts[0]
+    for more in parts[1:]:
+        stacked = stacked.unionByName(more)
+    g = stacked.groupBy("fd", "lhs").agg(F.countDistinct("rhs").alias("n_rhs"))
+    return g.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).cast("long").alias("n_violating_groups"),
+        F.expr(
+            "(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000) div count(1)"
+        ).cast("long").alias("violation_ppm"),
+    )
