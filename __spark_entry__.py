@@ -158,6 +158,7 @@ _BUDGET_LAST = (
     "parts_recommendations_itemknn",
     "lineitem_gini_feature_ranking",
     "functional_dependency_audit",
+    "lineitem_diff_in_diff",
 )
 
 

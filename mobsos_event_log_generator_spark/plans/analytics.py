@@ -5650,3 +5650,88 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1000000) div count(1)"
         ).cast("long").alias("violation_ppm"),
     )
+
+
+@register(
+    "lineitem_diff_in_diff",
+    """
+WITH bnd AS (
+  SELECT epoch_us(min(l_shipdate)) AS lo, epoch_us(max(l_shipdate)) AS hi
+  FROM lineitem
+),
+cells AS (
+  SELECT CASE WHEN p.p_size >= 25 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN epoch_us(l.l_shipdate) * 2 >= (SELECT lo + hi FROM bnd)
+              THEN 1 ELSE 0 END AS post,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT treated, post, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS HUGEINT) AS s
+  FROM cells GROUP BY 1, 2
+),
+v AS (SELECT treated, post, n, (s * 10000) // n AS mean_micro FROM m),
+w AS (
+  SELECT max(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END) AS tp0,
+         max(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END) AS tp1,
+         max(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END) AS cp0,
+         max(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END) AS cp1,
+         CAST(sum(n) AS BIGINT) AS n_total
+  FROM v
+)
+SELECT CAST(tp0 AS BIGINT) AS mean_treated_pre_micro,
+       CAST(tp1 AS BIGINT) AS mean_treated_post_micro,
+       CAST(cp0 AS BIGINT) AS mean_control_pre_micro,
+       CAST(cp1 AS BIGINT) AS mean_control_post_micro,
+       CAST((tp1 - tp0) - (cp1 - cp0) AS BIGINT) AS did_micro,
+       n_total
+FROM w
+""",
+)
+def lineitem_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the causal-inference panel
+    workhorse, on exact-integer rails: treatment = large parts
+    (p_size >= 25), period split at the integer-micros shipdate midpoint,
+    outcome = mean line revenue per 2x2 cell in truncating-div
+    MICRO-dollars ((sum_cents * 1e4) div n — deterministic, never a float
+    mean), and DiD = (treated post - pre) - (control post - pre) as pure
+    integer differences. The whole estimator is one join + one 4-row
+    aggregate + a 4-way pivot; the timestamp bounds ride a 1-row
+    broadcast. Parallel-trends diagnostics would reuse the same cell
+    algebra per finer period. Reference analog: none (beyond-reference
+    causal-analytics op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bnd = li.agg(
+        F.min(F.unix_micros("l_shipdate")).alias("lo"),
+        F.max(F.unix_micros("l_shipdate")).alias("hi"),
+    )
+    cells = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .crossJoin(F.broadcast(bnd))
+        .select(
+            F.when(F.col("p_size") >= 25, 1).otherwise(0).alias("treated"),
+            F.when(
+                F.unix_micros("l_shipdate") * 2 >= F.col("lo") + F.col("hi"), 1
+            ).otherwise(0).alias("post"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    v = m.select("treated", "post", "n", F.expr("(s * 10000) div n").alias("mean_micro"))
+    pick = lambda t, q: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == q), F.col("mean_micro"))
+    )
+    return v.agg(
+        pick(1, 0).cast("long").alias("mean_treated_pre_micro"),
+        pick(1, 1).cast("long").alias("mean_treated_post_micro"),
+        pick(0, 0).cast("long").alias("mean_control_pre_micro"),
+        pick(0, 1).cast("long").alias("mean_control_post_micro"),
+        (
+            (pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0))
+        ).cast("long").alias("did_micro"),
+        F.sum("n").cast("long").alias("n_total"),
+    )

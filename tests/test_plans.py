@@ -492,7 +492,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/temporal.py", "bounds"): (1, "1-row bounds"),
     ("plans/procmining.py", "tot"): (1, "1-row handover total"),
     ("operators/similarity.py", "cents"): (1, "num_centroids-bounded (kmeans_convergence)"),
-    ("plans/analytics.py", "bnd"): (1, "1-row (lo, hi) timestamp bounds"),
+    ("plans/analytics.py", "bnd"): (2, "1-row (lo, hi) timestamp bounds (MWU, DiD)"),
     ("plans/analytics.py", "lags"): (1, "4-row literal lag dim (autocorrelation)"),
     ("plans/analytics.py", "g"): (1, "1-row (N, S, Q) day-series stats"),
     ("plans/analytics.py", "spine"): (2, "calendar-bounded day spine"),
