@@ -159,6 +159,7 @@ _BUDGET_LAST = (
     "lineitem_gini_feature_ranking",
     "functional_dependency_audit",
     "lineitem_diff_in_diff",
+    "events_twap_by_type",
 )
 
 

@@ -911,3 +911,60 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_credited"),
         )
     )
+
+
+@register(
+    "events_twap_by_type",
+    """
+WITH seq AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+         CAST(sum(CAST(v_micro AS HUGEINT) * dur_us) AS HUGEINT) AS wsum
+  FROM seq WHERE dur_us IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_intervals, total_dur_us,
+       CAST(wsum // total_dur_us AS BIGINT) AS twap_micro
+FROM agg
+""",
+)
+def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP — the step-function mean financial
+    and metrics systems need, where a value HOLDS until the next
+    observation): per event type, each user's reading is weighted by the
+    exact microseconds until their next same-type event, and the type's
+    TWAP is the truncating-div micro ratio of Σ v·dur over Σ dur.
+    Everything integer: values quantize half-up to micros, durations are
+    unix-micros differences, the weighted sum rides decimal(38,0)/HUGEINT.
+    The only window is PARTITIONED BY (user, type) — per-user series,
+    never a per-type single partition over row-scaled data (the reason
+    TWAP is defined over user streams here). Open intervals (each
+    series' last reading) carry no weight by definition.
+    Reference analog: none (beyond-reference temporal-aggregate op)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v_micro"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    agg = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dur_us").cast("long").alias("total_dur_us"),
+        F.sum(F.col("v_micro").cast("decimal(38,0)") * F.col("dur_us")).cast("decimal(38,0)").alias("wsum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        "total_dur_us",
+        F.expr("wsum div total_dur_us").cast("long").alias("twap_micro"),
+    )
