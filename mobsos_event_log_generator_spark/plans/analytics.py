@@ -5735,3 +5735,70 @@ def lineitem_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("did_micro"),
         F.sum("n").cast("long").alias("n_total"),
     )
+
+
+@register(
+    "events_haar_daily",
+    """
+WITH d0 AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+daily AS (
+  SELECT date_diff('day', (SELECT d0 FROM d0), date_trunc('day', ts)) AS i,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+lv AS (
+  SELECT l.level, i // (1 << l.level) AS pos,
+         CAST(sum(c * (1 - 2 * ((i // (1 << (l.level - 1))) % 2))) AS BIGINT) AS detail
+  FROM daily CROSS JOIN (SELECT unnest([1, 2, 3]) AS level) l
+  GROUP BY 1, 2
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(pos AS BIGINT) AS pos, detail
+FROM lv
+ORDER BY abs(detail) DESC, level, pos
+LIMIT 10
+""",
+)
+def events_haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized integer Haar wavelet pyramid over the daily event
+    series — the multi-resolution change detector next to the CUSUM/ACF
+    drift lenses: level-k detail at block p is the first-half-minus-
+    second-half sum of daily counts in the 2^k-day block, computed in
+    CLOSED FORM straight from the daily histogram (sign = 1 - 2*((i div
+    2^(k-1)) mod 2)), so all three levels are one stacked groupBy over
+    calendar-bounded rows — no iterative pairwise passes, no power-of-two
+    padding (absent days are implicit zeros). Coefficients are exact
+    integers (the sqrt(2) normalization is a constant per level and is
+    deliberately dropped); top-10 by |detail| under a total tiebreak.
+    Large |detail| at level k = a step change at that dyadic scale.
+    Reference analog: none (beyond-reference signal-analytics op)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(d0))
+        .select(F.datediff(F.date_trunc("day", "ts"), "d0").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    levels = spark.range(1, 4).select(F.col("id").cast("int").alias("level"))
+    lv = (
+        daily.crossJoin(F.broadcast(levels))
+        .select(
+            "level",
+            F.expr("i div (1 << level)").alias("pos"),
+            (
+                F.col("c")
+                * (1 - 2 * F.expr("(i div (1 << (level - 1))) % 2"))
+            ).alias("term"),
+        )
+        .groupBy("level", "pos")
+        .agg(F.sum("term").cast("long").alias("detail"))
+    )
+    return (
+        lv.select(
+            F.col("level").cast("long").alias("level"),
+            F.col("pos").cast("long").alias("pos"),
+            "detail",
+        )
+        .orderBy(F.abs(F.col("detail")).desc(), "level", "pos")
+        .limit(10)
+    )

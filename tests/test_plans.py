@@ -494,6 +494,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/similarity.py", "cents"): (1, "num_centroids-bounded (kmeans_convergence)"),
     ("plans/analytics.py", "bnd"): (2, "1-row (lo, hi) timestamp bounds (MWU, DiD)"),
     ("plans/analytics.py", "lags"): (1, "4-row literal lag dim (autocorrelation)"),
+    ("plans/analytics.py", "d0"): (1, "1-row min-day origin (Haar)"),
+    ("plans/analytics.py", "levels"): (1, "3-row literal level dim (Haar)"),
     ("plans/analytics.py", "g"): (1, "1-row (N, S, Q) day-series stats"),
     ("plans/analytics.py", "spine"): (2, "calendar-bounded day spine"),
     ("plans/analytics.py", "ga"): (1, "per-type rank stats (alphabet-bounded)"),
