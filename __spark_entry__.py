@@ -160,6 +160,8 @@ _BUDGET_LAST = (
     "functional_dependency_audit",
     "lineitem_diff_in_diff",
     "events_twap_by_type",
+    "events_haar_daily",
+    "column_joinability_profile",
 )
 
 

@@ -5802,3 +5802,85 @@ def events_haar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("detail")).desc(), "level", "pos")
         .limit(10)
     )
+
+
+@register(
+    "column_joinability_profile",
+    """
+WITH pairs AS (
+  SELECT 'orders.o_custkey ~ customer.c_custkey' AS candidate,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS n_a,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS n_b,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders
+                                INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS n_i
+  UNION ALL
+  SELECT 'lineitem.l_partkey ~ part.p_partkey',
+         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+         (SELECT count(DISTINCT p_partkey) FROM part),
+         (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS v FROM lineitem
+                                INTERSECT SELECT DISTINCT p_partkey FROM part))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey ~ supplier.s_suppkey',
+         (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+         (SELECT count(DISTINCT s_suppkey) FROM supplier),
+         (SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem
+                                INTERSECT SELECT DISTINCT s_suppkey FROM supplier))
+  UNION ALL
+  SELECT 'part.p_size ~ nation.n_nationkey',
+         (SELECT count(DISTINCT p_size) FROM part),
+         (SELECT count(DISTINCT n_nationkey) FROM nation),
+         (SELECT count(*) FROM (SELECT DISTINCT p_size AS v FROM part
+                                INTERSECT SELECT DISTINCT n_nationkey FROM nation))
+)
+SELECT candidate,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_i AS BIGINT) AS n_overlap,
+       CAST(n_i * 1000000 // n_a AS BIGINT) AS inclusion_a_in_b_ppm,
+       CAST(n_i * 1000000 // (n_a + n_b - n_i) AS BIGINT) AS jaccard_ppm
+FROM pairs
+""",
+)
+def column_joinability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-path discovery profiling (the Aurum / data-catalog
+    "which columns are joinable" primitive): for candidate column pairs,
+    the distinct-value INCLUSION coefficient |A∩B|/|A| and value-set
+    Jaccard in exact ppm. High inclusion + containment asymmetry is the
+    FK-direction signal (lineitem keys sit fully inside their dims);
+    the p_size ~ nationkey pair is the deliberate low-Jaccard negative
+    control a catalog must not rank as joinable. Each pair costs two
+    distinct-sets and a key-only semi-join count (here via INTERSECT);
+    at catalog scale the same statistic runs over per-column minhash
+    value sketches — this is the exact baseline those estimate.
+    Reference analog: none (beyond-reference data-discovery op)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    checks = [
+        ("orders.o_custkey ~ customer.c_custkey", o.select(F.col("o_custkey").alias("v")), c.select(F.col("c_custkey").alias("v"))),
+        ("lineitem.l_partkey ~ part.p_partkey", li.select(F.col("l_partkey").alias("v")), p.select(F.col("p_partkey").alias("v"))),
+        ("lineitem.l_suppkey ~ supplier.s_suppkey", li.select(F.col("l_suppkey").alias("v")), s.select(F.col("s_suppkey").alias("v"))),
+        ("part.p_size ~ nation.n_nationkey", p.select(F.col("p_size").cast("long").alias("v")), n.select(F.col("n_nationkey").alias("v"))),
+    ]
+    out = None
+    for label, a, b in checks:
+        da, db = a.distinct(), b.distinct()
+        row = (
+            da.agg(F.count(F.lit(1)).alias("n_a"))
+            .crossJoin(db.agg(F.count(F.lit(1)).alias("n_b")))
+            .crossJoin(
+                da.join(db, "v", "left_semi").agg(F.count(F.lit(1)).alias("n_i"))
+            )
+            .select(
+                F.lit(label).alias("candidate"),
+                F.col("n_a").cast("long").alias("n_a"),
+                F.col("n_b").cast("long").alias("n_b"),
+                F.col("n_i").cast("long").alias("n_overlap"),
+                F.expr("(n_i * 1000000L) div n_a").cast("long").alias("inclusion_a_in_b_ppm"),
+                F.expr("(n_i * 1000000L) div (n_a + n_b - n_i)").cast("long").alias("jaccard_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
