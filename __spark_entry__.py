@@ -162,6 +162,7 @@ _BUDGET_LAST = (
     "events_twap_by_type",
     "events_haar_daily",
     "column_joinability_profile",
+    "lake_join_view_ivm",
 )
 
 

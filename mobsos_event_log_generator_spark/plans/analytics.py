@@ -5884,3 +5884,98 @@ def column_joinability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "lake_join_view_ivm",
+    """
+WITH a1 AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+da AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+b1 AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer WHERE c_custkey % 2 = 0),
+db AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer WHERE c_custkey % 2 = 1),
+afull AS (SELECT * FROM a1 UNION ALL SELECT * FROM da),
+bfull AS (SELECT * FROM b1 UNION ALL SELECT * FROM db)
+SELECT CAST(b.nk AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(a.price) AS DOUBLE), 2) AS total_price
+FROM afull a JOIN bfull b ON b.ck = a.ck
+GROUP BY 1
+""",
+)
+def lake_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE for a JOIN view over two snapshot
+    tables — the delta-rule algebra d(A⋈B) = dA⋈B_new ∪ A_old⋈dB made
+    executable and gated: the per-nation aggregate view is first built
+    from (A1 ⋈ B1), then both tables take an append (new orders dA, new
+    customers dB — A1 rows referencing dB customers dangle in V1 and
+    must surface via the A_old⋈dB term, the one naive IVM forgets), the
+    deltas are read back through `snapshot_diff` (file-list CDC — cost
+    proportional to the CHANGE, not the table), and the view is refreshed
+    by summing partial aggregates keyed by nation. The oracle recomputes
+    the full join on the final state: a missing delta term, a
+    double-counted dA⋈dB, or a diff that rereads old files all break the
+    hash. At 100 TB this is the pattern that turns a nightly full join
+    into a delta-sized job. Reference analog: none (beyond-reference
+    lakehouse-IVM op)."""
+    from mobsos_event_log_generator_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_diff,
+    )
+    from mobsos_event_log_generator_spark.workdirs import scratch_dir
+
+    roota = scratch_dir("ivma_")
+    rootb = scratch_dir("ivmb_")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    snapshot_append(o.filter(F.col("k") % 3 == 0), roota)  # A1
+    snapshot_append(c.filter(F.col("ck") % 2 == 0), rootb)  # B1
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("nk").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price").alias("total_price"),
+        )
+
+    a1 = read_snapshot(spark, roota)
+    b1 = read_snapshot(spark, rootb)
+    v1 = agg(a1.join(b1, "ck"))
+
+    snapshot_append(o.filter(F.col("k") % 3 == 1), roota)  # dA -> v2
+    snapshot_append(c.filter(F.col("ck") % 2 == 1), rootb)  # dB -> v2
+    da = snapshot_diff(spark, roota, 1, 2).filter(
+        F.col("_change_type") == "insert"
+    ).drop("_change_type")
+    db = snapshot_diff(spark, rootb, 1, 2).filter(
+        F.col("_change_type") == "insert"
+    ).drop("_change_type")
+    b_new = read_snapshot(spark, rootb)  # B1 ∪ dB
+    # delta rule: dV = dA ⋈ B_new  ∪  A_old ⋈ dB   (disjoint by construction)
+    dv = agg(da.join(b_new, "ck").select("nk", "price").unionByName(
+        a1.join(db, "ck").select("nk", "price")
+    ))
+    refreshed = (
+        v1.unionByName(dv)
+        .groupBy("nk")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_price").alias("total_price"),
+        )
+    )
+    return refreshed.select(
+        F.col("nk").cast("long").alias("nationkey"),
+        "n_orders",
+        F.round(F.col("total_price").cast("double"), 2).alias("total_price"),
+    )
