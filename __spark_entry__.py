@@ -163,6 +163,7 @@ _BUDGET_LAST = (
     "events_haar_daily",
     "column_joinability_profile",
     "lake_join_view_ivm",
+    "orders_cuped_experiment",
 )
 
 

@@ -5979,3 +5979,111 @@ def lake_join_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("total_price").cast("double"), 2).alias("total_price"),
     )
+
+
+@register(
+    "orders_cuped_experiment",
+    """
+WITH bnd2 AS (
+  SELECT epoch_us(min(o_orderdate)) AS lo, epoch_us(max(o_orderdate)) AS hi FROM orders
+),
+per_cust AS (
+  SELECT o_custkey AS ck, o_custkey % 2 AS variant,
+         CAST(sum(CASE WHEN epoch_us(o_orderdate) * 2 < (SELECT lo + hi FROM bnd2)
+                       THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(o_orderdate) * 2 >= (SELECT lo + hi FROM bnd2)
+                       THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM per_cust
+),
+theta AS (
+  SELECT n, (sx * 1000000) // n AS mx_micro,
+         n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS cxx
+  FROM g
+),
+v AS (
+  SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+         CAST(sum(x) AS HUGEINT) AS sxv, CAST(sum(y) AS HUGEINT) AS syv
+  FROM per_cust GROUP BY 1
+)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(nv AS BIGINT) AS n_customers,
+       CAST((syv * 1000000) // nv AS BIGINT) AS mean_y_micro,
+       CAST((sxv * 1000000) // nv AS BIGINT) AS mean_x_micro,
+       CAST((syv * 1000000) // nv
+            - (t.cxy * ((sxv * 1000000) // nv - t.mx_micro)) // t.cxx AS BIGINT)
+         AS adj_mean_y_micro
+FROM v CROSS JOIN theta t
+""",
+)
+def orders_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. WSDM'13,
+    public method) — the A/B-testing sibling of the DiD estimator: the
+    pre-period spend x (orders before the date midpoint) is the
+    covariate, the post-period spend y the metric, custkey parity the
+    variant split; each variant reports its raw mean and the CUPED-
+    adjusted mean ȳ_v − θ(x̄_v − x̄) with θ = Cov(x,y)/Var(x) folded in
+    as ONE truncating division of exact integer co-moments ((cxy·dx) div
+    cxx — never a float θ). Whole-dollar grain keeps the n³-scaled
+    products inside decimal(38,0)/HUGEINT (documented headroom rule).
+    Shapes: one groupBy(customer), one 1-row global co-moment aggregate
+    (broadcast), one per-variant aggregate. Reference analog: none
+    (beyond-reference experimentation op)."""
+    o = load_table(spark, sf_dir, "orders")
+    bnd2 = o.agg(
+        F.min(F.unix_micros("o_orderdate")).alias("lo"),
+        F.max(F.unix_micros("o_orderdate")).alias("hi"),
+    )
+    d38 = lambda c: F.sum(c).cast("decimal(38,0)")  # noqa: E731
+    per_cust = (
+        o.crossJoin(F.broadcast(bnd2))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            (F.col("o_custkey") % 2).alias("variant"),
+            F.when(
+                F.unix_micros("o_orderdate") * 2 < F.col("lo") + F.col("hi"),
+                F.floor("o_totalprice").cast("long"),
+            ).otherwise(0).alias("xr"),
+            F.when(
+                F.unix_micros("o_orderdate") * 2 >= F.col("lo") + F.col("hi"),
+                F.floor("o_totalprice").cast("long"),
+            ).otherwise(0).alias("yr"),
+        )
+        .groupBy("ck", "variant")
+        .agg(
+            F.sum("xr").cast("long").alias("x"),
+            F.sum("yr").cast("long").alias("y"),
+        )
+    )
+    g = per_cust.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        d38(F.col("x")).alias("sx"),
+        d38(F.col("y")).alias("sy"),
+        d38(F.col("x") * F.col("x")).alias("sxx"),
+        d38(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    theta = g.select(
+        F.expr("(sx * 1000000) div n").alias("mx_micro"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+    )
+    v = per_cust.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nv"),
+        d38(F.col("x")).alias("sxv"),
+        d38(F.col("y")).alias("syv"),
+    )
+    return v.crossJoin(F.broadcast(theta)).select(
+        F.col("variant").cast("long").alias("variant"),
+        F.col("nv").cast("long").alias("n_customers"),
+        F.expr("(syv * 1000000) div nv").cast("long").alias("mean_y_micro"),
+        F.expr("(sxv * 1000000) div nv").cast("long").alias("mean_x_micro"),
+        F.expr(
+            "(syv * 1000000) div nv"
+            " - (cxy * ((sxv * 1000000) div nv - mx_micro)) div cxx"
+        ).cast("long").alias("adj_mean_y_micro"),
+    )

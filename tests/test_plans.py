@@ -493,6 +493,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/procmining.py", "tot"): (1, "1-row handover total"),
     ("operators/similarity.py", "cents"): (1, "num_centroids-bounded (kmeans_convergence)"),
     ("plans/analytics.py", "bnd"): (2, "1-row (lo, hi) timestamp bounds (MWU, DiD)"),
+    ("plans/analytics.py", "bnd2"): (1, "1-row (lo, hi) orderdate bounds (CUPED)"),
+    ("plans/analytics.py", "theta"): (1, "1-row CUPED co-moment scalars"),
     ("plans/analytics.py", "lags"): (1, "4-row literal lag dim (autocorrelation)"),
     ("plans/analytics.py", "d0"): (1, "1-row min-day origin (Haar)"),
     ("plans/analytics.py", "levels"): (1, "3-row literal level dim (Haar)"),
