@@ -164,6 +164,7 @@ _BUDGET_LAST = (
     "column_joinability_profile",
     "lake_join_view_ivm",
     "orders_cuped_experiment",
+    "corpus_stratified_allocation",
 )
 
 

@@ -5120,15 +5120,15 @@ def lake_schema_evolution_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return travel.unionByName(live)
 
 
-_Z_BITS = 10
-_Z_FILES = 64
+_ZL_BITS = 10
+_ZL_FILES = 64
 
 
 def _morton_sql(a: str, b: str, duck: bool) -> str:
-    """Bit-interleaved Morton code of two _Z_BITS-masked keys, as +-summed
+    """Bit-interleaved Morton code of two _ZL_BITS-masked keys, as +-summed
     disjoint-bit terms (identical integer arithmetic in both engines)."""
     terms = []
-    for i in range(_Z_BITS):
+    for i in range(_ZL_BITS):
         if duck:
             terms.append(f"(((({a}) % 1024) >> {i}) & 1) << {2 * i}")
             terms.append(f"(((({b}) % 1024) >> {i}) & 1) << {2 * i + 1}")
@@ -5147,11 +5147,11 @@ WITH base AS (
   FROM lineitem
 ),
 z AS (
-  SELECT *, ntile({_Z_FILES}) OVER (ORDER BY morton, l_orderkey, l_linenumber) AS f
+  SELECT *, ntile({_ZL_FILES}) OVER (ORDER BY morton, l_orderkey, l_linenumber) AS f
   FROM base
 ),
 nv AS (
-  SELECT *, ntile({_Z_FILES}) OVER (ORDER BY l_orderkey, l_linenumber) AS f
+  SELECT *, ntile({_ZL_FILES}) OVER (ORDER BY l_orderkey, l_linenumber) AS f
   FROM base
 ),
 zs AS (
@@ -5162,11 +5162,11 @@ ns AS (
   SELECT f, max(l_partkey) - min(l_partkey) + max(l_suppkey) - min(l_suppkey) AS span
   FROM nv GROUP BY 1
 )
-SELECT 'zorder' AS layout, CAST({_Z_FILES} AS BIGINT) AS n_files,
+SELECT 'zorder' AS layout, CAST({_ZL_FILES} AS BIGINT) AS n_files,
        CAST(sum(span) AS BIGINT) AS total_span
 FROM zs
 UNION ALL
-SELECT 'orderkey', CAST({_Z_FILES} AS BIGINT), CAST(sum(span) AS BIGINT)
+SELECT 'orderkey', CAST({_ZL_FILES} AS BIGINT), CAST(sum(span) AS BIGINT)
 FROM ns
 """,
 )
@@ -5209,16 +5209,16 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return per_file.agg(F.sum("span").cast("long").alias("total_span")).select(
             F.lit(label).alias("layout"),
-            F.lit(_Z_FILES).cast("long").alias("n_files"),
+            F.lit(_ZL_FILES).cast("long").alias("n_files"),
             "total_span",
         )
 
     z = distributed_ntile(
-        base, _Z_FILES, probe["n"], "morton",
+        base, _ZL_FILES, probe["n"], "morton",
         ["l_orderkey", "l_linenumber"], "f", bounds=probe["zb"],
     )
     nv = distributed_ntile(
-        base, _Z_FILES, probe["n"], "l_orderkey",
+        base, _ZL_FILES, probe["n"], "l_orderkey",
         ["l_linenumber"], "f", bounds=probe["ob"],
     )
     return spans(z, "zorder").unionByName(spans(nv, "orderkey"))

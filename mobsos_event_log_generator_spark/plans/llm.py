@@ -6267,3 +6267,102 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_milli").desc(), F.col("degree").desc(), "keyword")
         .limit(20)
     )
+
+
+_ALLOC_SPLITS = (("train", 80), ("val", 10), ("test", 10))
+
+
+_SQL_STRATIFIED_ALLOC = """
+WITH strata AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+quota AS (
+  SELECT s.lang, s.n, q.split, q.pct,
+         (s.n * q.pct) // 100 AS base,
+         (s.n * q.pct) % 100 AS frac,
+         q.ord
+  FROM strata s CROSS JOIN (
+    SELECT 'train' AS split, 80 AS pct, 1 AS ord
+    UNION ALL SELECT 'val', 10, 2
+    UNION ALL SELECT 'test', 10, 3
+  ) q
+),
+rem AS (
+  SELECT lang, CAST(min(n) - sum(base) AS BIGINT) AS r FROM quota GROUP BY 1
+),
+alloc AS (
+  SELECT q.lang, q.split, q.ord,
+         q.base + CASE WHEN row_number() OVER (PARTITION BY q.lang
+                                               ORDER BY q.frac DESC, q.ord) <= r.r
+                       THEN 1 ELSE 0 END AS n_alloc
+  FROM quota q JOIN rem r ON r.lang = q.lang
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents
+),
+cum AS (
+  SELECT lang, split, ord, n_alloc,
+         sum(n_alloc) OVER (PARTITION BY lang ORDER BY ord
+                            ROWS UNBOUNDED PRECEDING) AS hi
+  FROM alloc
+),
+assigned AS (
+  SELECT r.lang, c.split
+  FROM ranked r JOIN cum c
+    ON c.lang = r.lang AND r.rk <= c.hi AND r.rk > c.hi - c.n_alloc
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@register("corpus_stratified_allocation", _SQL_STRATIFIED_ALLOC)
+def corpus_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test allocation by the LARGEST-REMAINDER
+    (Hamilton apportionment) method — exact-proportion splits per language
+    stratum, the thing floor-only quotas silently get wrong (an 80/10/10
+    split of 25 docs floors to 20/2/2 and loses a doc; largest-remainder
+    hands the leftover to the biggest fractional parts, deterministically
+    tie-broken by split order). Allocation is pure integer arithmetic on
+    the per-stratum counts (alphabet-bounded rows); assignment ranks docs
+    within each stratum (grouped two-phase rank at scale — here the
+    stratum window) and cuts at the cumulative allocations, so the gate
+    checks both the apportionment AND the end-to-end assignment counts.
+    Reference analog: none (beyond-reference corpus-ops op)."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    strata = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qrows = [(s, p, i + 1) for i, (s, p) in enumerate(_ALLOC_SPLITS)]
+    q = spark.createDataFrame(qrows, "split string, pct long, ord long")
+    quota = strata.crossJoin(F.broadcast(q)).select(
+        "lang", "n", "split", "ord",
+        F.expr("(n * pct) div 100").alias("base"),
+        F.expr("(n * pct) % 100").alias("frac"),
+    )
+    rem = quota.groupBy("lang").agg(
+        (F.min("n") - F.sum("base")).cast("long").alias("r")
+    )
+    wq = Window.partitionBy("lang").orderBy(F.col("frac").desc(), "ord")
+    alloc = (
+        quota.join(F.broadcast(rem), "lang")
+        .withColumn("extra", (F.row_number().over(wq) <= F.col("r")).cast("long"))
+        .select("lang", "split", "ord", (F.col("base") + F.col("extra")).alias("n_alloc"))
+    )
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = alloc.withColumn("hi", F.sum("n_alloc").over(wc))
+    wr = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = docs.select("lang", "doc_id").withColumn("rk", F.row_number().over(wr))
+    assigned = ranked.join(
+        F.broadcast(cum),
+        ["lang"],
+    ).filter(
+        (F.col("rk") <= F.col("hi")) & (F.col("rk") > F.col("hi") - F.col("n_alloc"))
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -475,6 +475,9 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/llm.py", "m1"): (1, "1-row max-abs renormalizer"),
     ("plans/llm.py", "m2"): (1, "1-row max-abs renormalizer"),
     ("plans/llm.py", "v1"): (1, "64-row iterate vector (dim-bounded)"),
+    ("plans/llm.py", "q"): (1, "3-row split-quota literal dim (stratified allocation)"),
+    ("plans/llm.py", "rem"): (1, "per-language remainders (alphabet-bounded)"),
+    ("plans/llm.py", "cum"): (1, "language x split cumulative allocations (alphabet-bounded)"),
     ("plans/llm.py", "dk"): (1, "64-row dimension stats (dim-bounded)"),
     ("plans/llm.py", "cov"): (2, "1-row coverage / covered-pair scalars"),
     ("plans/llm.py", "span"): (1, "1-row span bounds"),
