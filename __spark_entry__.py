@@ -165,6 +165,8 @@ _BUDGET_LAST = (
     "lake_join_view_ivm",
     "orders_cuped_experiment",
     "corpus_stratified_allocation",
+    "join_cardinality_estimates",
+    "events_gap_sla_percentiles",
 )
 
 

@@ -6087,3 +6087,83 @@ def orders_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (cxy * ((sxv * 1000000) div nv - mx_micro)) div cxx"
         ).cast("long").alias("adj_mean_y_micro"),
     )
+
+
+@register(
+    "join_cardinality_estimates",
+    """
+WITH pairs AS (
+  SELECT 'orders x lineitem ON orderkey' AS join_pair,
+         (SELECT count(*) FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS exact_rows,
+         (SELECT sum(est) FROM (
+            SELECT (ca * cb) // (CASE WHEN da > db THEN da ELSE db END) AS est
+            FROM (SELECT o_orderkey % 64 AS b, count(*) AS ca,
+                         count(DISTINCT o_orderkey) AS da FROM orders GROUP BY 1) a
+            JOIN (SELECT l_orderkey % 64 AS b, count(*) AS cb,
+                          count(DISTINCT l_orderkey) AS db FROM lineitem GROUP BY 1) c
+              USING (b))) AS est_rows
+  UNION ALL
+  SELECT 'orders x customer ON custkey',
+         (SELECT count(*) FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         (SELECT sum(est) FROM (
+            SELECT (ca * cb) // (CASE WHEN da > db THEN da ELSE db END) AS est
+            FROM (SELECT o_custkey % 64 AS b, count(*) AS ca,
+                         count(DISTINCT o_custkey) AS da FROM orders GROUP BY 1) a
+            JOIN (SELECT c_custkey % 64 AS b, count(*) AS cb,
+                          count(DISTINCT c_custkey) AS db FROM customer GROUP BY 1) c
+              USING (b)))
+)
+SELECT join_pair,
+       CAST(exact_rows AS BIGINT) AS exact_rows,
+       CAST(est_rows AS BIGINT) AS est_rows,
+       CAST(abs(est_rows - exact_rows) * 1000000 // exact_rows AS BIGINT) AS abs_err_ppm
+FROM pairs
+""",
+)
+def join_cardinality_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics made auditable: the classic
+    equi-width-histogram JOIN CARDINALITY ESTIMATE — per key-hash bucket,
+    est_b = (|A_b|·|B_b|) div max(ndv_A_b, ndv_B_b) (containment-of-keys
+    assumption, the System R / CBO formula) — against the exact join
+    count, with absolute error in exact ppm. The estimate costs two
+    64-bucket aggregates per side (what ANALYZE collects) instead of the
+    join itself; the report quantifies what that buys: near-zero error on
+    the FK joins (where containment holds). All arithmetic is integer
+    truncating-div, deterministic in both engines. Reference analog:
+    none (beyond-reference optimizer-statistics op)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def estimate(a: DataFrame, ka: str, b: DataFrame, kb: str) -> DataFrame:
+        ha = a.groupBy((F.col(ka) % 64).alias("b")).agg(
+            F.count(F.lit(1)).alias("ca"), F.countDistinct(ka).alias("da")
+        )
+        hb = b.groupBy((F.col(kb) % 64).alias("b")).agg(
+            F.count(F.lit(1)).alias("cb"), F.countDistinct(kb).alias("db")
+        )
+        return ha.join(hb, "b").agg(
+            F.sum(F.expr("(ca * cb) div (CASE WHEN da > db THEN da ELSE db END)"))
+            .cast("long")
+            .alias("est_rows")
+        )
+
+    def row(label: str, a: DataFrame, ka: str, b: DataFrame, kb: str) -> DataFrame:
+        exact = a.join(b, a[ka] == b[kb]).agg(
+            F.count(F.lit(1)).cast("long").alias("exact_rows")
+        )
+        return (
+            exact.crossJoin(estimate(a, ka, b, kb))
+            .select(
+                F.lit(label).alias("join_pair"),
+                "exact_rows",
+                "est_rows",
+                F.expr("(abs(est_rows - exact_rows) * 1000000L) div exact_rows")
+                .cast("long")
+                .alias("abs_err_ppm"),
+            )
+        )
+
+    return row("orders x lineitem ON orderkey", o, "o_orderkey", li, "l_orderkey").unionByName(
+        row("orders x customer ON custkey", o, "o_custkey", c, "c_custkey")
+    )

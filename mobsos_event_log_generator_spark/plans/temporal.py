@@ -968,3 +968,77 @@ def events_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_dur_us",
         F.expr("wsum div total_dur_us").cast("long").alias("twap_micro"),
     )
+
+
+@register(
+    "events_gap_sla_percentiles",
+    """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+  FROM events
+),
+h AS (
+  SELECT event_type, gap_us, CAST(count(*) AS BIGINT) AS cnt
+  FROM seq WHERE gap_us IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, gap_us, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_us
+                        ROWS UNBOUNDED PRECEDING) AS cumn,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+q AS (SELECT unnest([50, 95, 99]) AS pct)
+SELECT c.event_type, CAST(q.pct AS BIGINT) AS pct,
+       CAST(min(c.gap_us) AS BIGINT) AS gap_us,
+       CAST(min(c.n) AS BIGINT) AS n_gaps
+FROM c CROSS JOIN q
+WHERE 100 * c.cumn >= q.pct * c.n
+GROUP BY 1, 2
+""",
+)
+def events_gap_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT latency-SLA percentiles (p50/p95/p99) of the inter-event gap
+    per event type — the ops-dashboard report where approx quantiles are
+    exactly what you can't ship when the SLA is contractual. The gap
+    histogram per type is the only row-scaled aggregation; percentile
+    selection is the smallest gap whose cumulative count reaches
+    ceil(q·n/100) — pure integer inequality (100·cum >= q·n), no
+    interpolation, the lower-quantile definition. The cumulative runs
+    over the (type, gap) HISTOGRAM partitioned by type; gap extraction
+    windows are keyed (user, type) per the TWAP scale rule. The 3-row
+    percentile dim cross-joins in before one filtered min per (type, q).
+    Reference analog: none (beyond-reference SLA-reporting op)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    h = seq.groupBy("event_type", "gap_us").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    c = h.withColumn("cumn", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wt)
+    )
+    q = spark.createDataFrame([(50,), (95,), (99,)], "pct long")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(100 * F.col("cumn") >= F.col("pct") * F.col("n"))
+        .groupBy("event_type", "pct")
+        .agg(
+            F.min("gap_us").cast("long").alias("gap_us"),
+            F.min("n").cast("long").alias("n_gaps"),
+        )
+        .select("event_type", F.col("pct").cast("long").alias("pct"), "gap_us", "n_gaps")
+    )

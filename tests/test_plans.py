@@ -493,6 +493,7 @@ _BROADCAST_HINT_ALLOWLIST = {
         'totals.select( (F.col("wk") + F.expr("INTERVAL 7 DAY")).alias("wk"), F.col("t").alias("t_prev"), )',
     ): (1, "per-week totals (calendar-bounded)"),
     ("plans/temporal.py", "bounds"): (1, "1-row bounds"),
+    ("plans/temporal.py", "q"): (1, "3-row percentile literal dim (SLA)"),
     ("plans/procmining.py", "tot"): (1, "1-row handover total"),
     ("operators/similarity.py", "cents"): (1, "num_centroids-bounded (kmeans_convergence)"),
     ("plans/analytics.py", "bnd"): (2, "1-row (lo, hi) timestamp bounds (MWU, DiD)"),
