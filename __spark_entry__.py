@@ -167,6 +167,7 @@ _BUDGET_LAST = (
     "corpus_stratified_allocation",
     "join_cardinality_estimates",
     "events_gap_sla_percentiles",
+    "nations_shortest_latency_paths",
 )
 
 

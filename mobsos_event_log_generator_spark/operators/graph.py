@@ -634,3 +634,55 @@ def hits_fixed_point(
             F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_fp"),
         )
     )
+
+
+def bellman_ford_rounds(
+    edges: DataFrame,
+    source,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    inf: int = 10**15,
+) -> DataFrame:
+    """Single-source shortest paths by ROUNDS of distributed Bellman-Ford
+    relaxation — the MIN-PLUS semiring sibling of the sum-based fixed-point
+    family (pagerank/markov/HITS): per round every node's distance becomes
+    min(own, min over in-edges of dist(u) + w). All-integer arithmetic, so
+    each round is bit-identical on any engine; after k rounds distances
+    equal the true shortest paths using <= k hops (the textbook invariant
+    — fixed-round semantics, not the converged limit; run diameter rounds
+    for that). Unreachable-in-k nodes keep the ``inf`` sentinel and are
+    dropped from the result. Per round: one equi-join of the distance
+    table on src + one groupBy(dst) min + a coalescing left join — the
+    canonical shuffle shape; lineage truncated per round."""
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("e_w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.withColumn(
+        "d",
+        F.when(F.col("node") == F.lit(source), F.lit(0)).otherwise(F.lit(inf)).cast("long"),
+    )
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist, F.col("e_src") == F.col("node"))
+            .filter(F.col("d") < inf)
+            .select(F.col("e_dst").alias("r_node"), (F.col("d") + F.col("e_w")).alias("rd"))
+            .groupBy("r_node")
+            .agg(F.min("rd").alias("rd"))
+        )
+        dist = (
+            dist.join(relaxed, dist["node"] == relaxed["r_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("d"), F.coalesce(F.col("rd"), F.col("d"))).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.filter(F.col("d") < inf).select("node", F.col("d").alias("dist"))

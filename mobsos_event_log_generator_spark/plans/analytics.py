@@ -6167,3 +6167,90 @@ def join_cardinality_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("orders x lineitem ON orderkey", o, "o_orderkey", li, "l_orderkey").unionByName(
         row("orders x customer ON custkey", o, "o_custkey", c, "c_custkey")
     )
+
+
+_BF_ROUNDS = 3
+_BF_INF = 10**15
+
+
+def _bf_iter_cte(k: int) -> str:
+    prev = f"bf{k - 1}"
+    return f"""
+bf{k} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN r.rd IS NULL OR p.d <= r.rd THEN p.d ELSE r.rd END AS d
+  FROM nodes n
+  JOIN {prev} p ON p.node = n.node
+  LEFT JOIN (
+    SELECT e.dst AS node, min(p.d + e.w) AS rd
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    WHERE p.d < {_BF_INF}
+    GROUP BY 1
+  ) r ON r.node = n.node
+)"""
+
+
+_SQL_NATION_SSSP = (
+    f"""
+WITH latency AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         greatest(0, date_diff('day', o.o_orderdate, l.l_shipdate)) AS days
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(min(days) AS BIGINT) AS w
+  FROM latency WHERE src <> dst GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+bf0 AS (
+  SELECT node, CAST(CASE WHEN node = 0 THEN 0 ELSE {_BF_INF} END AS BIGINT) AS d
+  FROM nodes
+),"""
+    + ",".join(_bf_iter_cte(k) for k in range(1, _BF_ROUNDS + 1))
+    + f"""
+SELECT CAST(node AS BIGINT) AS nation, CAST(d AS BIGINT) AS dist_days
+FROM bf{_BF_ROUNDS} WHERE d < {_BF_INF}
+"""
+)
+
+
+@register("nations_shortest_latency_paths", _SQL_NATION_SSSP)
+def nations_shortest_latency_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over the nation-level supply latency
+    graph: edge (customer nation -> supplier nation) weighted by the
+    MINIMUM observed order->ship days between that pair, relaxed for 3
+    Bellman-Ford rounds from nation 0 — the MIN-PLUS semiring member of
+    the fixed-point family (``operators/graph.py::bellman_ford_rounds``),
+    all-integer so every round is bit-identical; the oracle unrolls the
+    identical relaxations. After k rounds distances are exact for <= k-hop
+    paths (textbook invariant, fixed-round semantics). Edge extraction is
+    the 4-way FK join aggregated to the bounded nation x nation grid; the
+    relax loop joins only the 25-node distance table against <= 625
+    edges. Reference analog: none (beyond-reference graph op)."""
+    from mobsos_event_log_generator_spark.operators.graph import bellman_ford_rounds
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+            F.greatest(F.lit(0), F.datediff("l_shipdate", "o_orderdate")).alias("days"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("days").cast("long").alias("w"))
+    )
+    dist = bellman_ford_rounds(edges, source=0, rounds=_BF_ROUNDS, inf=_BF_INF)
+    return dist.select(
+        F.col("node").cast("long").alias("nation"),
+        F.col("dist").cast("long").alias("dist_days"),
+    )

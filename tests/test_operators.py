@@ -281,6 +281,21 @@ def test_markov_stationary_known_chain_and_dangling(spark):
     assert scale - 3 * 3 * n <= sum(out.values()) <= scale
 
 
+def test_bellman_ford_rounds_known_graph(spark):
+    from mobsos_event_log_generator_spark.operators.graph import bellman_ford_rounds
+
+    # 0->1 (5), 0->2 (2), 2->1 (1), 1->3 (1): best 0->1 is 3 via 2 hops,
+    # best 0->3 is 4 via 3 hops — needs all three rounds to settle.
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 2), (2, 1, 1), (1, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r["node"]: r["dist"] for r in bellman_ford_rounds(edges, 0, rounds=3).collect()}
+    assert got == {0: 0, 1: 3, 2: 2, 3: 4}
+    # k-hop invariant: after ONE round only direct edges are settled
+    one = {r["node"]: r["dist"] for r in bellman_ford_rounds(edges, 0, rounds=1).collect()}
+    assert one == {0: 0, 1: 5, 2: 2}
+
+
 def test_edit_distance_join_matches_bruteforce(spark):
     from mobsos_event_log_generator_spark.operators.setjoin import edit_distance_join
 
