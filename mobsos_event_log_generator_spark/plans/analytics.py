@@ -4649,7 +4649,7 @@ _MARKOV_ITERS = 3
 def _markov_iter_cte(k: int) -> str:
     prev = f"mk{k - 1}" if k > 1 else "mk0"
     return f"""
-mk{k} AS (
+mk{k} AS MATERIALIZED (
   SELECT v.state,
          COALESCE(s.s, 0)
          + (SELECT COALESCE(sum(p.pi_fp), 0) FROM {prev} p
@@ -4672,7 +4672,7 @@ WITH seq AS (
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
   FROM events
 ),
-trans AS (SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+trans AS MATERIALIZED (SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
 rowtot AS (SELECT src AS t_src, sum(n) AS tot FROM trans GROUP BY 1),
 nodes AS (SELECT src AS state FROM trans UNION SELECT dst FROM trans),
 nn AS (SELECT count(*) AS n FROM nodes),
@@ -4981,7 +4981,7 @@ _HITS_ITERS = 2
 def _hits_iter_ctes(k: int) -> str:
     prev_h = f"h{k - 1}"
     return f"""
-ar{k} AS (
+ar{k} AS MATERIALIZED (
   SELECT e.dst AS node, sum(h.h) AS a_raw
   FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
 ),
@@ -4989,7 +4989,7 @@ am{k} AS (SELECT max(a_raw) AS m FROM ar{k}),
 a{k} AS (
   SELECT node, (a_raw * {_HITS_SCALE}) // (SELECT m FROM am{k}) AS a FROM ar{k}
 ),
-hr{k} AS (
+hr{k} AS MATERIALIZED (
   SELECT e.src AS node, sum(a.a) AS h_raw
   FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY 1
 ),
@@ -5001,7 +5001,7 @@ h{k} AS (
 
 _SQL_HITS = (
     f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
