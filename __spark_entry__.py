@@ -168,6 +168,7 @@ _BUDGET_LAST = (
     "join_cardinality_estimates",
     "events_gap_sla_percentiles",
     "nations_shortest_latency_paths",
+    "parts_influence_cascade",
 )
 
 

@@ -6254,3 +6254,112 @@ def nations_shortest_latency_paths(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("node").cast("long").alias("nation"),
         F.col("dist").cast("long").alias("dist_days"),
     )
+
+
+_LT_ROUNDS = 3
+_LT_SEEDS = 5
+
+
+def _lt_round_cte(k: int) -> str:
+    prev = f"act{k - 1}"
+    return f"""
+act{k} AS MATERIALIZED (
+  SELECT node FROM {prev}
+  UNION
+  SELECT g.node FROM (
+    SELECT e.dst AS node, count(*) AS n_act
+    FROM sym e JOIN {prev} a ON a.node = e.src
+    GROUP BY 1
+  ) g JOIN deg d ON d.node = g.node
+  WHERE g.n_act * 2 >= d.deg
+)"""
+
+
+_SQL_LT_CASCADE = (
+    f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL SELECT p2, p1 FROM pairs
+),
+deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+act0 AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rk FROM deg
+  ) WHERE rk <= {_LT_SEEDS}
+),"""
+    + ",".join(_lt_round_cte(k) for k in range(1, _LT_ROUNDS + 1))
+    + """
+SELECT CAST(0 AS BIGINT) AS round, CAST(count(*) AS BIGINT) AS n_active FROM act0
+"""
+    + "".join(
+        f"UNION ALL SELECT {k}, CAST(count(*) AS BIGINT) FROM act{k}\n"
+        for k in range(1, _LT_ROUNDS + 1)
+    )
+)
+
+
+@register("parts_influence_cascade", _SQL_LT_CASCADE)
+def parts_influence_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-threshold influence cascade (Kempe-Kleinberg-Tardos class,
+    deterministic majority variant) over the part co-purchase graph: seed
+    the 5 highest-degree parts, then for 3 rounds activate any part
+    whose ACTIVE neighbor count reaches half its degree (2·n_act >= deg —
+    pure integer threshold, no random edge weights, so the cascade is
+    bit-identical everywhere). Per round one edge⋈active equi-join + one
+    groupBy + a degree join — the fixed-point family shuffle shape with
+    UNION-monotone state; the oracle unrolls the rounds as MATERIALIZED
+    CTEs (the BF lesson: monotone stages referenced twice re-evaluate
+    exponentially if inlined). Output: cumulative active count per round
+    — the adoption curve. Reference analog: none (beyond-reference
+    network-diffusion op)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    c = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("p1", "p2")
+    )
+    sym = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionByName(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
+    # distributed top-k (TakeOrderedAndProject) — never a partition-less
+    # row_number sort over the data-scaled part dim
+    active = (
+        deg.orderBy(F.col("deg").desc(), "node")
+        .limit(_LT_SEEDS)
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    out = active.agg(F.count(F.lit(1)).cast("long").alias("n_active")).select(
+        F.lit(0).cast("long").alias("round"), "n_active"
+    )
+    for k in range(1, _LT_ROUNDS + 1):
+        fired = (
+            sym.join(active.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("n_act"))
+            .join(deg, "node")
+            .filter(F.col("n_act") * 2 >= F.col("deg"))
+            .select("node")
+        )
+        active = active.unionByName(fired).distinct().localCheckpoint(eager=True)
+        out = out.unionByName(
+            active.agg(F.count(F.lit(1)).cast("long").alias("n_active")).select(
+                F.lit(k).cast("long").alias("round"), "n_active"
+            )
+        )
+    return out
