@@ -169,6 +169,8 @@ _BUDGET_LAST = (
     "events_gap_sla_percentiles",
     "nations_shortest_latency_paths",
     "parts_influence_cascade",
+    "orders_revenue_drawdown",
+    "events_seasonal_naive_mase",
 )
 
 

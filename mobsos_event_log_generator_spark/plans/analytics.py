@@ -6363,3 +6363,121 @@ def parts_influence_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+@register(
+    "orders_revenue_drawdown",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT d, rev,
+         sum(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+),
+dd AS (
+  SELECT d, cum,
+         max(cum) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak
+  FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(peak) AS BIGINT) AS final_peak_cents,
+       CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+       CAST(min(CASE WHEN peak - cum = (SELECT max(peak - cum) FROM dd)
+                     THEN strftime(d, '%Y-%m-%d') END) AS VARCHAR) AS trough_date
+FROM dd
+""",
+)
+def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue — the quant risk
+    metric (peak-to-trough drop of the running total), exact in integer
+    cents: daily revenue aggregates once (the only row-scaled shuffle),
+    then cumulative sum and running max ride windows over the
+    CALENDAR-BOUNDED daily series, and the drawdown row reports the
+    deepest gap plus its earliest trough date. Window use here is the
+    documented bounded-series exception (thousands of day rows at any
+    corpus size). Reference analog: none (beyond-reference financial-
+    analytics op)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = daily.withColumn("cum", F.sum("rev").over(wc)).withColumn(
+        "peak", F.max(F.sum("rev").over(wc)).over(wc)
+    )
+    mx = dd.agg(F.max(F.col("peak") - F.col("cum")).alias("mdd"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("peak").cast("long").alias("final_peak_cents"),
+            F.max(F.col("peak") - F.col("cum")).cast("long").alias("max_drawdown_cents"),
+            F.min(
+                F.when(
+                    F.col("peak") - F.col("cum") == F.col("mdd"),
+                    F.date_format("d", "yyyy-MM-dd"),
+                )
+            ).alias("trough_date"),
+        )
+    )
+
+
+@register(
+    "events_seasonal_naive_mase",
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT cur.event_type,
+         abs(cur.c - w.c) AS ae7,
+         abs(cur.c - y.c) AS ae1
+  FROM daily cur
+  JOIN daily w ON w.event_type = cur.event_type AND w.d = cur.d - INTERVAL 7 DAY
+  JOIN daily y ON y.event_type = cur.event_type AND y.d = cur.d - INTERVAL 1 DAY
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_scored,
+       CAST(sum(ae7) AS BIGINT) AS sum_ae_seasonal,
+       CAST(sum(ae1) AS BIGINT) AS sum_ae_naive,
+       CAST(sum(ae7) * 1000000 // sum(ae1) AS BIGINT) AS mase_ppm
+FROM scored GROUP BY 1
+""",
+)
+def events_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill evaluation without a model: per event type, the
+    seasonal-naive forecast (value 7 days ago) scored against the plain
+    naive (yesterday) by MASE in exact ppm — Σ|err_seasonal| div
+    Σ|err_naive| over the days where both references exist. Under 1e6
+    means weekly seasonality is real and a forecaster should use it;
+    this is the Hyndman MASE denominator discipline with the integer
+    rails. One daily aggregate, then two self-equi-joins on (type,
+    day±k) over the calendar-bounded series — no window needed at all.
+    Reference analog: none (beyond-reference forecast-eval op)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cur = daily.select("event_type", "d", F.col("c").alias("cc"))
+    wk = daily.select(
+        "event_type", (F.col("d") + F.expr("INTERVAL 7 DAY")).alias("d"), F.col("c").alias("cw")
+    )
+    yd = daily.select(
+        "event_type", (F.col("d") + F.expr("INTERVAL 1 DAY")).alias("d"), F.col("c").alias("cy")
+    )
+    scored = cur.join(wk, ["event_type", "d"]).join(yd, ["event_type", "d"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.sum(F.abs(F.col("cc") - F.col("cw"))).cast("long").alias("sum_ae_seasonal"),
+        F.sum(F.abs(F.col("cc") - F.col("cy"))).cast("long").alias("sum_ae_naive"),
+        F.expr(
+            "(sum(abs(cc - cw)) * 1000000) div sum(abs(cc - cy))"
+        ).cast("long").alias("mase_ppm"),
+    )
