@@ -171,6 +171,7 @@ _BUDGET_LAST = (
     "parts_influence_cascade",
     "orders_revenue_drawdown",
     "events_seasonal_naive_mase",
+    "parts_brand_assortativity",
 )
 
 

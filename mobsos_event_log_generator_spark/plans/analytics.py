@@ -6481,3 +6481,100 @@ def events_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(abs(cc - cw)) * 1000000) div sum(abs(cc - cy))"
         ).cast("long").alias("mase_ppm"),
     )
+
+
+@register(
+    "parts_brand_assortativity",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, c.l_partkey AS p2
+  FROM b a JOIN b c USING (l_orderkey)
+  WHERE a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+lab AS (
+  SELECT p.p1, p.p2, pa.p_brand AS b1, pb.p_brand AS b2
+  FROM pairs p JOIN part pa ON pa.p_partkey = p.p1
+               JOIN part pb ON pb.p_partkey = p.p2
+),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM lab),
+intra AS (
+  SELECT b1 AS brand, CAST(count(*) AS HUGEINT) AS e_c
+  FROM lab WHERE b1 = b2 GROUP BY 1
+),
+degsum AS (
+  SELECT brand, CAST(sum(cnt) AS HUGEINT) AS d_c FROM (
+    SELECT b1 AS brand, count(*) AS cnt FROM lab GROUP BY 1
+    UNION ALL
+    SELECT b2, count(*) FROM lab GROUP BY 1
+  ) GROUP BY 1
+),
+q AS (
+  SELECT (SELECT m FROM m) AS m,
+         (SELECT COALESCE(sum(e_c), 0) FROM intra) AS se,
+         (SELECT sum(d_c * d_c) FROM degsum) AS sd2,
+         (SELECT count(*) FROM degsum) AS n_brands
+)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       CAST(n_brands AS BIGINT) AS n_brands,
+       CAST(se AS BIGINT) AS intra_brand_edges,
+       CAST((4 * m * se - sd2) * 1000000 // (4 * m * m) AS BIGINT)
+         AS modularity_micro
+FROM q
+""",
+)
+def parts_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute assortativity (Newman modularity of the BRAND partition)
+    over the part co-purchase graph: do baskets concentrate within
+    brands? Q = Σ_c [e_c/m − (d_c/2m)²] folded into ONE exact integer
+    expression, (4m·Σe_c − Σd_c²)·10⁶ div 4m² — no float ratio, no
+    per-community division. The graph is the bounded basket join; brand
+    labels arrive by two part-dim joins; everything above is
+    brand-alphabet-bounded aggregation. Positive micro-modularity =
+    within-brand clustering beyond degree chance — the attribute-mixing
+    diagnostic community detectors are benchmarked against.
+    Reference analog: none (beyond-reference network-metric op)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    c = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(c, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("p1", "p2")
+    )
+    lab = (
+        pairs.join(p.select(F.col("p_partkey").alias("p1"), F.col("p_brand").alias("b1")), "p1")
+        .join(p.select(F.col("p_partkey").alias("p2"), F.col("p_brand").alias("b2")), "p2")
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    se = lab.filter(F.col("b1") == F.col("b2")).agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("decimal(38,0)").alias("se")
+    )
+    degsum = (
+        lab.select(F.col("b1").alias("brand"))
+        .unionByName(lab.select(F.col("b2").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d_c"))
+    )
+    dstats = degsum.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).cast("decimal(38,0)").alias("sd2"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    return (
+        m.crossJoin(se)
+        .crossJoin(dstats)
+        .select(
+            F.col("m").cast("long").alias("n_edges"),
+            F.col("n_brands"),
+            F.col("se").cast("long").alias("intra_brand_edges"),
+            F.expr("((4 * m * se - sd2) * 1000000) div (4 * m * m)")
+            .cast("long")
+            .alias("modularity_micro"),
+        )
+    )
