@@ -172,6 +172,7 @@ _BUDGET_LAST = (
     "orders_revenue_drawdown",
     "events_seasonal_naive_mase",
     "parts_brand_assortativity",
+    "orders_trimmed_mean_price",
 )
 
 

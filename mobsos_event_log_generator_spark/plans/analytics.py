@@ -6578,3 +6578,79 @@ def parts_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("modularity_micro"),
         )
     )
+
+
+@register(
+    "orders_trimmed_mean_price",
+    """
+WITH h AS (
+  SELECT o_orderpriority AS pri,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+c AS (
+  SELECT pri, pc, cnt,
+         sum(cnt) OVER (PARTITION BY pri ORDER BY pc ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY pri) AS n
+  FROM h
+),
+w AS (
+  SELECT pri, pc, n,
+         greatest(0, least(cum, n - (n * 5) // 100)
+                     - greatest(cum - cnt, (n * 5) // 100)) AS w
+  FROM c
+)
+SELECT pri AS priority,
+       CAST(min(n) AS BIGINT) AS n_orders,
+       CAST(sum(w) AS BIGINT) AS n_kept,
+       CAST(sum(pc * w) * 10000 // sum(w) AS BIGINT) AS trimmed_mean_micro
+FROM w WHERE w > 0 GROUP BY 1
+""",
+)
+def orders_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimate: the 5%-each-side TRIMMED mean of order
+    price per priority, exact to the micro-dollar: per-(priority, cents)
+    histogram, grouped two-phase prefix sum for cumulative ranks, and
+    per-value CLIPPED weights w = overlap of the value's rank interval
+    [cum−cnt+1, cum] with the kept band (lo, hi] — so boundary values
+    that straddle the trim line contribute exactly their surviving
+    copies (the subtlety a filter-by-value trim gets wrong when ties
+    cross the cut). mean = Σ pc·w·10⁴ div Σw, truncating. The histogram
+    is the only row-scaled aggregate; the prefix runs through
+    ``value_ordered_running_sum``'s grouped bucketed form — no per-group
+    single-partition sort. Reference analog: none (beyond-reference
+    robust-stats op)."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+        )
+        .groupBy("pri", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    c = value_ordered_running_sum(
+        h, order_col="pc", tie_cols=[], value_col=F.col("cnt"),
+        out_col="cum", group_cols=["pri"],
+    )
+    n = h.groupBy("pri").agg(F.sum("cnt").cast("long").alias("n"))
+    w = (
+        c.join(F.broadcast(n), "pri")
+        .select(
+            "pri", "pc", "n",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("cum"), F.col("n") - F.expr("(n * 5) div 100"))
+                - F.greatest(F.col("cum") - F.col("cnt"), F.expr("(n * 5) div 100")),
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    return w.groupBy(F.col("pri").alias("priority")).agg(
+        F.min("n").cast("long").alias("n_orders"),
+        F.sum("w").cast("long").alias("n_kept"),
+        F.expr("(sum(pc * w) * 10000) div sum(w)").cast("long").alias("trimmed_mean_micro"),
+    )
