@@ -173,6 +173,7 @@ _BUDGET_LAST = (
     "events_seasonal_naive_mase",
     "parts_brand_assortativity",
     "orders_trimmed_mean_price",
+    "parts_name_canonicalization",
 )
 
 

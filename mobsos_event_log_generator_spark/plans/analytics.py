@@ -6654,3 +6654,71 @@ def orders_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("n_kept"),
         F.expr("(sum(pc * w) * 10000) div sum(w)").cast("long").alias("trimmed_mean_micro"),
     )
+
+
+@register(
+    "parts_name_canonicalization",
+    """
+WITH RECURSIVE
+names AS MATERIALIZED (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.p_name AS n1, b.p_name AS n2
+  FROM names a JOIN names b
+    ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+),
+edges AS MATERIALIZED (
+  SELECT n1 AS a, n2 AS b FROM pairs UNION SELECT n2, n1 FROM pairs
+),
+reach(src, dst) AS (
+  SELECT p_name, p_name FROM names
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (SELECT src AS p_name, min(dst) AS canonical FROM reach GROUP BY 1)
+SELECT c.canonical,
+       CAST(count(*) AS BIGINT) AS n_names,
+       CAST(sum(n.n_parts) AS BIGINT) AS n_parts
+FROM comp c JOIN names n ON n.p_name = c.p_name
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def parts_name_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TYPO CANONICALIZATION — the composition the ER stack
+    exists for: FastSS edit-distance join (radius 2) finds the variant
+    pairs, star-contraction connected components clusters them
+    transitively (A~B, B~C groups {A,B,C} even when lev(A,C) > 2), and
+    each cluster's canonical form is its lexicographic minimum — the
+    keep-min survivorship rule. Output: multi-name clusters with member
+    and part counts (the dedup work-list). Both composed operators are
+    independently gated (brute-force unit, known-graph units); this
+    query gates their COMPOSITION against a brute-force + recursive-
+    closure oracle. Scale: linear deletion-neighborhood join + O(log n)
+    contraction rounds — never the quadratic name cross product.
+    Reference analog: none (beyond-reference ER-pipeline op)."""
+    from mobsos_event_log_generator_spark.operators.graph import connected_components_star
+    from mobsos_event_log_generator_spark.operators.setjoin import edit_distance_join
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    pairs = edit_distance_join(p, key_col="p_name", max_dist=2).select(
+        F.col("name_a").alias("id1"), F.col("name_b").alias("id2")
+    )
+    comp = connected_components_star(pairs)
+    labeled = names.join(
+        comp.withColumnRenamed("node", "p_name"), "p_name", "left"
+    ).select(
+        "p_name",
+        "n_parts",
+        F.coalesce(F.col("component"), F.col("p_name")).alias("canonical"),
+    )
+    return (
+        labeled.groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.sum("n_parts").cast("long").alias("n_parts"),
+        )
+        .filter(F.col("n_names") > 1)
+    )
