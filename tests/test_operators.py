@@ -974,3 +974,36 @@ def test_spearman_matches_scipy_style_replay(spark):
         assert r["n_days"] == n
         assert r["rho2_ppm"] == tdiv(num * 1000, dena) * tdiv(num * 1000, denb)
         assert r["rho_sign"] == (1 if num > 0 else -1 if num < 0 else 0)
+
+
+def test_hits_fixed_point_known_bipartite(spark):
+    from mobsos_event_log_generator_spark.operators.graph import hits_fixed_point
+
+    # hubs u1 (-> a1, a2), u2 (-> a2); a2 has two in-edges, a1 one
+    edges = spark.createDataFrame(
+        [("u1", "a1"), ("u1", "a2"), ("u2", "a2")], "src string, dst string"
+    )
+    out = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits_fixed_point(edges, iterations=2, scale=10**6).collect()
+    }
+
+    # python replay of the exact half-step recurrence
+    scale = 10**6
+    h = {"u1": scale, "u2": scale}
+    e = [("u1", "a1"), ("u1", "a2"), ("u2", "a2")]
+    a = {}
+    for _ in range(2):
+        a_raw = {}
+        for s, d in e:
+            a_raw[d] = a_raw.get(d, 0) + h[s]
+        m = max(a_raw.values())
+        a = {k: v * scale // m for k, v in a_raw.items()}
+        h_raw = {}
+        for s, d in e:
+            h_raw[s] = h_raw.get(s, 0) + a[d]
+        m = max(h_raw.values())
+        h = {k: v * scale // m for k, v in h_raw.items()}
+    want = {n: (h.get(n, 0), a.get(n, 0)) for n in ["u1", "u2", "a1", "a2"]}
+    assert out == want
+    assert out["u1"][0] > out["u2"][0] and out["a2"][1] > out["a1"][1]
