@@ -174,6 +174,7 @@ _BUDGET_LAST = (
     "parts_brand_assortativity",
     "orders_trimmed_mean_price",
     "parts_name_canonicalization",
+    "orders_nested_lines_roundtrip",
 )
 
 

@@ -6722,3 +6722,64 @@ def parts_name_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_names") > 1)
     )
+
+
+@register(
+    "orders_nested_lines_roundtrip",
+    """
+WITH nested AS (
+  SELECT l_orderkey AS k,
+         list(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              ORDER BY l_linenumber, floor(l_extendedprice * 100 + 0.5)) AS cents,
+         list(l_linenumber
+              ORDER BY l_linenumber, floor(l_extendedprice * 100 + 0.5)) AS lns
+  FROM lineitem GROUP BY 1
+)
+SELECT k AS orderkey,
+       CAST(len(cents) AS BIGINT) AS n_lines,
+       CAST(list_sum(cents) AS BIGINT) AS total_cents,
+       CAST(cents[1] AS BIGINT) AS first_line_cents,
+       CAST(cents[len(cents)] AS BIGINT) AS last_line_cents,
+       CAST(list_aggregate(lns, 'string_agg', '-') AS VARCHAR) AS line_signature
+FROM nested
+""",
+)
+def orders_nested_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-TYPE surface gate: assemble each order's lines into a
+    linenumber-SORTED array of structs (the document/denormalized shape a
+    lakehouse serves to applications), then derive every output through
+    the ARRAY — size, an `aggregate` fold for the total, element_at for
+    first/last, and a transform+array_join signature — so the gate proves
+    collect_list -> array_sort determinism and the higher-order-function
+    path, not just flat SQL. Output is scalar-only (cross-engine struct
+    FORMATTING differs; values derived from the array compare exactly).
+    The fold is bounded by basket size (<= 7 elements) per the
+    interpreted-HOF rule in ENGINEERING_NOTES — fine here, never on a
+    corpus-length array. Reference analog: none (beyond-reference
+    nested-data op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            ).alias("line"),
+        )
+        .groupBy("orderkey")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
+    )
+    return nested.select(
+        "orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr("aggregate(lines, 0L, (acc, x) -> acc + x.cents)")
+        .cast("long")
+        .alias("total_cents"),
+        F.element_at("lines", 1)["cents"].cast("long").alias("first_line_cents"),
+        F.element_at("lines", -1)["cents"].cast("long").alias("last_line_cents"),
+        F.array_join(F.expr("transform(lines, x -> cast(x.ln as string))"), "-").alias(
+            "line_signature"
+        ),
+    )
