@@ -175,6 +175,7 @@ _BUDGET_LAST = (
     "orders_trimmed_mean_price",
     "parts_name_canonicalization",
     "orders_nested_lines_roundtrip",
+    "orders_business_days_to_ship",
 )
 
 

@@ -6783,3 +6783,65 @@ def orders_nested_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             "line_signature"
         ),
     )
+
+
+@register(
+    "orders_business_days_to_ship",
+    """
+WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+pts AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', DATE '1996-01-01', o.o_orderdate) AS a,
+         date_diff('day', DATE '1996-01-01', f.first_ship) AS b
+  FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+  WHERE f.first_ship >= o.o_orderdate
+),
+biz AS (
+  SELECT priority,
+         (5 * (b // 7) + least(b % 7, 5))
+         - (5 * (a // 7) + least(a % 7, 5)) AS bizdays
+  FROM pts WHERE a >= 0 AND b >= 0
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(bizdays) AS BIGINT) AS min_bizdays,
+       CAST(max(bizdays) AS BIGINT) AS max_bizdays,
+       CAST(sum(bizdays) * 1000000 // count(*) AS BIGINT) AS mean_bizdays_micro
+FROM biz GROUP BY 1
+""",
+)
+def orders_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (NETWORKDAYS-style) order->first-shipment latency per
+    priority — the BI utility every warehouse reimplements, here as a
+    PURE CLOSED FORM with zero weekday-function hazards: weekdays in
+    [a, b) = W(b) − W(a) with W(d) = 5·(d div 7) + min(d mod 7, 5) over
+    days since a known MONDAY epoch (1996-01-01) — both engines compute
+    the identical integer arithmetic, sidestepping the Spark-Sunday=1 /
+    DuckDB-Sunday=0 dayofweek discrepancy entirely (the dow-offset bug
+    class recorded in ENGINEERING_NOTES becomes unrepresentable). One
+    groupBy(orderkey) min + one FK join + one alphabet-bounded
+    aggregate; mean in truncating-div micro. Negative synthetic
+    latencies and pre-epoch dates are excluded, documented. Reference
+    analog: none (beyond-reference calendar-utility op)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    epoch = F.lit("1996-01-01").cast("date")
+    pts = (
+        o.join(f, o["o_orderkey"] == f["l_orderkey"])
+        .filter(F.col("first_ship") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("a"),
+            F.datediff(F.col("first_ship"), epoch).cast("long").alias("b"),
+        )
+        .filter((F.col("a") >= 0) & (F.col("b") >= 0))
+    )
+    wd = lambda col: F.expr(f"5 * ({col} div 7) + least({col} % 7, 5)")  # noqa: E731
+    biz = pts.select("priority", (wd("b") - wd("a")).alias("bizdays"))
+    return biz.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("bizdays").cast("long").alias("min_bizdays"),
+        F.max("bizdays").cast("long").alias("max_bizdays"),
+        F.expr("(sum(bizdays) * 1000000) div count(1)").cast("long").alias("mean_bizdays_micro"),
+    )
