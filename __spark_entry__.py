@@ -176,6 +176,7 @@ _BUDGET_LAST = (
     "parts_name_canonicalization",
     "orders_nested_lines_roundtrip",
     "orders_business_days_to_ship",
+    "parts_supplier_matching",
 )
 
 

@@ -6845,3 +6845,93 @@ def orders_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("bizdays").cast("long").alias("max_bizdays"),
         F.expr("(sum(bizdays) * 1000000) div count(1)").cast("long").alias("mean_bizdays_micro"),
     )
+
+
+_SQL_MATCHING = """
+WITH cost AS MATERIALIZED (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pref AS MATERIALIZED (
+  SELECT p, s, c,
+         row_number() OVER (PARTITION BY p ORDER BY c, s) AS rk
+  FROM cost
+),
+prop1 AS (SELECT p, s, c FROM pref WHERE rk = 1),
+acc1 AS MATERIALIZED (
+  SELECT p, s, c FROM (
+    SELECT p, s, c, row_number() OVER (PARTITION BY s ORDER BY c, p) AS a
+    FROM prop1
+  ) WHERE a = 1
+),
+rej1 AS (
+  SELECT p FROM prop1 WHERE p NOT IN (SELECT p FROM acc1)
+),
+prop2 AS (
+  SELECT f.p, f.s, f.c FROM pref f JOIN rej1 r ON r.p = f.p WHERE f.rk = 2
+),
+pool2 AS (
+  SELECT p, s, c FROM acc1 UNION ALL SELECT p, s, c FROM prop2
+),
+acc2 AS MATERIALIZED (
+  SELECT p, s, c FROM (
+    SELECT p, s, c, row_number() OVER (PARTITION BY s ORDER BY c, p) AS a
+    FROM pool2
+  ) WHERE a = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(c) AS BIGINT) AS total_cost_cents,
+       CAST(count(DISTINCT s) AS BIGINT) AS n_suppliers_used
+FROM acc2
+"""
+
+
+@register("parts_supplier_matching", _SQL_MATCHING)
+def parts_supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-acceptance (Gale-Shapley-style) bipartite matching, two
+    proposal rounds unrolled: every part proposes to its cheapest
+    observed supplier (preference = (min line cost, suppkey) — a total
+    order); each supplier tentatively keeps the (cost, part)-minimal
+    proposal; round-2 rejects propose to their SECOND choice and
+    suppliers re-evaluate holder + newcomers together. Fixed-round
+    semantics (a full stable matching runs rounds to quiescence — same
+    recurrence). Everything is integer/total-ordered so both engines
+    replay the identical tentative-match trajectory; the output is the
+    match summary (count, total cost, suppliers used). Shapes: one
+    (part, supplier) cost aggregate, preference ranks windowed PER PART
+    (bounded by a part's supplier count), accepts windowed PER SUPPLIER
+    (bounded by proposals/round — at most one per part). The
+    assignment-problem class (matching markets, task allocation) joins
+    the fixed-point family. Reference analog: none (beyond-reference
+    matching op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("c")
+    )
+    wp = Window.partitionBy("p").orderBy("c", "s")
+    pref = cost.withColumn("rk", F.row_number().over(wp))
+    ws = Window.partitionBy("s").orderBy("c", "p")
+    prop1 = pref.filter(F.col("rk") == 1).select("p", "s", "c")
+    acc1 = (
+        prop1.withColumn("a", F.row_number().over(ws))
+        .filter(F.col("a") == 1)
+        .select("p", "s", "c")
+    )
+    rej1 = prop1.select("p").join(acc1.select("p"), "p", "left_anti")
+    prop2 = pref.filter(F.col("rk") == 2).join(rej1, "p").select("p", "s", "c")
+    pool2 = acc1.unionByName(prop2)
+    acc2 = (
+        pool2.withColumn("a", F.row_number().over(ws))
+        .filter(F.col("a") == 1)
+        .select("p", "s", "c")
+    )
+    return acc2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("c").cast("long").alias("total_cost_cents"),
+        F.countDistinct("s").cast("long").alias("n_suppliers_used"),
+    )
