@@ -177,6 +177,7 @@ _BUDGET_LAST = (
     "orders_nested_lines_roundtrip",
     "orders_business_days_to_ship",
     "parts_supplier_matching",
+    "lineitem_revenue_bridge",
 )
 
 

@@ -6935,3 +6935,117 @@ def parts_supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("total_cost_cents"),
         F.countDistinct("s").cast("long").alias("n_suppliers_used"),
     )
+
+
+@register(
+    "lineitem_revenue_bridge",
+    """
+WITH bnd3 AS (
+  SELECT epoch_us(min(l_shipdate)) AS lo, epoch_us(max(l_shipdate)) AS hi FROM lineitem
+),
+cells AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN epoch_us(l.l_shipdate) * 2 >= (SELECT lo + hi FROM bnd3)
+              THEN 2 ELSE 1 END AS period,
+         CAST(l.l_quantity AS BIGINT) AS q,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+agg AS (
+  SELECT brand, period, CAST(sum(q) AS BIGINT) AS q, CAST(sum(cents) AS BIGINT) AS r
+  FROM cells GROUP BY 1, 2
+),
+wide AS (
+  SELECT brand,
+         max(CASE WHEN period = 1 THEN q END) AS q1,
+         max(CASE WHEN period = 1 THEN r END) AS r1,
+         max(CASE WHEN period = 2 THEN q END) AS q2,
+         max(CASE WHEN period = 2 THEN r END) AS r2
+  FROM agg GROUP BY 1
+  HAVING max(CASE WHEN period = 1 THEN q END) IS NOT NULL
+     AND max(CASE WHEN period = 2 THEN q END) IS NOT NULL
+),
+fx AS (
+  SELECT brand, q1, q2,
+         (r2 - r1) * 10000 AS d_rev_micro,
+         (q2 - q1) * ((r1 * 10000) // q1) AS volume_effect_micro,
+         q2 * ((r2 * 10000) // q2 - (r1 * 10000) // q1) AS price_effect_micro
+  FROM wide
+)
+SELECT brand,
+       CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+       CAST(d_rev_micro AS BIGINT) AS d_rev_micro,
+       CAST(volume_effect_micro AS BIGINT) AS volume_effect_micro,
+       CAST(price_effect_micro AS BIGINT) AS price_effect_micro,
+       CAST(d_rev_micro - volume_effect_micro - price_effect_micro AS BIGINT)
+         AS residual_micro
+FROM fx
+""",
+)
+def lineitem_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume revenue bridge (the FP&A variance decomposition):
+    between shipdate halves, each brand's revenue delta splits into a
+    VOLUME effect (Δq at the old average price) and a PRICE effect (new
+    volume times the average-price delta), average prices carried as
+    truncating-div micro-dollars — and because truncation makes the
+    textbook identity inexact, the RESIDUAL is an explicit output column
+    (sums to the rounding loss, auditable) rather than silently forced
+    to zero. One FK join + one (brand, period) aggregate + a 2-way
+    pivot; the period split rides the 1-row bounds broadcast. Brands in
+    only one period are excluded (no base to bridge). Reference analog:
+    none (beyond-reference financial-analytics op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bnd3 = li.agg(
+        F.min(F.unix_micros("l_shipdate")).alias("lo"),
+        F.max(F.unix_micros("l_shipdate")).alias("hi"),
+    )
+    cells = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .crossJoin(F.broadcast(bnd3))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.unix_micros("l_shipdate") * 2 >= F.col("lo") + F.col("hi"), 2
+            ).otherwise(1).alias("period"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    agg = cells.groupBy("brand", "period").agg(
+        F.sum("q").cast("long").alias("q"), F.sum("cents").cast("long").alias("r")
+    )
+    wide = (
+        agg.groupBy("brand")
+        .agg(
+            F.max(F.when(F.col("period") == 1, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("period") == 1, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("period") == 2, F.col("q"))).alias("q2"),
+            F.max(F.when(F.col("period") == 2, F.col("r"))).alias("r2"),
+        )
+        .filter(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    )
+    fx = wide.select(
+        "brand",
+        "q1",
+        "q2",
+        ((F.col("r2") - F.col("r1")) * 10000).alias("d_rev_micro"),
+        ((F.col("q2") - F.col("q1")) * F.expr("(r1 * 10000) div q1")).alias(
+            "volume_effect_micro"
+        ),
+        (
+            F.col("q2")
+            * (F.expr("(r2 * 10000) div q2") - F.expr("(r1 * 10000) div q1"))
+        ).alias("price_effect_micro"),
+    )
+    return fx.select(
+        "brand",
+        F.col("q1").cast("long").alias("q1"),
+        F.col("q2").cast("long").alias("q2"),
+        F.col("d_rev_micro").cast("long").alias("d_rev_micro"),
+        F.col("volume_effect_micro").cast("long").alias("volume_effect_micro"),
+        F.col("price_effect_micro").cast("long").alias("price_effect_micro"),
+        (
+            F.col("d_rev_micro") - F.col("volume_effect_micro") - F.col("price_effect_micro")
+        ).cast("long").alias("residual_micro"),
+    )

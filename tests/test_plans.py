@@ -438,7 +438,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/retrieval_index.py", "stats"): (3, "1-row (n_docs, avgdl) index stats"),
     ("operators/skyline.py", "offsets"): (1, "per-bucket offsets, fixed bucket count"),
     ("operators/sweep.py", "offsets"): (2, "per-bucket offsets, fixed bucket count"),
-    ("plans/analytics.py", "n"): (6, "nation dim: 25 rows"),
+    ("plans/analytics.py", "n"): (7, "nation dim: 25 rows (x6) + per-priority totals (alphabet-bounded, trimmed mean)"),
     ("plans/analytics.py", "n1"): (2, "nation dim: 25 rows"),
     ("plans/analytics.py", "n2"): (2, "nation dim: 25 rows"),
     ("plans/analytics.py", "r"): (2, "region dim: 5 rows"),
@@ -498,6 +498,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/similarity.py", "cents"): (1, "num_centroids-bounded (kmeans_convergence)"),
     ("plans/analytics.py", "bnd"): (2, "1-row (lo, hi) timestamp bounds (MWU, DiD)"),
     ("plans/analytics.py", "bnd2"): (1, "1-row (lo, hi) orderdate bounds (CUPED)"),
+    ("plans/analytics.py", "bnd3"): (1, "1-row (lo, hi) shipdate bounds (revenue bridge)"),
     ("plans/analytics.py", "theta"): (1, "1-row CUPED co-moment scalars"),
     ("plans/analytics.py", "lags"): (1, "4-row literal lag dim (autocorrelation)"),
     ("plans/analytics.py", "d0"): (1, "1-row min-day origin (Haar)"),
