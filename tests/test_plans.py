@@ -547,3 +547,43 @@ def test_broadcast_hints_only_on_bounded_inputs():
     assert not unexpected, f"unlisted F.broadcast() hints (justify in allowlist): {unexpected}"
     drift = {k: (found.get(k, 0), c) for k, c in expected.items() if found.get(k, 0) != c}
     assert not drift, f"allowlist count drift (found, expected): {drift}"
+
+
+def test_no_module_level_name_shadowing_in_plans():
+    """Source gate for the _Z_BITS incident: a module-level constant or
+    function REASSIGNED later in the same plans module silently rebinds
+    what earlier plan FUNCTIONS read at call time (f-string oracles built
+    at import keep the old value, the Spark side picks up the new one —
+    a split-brain between oracle and plan). Every module-level name in
+    the plans package must be assigned exactly once. Known pre-existing
+    exceptions are pinned: llm.py's _SQL_BIGRAMS pair is load-time-only
+    (verified: no function body reads it) and _SQL_SPAN_CTES_TAIL is a
+    self-referential reassignment."""
+    import ast
+    import collections
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "mobsos_event_log_generator_spark", "plans"
+    )
+    allowed = {
+        ("llm.py", "_SQL_BIGRAMS"),
+        ("llm.py", "_SQL_SPAN_CTES_TAIL"),
+    }
+    offenders = {}
+    for fn in sorted(os.listdir(pkg)):
+        if not fn.endswith(".py"):
+            continue
+        tree = ast.parse(open(os.path.join(pkg, fn)).read())
+        names = collections.Counter()
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        names[t.id] += 1
+            elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                names[node.name] += 1
+        for name, cnt in names.items():
+            if cnt > 1 and (fn, name) not in allowed:
+                offenders[(fn, name)] = cnt
+    assert not offenders, f"module-level rebinding in plans (split-brain risk): {offenders}"
