@@ -178,6 +178,7 @@ _BUDGET_LAST = (
     "orders_business_days_to_ship",
     "parts_supplier_matching",
     "lineitem_revenue_bridge",
+    "nations_supplier_hhi",
 )
 
 

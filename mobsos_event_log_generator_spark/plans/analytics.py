@@ -7049,3 +7049,106 @@ def lineitem_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_rev_micro") - F.col("volume_effect_micro") - F.col("price_effect_micro")
         ).cast("long").alias("residual_micro"),
     )
+
+
+@register(
+    "nations_supplier_hhi",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+per AS (
+  SELECT n.n_name AS nation, r.sk, r.rev,
+         CAST(sum(r.rev) OVER (PARTITION BY n.n_name) AS BIGINT) AS tot
+  FROM rev r
+  JOIN supplier s ON s.s_suppkey = r.sk
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+),
+sh AS (
+  SELECT nation, sk, tot,
+         rev * 1000000 // tot AS share_ppm,
+         row_number() OVER (PARTITION BY nation ORDER BY rev DESC, sk) AS rk
+  FROM per
+),
+agg AS (
+  SELECT nation,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(max(tot) AS BIGINT) AS total_rev_cents,
+         CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+         CAST(max(CASE WHEN rk = 1 THEN share_ppm END) AS BIGINT) AS cr1_ppm,
+         CAST(sum(CASE WHEN rk <= 4 THEN share_ppm ELSE 0 END) AS BIGINT) AS cr4_ppm
+  FROM sh GROUP BY 1
+)
+SELECT nation, n_suppliers, total_rev_cents, hhi_ppm, cr1_ppm, cr4_ppm,
+       CAST(CASE WHEN hhi_ppm > 0 THEN 1000000000000 // hhi_ppm END AS BIGINT)
+         AS eff_competitors_micro
+FROM agg
+""",
+)
+def nations_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report per supplier nation: Herfindahl-
+    Hirschman index, CR1/CR4 concentration ratios, and the effective
+    number of competitors (inverse HHI) over each nation's supplier
+    revenue shares — the antitrust/marketplace-health lens next to the
+    Gini and assortativity lenses. Everything is exact integer: shares
+    are truncating-div ppm (rev*1e6 div tot fits int64 while national
+    revenue stays under ~9e12 cents; widen the product to decimal at
+    extreme scale), HHI is sum(share^2) div 1e6 so it lands back on the
+    0..1e6 ppm scale, and 1/HHI is 1e12 div hhi. Shapes that survive
+    100 TB: revenue is aggregated to supplier grain BEFORE any join
+    (the join input is |suppliers|, not |lineitem|), nation is a
+    bounded dim AQE broadcasts, and the per-nation window is bounded by
+    suppliers-per-nation. CR4 uses a deterministic (rev DESC, suppkey)
+    rank so ties can't flap the hash. Reference analog: none
+    (beyond-reference market-analytics op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    per = (
+        rev.join(s, rev["sk"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "sk", "rev")
+        .withColumn(
+            "tot", F.sum("rev").over(Window.partitionBy("nation")).cast("long")
+        )
+    )
+    sh = per.select(
+        "nation",
+        "sk",
+        "tot",
+        F.expr("rev * 1000000 div tot").alias("share_ppm"),
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy(F.col("rev").desc(), "sk"))
+        .alias("rk"),
+    )
+    agg = sh.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("tot").cast("long").alias("total_rev_cents"),
+        F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)").alias(
+            "hhi_ppm"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("share_ppm"))).cast("long").alias(
+            "cr1_ppm"
+        ),
+        F.sum(F.when(F.col("rk") <= 4, F.col("share_ppm")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cr4_ppm"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        "total_rev_cents",
+        "hhi_ppm",
+        "cr1_ppm",
+        "cr4_ppm",
+        F.expr(
+            "CAST(CASE WHEN hhi_ppm > 0 THEN 1000000000000 div hhi_ppm END AS BIGINT)"
+        ).alias("eff_competitors_micro"),
+    )
