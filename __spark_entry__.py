@@ -179,6 +179,7 @@ _BUDGET_LAST = (
     "parts_supplier_matching",
     "lineitem_revenue_bridge",
     "nations_supplier_hhi",
+    "orders_conformal_shipping",
 )
 
 

@@ -7152,3 +7152,136 @@ def nations_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN hhi_ppm > 0 THEN 1000000000000 div hhi_ppm END AS BIGINT)"
         ).alias("eff_competitors_micro"),
     )
+
+
+@register(
+    "orders_conformal_shipping",
+    """
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS delay,
+         CASE WHEN ('0x' || substr(md5(CAST(l.l_orderkey * 10 + l.l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE 0 END AS is_cal
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+med AS (
+  SELECT priority, delay AS pred_delay_days FROM (
+    SELECT priority, delay,
+           row_number() OVER (PARTITION BY priority ORDER BY delay) AS rn,
+           count(*) OVER (PARTITION BY priority) AS n
+    FROM d WHERE is_cal = 1
+  ) WHERE rn = (n + 1) // 2
+),
+scores AS (
+  SELECT d.priority, abs(d.delay - m.pred_delay_days) AS s
+  FROM d JOIN med m ON m.priority = d.priority
+  WHERE d.is_cal = 1
+),
+qhat AS (
+  SELECT priority, s AS qhat_days, n AS n_cal FROM (
+    SELECT priority, s,
+           row_number() OVER (PARTITION BY priority ORDER BY s) AS rn,
+           count(*) OVER (PARTITION BY priority) AS n
+    FROM scores
+  ) WHERE rn = (9 * (n + 1) + 9) // 10
+),
+test AS (
+  SELECT d.priority,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(d.delay - m.pred_delay_days) <= q.qhat_days
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM d
+  JOIN med m ON m.priority = d.priority
+  JOIN qhat q ON q.priority = d.priority
+  WHERE d.is_cal = 0
+  GROUP BY 1
+)
+SELECT t.priority,
+       CAST(q.n_cal AS BIGINT) AS n_cal,
+       t.n_test,
+       CAST(m.pred_delay_days AS BIGINT) AS pred_delay_days,
+       CAST(q.qhat_days AS BIGINT) AS qhat_days,
+       CAST(t.n_covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+FROM test t
+JOIN med m ON m.priority = t.priority
+JOIN qhat q ON q.priority = t.priority
+""",
+)
+def orders_conformal_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for shipping delay — the
+    distribution-free ML-calibration op: a deterministic md5 half-split
+    makes a calibration set, the point model is the per-priority lower
+    median of order-to-ship days, the conformal quantile qhat is the
+    ceil(0.9*(n+1))-th smallest absolute residual on calibration, and
+    the report audits empirical coverage of pred +/- qhat on the held
+    out half (target 900000 ppm, guaranteed >= that in expectation by
+    exchangeability). Exact integer end-to-end: day deltas by
+    truncating epoch-us division, rank-selected median/quantile (a
+    value at a rank, never an interpolation), coverage in truncating
+    ppm. Scale shapes: the fact join is a plain FK equi-join; medians
+    and quantiles are per-priority windows (5 groups — for unbounded
+    group alphabets swap in the two-phase prefix-sum rank selector of
+    value_ordered_running_sum); membership is a pure hash of the row
+    key, so the split is stable under appends and repartitioning.
+    Reference analog: none (beyond-reference ML-eval op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate)) div 86400000000"
+        ).alias("delay"),
+        F.expr(
+            "CASE WHEN conv(substr(md5(CAST(l_orderkey * 10 + l_linenumber AS STRING)), 1, 8), 16, 10) % 2 = 0 "
+            "THEN 1 ELSE 0 END"
+        ).alias("is_cal"),
+    )
+    cal = d.filter(F.col("is_cal") == 1)
+    wp = Window.partitionBy("priority")
+    med = (
+        cal.withColumn("rn", F.row_number().over(wp.orderBy("delay")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("priority", F.col("delay").alias("pred_delay_days"))
+    )
+    scores = cal.join(med, "priority").select(
+        "priority", F.abs(F.col("delay") - F.col("pred_delay_days")).alias("s")
+    )
+    qhat = (
+        scores.withColumn("rn", F.row_number().over(wp.orderBy("s")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .filter(F.expr("rn = (9 * (n + 1) + 9) div 10"))
+        .select("priority", F.col("s").alias("qhat_days"), F.col("n").alias("n_cal"))
+    )
+    test = (
+        d.filter(F.col("is_cal") == 0)
+        .join(med, "priority")
+        .join(qhat, "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("delay") - F.col("pred_delay_days"))
+                    <= F.col("qhat_days"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        test.join(med, "priority")
+        .join(qhat, "priority")
+        .select(
+            "priority",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_test",
+            F.col("pred_delay_days").cast("long").alias("pred_delay_days"),
+            F.col("qhat_days").cast("long").alias("qhat_days"),
+            F.expr("CAST(n_covered * 1000000 div n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
