@@ -180,6 +180,7 @@ _BUDGET_LAST = (
     "lineitem_revenue_bridge",
     "nations_supplier_hhi",
     "orders_conformal_shipping",
+    "events_markov_attribution",
 )
 
 

@@ -1042,3 +1042,254 @@ def events_gap_sla_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.col("pct").cast("long").alias("pct"), "gap_us", "n_gaps")
     )
+
+
+@register(
+    "events_markov_attribution",
+    """
+WITH ev AS (
+  SELECT user_id, event_id, event_type AS t, epoch_us(ts) AS tsu
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+seq AS (
+  SELECT user_id, event_id, t, tsu,
+         lag(t) OVER w AS pt, lag(tsu) OVER w AS ptsu
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+marked AS (
+  SELECT user_id, event_id, t, tsu, pt,
+         CASE WHEN pt IS NULL OR ptsu < tsu - 3600000000 OR pt = 'purchase'
+              THEN 1 ELSE 0 END AS is_start
+  FROM seq
+),
+nx AS (
+  SELECT user_id, t, pt, is_start,
+         lead(is_start) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS nis
+  FROM marked
+),
+trans AS (
+  SELECT 'start' AS src, t AS dst FROM nx WHERE is_start = 1
+  UNION ALL
+  SELECT pt AS src, t AS dst FROM nx WHERE is_start = 0
+  UNION ALL
+  SELECT t AS src, 'null' AS dst FROM nx
+  WHERE t <> 'purchase' AND (nis IS NULL OR nis = 1)
+),
+m AS (
+  SELECT
+    CAST(COALESCE(sum(CASE WHEN src='start' AND dst='view' THEN 1 END), 0) AS BIGINT) AS sv,
+    CAST(COALESCE(sum(CASE WHEN src='start' AND dst='click' THEN 1 END), 0) AS BIGINT) AS sc,
+    CAST(COALESCE(sum(CASE WHEN src='start' AND dst='purchase' THEN 1 END), 0) AS BIGINT) AS sp,
+    CAST(COALESCE(sum(CASE WHEN src='view' AND dst='view' THEN 1 END), 0) AS BIGINT) AS vv,
+    CAST(COALESCE(sum(CASE WHEN src='view' AND dst='click' THEN 1 END), 0) AS BIGINT) AS vc,
+    CAST(COALESCE(sum(CASE WHEN src='view' AND dst='purchase' THEN 1 END), 0) AS BIGINT) AS vp,
+    CAST(COALESCE(sum(CASE WHEN src='click' AND dst='view' THEN 1 END), 0) AS BIGINT) AS cv,
+    CAST(COALESCE(sum(CASE WHEN src='click' AND dst='click' THEN 1 END), 0) AS BIGINT) AS cc,
+    CAST(COALESCE(sum(CASE WHEN src='click' AND dst='purchase' THEN 1 END), 0) AS BIGINT) AS cp,
+    CAST(COALESCE(sum(CASE WHEN src='start' THEN 1 END), 0) AS BIGINT) AS n_s,
+    CAST(COALESCE(sum(CASE WHEN src='view' THEN 1 END), 0) AS BIGINT) AS n_v,
+    CAST(COALESCE(sum(CASE WHEN src='click' THEN 1 END), 0) AS BIGINT) AS n_c,
+    CAST(count(*) AS BIGINT) AS n_transitions
+  FROM trans
+),
+sol AS (
+  SELECT *,
+         CAST(n_v - vv AS HUGEINT) * (n_c - cc) - CAST(vc AS HUGEINT) * cv AS d2
+  FROM m
+),
+sol2 AS (
+  SELECT *,
+         CAST(vp AS HUGEINT) * (n_c - cc) + CAST(vc AS HUGEINT) * cp AS xv_num,
+         CAST(cp AS HUGEINT) * (n_v - vv) + CAST(cv AS HUGEINT) * vp AS xc_num
+  FROM sol
+),
+sol3 AS (
+  SELECT *,
+         CAST(sp AS HUGEINT) * d2 + CAST(sv AS HUGEINT) * xv_num
+           + CAST(sc AS HUGEINT) * xc_num AS xs_num,
+         CAST(n_s AS HUGEINT) * d2 AS xs_den
+  FROM sol2
+),
+conv AS (
+  SELECT *,
+         CAST(xs_num * 1000000 // NULLIF(xs_den, 0) AS BIGINT) AS conv_full_ppm,
+         CAST((CAST(sp AS HUGEINT) * (n_c - cc) + CAST(sc AS HUGEINT) * cp) * 1000000
+              // NULLIF(CAST(n_s AS HUGEINT) * (n_c - cc), 0) AS BIGINT) AS wo_view_ppm,
+         CAST((CAST(sp AS HUGEINT) * (n_v - vv) + CAST(sv AS HUGEINT) * vp) * 1000000
+              // NULLIF(CAST(n_s AS HUGEINT) * (n_v - vv), 0) AS BIGINT) AS wo_click_ppm
+  FROM sol3
+),
+re AS (
+  SELECT *,
+         1000000 - wo_view_ppm * 1000000 // NULLIF(conv_full_ppm, 0) AS re_view,
+         1000000 - wo_click_ppm * 1000000 // NULLIF(conv_full_ppm, 0) AS re_click
+  FROM conv
+)
+SELECT 'view' AS channel,
+       CAST(n_s AS BIGINT) AS n_sessions, n_transitions, conv_full_ppm,
+       wo_view_ppm AS conv_removed_ppm,
+       CAST(re_view AS BIGINT) AS removal_effect_ppm,
+       CAST(re_view * 1000000 // NULLIF(re_view + re_click, 0) AS BIGINT) AS credit_share_ppm
+FROM re
+UNION ALL
+SELECT 'click',
+       CAST(n_s AS BIGINT), n_transitions, conv_full_ppm,
+       wo_click_ppm,
+       CAST(re_click AS BIGINT),
+       CAST(re_click * 1000000 // NULLIF(re_view + re_click, 0) AS BIGINT)
+FROM re
+""",
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (the data-driven alternative to
+    the heuristic first/last/linear models of events_multitouch_attribution):
+    user journeys become a first-order Markov chain over states
+    {start, view, click} with absorbing {purchase, null} — sessions break
+    on >1h gaps or after a purchase — and each channel's credit is its
+    REMOVAL EFFECT: how much the start->purchase absorption probability
+    drops when that channel's inbound transitions are redirected to null
+    (row totals unchanged, so the removed chain stays substochastic).
+    The absorption probabilities are solved EXACTLY: multiplying each
+    balance equation by its row total turns (I-Q)x=b into an integer
+    3x3 system (start is never re-entered, so it reduces to a 2x2 core),
+    solved in closed form by Cramer's rule over HUGEINT/decimal(38,0)
+    (count products pass int64 around 2e6 rows per state) and quantized
+    once to truncating-div ppm; removal effects and credit shares are
+    second-stage integer divisions of those ppm values, so both engines
+    replay bit-identical arithmetic. Scale shapes: the only wide work is
+    two user-partitioned sequence windows and one 12-cell aggregate —
+    the solve itself is a 1-row select. Zero-denominator corners
+    (no clicks, no conversions) surface as NULL via NULLIF in both
+    engines rather than a crash. Reference analog: none
+    (beyond-reference attribution op)."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("t"),
+            F.unix_micros("ts").alias("tsu"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "t",
+        "tsu",
+        F.lag("t").over(w).alias("pt"),
+        F.lag("tsu").over(w).alias("ptsu"),
+    )
+    marked = seq.withColumn(
+        "is_start",
+        F.when(
+            F.col("pt").isNull()
+            | (F.col("ptsu") < F.col("tsu") - 3600000000)
+            | (F.col("pt") == "purchase"),
+            1,
+        ).otherwise(0),
+    )
+    nx = marked.select(
+        "user_id", "t", "pt", "is_start", F.lead("is_start").over(w).alias("nis")
+    )
+    trans = (
+        nx.filter(F.col("is_start") == 1)
+        .select(F.lit("start").alias("src"), F.col("t").alias("dst"))
+        .unionByName(
+            nx.filter(F.col("is_start") == 0).select(
+                F.col("pt").alias("src"), F.col("t").alias("dst")
+            )
+        )
+        .unionByName(
+            nx.filter(
+                (F.col("t") != "purchase")
+                & (F.col("nis").isNull() | (F.col("nis") == 1))
+            ).select(F.col("t").alias("src"), F.lit("null").alias("dst"))
+        )
+    )
+
+    def _cell(s: str, d: str, alias: str) -> F.Column:
+        return (
+            F.coalesce(
+                F.sum(F.when((F.col("src") == s) & (F.col("dst") == d), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias(alias)
+        )
+
+    m = trans.agg(
+        _cell("start", "view", "sv"),
+        _cell("start", "click", "sc"),
+        _cell("start", "purchase", "sp"),
+        _cell("view", "view", "vv"),
+        _cell("view", "click", "vc"),
+        _cell("view", "purchase", "vp"),
+        _cell("click", "view", "cv"),
+        _cell("click", "click", "cc"),
+        _cell("click", "purchase", "cp"),
+        F.coalesce(F.sum(F.when(F.col("src") == "start", 1)), F.lit(0))
+        .cast("long")
+        .alias("n_s"),
+        F.coalesce(F.sum(F.when(F.col("src") == "view", 1)), F.lit(0))
+        .cast("long")
+        .alias("n_v"),
+        F.coalesce(F.sum(F.when(F.col("src") == "click", 1)), F.lit(0))
+        .cast("long")
+        .alias("n_c"),
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+    )
+    DEC = "CAST({} AS DECIMAL(38,0))"
+    re = (
+        m.selectExpr(
+            "*",
+            f"{DEC.format('n_v - vv')} * (n_c - cc) - {DEC.format('vc')} * cv AS d2",
+        )
+        .selectExpr(
+            "*",
+            f"{DEC.format('vp')} * (n_c - cc) + {DEC.format('vc')} * cp AS xv_num",
+            f"{DEC.format('cp')} * (n_v - vv) + {DEC.format('cv')} * vp AS xc_num",
+        )
+        .selectExpr(
+            "*",
+            f"{DEC.format('sp')} * d2 + {DEC.format('sv')} * xv_num"
+            f" + {DEC.format('sc')} * xc_num AS xs_num",
+            f"{DEC.format('n_s')} * d2 AS xs_den",
+        )
+        .selectExpr(
+            "*",
+            "CAST(xs_num * 1000000 div NULLIF(xs_den, 0) AS BIGINT) AS conv_full_ppm",
+            f"CAST(({DEC.format('sp')} * (n_c - cc) + {DEC.format('sc')} * cp) * 1000000"
+            f" div NULLIF({DEC.format('n_s')} * (n_c - cc), 0) AS BIGINT) AS wo_view_ppm",
+            f"CAST(({DEC.format('sp')} * (n_v - vv) + {DEC.format('sv')} * vp) * 1000000"
+            f" div NULLIF({DEC.format('n_s')} * (n_v - vv), 0) AS BIGINT) AS wo_click_ppm",
+        )
+        .selectExpr(
+            "*",
+            "1000000 - wo_view_ppm * 1000000 div NULLIF(conv_full_ppm, 0) AS re_view",
+            "1000000 - wo_click_ppm * 1000000 div NULLIF(conv_full_ppm, 0) AS re_click",
+        )
+    )
+    view_row = re.selectExpr(
+        "'view' AS channel",
+        "CAST(n_s AS BIGINT) AS n_sessions",
+        "n_transitions",
+        "conv_full_ppm",
+        "wo_view_ppm AS conv_removed_ppm",
+        "CAST(re_view AS BIGINT) AS removal_effect_ppm",
+        "CAST(re_view * 1000000 div NULLIF(re_view + re_click, 0) AS BIGINT)"
+        " AS credit_share_ppm",
+    )
+    click_row = re.selectExpr(
+        "'click' AS channel",
+        "CAST(n_s AS BIGINT) AS n_sessions",
+        "n_transitions",
+        "conv_full_ppm",
+        "wo_click_ppm AS conv_removed_ppm",
+        "CAST(re_click AS BIGINT) AS removal_effect_ppm",
+        "CAST(re_click * 1000000 div NULLIF(re_view + re_click, 0) AS BIGINT)"
+        " AS credit_share_ppm",
+    )
+    return view_row.unionByName(click_row)

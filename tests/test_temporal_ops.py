@@ -260,3 +260,89 @@ def test_daily_entropy_bounds_and_replay(spark):
         expect = round(math.log(sum(ns)) - sum(n * math.log(n) for n in ns) / sum(ns), 6)
         assert abs(r["entropy"] - expect) <= 1e-6
         assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 1e-9
+
+
+def test_markov_attribution_matches_exact_fraction_replay(spark, sf_dir):
+    """Independent check of the Cramer absorbing-chain solve: replay the
+    transition counting and the removal-effect algebra in pure Python with
+    fractions.Fraction (a different arithmetic path from the SQL decimal
+    pipeline), then assert the query's quantized ppm outputs equal the
+    floor-quantized exact rationals."""
+    from fractions import Fraction
+
+    from mobsos_event_log_generator_spark.plans.temporal import (
+        events_markov_attribution,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .selectExpr("user_id", "event_id", "event_type AS t", "unix_micros(ts) AS tsu")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.tsu, r.event_id, r.t))
+    cnt: dict = {}
+
+    def bump(src, dst):
+        cnt[(src, dst)] = cnt.get((src, dst), 0) + 1
+
+    for evs in by_user.values():
+        evs.sort()
+        prev = None  # (tsu, type) of previous event, None at session break
+        for tsu, _eid, t in evs:
+            if prev is None or prev[1] == "purchase" or prev[0] < tsu - 3_600_000_000:
+                bump("start", t)
+            else:
+                bump(prev[1], t)
+            prev = (tsu, t)
+        # terminal null transitions: a row ends its session when the next
+        # row starts a new one (or it is the user's last row)
+        for i, (tsu, _eid, t) in enumerate(evs):
+            if t == "purchase":
+                continue
+            if i + 1 == len(evs):
+                bump(t, "null")
+            else:
+                ntsu, _nid, _nt = evs[i + 1]
+                if tsu < ntsu - 3_600_000_000:
+                    bump(t, "null")
+
+    g = lambda s, d: cnt.get((s, d), 0)
+    n_s = sum(v for (s, _d), v in cnt.items() if s == "start")
+    n_v = sum(v for (s, _d), v in cnt.items() if s == "view")
+    n_c = sum(v for (s, _d), v in cnt.items() if s == "click")
+
+    def conv(drop=None):
+        # redirected-to-null removal: dropped channel's inbound transitions
+        # vanish from numerators, row totals stay.
+        sv, sc, sp = g("start", "view"), g("start", "click"), g("start", "purchase")
+        vv, vc, vp = g("view", "view"), g("view", "click"), g("view", "purchase")
+        cv, cc, cp = g("click", "view"), g("click", "click"), g("click", "purchase")
+        if drop == "view":
+            xc = Fraction(cp, n_c - cc)
+            return (Fraction(sp) + sc * xc) / n_s
+        if drop == "click":
+            xv = Fraction(vp, n_v - vv)
+            return (Fraction(sp) + sv * xv) / n_s
+        d2 = (n_v - vv) * (n_c - cc) - vc * cv
+        xv = Fraction(vp * (n_c - cc) + vc * cp, d2)
+        xc = Fraction(cp * (n_v - vv) + cv * vp, d2)
+        return (Fraction(sp) + sv * xv + sc * xc) / n_s
+
+    full_ppm = (conv() * 1_000_000).__floor__()
+    wo_view_ppm = (conv("view") * 1_000_000).__floor__()
+    wo_click_ppm = (conv("click") * 1_000_000).__floor__()
+    re_view = 1_000_000 - wo_view_ppm * 1_000_000 // full_ppm
+    re_click = 1_000_000 - wo_click_ppm * 1_000_000 // full_ppm
+
+    out = {r.channel: r for r in events_markov_attribution(spark, sf_dir).collect()}
+    assert out["view"].conv_full_ppm == full_ppm
+    assert out["view"].conv_removed_ppm == wo_view_ppm
+    assert out["click"].conv_removed_ppm == wo_click_ppm
+    assert out["view"].removal_effect_ppm == re_view
+    assert out["click"].removal_effect_ppm == re_click
+    assert out["view"].credit_share_ppm == re_view * 1_000_000 // (re_view + re_click)
+    assert out["view"].n_sessions == n_s
