@@ -181,6 +181,7 @@ _BUDGET_LAST = (
     "nations_supplier_hhi",
     "orders_conformal_shipping",
     "events_markov_attribution",
+    "text_naive_bayes_langid",
 )
 
 

@@ -6366,3 +6366,144 @@ def corpus_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("lang", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@register(
+    "text_naive_bayes_langid",
+    f"""
+WITH w AS (SELECT doc_id, lang, {SQL_WORDS} AS words FROM documents),
+tokt AS (SELECT doc_id, lang AS actual, unnest(words) AS tok FROM w),
+dt AS (SELECT doc_id, actual, tok, CAST(count(*) AS BIGINT) AS n FROM tokt GROUP BY 1, 2, 3),
+lt AS (SELECT actual AS lang, tok, CAST(sum(n) AS BIGINT) AS c FROM dt GROUP BY 1, 2),
+lsum AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM lt GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM lt),
+pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd_tot FROM documents),
+ll AS (
+  SELECT lang, tok,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS ll_micro
+  FROM lt
+),
+langconst AS (
+  SELECT p.lang,
+         CAST(floor(ln(CAST(p.nd AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(floor(ln(CAST((SELECT nd_tot FROM nd) AS DOUBLE)) * 1000000) AS BIGINT)
+           AS prior_micro,
+         CAST(floor(ln(CAST(s.tot + (SELECT v FROM vocab) AS DOUBLE)) * 1000000) AS BIGINT)
+           AS lden_micro
+  FROM pri p JOIN lsum s ON s.lang = p.lang
+),
+sums AS (
+  SELECT d.doc_id, d.actual, lc.lang,
+         CAST(sum(d.n * COALESCE(l.ll_micro, 0)) AS BIGINT) AS s1,
+         CAST(sum(d.n) AS BIGINT) AS ntok
+  FROM dt d
+  CROSS JOIN (SELECT lang FROM langconst) lc
+  LEFT JOIN ll l ON l.lang = lc.lang AND l.tok = d.tok
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT s.doc_id, s.actual, s.lang,
+         c.prior_micro + s.s1 - s.ntok * c.lden_micro AS score_micro
+  FROM sums s JOIN langconst c ON c.lang = s.lang
+),
+pred AS (
+  SELECT doc_id, actual, lang AS predicted,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rk
+  FROM scored
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+""",
+)
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language identification, reported as the
+    resubstitution confusion matrix (actual x predicted doc counts) — the
+    supervised-classifier lens next to the n-gram-marker heuristic of
+    quality_lang_consistency. Exactness: every per-token log-likelihood
+    ln(c+1) and per-class constant ln(tot+V), ln(prior) is quantized to
+    integer micro-nats with floor(ln(k)*1e6) BEFORE any summation (k is
+    always an exact integer, so both engines feed ln identical doubles;
+    the settled floor-quantization rule), making doc scores
+    order-independent integer dot products — no float accumulation
+    anywhere. Prediction is argmax by (score, lang) with a deterministic
+    tie-break. Shapes at scale: class-conditional counts and the
+    vocabulary are one explode + two hash aggregates; scoring fans each
+    doc-token row out by the BOUNDED class alphabet (5 here) and equi-
+    joins the (lang, tok) likelihood table — linear in corpus tokens x
+    classes, never quadratic; the per-doc argmax window is bounded by
+    the class count. Docs with zero tokens drop out of the matrix in
+    both engines. Reference analog: none (beyond-reference
+    text-classification op)."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    dt = (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("actual"),
+            F.explode(X.tokens("text")).alias("tok"),
+        )
+        .groupBy("doc_id", "actual", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lt = dt.groupBy(F.col("actual").alias("lang"), "tok").agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    lsum = lt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    vocab = lt.agg(F.countDistinct("tok").cast("long").alias("v"))
+    pri = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    nd_tot = docs.agg(F.count(F.lit(1)).cast("long").alias("nd_tot"))
+    ll = lt.select(
+        "lang",
+        "tok",
+        F.floor(F.log(F.expr("CAST(c + 1 AS DOUBLE)")) * 1000000)
+        .cast("long")
+        .alias("ll_micro"),
+    )
+    langconst = (
+        pri.join(lsum, "lang")
+        .crossJoin(vocab)
+        .crossJoin(nd_tot)
+        .select(
+            "lang",
+            (
+                F.floor(F.log(F.expr("CAST(nd AS DOUBLE)")) * 1000000).cast("long")
+                - F.floor(F.log(F.expr("CAST(nd_tot AS DOUBLE)")) * 1000000).cast(
+                    "long"
+                )
+            ).alias("prior_micro"),
+            F.floor(F.log(F.expr("CAST(tot + v AS DOUBLE)")) * 1000000)
+            .cast("long")
+            .alias("lden_micro"),
+        )
+    )
+    sums = (
+        dt.crossJoin(langconst.select("lang"))
+        .join(ll, ["lang", "tok"], "left")
+        .groupBy("doc_id", "actual", "lang")
+        .agg(
+            F.sum(F.col("n") * F.coalesce(F.col("ll_micro"), F.lit(0)))
+            .cast("long")
+            .alias("s1"),
+            F.sum("n").cast("long").alias("ntok"),
+        )
+    )
+    scored = sums.join(langconst, "lang").select(
+        "doc_id",
+        "actual",
+        "lang",
+        (
+            F.col("prior_micro") + F.col("s1") - F.col("ntok") * F.col("lden_micro")
+        ).alias("score_micro"),
+    )
+    pred = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "lang")
+        ),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy(F.col("actual"), F.col("lang").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
