@@ -182,6 +182,7 @@ _BUDGET_LAST = (
     "orders_conformal_shipping",
     "events_markov_attribution",
     "text_naive_bayes_langid",
+    "nations_betweenness_centrality",
 )
 
 

@@ -686,3 +686,57 @@ def bellman_ford_rounds(
             .localCheckpoint(eager=True)
         )
     return dist.filter(F.col("d") < inf).select("node", F.col("d").alias("dist"))
+
+
+def bfs_all_pairs_counts(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """All-pairs hop distances AND shortest-path counts by simultaneous
+    BFS rounds from every node — the sigma table Brandes-style betweenness
+    needs, computed without per-source loops: state is one (s, v, d, sig)
+    DataFrame seeded with (s, s, 0, 1); round k extends the d = k-1
+    frontier across out-edges, sums path counts per (s, v) (a shortest
+    path's count is the sum over predecessors — exact integers), and
+    anti-joins out already-reached pairs so only FIRST discoveries (hop-
+    minimal paths) land. After ``rounds`` rounds the table is exact for
+    all pairs within that many hops (fixed-round semantics; run diameter
+    rounds for the full closure). Intended for BOUNDED graphs (nation
+    grids, category graphs): state is O(n^2) pairs — for billion-node
+    graphs use landmark sampling instead. Per round: one equi-join +
+    hash agg + left-anti join; lineage truncated per round."""
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    ap = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("v"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(1).cast("long").alias("sig"),
+    ).localCheckpoint(eager=True)
+    for k in range(1, rounds + 1):
+        frontier = ap.filter(F.col("d") == k - 1)
+        grown = (
+            frontier.join(e, frontier["v"] == e["e_src"])
+            .groupBy("s", F.col("e_dst").alias("nv"))
+            .agg(F.sum("sig").cast("long").alias("nsig"))
+        )
+        fresh = grown.join(
+            ap.select("s", F.col("v").alias("nv")), ["s", "nv"], "left_anti"
+        ).select(
+            "s",
+            F.col("nv").alias("v"),
+            F.lit(k).cast("long").alias("d"),
+            F.col("nsig").alias("sig"),
+        )
+        ap = ap.unionByName(fresh).localCheckpoint(eager=True)
+    return ap

@@ -7285,3 +7285,173 @@ def orders_conformal_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BC_ROUNDS = 4
+
+
+def _bc_round_cte(k: int) -> str:
+    prev = f"ap{k - 1}"
+    return f"""
+ap{k} AS MATERIALIZED (
+  SELECT s, v, d, sig FROM {prev}
+  UNION ALL
+  SELECT g.s, g.v, CAST({k} AS BIGINT) AS d, g.sig FROM (
+    SELECT p.s, e.dst AS v, CAST(sum(p.sig) AS BIGINT) AS sig
+    FROM {prev} p JOIN bedges e ON e.src = p.v
+    WHERE p.d = {k - 1}
+    GROUP BY 1, 2
+  ) g
+  LEFT JOIN {prev} o ON o.s = g.s AND o.v = g.v
+  WHERE o.v IS NULL
+)"""
+
+
+_SQL_NATION_BETWEENNESS = (
+    f"""
+WITH latency AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+bedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+    FROM latency
+  ) WHERE rk <= 3
+),
+nodes AS (SELECT src AS node FROM bedges UNION SELECT dst FROM bedges),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+ap0 AS MATERIALIZED (
+  SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig
+  FROM nodes
+),"""
+    + ",".join(_bc_round_cte(k) for k in range(1, _BC_ROUNDS + 1))
+    + f"""
+,
+terms AS (
+  SELECT a.v AS nation,
+         CAST(CAST(a.sig AS HUGEINT) * b.sig * 1000000 // c.sig AS BIGINT) AS t
+  FROM ap{_BC_ROUNDS} a
+  JOIN ap{_BC_ROUNDS} b ON b.s = a.v
+  JOIN ap{_BC_ROUNDS} c ON c.s = a.s AND c.v = b.v
+  WHERE a.d + b.d = c.d AND a.s <> a.v AND b.v <> a.v AND a.s <> b.v
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(t) AS BIGINT) AS betweenness_micro,
+       CAST(sum(t) // ((SELECT n FROM cnt) - 1) // ((SELECT n FROM cnt) - 2)
+            AS BIGINT) AS normalized_micro
+FROM terms GROUP BY 1
+"""
+)
+
+
+@register("nations_betweenness_centrality", _SQL_NATION_BETWEENNESS)
+def nations_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality over the nation trade graph (hop metric,
+    <= 4-hop shortest paths): which nations sit on the most shortest
+    paths between other nations — the brokerage lens completing the
+    centrality family (pagerank = influence, HITS = hub/authority,
+    betweenness = control of flow). Instead of Brandes' recursive
+    dependency accumulation (whose nested rational divisions don't
+    replay exactly cross-engine), betweenness is computed from the
+    pair-dependency identity: sigma_st(v) = sigma_sv * sigma_vt whenever
+    d_sv + d_vt = d_st, so bc(v) = sum over (s,t) of
+    sigma_sv * sigma_vt * 1e6 div sigma_st — each term quantized to
+    integer ppm BEFORE summation (order-independent exact integers; the
+    oracle replays identical arithmetic). The sigma table comes from
+    ``operators/graph.py::bfs_all_pairs_counts`` (simultaneous BFS from
+    all sources, path counts summed over predecessors) and the triple
+    join is O(n^3) over the BOUNDED nation alphabet — this op targets
+    bounded graphs; sample landmarks for open-domain graphs. Path-count
+    products ride a HUGEINT/decimal(38,0) cast so dense sigma can't
+    overflow int64. Edges are the TRADE BACKBONE: each nation keeps its
+    top-3 partners by pair count ((n DESC, dst) rank — deterministic and
+    scale-invariant); on the raw grid every nation trades with every
+    other, the graph is complete, and betweenness is identically zero.
+    Reference analog: none (beyond-reference graph-centrality op)."""
+    from mobsos_event_log_generator_spark.operators.graph import bfs_all_pairs_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair_counts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = (
+        pair_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    ap = bfs_all_pairs_counts(edges, rounds=_BC_ROUNDS)
+    a = ap.select(
+        F.col("s").alias("as_"), F.col("v").alias("av"),
+        F.col("d").alias("ad"), F.col("sig").alias("asig"),
+    )
+    b = ap.select(
+        F.col("s").alias("bs"), F.col("v").alias("bv"),
+        F.col("d").alias("bd"), F.col("sig").alias("bsig"),
+    )
+    cc = ap.select(
+        F.col("s").alias("cs"), F.col("v").alias("cv"),
+        F.col("d").alias("cd"), F.col("sig").alias("csig"),
+    )
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    terms = (
+        a.join(b, a["av"] == b["bs"])
+        .join(cc, (F.col("cs") == F.col("as_")) & (F.col("cv") == F.col("bv")))
+        .filter(
+            (F.col("ad") + F.col("bd") == F.col("cd"))
+            & (F.col("as_") != F.col("av"))
+            & (F.col("bv") != F.col("av"))
+            & (F.col("as_") != F.col("bv"))
+        )
+        .select(
+            F.col("av").alias("nation"),
+            F.expr(
+                "CAST(CAST(asig AS DECIMAL(38,0)) * bsig * 1000000 div csig AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("t").cast("long").alias("betweenness_micro"),
+        )
+        .crossJoin(n_nodes)
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            "n_pairs",
+            "betweenness_micro",
+            F.expr(
+                "CAST(betweenness_micro div (n - 1) div (n - 2) AS BIGINT)"
+            ).alias("normalized_micro"),
+        )
+    )

@@ -115,6 +115,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "centroid table (one per replayed Lloyd iteration)",
     "eventlog_alignment_cost": "activity-alphabet code window: row_number over "
     "DISTINCT activities (alphabet-bounded input)",
+    "orders_revenue_drawdown": "cumulative sum / running max over the per-day "
+    "revenue aggregate — calendar-bounded series (thousands of rows at any "
+    "corpus size), the documented bounded-series exception in its docstring",
 }
 
 
