@@ -183,6 +183,7 @@ _BUDGET_LAST = (
     "events_markov_attribution",
     "text_naive_bayes_langid",
     "nations_betweenness_centrality",
+    "nations_graph_eccentricity",
 )
 
 

@@ -7455,3 +7455,127 @@ def nations_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("normalized_micro"),
         )
     )
+
+
+_SQL_NATION_ECCENTRICITY = (
+    f"""
+WITH latency AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+bedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+    FROM latency
+  ) WHERE rk <= 3
+),
+nodes AS (SELECT src AS node FROM bedges UNION SELECT dst FROM bedges),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+ap0 AS MATERIALIZED (
+  SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig
+  FROM nodes
+),"""
+    + ",".join(_bc_round_cte(k) for k in range(1, _BC_ROUNDS + 1))
+    + f"""
+,
+ecc AS (
+  SELECT s AS nation,
+         CAST(max(d) AS BIGINT) AS eccentricity,
+         CAST(count(*) - 1 AS BIGINT) AS n_reached
+  FROM ap{_BC_ROUNDS} GROUP BY 1
+),
+gstats AS (
+  SELECT CAST(max(eccentricity) AS BIGINT) AS diameter,
+         CAST(min(eccentricity) AS BIGINT) AS radius
+  FROM ecc WHERE n_reached + 1 = (SELECT n FROM cnt)
+)
+SELECT e.nation, e.eccentricity, e.n_reached,
+       g.diameter, g.radius,
+       CASE WHEN e.n_reached + 1 < (SELECT n FROM cnt) THEN 'partial'
+            WHEN e.eccentricity = g.diameter THEN 'periphery'
+            WHEN e.eccentricity = g.radius THEN 'center'
+            ELSE 'interior' END AS role
+FROM ecc e CROSS JOIN gstats g
+"""
+)
+
+
+@register("nations_graph_eccentricity", _SQL_NATION_ECCENTRICITY)
+def nations_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity / diameter / radius report over the nation trade
+    backbone (same top-3-partner edges and <=4-hop BFS closure as
+    nations_betweenness_centrality, so the two reports audit one graph):
+    a node's eccentricity is its farthest hop distance, the diameter and
+    radius are the max/min eccentricity among nodes that reach the WHOLE
+    graph within the hop bound, and each nation is labeled center /
+    periphery / interior / partial (didn't reach everyone — excluded
+    from the global stats so the hop bound can't masquerade as a small
+    diameter). Reuses bfs_all_pairs_counts — distances are exact
+    integers, no new shuffle shapes. Reference analog: none
+    (beyond-reference graph-topology op)."""
+    from mobsos_event_log_generator_spark.operators.graph import bfs_all_pairs_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair_counts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = (
+        pair_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    ap = bfs_all_pairs_counts(edges, rounds=_BC_ROUNDS)
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ecc = (
+        ap.groupBy(F.col("s").alias("nation"))
+        .agg(
+            F.max("d").cast("long").alias("eccentricity"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        )
+        .crossJoin(n_nodes)
+    )
+    glob = ecc.filter(F.expr("n_reached + 1 = n")).agg(
+        F.max("eccentricity").cast("long").alias("diameter"),
+        F.min("eccentricity").cast("long").alias("radius"),
+    )
+    return ecc.crossJoin(glob).select(
+        "nation",
+        "eccentricity",
+        "n_reached",
+        "diameter",
+        "radius",
+        F.expr(
+            "CASE WHEN n_reached + 1 < n THEN 'partial' "
+            "WHEN eccentricity = diameter THEN 'periphery' "
+            "WHEN eccentricity = radius THEN 'center' "
+            "ELSE 'interior' END"
+        ).alias("role"),
+    )
