@@ -184,6 +184,7 @@ _BUDGET_LAST = (
     "text_naive_bayes_langid",
     "nations_betweenness_centrality",
     "nations_graph_eccentricity",
+    "streaming_late_data_audit",
 )
 
 

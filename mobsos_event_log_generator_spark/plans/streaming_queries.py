@@ -964,3 +964,108 @@ def streaming_mg_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("cnt").cast("long").alias("mg_cnt"),
         "exact_cnt",
     )
+
+
+def _write_hash_slices(df: DataFrame, id_col: str, src: str, work_root: str, n_slices: int = 4) -> None:
+    """Write ``df`` as ``n_slices`` single-file parquet slices keyed by md5
+    HASH bucket of the id (ascending mtimes) — unlike ``_write_id_slices``
+    (contiguous id ranges ≈ event-time order in these fixtures), every hash
+    slice spans the WHOLE event-time range, so batches 2..n genuinely carry
+    events older than the watermark established by earlier batches: the
+    deterministic late-data generator."""
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    bucket = F.expr(
+        f"conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10) % {n_slices}"
+    )
+    for i in range(n_slices):
+        part = df.filter(bucket == i).coalesce(1)
+        tmp_part = os.path.join(work_root, f"hpart_{i}")
+        part.write.mode("overwrite").parquet(tmp_part)
+        pq = [f for f in os.listdir(tmp_part) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.copyfile(os.path.join(tmp_part, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
+@register(
+    "streaming_late_data_audit",
+    f"""
+WITH b AS (
+  SELECT event_type, ts,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS bkt
+  FROM events
+),
+bmax AS (
+  SELECT bkt, epoch_us(max(ts)) // 1000 * 1000 AS mts_ms_us FROM b GROUP BY 1
+),
+wm AS (
+  SELECT i.bkt,
+         (SELECT max(mts_ms_us) FROM bmax p WHERE p.bkt <= i.bkt - 2) - 1800000000 AS w_us
+  FROM bmax i
+),
+acc AS (
+  SELECT b.event_type,
+         date_trunc('hour', b.ts) AS ws,
+         date_trunc('hour', b.ts) + INTERVAL 1 HOUR AS we
+  FROM b JOIN wm ON wm.bkt = b.bkt
+  WHERE wm.w_us IS NULL OR epoch_us(date_trunc('hour', b.ts) + INTERVAL 1 HOUR) > wm.w_us
+),
+gmax AS (
+  SELECT (SELECT max(mts_ms_us) FROM bmax) - 1800000000 AS final_w_us
+)
+SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+       strftime(we, '{TS_FMT_DUCK}') AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM acc, gmax
+WHERE epoch_us(we) <= final_w_us
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, driven for real and replayed exactly:
+    events arrive in four md5-hash micro-batches (each spanning the whole
+    event-time range, so later batches carry genuinely late rows), flow
+    through withWatermark(30 min) into a tumbling 1-hour per-type count in
+    append mode, and the emitted windows are compared against a DuckDB
+    replay of Spark's full watermark protocol — measured empirically and
+    pinned by this gate: the late-row filter of micro-batch i runs with
+    the watermark in effect at batch START, which is computed from data
+    through batch i-2 (the watermark advanced by batch i-1's stats takes
+    effect one batch later; progress logs confirm batch 1 drops nothing),
+    watermarks are millisecond-FLOORED max event time minus the delay
+    (Spark tracks them in ms; the oracle floors epoch_us // 1000), rows
+    drop when window_end <= that watermark, and append emission happens
+    once the final watermark passes window_end. What this gate pins down
+    is exactly the part of streaming correctness batch oracles usually
+    skip: WHICH rows are dropped, and WHEN windows close. At scale the
+    aggregation state is bounded by (watermark horizon x type alphabet),
+    the canonical bounded-state shape. Reference analog: none
+    (beyond-reference streaming op)."""
+    import os
+
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir("slate_")
+    src = os.path.join(root, "src")
+    _write_hash_slices(ev, "event_id", src, root)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    out = _run_to_memory(spark, agg, "lateaudit", "append")
+    return out.select(
+        F.date_format(F.col("window.start"), TS_FMT_SPARK).alias("window_start"),
+        F.date_format(F.col("window.end"), TS_FMT_SPARK).alias("window_end"),
+        "event_type",
+        "n_events",
+    )
