@@ -185,6 +185,7 @@ _BUDGET_LAST = (
     "nations_betweenness_centrality",
     "nations_graph_eccentricity",
     "streaming_late_data_audit",
+    "er_fellegi_sunter",
 )
 
 

@@ -6507,3 +6507,155 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.groupBy(F.col("actual"), F.col("lang").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+_SQL_FS_FIELD_S = """
+s_{f} AS (
+  SELECT CAST(sum(n * n) AS BIGINT) AS s
+  FROM (SELECT count(*) AS n FROM feats GROUP BY {f})
+)"""
+
+
+@register(
+    "er_fellegi_sunter",
+    _SQL_SHINGLE_CTE
+    + f"""
+, c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.5
+),
+feats AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS band,
+         COALESCE(({SQL_WORDS})[1], '<empty>') AS head
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),"""
+    + ",".join(_SQL_FS_FIELD_S.format(f=f) for f in ("lang", "source", "band", "head"))
+    + """,
+fsw AS (
+  SELECT
+"""
+    + ",\n".join(
+        f"    CAST(floor(ln((CAST(19 AS DOUBLE) * nn.n * nn.n) / (CAST(20 AS DOUBLE) * s_{f}.s)) * 1000000) AS BIGINT) AS wa_{f},\n"
+        f"    CAST(floor(ln((CAST(1 AS DOUBLE) * nn.n * nn.n) / (CAST(20 AS DOUBLE) * (nn.n * nn.n - s_{f}.s))) * 1000000) AS BIGINT) AS wd_{f}"
+        for f in ("lang", "source", "band", "head")
+    )
+    + """
+  FROM nn, s_lang, s_source, s_band, s_head
+),
+scored AS (
+  SELECT p.id1, p.id2,
+"""
+    + " +\n".join(
+        f"    (CASE WHEN a.{f} = b.{f} THEN fsw.wa_{f} ELSE fsw.wd_{f} END)"
+        for f in ("lang", "source", "band", "head")
+    )
+    + """ AS score_micro,
+"""
+    + " +\n".join(
+        f"    (CASE WHEN a.{f} = b.{f} THEN 1 ELSE 0 END)"
+        for f in ("lang", "source", "band", "head")
+    )
+    + """ AS n_agree
+  FROM pairs p
+  JOIN feats a ON a.doc_id = p.id1
+  JOIN feats b ON b.doc_id = p.id2, fsw
+)
+SELECT id1, id2, CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(score_micro AS BIGINT) AS score_micro,
+       CASE WHEN score_micro >= 2000000 THEN 'match'
+            WHEN score_micro >= 0 THEN 'possible'
+            ELSE 'nonmatch' END AS decision
+FROM scored
+""",
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage scoring over exact
+    PPJoin candidates (Jaccard >= 0.5 via prefix filtering — full recall
+    by theorem, so the oracle's exhaustive candidate set matches): each
+    candidate pair is scored by summed field agreement/disagreement
+    log-odds over lang / source / length-band / first-token, with the
+    classic parameterization m = 0.95 fixed and u ESTIMATED FROM THE
+    DATA as the random-agreement probability sum(n_v^2)/N^2 — an exact
+    rational, so the weights ln(m/u) and ln((1-m)/(1-u)) are ln of exact
+    integer ratios (19*N^2/(20*S), N^2/(20*(N^2-S))), floor-quantized to
+    integer micro-nats BEFORE the per-pair sums (order-independent;
+    double-exact while 20*N^2 < 2^53 — beyond that precompute the ratio
+    in decimal). Decisions use the textbook two-threshold rule (match /
+    possible / nonmatch at +2 nats / 0). Shapes at scale: candidates
+    come from the bucketed prefix join (never all-pairs), field stats
+    are four value-histogram aggregates, weights ride a 1-row cross
+    join, and scoring is two FK joins on the pair ids. Reference analog:
+    none (beyond-reference entity-resolution op)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = prefix_filter_jaccard_join(docs, threshold=0.5).select("id1", "id2")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars div 100").alias("band"),
+        F.coalesce(F.element_at(X.tokens("text"), 1), F.lit("<empty>")).alias("head"),
+    )
+    fields = ("lang", "source", "band", "head")
+    nn = feats.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = nn
+    for f in fields:
+        s_f = (
+            feats.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias(f"s_{f}"))
+        )
+        w = w.crossJoin(s_f)
+    w = w.selectExpr(
+        *[
+            e
+            for f in fields
+            for e in (
+                f"CAST(floor(ln((CAST(19 AS DOUBLE) * n * n) / (CAST(20 AS DOUBLE) * s_{f})) * 1000000) AS BIGINT) AS wa_{f}",
+                f"CAST(floor(ln((CAST(1 AS DOUBLE) * n * n) / (CAST(20 AS DOUBLE) * (n * n - s_{f}))) * 1000000) AS BIGINT) AS wd_{f}",
+            )
+        ]
+    )
+    a = feats.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f).alias(f"a_{f}") for f in fields],
+    )
+    b = feats.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f).alias(f"b_{f}") for f in fields],
+    )
+    scored = (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .crossJoin(w)
+        .selectExpr(
+            "id1",
+            "id2",
+            "CAST("
+            + " + ".join(
+                f"(CASE WHEN a_{f} = b_{f} THEN 1 ELSE 0 END)" for f in fields
+            )
+            + " AS BIGINT) AS n_agree",
+            "CAST("
+            + " + ".join(
+                f"(CASE WHEN a_{f} = b_{f} THEN wa_{f} ELSE wd_{f} END)"
+                for f in fields
+            )
+            + " AS BIGINT) AS score_micro",
+        )
+    )
+    return scored.selectExpr(
+        "id1",
+        "id2",
+        "n_agree",
+        "score_micro",
+        "CASE WHEN score_micro >= 2000000 THEN 'match' "
+        "WHEN score_micro >= 0 THEN 'possible' ELSE 'nonmatch' END AS decision",
+    )
