@@ -186,6 +186,7 @@ _BUDGET_LAST = (
     "nations_graph_eccentricity",
     "streaming_late_data_audit",
     "er_fellegi_sunter",
+    "parts_abc_xyz_matrix",
 )
 
 

@@ -7579,3 +7579,128 @@ def nations_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 'interior' END"
         ).alias("role"),
     )
+
+
+@register(
+    "parts_abc_xyz_matrix",
+    """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev
+),
+classed AS (
+  SELECT partkey, revenue,
+         CASE WHEN cum_rev * 10 <= total_rev * 7 THEN 'A'
+              WHEN cum_rev * 10 <= total_rev * 9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+),
+mon AS (
+  SELECT l_partkey AS partkey, date_trunc('month', l_shipdate) AS m,
+         CAST(sum(l_quantity) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+nm AS (
+  SELECT CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT) AS n_months
+  FROM lineitem
+),
+cv AS (
+  SELECT partkey,
+         CAST((CAST((SELECT n_months FROM nm) AS HUGEINT) * sum(q * q)
+               - CAST(sum(q) AS HUGEINT) * sum(q)) * 1000000
+              // (CAST(sum(q) AS HUGEINT) * sum(q)) AS BIGINT) AS cv2_ppm
+  FROM mon GROUP BY 1
+),
+xyz AS (
+  SELECT partkey, cv2_ppm,
+         CASE WHEN cv2_ppm < 250000 THEN 'X'
+              WHEN cv2_ppm < 1000000 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM cv
+)
+SELECT c.abc_class, x.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(c.revenue) AS DOUBLE), 2) AS class_revenue,
+       CAST(sum(x.cv2_ppm) // count(*) AS BIGINT) AS mean_cv2_ppm
+FROM classed c JOIN xyz x USING (partkey)
+GROUP BY 1, 2
+""",
+)
+def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix — the supply-chain planning grid crossing
+    Pareto revenue class (A <= 70 % cumulative share, B <= 90 %, C rest;
+    decimal-exact cuts, same machinery as part_abc_analysis) with demand
+    VARIABILITY class from the squared coefficient of variation of the
+    monthly demand series: cv^2 = (n*sum(q^2) - S^2)/S^2 over the global
+    month alphabet (absent part-months contribute zero to both sums, so
+    no grid expansion is needed), quantized to truncating-div ppm with
+    HUGEINT/decimal(38,0) operand casts (S^2 * 1e6 passes int64 near
+    S ~ 3e6). X/Y/Z cut at CV 0.5 / 1.0 (250000 / 1000000 ppm). The
+    Pareto prefix sum rides value_ordered_running_sum (two-phase — no
+    single-partition window); the demand stats are two hash aggregates.
+    Output: 9-cell matrix with part counts, exact class revenue, and
+    mean cv^2. Reference analog: none (beyond-reference supply-chain
+    op)."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("revenue")
+    )
+    ranked = value_ordered_running_sum(
+        rev, "revenue", ["partkey"], F.col("revenue"), out_col="cum_rev", descending=True
+    )
+    total = rev.agg(F.sum("revenue").alias("total_rev"))
+    classed = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_rev") * 10 <= F.col("total_rev") * 7, "A")
+        .when(F.col("cum_rev") * 10 <= F.col("total_rev") * 9, "B")
+        .otherwise("C"),
+    )
+    mon = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.date_trunc("month", "l_shipdate").alias("m"),
+    ).agg(F.sum("l_quantity").cast("long").alias("q"))
+    nm = li.agg(
+        F.countDistinct(F.date_trunc("month", "l_shipdate"))
+        .cast("long")
+        .alias("n_months")
+    )
+    cv = (
+        mon.groupBy("partkey")
+        .agg(
+            F.sum("q").cast("long").alias("s"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("q2"),
+        )
+        .crossJoin(nm)
+        .selectExpr(
+            "partkey",
+            "CAST((CAST(n_months AS DECIMAL(38,0)) * q2 - CAST(s AS DECIMAL(38,0)) * s)"
+            " * 1000000 div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT) AS cv2_ppm",
+        )
+    )
+    xyz = cv.selectExpr(
+        "partkey",
+        "cv2_ppm",
+        "CASE WHEN cv2_ppm < 250000 THEN 'X' WHEN cv2_ppm < 1000000 THEN 'Y' "
+        "ELSE 'Z' END AS xyz_class",
+    )
+    return (
+        classed.join(xyz, "partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
+            F.expr("CAST(sum(cv2_ppm) div count(*) AS BIGINT)").alias("mean_cv2_ppm"),
+        )
+    )
