@@ -451,7 +451,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "med"): (1, "per-event-type medians (alphabet-bounded)"),
     ("plans/analytics.py", "mad"): (1, "per-event-type MADs (alphabet-bounded)"),
     ("plans/analytics.py", "ref"): (1, "1-row reference date"),
-    ("plans/analytics.py", "total"): (1, "1-row scalar"),
+    ("plans/analytics.py", "total"): (2, "1-row scalar (ABC analysis + ABC-XYZ matrix)"),
     ("plans/analytics.py", "b"): (2, "1-row bounds"),
     ("plans/analytics.py", "norder"): (2, "1-row order count (basket pairs + association rules)"),
     ("operators/graph.py", "dang"): (1, "1-row dangling-mass aggregate (markov stationary)"),
