@@ -187,6 +187,8 @@ _BUDGET_LAST = (
     "streaming_late_data_audit",
     "er_fellegi_sunter",
     "parts_abc_xyz_matrix",
+    "lineitem_late_rate_wilson",
+    "events_burstiness",
 )
 
 

@@ -7704,3 +7704,140 @@ def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(cv2_ppm) div count(*) AS BIGINT)").alias("mean_cv2_ppm"),
         )
     )
+
+
+@register(
+    "lineitem_late_rate_wilson",
+    """
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         CASE WHEN (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 > 90
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+agg AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n, CAST(sum(late) AS BIGINT) AS k
+  FROM d GROUP BY 1
+)
+SELECT priority, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS late_rate,
+       round(((CAST(k AS DOUBLE) / n) + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (2 * n)
+              - (CAST(196 AS DOUBLE) / 100)
+                * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                       + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (4 * CAST(n AS DOUBLE) * n)))
+             / (1 + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / n), 6) AS wilson_lo,
+       round(((CAST(k AS DOUBLE) / n) + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (2 * n)
+              + (CAST(196 AS DOUBLE) / 100)
+                * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                       + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (4 * CAST(n AS DOUBLE) * n)))
+             / (1 + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / n), 6) AS wilson_hi
+FROM agg
+""",
+)
+def lineitem_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95 % confidence interval for the late-shipment rate
+    (> 90 days order-to-ship) per order priority — the binomial-proportion
+    interval that behaves at extreme rates where the normal approximation
+    fails. Cross-engine exactness leans on two IEEE guarantees: sqrt is
+    CORRECTLY ROUNDED by the standard (bit-identical everywhere, unlike
+    ln whose quantization rides the floor-1e6 rule), and every other term
+    is +-*/ on identical doubles; z = 1.96 is spelled CAST(196 AS
+    DOUBLE)/100 in BOTH engines because a bare 1.96 literal parses as
+    DECIMAL with engine-specific division scales (the er_fellegi_sunter
+    lesson). Outputs round to 6 dp. One FK join + one 5-group aggregate;
+    the interval math is per-group scalar arithmetic. Reference analog:
+    none (beyond-reference statistical-QC op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                "CASE WHEN (unix_micros(l_shipdate) - unix_micros(o_orderdate)) div 86400000000 > 90 "
+                "THEN 1 ELSE 0 END"
+            ).alias("late"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("late").cast("long").alias("k"),
+        )
+    )
+    z2 = "(CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100)"
+    ph = "(CAST(k AS DOUBLE) / n)"
+    half = (
+        f"(CAST(196 AS DOUBLE) / 100) * sqrt({ph} * (1 - {ph}) / n "
+        f"+ {z2} / (4 * CAST(n AS DOUBLE) * n))"
+    )
+    return agg.selectExpr(
+        "priority",
+        "n",
+        "k",
+        f"round({ph}, 6) AS late_rate",
+        f"round(({ph} + {z2} / (2 * n) - {half}) / (1 + {z2} / n), 6) AS wilson_lo",
+        f"round(({ph} + {z2} / (2 * n) + {half}) / (1 + {z2} / n), 6) AS wilson_hi",
+    )
+
+
+@register(
+    "events_burstiness",
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+nd AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n FROM events),
+s AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS tot,
+         CAST(sum(c * c) AS BIGINT) AS q2,
+         CAST(count(*) AS BIGINT) AS n_active_days
+  FROM daily GROUP BY 1
+)
+SELECT event_type, tot, n_active_days,
+       round(CAST(tot AS DOUBLE) / nd.n, 6) AS mean_per_day,
+       round((CAST(nd.n * q2 - tot * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
+             / (CAST(tot AS DOUBLE) / nd.n), 6) AS fano,
+       round((sqrt(CAST(nd.n * q2 - tot * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
+              - CAST(tot AS DOUBLE) / nd.n)
+             / (sqrt(CAST(nd.n * q2 - tot * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
+                + CAST(tot AS DOUBLE) / nd.n), 6) AS burstiness
+FROM s, nd
+""",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness / Fano-factor profile of the daily event-count series per
+    type — the overdispersion lens next to ACF/Theil-Sen/chi-square in the
+    drift family: Fano = var/mean flags non-Poisson clumping (Poisson = 1),
+    Goh-Barabasi burstiness B = (sigma-mean)/(sigma+mean) normalizes it to
+    [-1, 1). Days absent for a type count as zero via the global day
+    alphabet n (they add nothing to sum or sum-of-squares, so no grid
+    expansion), variance uses the exact integer form (n*Q - S^2)/n^2
+    converted to double only at the final division (int64-safe while
+    n*Q < 9e18 — beyond that widen the operand), sigma is IEEE-exact
+    sqrt, outputs round to 6 dp. One hash aggregate over (type, day),
+    one 1-row day count. Reference analog: none (beyond-reference
+    temporal-statistics op)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nd = ev.agg(
+        F.countDistinct(F.date_trunc("day", "ts")).cast("long").alias("n")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q2"),
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+    )
+    var = "(CAST(n * q2 - tot * tot AS DOUBLE) / (CAST(n AS DOUBLE) * n))"
+    mean = "(CAST(tot AS DOUBLE) / n)"
+    return s.crossJoin(nd).selectExpr(
+        "event_type",
+        "tot",
+        "n_active_days",
+        f"round({mean}, 6) AS mean_per_day",
+        f"round({var} / {mean}, 6) AS fano",
+        f"round((sqrt({var}) - {mean}) / (sqrt({var}) + {mean}), 6) AS burstiness",
+    )
