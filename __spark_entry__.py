@@ -189,6 +189,7 @@ _BUDGET_LAST = (
     "parts_abc_xyz_matrix",
     "lineitem_late_rate_wilson",
     "events_burstiness",
+    "events_wasserstein_drift",
 )
 
 

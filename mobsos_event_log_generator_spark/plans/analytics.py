@@ -7841,3 +7841,113 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({var} / {mean}, 6) AS fano",
         f"round((sqrt({var}) - {mean}) / (sqrt({var}) + {mean}), 6) AS burstiness",
     )
+
+
+@register(
+    "events_wasserstein_drift",
+    """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, CAST(floor(value) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+h AS (
+  SELECT event_type, v,
+         CAST(sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM e, b GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM h GROUP BY 1
+),
+cum AS (
+  SELECT event_type, v,
+         CAST(sum(c1) OVER w AS BIGINT) AS cc1,
+         CAST(sum(c2) OVER w AS BIGINT) AS cc2,
+         lead(v) OVER w AS vnext
+  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY v)
+),
+terms AS (
+  SELECT c.event_type,
+         abs(c.cc1 * t.n2 - c.cc2 * t.n1) * (c.vnext - c.v) AS m
+  FROM cum c JOIN t USING (event_type)
+  WHERE c.vnext IS NOT NULL
+),
+agg AS (SELECT event_type, CAST(sum(m) AS HUGEINT) AS num FROM terms GROUP BY 1)
+SELECT t.event_type, t.n1, t.n2,
+       CAST(COALESCE(a.num, 0) AS BIGINT) AS w1_num,
+       CAST(COALESCE(a.num, 0) * 1000000 // NULLIF(CAST(t.n1 AS HUGEINT) * t.n2, 0)
+            AS BIGINT) AS w1_micro
+FROM t LEFT JOIN agg a USING (event_type)
+""",
+)
+def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) drift per event type between the two
+    halves of the time range (the PSI/KS/MWU midpoint-split convention) —
+    the optimal-transport member of the drift family: unlike KS's max CDF
+    gap it weighs HOW FAR mass moved, unlike PSI it needs no bin-count
+    tuning beyond the integer value bands. W1 = sum over the banded
+    support of |F1 - F2| * gap, computed exactly as
+    |cc1*N2 - cc2*N1| * (v_next - v) summed in integers and quantized
+    once to truncating-div micro (int64-safe while N1*N2 < 9e18 — about
+    3e9 rows per side per type; widen the operand beyond). CDFs ride
+    windows PARTITIONED by type over the banded support (bounded by the
+    value range, ~300 bands here — for unbounded supports use the
+    two-phase sweep). Types alive on only one side surface NULL via
+    NULLIF rather than a crash. Reference analog: none
+    (beyond-reference optimal-transport drift op)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor("value").cast("long").alias("v"),
+    )
+    b = e.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    h = (
+        e.crossJoin(b)
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum(F.when(F.col("us") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("us") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    t = h.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    cum = h.select(
+        "event_type",
+        "v",
+        F.sum("c1").over(w).cast("long").alias("cc1"),
+        F.sum("c2").over(w).cast("long").alias("cc2"),
+        F.lead("v").over(w).alias("vnext"),
+    )
+    terms = (
+        cum.join(t, "event_type")
+        .filter(F.col("vnext").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+                * (F.col("vnext") - F.col("v"))
+            ).alias("m"),
+        )
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("m").cast("decimal(38,0)").alias("num")
+    )
+    return (
+        t.join(agg, "event_type", "left")
+        .selectExpr(
+            "event_type",
+            "n1",
+            "n2",
+            "CAST(COALESCE(num, 0) AS BIGINT) AS w1_num",
+            "CAST(COALESCE(num, 0) * 1000000 div NULLIF(CAST(n1 AS DECIMAL(38,0)) * n2, 0) AS BIGINT) AS w1_micro",
+        )
+    )
