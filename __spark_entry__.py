@@ -190,6 +190,7 @@ _BUDGET_LAST = (
     "lineitem_late_rate_wilson",
     "events_burstiness",
     "events_wasserstein_drift",
+    "parts_densest_subgraph",
 )
 
 
