@@ -74,6 +74,13 @@ HEADLINE = [
     "parts_fuzzy_name_pairs",
     "lineitem_zorder_layout",
     "events_multitouch_attribution",
+    # round 6 eighth wave: the exact Cramer-solve Markov attribution, the
+    # PPJoin-fed Fellegi-Sunter linkage scorer, the integer micro-nat
+    # naive-Bayes classifier, and the densest-subgraph peeling loop
+    "events_markov_attribution",
+    "er_fellegi_sunter",
+    "text_naive_bayes_langid",
+    "parts_densest_subgraph",
 ]
 
 
