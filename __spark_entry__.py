@@ -191,6 +191,7 @@ _BUDGET_LAST = (
     "events_burstiness",
     "events_wasserstein_drift",
     "parts_densest_subgraph",
+    "embedding_silhouette_by_label",
 )
 
 

@@ -6659,3 +6659,127 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN score_micro >= 2000000 THEN 'match' "
         "WHEN score_micro >= 0 THEN 'possible' ELSE 'nonmatch' END AS decision",
     )
+
+
+@register(
+    "embedding_silhouette_by_label",
+    """
+WITH e AS (
+  SELECT vec_id, label, r.j,
+         CAST(floor(CAST(embedding[r.j] AS DOUBLE) * 1000000) AS HUGEINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) r(j)
+),
+v AS (SELECT vec_id, label, CAST(sum(u * u) AS HUGEINT) AS sq FROM e GROUP BY 1, 2),
+cd AS (SELECT label AS c, j, CAST(sum(u) AS HUGEINT) AS s FROM e GROUP BY 1, 2),
+cs AS (
+  SELECT label AS c, CAST(count(*) AS HUGEINT) AS n, CAST(sum(sq) AS HUGEINT) AS q
+  FROM v GROUP BY 1
+),
+dot AS (
+  SELECT e.vec_id, cd.c, CAST(sum(e.u * cd.s) AS HUGEINT) AS xs
+  FROM e JOIN cd ON cd.j = e.j
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT v.vec_id, v.label, dot.c, cs.n,
+         cs.n * v.sq - 2 * dot.xs + cs.q AS dist2
+  FROM v
+  JOIN dot ON dot.vec_id = v.vec_id
+  JOIN cs ON cs.c = dot.c
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN c = label THEN dist2 // NULLIF(n - 1, 0) END) AS a_q,
+         min(CASE WHEN c <> label THEN dist2 // n END) AS b_q
+  FROM d GROUP BY 1, 2
+),
+s AS (
+  SELECT vec_id, label,
+         CASE WHEN a_q IS NULL THEN 0
+              ELSE (b_q - a_q) * 1000000 // greatest(a_q, b_q, 1) END AS s_ppm
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_silhouette_ppm,
+       CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM s GROUP BY 1
+""",
+)
+def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette quality of the labeled embedding clusters (squared-
+    Euclidean variant), exactly and WITHOUT any pairwise distance
+    materialization: the mean squared distance from a vector to a class
+    decomposes into sufficient statistics, sum|x-y|^2 = n_c*|x|^2 -
+    2*x.S_c + Q_c, so cohesion a (own class, self excluded by the n-1
+    denominator — self distance is zero) and separation b (min over
+    other classes) come from one (class, dim) sum table and one
+    per-vector-per-class dot join — O(rows x dims x classes) with the
+    BOUNDED label alphabet as the only fan-out, never O(rows^2).
+    Values quantize to the settled floor(x*1e6) grid, distances are
+    exact integers in 1e-12 units (HUGEINT/decimal rails — n_c*|x|^2
+    passes int64 near 500 vectors/class at this norm scale), a and b
+    quantize once by truncating div, and s = (b-a)/max(a,b) lands on
+    ppm. Singleton classes get the standard s = 0. Output per label:
+    size, mean silhouette, negative count (likely-mislabeled mass) —
+    the embedding-quality audit next to kNN label agreement and
+    outlier k-dist. Reference analog: none (beyond-reference
+    embedding-diagnostics op)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("j"),
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("u"),
+    )
+    v = e.groupBy("vec_id", "label").agg(
+        F.sum(F.col("u") * F.col("u")).cast("decimal(38,0)").alias("sq")
+    )
+    cd = e.groupBy(F.col("label").alias("c"), "j").agg(
+        F.sum("u").cast("decimal(38,0)").alias("s")
+    )
+    cs = v.groupBy(F.col("label").alias("c")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("sq").cast("decimal(38,0)").alias("q"),
+    )
+    dot = (
+        e.join(cd, "j")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("u") * F.col("s")).cast("decimal(38,0)").alias("xs"))
+    )
+    d = (
+        v.join(dot, "vec_id")
+        .join(cs, "c")
+        .select(
+            "vec_id",
+            "label",
+            "c",
+            "n",
+            (F.col("n") * F.col("sq") - 2 * F.col("xs") + F.col("q")).alias("dist2"),
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("c") == F.col("label"), F.expr("dist2 div NULLIF(n - 1, 0)"))
+        ).alias("a_q"),
+        F.min(
+            F.when(F.col("c") != F.col("label"), F.expr("dist2 div n"))
+        ).alias("b_q"),
+    )
+    s = ab.selectExpr(
+        "label",
+        "CASE WHEN a_q IS NULL THEN 0 "
+        "ELSE (b_q - a_q) * 1000000 div greatest(a_q, b_q, 1) END AS s_ppm",
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("CAST(sum(s_ppm) div count(*) AS BIGINT)").alias(
+            "mean_silhouette_ppm"
+        ),
+        F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
