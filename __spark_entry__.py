@@ -192,6 +192,7 @@ _BUDGET_LAST = (
     "events_wasserstein_drift",
     "parts_densest_subgraph",
     "embedding_silhouette_by_label",
+    "lineitem_revenue_recognition",
 )
 
 

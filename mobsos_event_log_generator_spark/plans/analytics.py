@@ -8096,3 +8096,120 @@ def parts_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS is_best",
         )
     )
+
+
+@register(
+    "lineitem_revenue_recognition",
+    """
+WITH li AS (
+  SELECT o.o_orderdate AS d0, l.l_shipdate AS d1,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+spans AS (
+  SELECT d0, d1, cents,
+         date_diff('day', d0, d1) + 1 AS total_days,
+         unnest(generate_series(date_trunc('month', d0), date_trunc('month', d1),
+                                INTERVAL 1 MONTH)) AS m
+  FROM li
+),
+alloc AS (
+  SELECT strftime(m, '%Y-%m') AS month, cents,
+         date_diff('day', d0, least(d1, m + INTERVAL 1 MONTH - INTERVAL 1 DAY)) + 1
+           AS cum_days,
+         date_diff('day', d0,
+                   least(d1, m + INTERVAL 1 MONTH - INTERVAL 1 DAY)) + 1
+           - (date_diff('day', greatest(d0, m),
+                        least(d1, m + INTERVAL 1 MONTH - INTERVAL 1 DAY)) + 1)
+           AS prev_days,
+         total_days
+  FROM spans
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_line_months,
+       CAST(sum(cents * cum_days // total_days
+                - cents * prev_days // total_days) AS BIGINT) AS recognized_cents
+FROM alloc
+GROUP BY 1
+""",
+)
+def lineitem_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-recognition schedule (the deferred-revenue finance op):
+    each line's discounted revenue is recognized day-weighted across the
+    months its order-to-ship span touches, with EXACT CONSERVATION by the
+    telescoping form — month m books floor(cents*cumdays_m/T) -
+    floor(cents*cumdays_{m-1}/T), so a line's allocations sum to exactly
+    its cents (the floors cancel pairwise; no remainder bookkeeping, no
+    per-line window). The month fan-out is a per-row calendar explode
+    (sequence/generate_series over the span's months — bounded by span
+    length, ~tens of rows), every quantity is integer (day diffs,
+    truncating div; cents*days passes int64 by ~6 orders of magnitude),
+    and the only shuffle is the final per-month aggregate. Lines shipped
+    before their order date (fixture noise) are excluded in both
+    engines. Reference analog: none (beyond-reference financial op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderdate").alias("d0"),
+            F.col("l_shipdate").alias("d1"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    spans = base.select(
+        "d0",
+        "d1",
+        "cents",
+        (F.datediff("d1", "d0") + 1).alias("total_days"),
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "d0"),
+                F.date_trunc("month", "d1"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m"),
+    )
+    alloc = spans.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "cents",
+        "total_days",
+        (
+            F.datediff(
+                F.least(F.col("d1"), F.expr("m + INTERVAL 1 MONTH - INTERVAL 1 DAY")),
+                F.col("d0"),
+            )
+            + 1
+        ).alias("cum_days"),
+        (
+            F.datediff(
+                F.least(F.col("d1"), F.expr("m + INTERVAL 1 MONTH - INTERVAL 1 DAY")),
+                F.col("d0"),
+            )
+            + 1
+            - (
+                F.datediff(
+                    F.least(
+                        F.col("d1"), F.expr("m + INTERVAL 1 MONTH - INTERVAL 1 DAY")
+                    ),
+                    F.greatest(F.col("d0"), F.col("m")),
+                )
+                + 1
+            )
+        ).alias("prev_days"),
+    )
+    return alloc.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_line_months"),
+        F.sum(
+            F.expr("cents * cum_days div total_days - cents * prev_days div total_days")
+        )
+        .cast("long")
+        .alias("recognized_cents"),
+    )

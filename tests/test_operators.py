@@ -1007,3 +1007,34 @@ def test_hits_fixed_point_known_bipartite(spark):
     want = {n: (h.get(n, 0), a.get(n, 0)) for n in ["u1", "u2", "a1", "a2"]}
     assert out == want
     assert out["u1"][0] > out["u2"][0] and out["a2"][1] > out["a1"][1]
+
+
+def test_revenue_recognition_conserves_totals(spark, sf_dir):
+    """The telescoping proration must book EXACTLY each line's cents across
+    its months: corpus-wide, sum(recognized) == sum(line cents) for the
+    in-scope (shipdate >= orderdate) lines."""
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.plans.analytics import (
+        lineitem_revenue_recognition,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    out = lineitem_revenue_recognition(spark, sf_dir)
+    recognized = out.agg(F.sum("recognized_cents")).first()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+        )
+        .first()[0]
+    )
+    assert recognized == cents
