@@ -193,6 +193,7 @@ _BUDGET_LAST = (
     "parts_densest_subgraph",
     "embedding_silhouette_by_label",
     "lineitem_revenue_recognition",
+    "events_seasonal_decompose",
 )
 
 

@@ -8213,3 +8213,91 @@ def lineitem_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recognized_cents"),
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cal AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+dowdays AS (
+  SELECT dayofweek(d) AS dow, CAST(count(*) AS BIGINT) AS nd FROM cal GROUP BY 1
+),
+agg AS (
+  SELECT event_type, dayofweek(d) AS dow,
+         CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS npresent
+  FROM daily GROUP BY 1, 2
+),
+sea AS (
+  SELECT a.event_type, a.dow, a.npresent, dd.nd,
+         a.tot * 1000000 // dd.nd AS seasonal_micro
+  FROM agg a JOIN dowdays dd USING (dow)
+),
+pres AS (
+  SELECT d.event_type, dayofweek(d.d) AS dow,
+         CAST(sum(abs(d.c * 1000000 - s.seasonal_micro)) AS BIGINT) AS pres_abs
+  FROM daily d
+  JOIN sea s ON s.event_type = d.event_type AND s.dow = dayofweek(d.d)
+  GROUP BY 1, 2
+)
+SELECT s.event_type, CAST(s.dow AS BIGINT) AS dow, s.nd AS n_days,
+       CAST(s.seasonal_micro AS BIGINT) AS seasonal_micro,
+       CAST((COALESCE(p.pres_abs, 0) + (s.nd - s.npresent) * s.seasonal_micro)
+            // s.nd AS BIGINT) AS mean_abs_residual_micro
+FROM sea s LEFT JOIN pres p ON p.event_type = s.event_type AND p.dow = s.dow
+""",
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal decomposition of the per-type daily series: the
+    seasonal component is the truncating-div mean count per (type,
+    day-of-week) over the GLOBAL calendar for that weekday (days the
+    type is silent count as zero — handled arithmetically: absent days
+    contribute |0 - seasonal| = seasonal to the residual sum, so no
+    calendar grid expansion materializes), and the report carries the
+    mean absolute residual per cell — the seasonality-strength /
+    anomaly-baseline lens next to ACF and the seasonal-naive MASE.
+    All integer micro; day-of-week uses DuckDB's 0=Sunday convention
+    (Spark's dayofweek is 1-based — shifted on the Spark side, the
+    settled offset note). Shapes: two hash aggregates and a bounded
+    (type x 7) join — nothing row-scaled past the daily rollup.
+    Reference analog: none (beyond-reference time-series op)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cal = ev.select(F.date_trunc("day", "ts").alias("d")).distinct()
+    dowdays = cal.groupBy((F.dayofweek("d") - 1).alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    agg = daily.groupBy("event_type", (F.dayofweek("d") - 1).alias("dow")).agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("npresent"),
+    )
+    sea = agg.join(dowdays, "dow").select(
+        "event_type",
+        "dow",
+        "npresent",
+        "nd",
+        F.expr("tot * 1000000 div nd").alias("seasonal_micro"),
+    )
+    pres = (
+        daily.withColumn("dow", F.dayofweek("d") - 1)
+        .join(sea.select("event_type", "dow", "seasonal_micro"), ["event_type", "dow"])
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum(F.abs(F.col("c") * 1000000 - F.col("seasonal_micro")))
+            .cast("long")
+            .alias("pres_abs")
+        )
+    )
+    return sea.join(pres, ["event_type", "dow"], "left").selectExpr(
+        "event_type",
+        "CAST(dow AS BIGINT) AS dow",
+        "nd AS n_days",
+        "CAST(seasonal_micro AS BIGINT) AS seasonal_micro",
+        "CAST((COALESCE(pres_abs, 0) + (nd - npresent) * seasonal_micro) div nd"
+        " AS BIGINT) AS mean_abs_residual_micro",
+    )
