@@ -194,6 +194,7 @@ _BUDGET_LAST = (
     "embedding_silhouette_by_label",
     "lineitem_revenue_recognition",
     "events_seasonal_decompose",
+    "text_langid_quality_metrics",
 )
 
 

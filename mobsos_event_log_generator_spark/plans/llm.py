@@ -6783,3 +6783,73 @@ def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("n_negative"),
     )
+
+
+def _register_langid_metrics() -> None:
+    from mobsos_event_log_generator_spark.plans.queries import ORACLES
+
+    @register(
+        "text_langid_quality_metrics",
+        f"""
+WITH cm AS ({ORACLES["text_naive_bayes_langid"]}),
+act AS (SELECT actual AS lang, CAST(sum(n_docs) AS BIGINT) AS n_actual FROM cm GROUP BY 1),
+prd AS (SELECT predicted AS lang, CAST(sum(n_docs) AS BIGINT) AS n_predicted FROM cm GROUP BY 1),
+tp AS (SELECT actual AS lang, CAST(n_docs AS BIGINT) AS tp FROM cm WHERE actual = predicted)
+SELECT a.lang, a.n_actual,
+       CAST(COALESCE(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+       CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+       CAST(COALESCE(t.tp, 0) * 1000000 // NULLIF(p.n_predicted, 0) AS BIGINT)
+         AS precision_ppm,
+       CAST(COALESCE(t.tp, 0) * 1000000 // a.n_actual AS BIGINT) AS recall_ppm,
+       CAST(2 * (COALESCE(t.tp, 0) * 1000000 // NULLIF(p.n_predicted, 0))
+              * (COALESCE(t.tp, 0) * 1000000 // a.n_actual)
+            // NULLIF((COALESCE(t.tp, 0) * 1000000 // NULLIF(p.n_predicted, 0))
+                      + (COALESCE(t.tp, 0) * 1000000 // a.n_actual), 0)
+            AS BIGINT) AS f1_ppm
+FROM act a
+LEFT JOIN prd p ON p.lang = a.lang
+LEFT JOIN tp t ON t.lang = a.lang
+""",
+    )
+    def text_langid_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-class precision / recall / F1 of the naive-Bayes language
+        classifier, derived from the SAME confusion matrix the
+        text_naive_bayes_langid gate proves (the Spark side literally
+        post-aggregates that query's DataFrame; the oracle splices that
+        query's SQL as a CTE — the shared-prefix pattern, so the metrics
+        cannot drift from the matrix they audit). All integer: precision
+        and recall quantize to ppm by truncating div, F1 is the harmonic
+        mean 2PR div (P+R) of the ALREADY-quantized ppms (documented
+        double quantization), absent predictions surface NULL via NULLIF.
+        Bounded everywhere — the matrix is classes x classes. Reference
+        analog: none (beyond-reference classifier-evaluation op)."""
+        cm = text_naive_bayes_langid(spark, sf_dir)
+        act = cm.groupBy(F.col("actual").alias("lang")).agg(
+            F.sum("n_docs").cast("long").alias("n_actual")
+        )
+        prd = cm.groupBy(F.col("predicted").alias("lang")).agg(
+            F.sum("n_docs").cast("long").alias("n_predicted")
+        )
+        tp = cm.filter(F.col("actual") == F.col("predicted")).select(
+            F.col("actual").alias("lang"), F.col("n_docs").cast("long").alias("tp")
+        )
+        return (
+            act.join(prd, "lang", "left")
+            .join(tp, "lang", "left")
+            .selectExpr(
+                "lang",
+                "n_actual",
+                "CAST(COALESCE(n_predicted, 0) AS BIGINT) AS n_predicted",
+                "CAST(COALESCE(tp, 0) AS BIGINT) AS tp",
+                "CAST(COALESCE(tp, 0) * 1000000 div NULLIF(n_predicted, 0) AS BIGINT)"
+                " AS precision_ppm",
+                "CAST(COALESCE(tp, 0) * 1000000 div n_actual AS BIGINT) AS recall_ppm",
+                "CAST(2 * (COALESCE(tp, 0) * 1000000 div NULLIF(n_predicted, 0))"
+                " * (COALESCE(tp, 0) * 1000000 div n_actual)"
+                " div NULLIF((COALESCE(tp, 0) * 1000000 div NULLIF(n_predicted, 0))"
+                " + (COALESCE(tp, 0) * 1000000 div n_actual), 0) AS BIGINT) AS f1_ppm",
+            )
+        )
+
+
+_register_langid_metrics()
