@@ -195,6 +195,7 @@ _BUDGET_LAST = (
     "lineitem_revenue_recognition",
     "events_seasonal_decompose",
     "text_langid_quality_metrics",
+    "text_langid_kappa",
 )
 
 

@@ -6853,3 +6853,70 @@ LEFT JOIN tp t ON t.lang = a.lang
 
 
 _register_langid_metrics()
+
+
+def _register_langid_kappa() -> None:
+    from mobsos_event_log_generator_spark.plans.queries import ORACLES
+
+    @register(
+        "text_langid_kappa",
+        f"""
+WITH cm AS ({ORACLES["text_naive_bayes_langid"]}),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cm),
+diag AS (SELECT CAST(sum(n_docs) AS BIGINT) AS agree FROM cm WHERE actual = predicted),
+act AS (SELECT actual AS lang, CAST(sum(n_docs) AS BIGINT) AS r FROM cm GROUP BY 1),
+prd AS (SELECT predicted AS lang, CAST(sum(n_docs) AS BIGINT) AS c FROM cm GROUP BY 1),
+ex AS (
+  SELECT CAST(sum(a.r * COALESCE(p.c, 0)) AS BIGINT) AS rc
+  FROM act a LEFT JOIN prd p ON p.lang = a.lang
+)
+SELECT tot.n AS n_docs,
+       CAST(diag.agree * 1000000 // tot.n AS BIGINT) AS accuracy_ppm,
+       CAST(ex.rc * 1000000 // (tot.n * tot.n) AS BIGINT) AS expected_agreement_ppm,
+       CAST((tot.n * diag.agree - ex.rc) * 1000000
+            // NULLIF(tot.n * tot.n - ex.rc, 0) AS BIGINT) AS kappa_ppm
+FROM tot, diag, ex
+""",
+    )
+    def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cohen's kappa for the naive-Bayes language classifier against
+        the gold labels — chance-corrected agreement from the SAME
+        confusion matrix as the per-class metrics (shared-prefix oracle;
+        the Spark side post-aggregates the gated matrix query). kappa =
+        (N*agree - sum r_k*c_k) / (N^2 - sum r_k*c_k), exact integers
+        quantized once to ppm (N*agree ~ N^2 passes int64 to ~3e9 docs).
+        Everything is classes x classes bounded. Reference analog: none
+        (beyond-reference classifier-evaluation op)."""
+        cm = text_naive_bayes_langid(spark, sf_dir)
+        tot = cm.agg(F.sum("n_docs").cast("long").alias("n"))
+        diag = cm.filter(F.col("actual") == F.col("predicted")).agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("agree")
+        )
+        act = cm.groupBy(F.col("actual").alias("lang")).agg(
+            F.sum("n_docs").cast("long").alias("r")
+        )
+        prd = cm.groupBy(F.col("predicted").alias("lang")).agg(
+            F.sum("n_docs").cast("long").alias("c")
+        )
+        ex = (
+            act.join(prd, "lang", "left")
+            .agg(
+                F.sum(F.col("r") * F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("rc")
+            )
+        )
+        return (
+            tot.crossJoin(diag)
+            .crossJoin(ex)
+            .selectExpr(
+                "n AS n_docs",
+                "CAST(agree * 1000000 div n AS BIGINT) AS accuracy_ppm",
+                "CAST(rc * 1000000 div (n * n) AS BIGINT) AS expected_agreement_ppm",
+                "CAST((n * agree - rc) * 1000000 div NULLIF(n * n - rc, 0) AS BIGINT)"
+                " AS kappa_ppm",
+            )
+        )
+
+
+_register_langid_kappa()

@@ -590,3 +590,24 @@ def test_no_module_level_name_shadowing_in_plans():
             if cnt > 1 and (fn, name) not in allowed:
                 offenders[(fn, name)] = cnt
     assert not offenders, f"module-level rebinding in plans (split-brain risk): {offenders}"
+
+
+def test_fellegi_sunter_candidates_is_equijoin_not_cross(spark, sf_dir):
+    """F-S scoring must ride the PPJoin prefix equi-join + id equi-joins;
+    the only nested-loop allowed is the 1-row weight-table cross join."""
+    plan = plan_of(spark, sf_dir, "er_fellegi_sunter")
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_attribution_no_cross_product(spark, sf_dir):
+    """Transition counting is window + union + one 12-cell aggregate; the
+    solve is 1-row scalar algebra — nothing may expand quadratically."""
+    plan = plan_of(spark, sf_dir, "events_markov_attribution")
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_no_pairwise_materialization(spark, sf_dir):
+    """The silhouette decomposition must join per-vector rows against the
+    bounded (class, dim) stats table — never vectors x vectors."""
+    plan = plan_of(spark, sf_dir, "embedding_silhouette_by_label")
+    assert "CartesianProduct" not in plan
