@@ -196,6 +196,7 @@ _BUDGET_LAST = (
     "events_seasonal_decompose",
     "text_langid_quality_metrics",
     "text_langid_kappa",
+    "er_fellegi_sunter_em",
 )
 
 

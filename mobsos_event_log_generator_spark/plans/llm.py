@@ -6920,3 +6920,198 @@ FROM tot, diag, ex
 
 
 _register_langid_kappa()
+
+
+_FS_FIELDS = ("lang", "source", "band", "head")
+
+
+def _fs_em_iter_sql(k: int) -> str:
+    """One EM iteration over the <=16-row agreement-pattern table: E-step
+    responsibilities from the previous parameters (integer ppm products over
+    HUGEINT), M-step reweighted ppm parameters."""
+    prev = f"par{k - 1}"
+    w = " * ".join(
+        f"(CASE WHEN g_{f} = 1 THEN p.m_{f} ELSE 1000000 - p.m_{f} END)"
+        for f in _FS_FIELDS
+    )
+    v = " * ".join(
+        f"(CASE WHEN g_{f} = 1 THEN p.u_{f} ELSE 1000000 - p.u_{f} END)"
+        for f in _FS_FIELDS
+    )
+    m_up = ",\n         ".join(
+        f"CAST(sum(n * r * g_{f}) * 1000000 // NULLIF(sum(n * r), 0) AS BIGINT) AS m_{f}"
+        for f in _FS_FIELDS
+    )
+    u_up = ",\n         ".join(
+        f"CAST(sum(n * (1000000 - r) * g_{f}) * 1000000"
+        f" // NULLIF(sum(n * (1000000 - r)), 0) AS BIGINT) AS u_{f}"
+        for f in _FS_FIELDS
+    )
+    return f"""
+resp{k} AS MATERIALIZED (
+  SELECT pats.*,
+         CAST(CAST(p.pr AS HUGEINT) * {w} AS HUGEINT) AS wm,
+         CAST(CAST(1000000 - p.pr AS HUGEINT) * {v} AS HUGEINT) AS wu
+  FROM pats, {prev} p
+),
+rr{k} AS MATERIALIZED (
+  SELECT *, CAST(wm * 1000000 // NULLIF(wm + wu, 0) AS BIGINT) AS r FROM resp{k}
+),
+par{k} AS MATERIALIZED (
+  SELECT CAST(sum(n * r) // sum(n) AS BIGINT) AS pr,
+         {m_up},
+         {u_up}
+  FROM rr{k}
+)"""
+
+
+def _register_fs_em() -> None:
+    pats_sql = (
+        _SQL_SHINGLE_CTE
+        + f"""
+, c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2
+  FROM inter JOIN c c1 ON id1 = c1.doc_id JOIN c c2 ON id2 = c2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (c1.n + c2.n - n_inter) >= 0.5
+),
+feats AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS band,
+         COALESCE(({SQL_WORDS})[1], '<empty>') AS head
+  FROM documents
+),
+pats AS MATERIALIZED (
+  SELECT """
+        + ", ".join(
+            f"CASE WHEN a.{f} = b.{f} THEN 1 ELSE 0 END AS g_{f}" for f in _FS_FIELDS
+        )
+        + """,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pairs p
+  JOIN feats a ON a.doc_id = p.id1
+  JOIN feats b ON b.doc_id = p.id2
+  GROUP BY 1, 2, 3, 4
+),
+par0 AS (
+  SELECT CAST(500000 AS BIGINT) AS pr,
+         """
+        + ", ".join(f"CAST(900000 AS BIGINT) AS m_{f}" for f in _FS_FIELDS)
+        + ",\n         "
+        + ", ".join(f"CAST(100000 AS BIGINT) AS u_{f}" for f in _FS_FIELDS)
+        + "\n),"
+        + ",".join(_fs_em_iter_sql(k) for k in (1, 2))
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"""SELECT '{f}' AS field, pr AS p_match_ppm, m_{f} AS m_ppm, u_{f} AS u_ppm,
+       (SELECT CAST(sum(n) AS BIGINT) FROM pats) AS n_pairs
+FROM par2"""
+            for f in _FS_FIELDS
+        )
+    )
+
+    @register("er_fellegi_sunter_em", pats_sql)
+    def er_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """UNSUPERVISED Fellegi-Sunter parameter estimation by two unrolled
+        EM iterations over the agreement-pattern table (the Splink-style
+        linkage trainer, next to er_fellegi_sunter's fixed-m scorer):
+        candidate pairs (exact PPJoin, Jaccard >= 0.5) collapse to <= 2^4
+        agreement patterns over lang/source/band/head, and EM runs
+        entirely on that bounded table — E-step responsibilities are
+        integer ppm products over HUGEINT/decimal(38,0) (five 1e6-scale
+        factors ~ 1e30, well inside 38 digits), quantized once per
+        iteration by truncating div; M-step priors and per-field m/u are
+        reweighted ppm ratios. Both engines replay the identical integer
+        trajectory — the float-EM convergence ambiguity never arises.
+        Scale shape: the ONLY row-scaled work is pattern counting (two FK
+        joins + a 16-group aggregate); the EM itself is constant-size.
+        Output: per field, the trained m/u plus the match-class prior.
+        Reference analog: none (beyond-reference ER-training op)."""
+        docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        pairs = prefix_filter_jaccard_join(docs, threshold=0.5).select("id1", "id2")
+        feats = docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr("n_chars div 100").alias("band"),
+            F.coalesce(F.element_at(X.tokens("text"), 1), F.lit("<empty>")).alias(
+                "head"
+            ),
+        )
+        a = feats.select(
+            F.col("doc_id").alias("id1"),
+            *[F.col(f).alias(f"a_{f}") for f in _FS_FIELDS],
+        )
+        b = feats.select(
+            F.col("doc_id").alias("id2"),
+            *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
+        )
+        pats = (
+            pairs.join(a, "id1")
+            .join(b, "id2")
+            .selectExpr(
+                *[
+                    f"CASE WHEN a_{f} = b_{f} THEN 1 ELSE 0 END AS g_{f}"
+                    for f in _FS_FIELDS
+                ]
+            )
+            .groupBy(*[f"g_{f}" for f in _FS_FIELDS])
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        par = pats.sparkSession.range(1).selectExpr(
+            "CAST(500000 AS BIGINT) AS pr",
+            *[f"CAST(900000 AS BIGINT) AS m_{f}" for f in _FS_FIELDS],
+            *[f"CAST(100000 AS BIGINT) AS u_{f}" for f in _FS_FIELDS],
+        )
+        for _ in (1, 2):
+            w = " * ".join(
+                f"(CASE WHEN g_{f} = 1 THEN m_{f} ELSE 1000000 - m_{f} END)"
+                for f in _FS_FIELDS
+            )
+            v = " * ".join(
+                f"(CASE WHEN g_{f} = 1 THEN u_{f} ELSE 1000000 - u_{f} END)"
+                for f in _FS_FIELDS
+            )
+            rr = pats.crossJoin(par).selectExpr(
+                "*",
+                f"CAST(CAST(pr AS DECIMAL(38,0)) * {w} AS DECIMAL(38,0)) AS wm",
+                f"CAST(CAST(1000000 - pr AS DECIMAL(38,0)) * {v} AS DECIMAL(38,0)) AS wu",
+            ).selectExpr(
+                "*", "CAST(wm * 1000000 div NULLIF(wm + wu, 0) AS BIGINT) AS r"
+            )
+            par = rr.agg(
+                F.expr("CAST(sum(n * r) div sum(n) AS BIGINT)").alias("pr"),
+                *[
+                    F.expr(
+                        f"CAST(sum(n * r * g_{f}) * 1000000"
+                        f" div NULLIF(sum(n * r), 0) AS BIGINT)"
+                    ).alias(f"m_{f}")
+                    for f in _FS_FIELDS
+                ],
+                *[
+                    F.expr(
+                        f"CAST(sum(n * (1000000 - r) * g_{f}) * 1000000"
+                        f" div NULLIF(sum(n * (1000000 - r)), 0) AS BIGINT)"
+                    ).alias(f"u_{f}")
+                    for f in _FS_FIELDS
+                ],
+            )
+        n_pairs = pats.agg(F.sum("n").cast("long").alias("n_pairs"))
+        out = None
+        for f in _FS_FIELDS:
+            row = par.crossJoin(n_pairs).selectExpr(
+                f"'{f}' AS field",
+                "pr AS p_match_ppm",
+                f"m_{f} AS m_ppm",
+                f"u_{f} AS u_ppm",
+                "n_pairs",
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+
+_register_fs_em()
