@@ -197,6 +197,7 @@ _BUDGET_LAST = (
     "text_langid_quality_metrics",
     "text_langid_kappa",
     "er_fellegi_sunter_em",
+    "nations_dyad_census",
 )
 
 

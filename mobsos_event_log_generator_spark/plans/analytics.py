@@ -8301,3 +8301,100 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((COALESCE(pres_abs, 0) + (nd - npresent) * seasonal_micro) div nd"
         " AS BIGINT) AS mean_abs_residual_micro",
     )
+
+
+@register(
+    "nations_dyad_census",
+    """
+WITH latency AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+bedges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+    FROM latency
+  ) WHERE rk <= 3
+),
+nodes AS (SELECT src AS node FROM bedges UNION SELECT dst FROM bedges),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+dyads AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM bedges GROUP BY 1, 2
+),
+census AS (
+  SELECT CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mutual_pairs,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asym_pairs,
+         CAST(sum(c) AS BIGINT) AS n_edges
+  FROM dyads
+)
+SELECT cnt.n AS n_nodes, census.n_edges, census.mutual_pairs, census.asym_pairs,
+       CAST(cnt.n * (cnt.n - 1) / 2 - census.mutual_pairs - census.asym_pairs
+            AS BIGINT) AS null_pairs,
+       CAST(2 * census.mutual_pairs * 1000000
+            // NULLIF(2 * census.mutual_pairs + census.asym_pairs, 0) AS BIGINT)
+         AS reciprocity_ppm
+FROM cnt, census
+""",
+)
+def nations_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyad census + reciprocity of the directed trade backbone (same
+    top-3-partner edges as the betweenness/eccentricity reports, so the
+    three audits describe one graph): mutual / asymmetric / null dyad
+    counts and Garlaschelli-style reciprocity 2M/(2M+A) in truncating
+    ppm — the directed-structure lens the undirected centrality family
+    can't see. One grouped count over <= n^2 bounded dyads after the
+    same FK-join edge extraction. Reference analog: none
+    (beyond-reference social-network-analysis op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair_counts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = (
+        pair_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    cnt = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dyads = edges.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    census = dyads.agg(
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("mutual_pairs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("asym_pairs"),
+        F.sum("c").cast("long").alias("n_edges"),
+    )
+    return cnt.crossJoin(census).selectExpr(
+        "n AS n_nodes",
+        "n_edges",
+        "mutual_pairs",
+        "asym_pairs",
+        "CAST(n * (n - 1) / 2 - mutual_pairs - asym_pairs AS BIGINT) AS null_pairs",
+        "CAST(2 * mutual_pairs * 1000000"
+        " div NULLIF(2 * mutual_pairs + asym_pairs, 0) AS BIGINT) AS reciprocity_ppm",
+    )
