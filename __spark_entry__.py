@@ -198,6 +198,7 @@ _BUDGET_LAST = (
     "text_langid_kappa",
     "er_fellegi_sunter_em",
     "nations_dyad_census",
+    "lineitem_logistic_late",
 )
 
 

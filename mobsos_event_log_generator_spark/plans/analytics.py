@@ -8398,3 +8398,174 @@ def nations_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(2 * mutual_pairs * 1000000"
         " div NULLIF(2 * mutual_pairs + asym_pairs, 0) AS BIGINT) AS reciprocity_ppm",
     )
+
+
+def _logit_iter_sql(k: int) -> str:
+    """One quantized IRLS/Newton step: per-row sigmoid quantized to ppm,
+    integer sufficient statistics normalized by n, 3x3 Cramer solve."""
+    prev = f"lpar{k - 1}"
+    return f"""
+lsc{k} AS (
+  SELECT y, f1, f2,
+         CAST(floor(CAST(1000000 AS DOUBLE)
+                    / (1 + exp(-(CAST(p.b0 + (p.b1 * f1 + p.b2 * f2) // 1000000
+                                      AS DOUBLE) / 1000000)))) AS BIGINT) AS mu
+  FROM lrows, {prev} p
+),
+lsum{k} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mu * (1000000 - mu) // 1000000) AS BIGINT) AS s00,
+         CAST(sum((mu * (1000000 - mu) // 1000000) * f1 // 1000000) AS BIGINT) AS s01,
+         CAST(sum((mu * (1000000 - mu) // 1000000) * f2 // 1000000) AS BIGINT) AS s02,
+         CAST(sum(((mu * (1000000 - mu) // 1000000) * f1 // 1000000) * f1 // 1000000) AS BIGINT) AS s11,
+         CAST(sum(((mu * (1000000 - mu) // 1000000) * f1 // 1000000) * f2 // 1000000) AS BIGINT) AS s12,
+         CAST(sum(((mu * (1000000 - mu) // 1000000) * f2 // 1000000) * f2 // 1000000) AS BIGINT) AS s22,
+         CAST(sum(y * 1000000 - mu) AS BIGINT) AS g0,
+         CAST(sum((y * 1000000 - mu) * f1 // 1000000) AS BIGINT) AS g1,
+         CAST(sum((y * 1000000 - mu) * f2 // 1000000) AS BIGINT) AS g2
+  FROM lsc{k}
+),
+lnorm{k} AS (
+  SELECT CAST(s00 // n AS HUGEINT) AS a00, CAST(s01 // n AS HUGEINT) AS a01,
+         CAST(s02 // n AS HUGEINT) AS a02, CAST(s11 // n AS HUGEINT) AS a11,
+         CAST(s12 // n AS HUGEINT) AS a12, CAST(s22 // n AS HUGEINT) AS a22,
+         CAST(g0 // n AS HUGEINT) AS g0, CAST(g1 // n AS HUGEINT) AS g1,
+         CAST(g2 // n AS HUGEINT) AS g2
+  FROM lsum{k}
+),
+lpar{k} AS (
+  SELECT
+    CAST(p.b0 + (g0 * (a11 * a22 - a12 * a12) - a01 * (g1 * a22 - a12 * g2)
+                 + a02 * (g1 * a12 - a11 * g2)) * 1000000
+               // NULLIF(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)
+                         + a02 * (a01 * a12 - a11 * a02), 0) AS BIGINT) AS b0,
+    CAST(p.b1 + (a00 * (g1 * a22 - g2 * a12) - g0 * (a01 * a22 - a12 * a02)
+                 + a02 * (a01 * g2 - g1 * a02)) * 1000000
+               // NULLIF(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)
+                         + a02 * (a01 * a12 - a11 * a02), 0) AS BIGINT) AS b1,
+    CAST(p.b2 + (a00 * (a11 * g2 - a12 * g1) - a01 * (a01 * g2 - g1 * a02)
+                 + g0 * (a01 * a12 - a11 * a02)) * 1000000
+               // NULLIF(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)
+                         + a02 * (a01 * a12 - a11 * a02), 0) AS BIGINT) AS b2
+  FROM lnorm{k}, {prev} p
+)"""
+
+
+_SQL_LOGISTIC = (
+    """
+WITH lrows AS (
+  SELECT CASE WHEN (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 > 90
+              THEN 1 ELSE 0 END AS y,
+         CAST(floor(l.l_discount * 1000000) AS BIGINT) AS f1,
+         CAST(l.l_quantity * 20000 AS BIGINT) AS f2
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+lpar0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2),"""
+    + ",".join(_logit_iter_sql(k) for k in (1, 2))
+    + """,
+cal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE)
+                    / (1 + exp(-(CAST(p.b0 + (p.b1 * f1 + p.b2 * f2) // 1000000
+                                      AS DOUBLE) / 1000000)))) AS BIGINT)) AS BIGINT) AS mu_sum
+  FROM lrows, lpar2 p
+)
+SELECT p.b0 AS b0_micro, p.b1 AS b1_micro, p.b2 AS b2_micro,
+       cal.n AS n_rows,
+       CAST(cal.n_pos * 1000000 // cal.n AS BIGINT) AS actual_pos_ppm,
+       CAST(cal.mu_sum // cal.n AS BIGINT) AS pred_pos_ppm
+FROM lpar2 p, cal
+"""
+)
+
+
+@register("lineitem_logistic_late", _SQL_LOGISTIC)
+def lineitem_logistic_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of the late-shipment flag on (discount,
+    quantity/50) TRAINED CROSS-ENGINE EXACTLY: two unrolled Newton/IRLS
+    steps from beta = 0, where each step quantizes the per-row sigmoid
+    to ppm (floor of an exp on identical doubles — the ln/exp floor
+    rule), accumulates Hessian/gradient as INTEGER sufficient statistics
+    (per-row products stay <= 2.5e5 via interleaved div-1e6 rescaling),
+    normalizes by n (bounding the 3x3 Cramer determinants to ~1e17 at
+    ANY corpus size — the overflow-proofing step), and solves in closed
+    form over HUGEINT/decimal(38,0). Both engines replay the identical
+    integer parameter trajectory — no float-GD convergence ambiguity.
+    Output: trained micro-coefficients + a calibration row (predicted vs
+    actual positive rate; IRLS matches them at convergence). Per step:
+    one 1-row parameter cross join + one hash aggregate — nothing
+    row-quadratic. Reference analog: none (beyond-reference ML-training
+    op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lrows = li.join(o, li["l_orderkey"] == o["o_orderkey"]).selectExpr(
+        "CASE WHEN (unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+        " div 86400000000 > 90 THEN 1 ELSE 0 END AS y",
+        "CAST(floor(l_discount * 1000000) AS BIGINT) AS f1",
+        "CAST(l_quantity * 20000 AS BIGINT) AS f2",
+    )
+    par = lrows.sparkSession.range(1).selectExpr(
+        "CAST(0 AS BIGINT) AS b0", "CAST(0 AS BIGINT) AS b1", "CAST(0 AS BIGINT) AS b2"
+    )
+    mu_expr = (
+        "CAST(floor(CAST(1000000 AS DOUBLE)"
+        " / (1 + exp(-(CAST(b0 + (b1 * f1 + b2 * f2) div 1000000"
+        " AS DOUBLE) / 1000000)))) AS BIGINT)"
+    )
+    w = "(mu * (1000000 - mu) div 1000000)"
+    for _ in (1, 2):
+        sc = lrows.crossJoin(par).selectExpr("y", "f1", "f2", f"{mu_expr} AS mu")
+        sums = sc.selectExpr(
+            "y",
+            "f1",
+            "f2",
+            "mu",
+            f"{w} AS w",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("CAST(sum(w) AS BIGINT)").alias("s00"),
+            F.expr("CAST(sum(w * f1 div 1000000) AS BIGINT)").alias("s01"),
+            F.expr("CAST(sum(w * f2 div 1000000) AS BIGINT)").alias("s02"),
+            F.expr("CAST(sum((w * f1 div 1000000) * f1 div 1000000) AS BIGINT)").alias("s11"),
+            F.expr("CAST(sum((w * f1 div 1000000) * f2 div 1000000) AS BIGINT)").alias("s12"),
+            F.expr("CAST(sum((w * f2 div 1000000) * f2 div 1000000) AS BIGINT)").alias("s22"),
+            F.expr("CAST(sum(y * 1000000 - mu) AS BIGINT)").alias("g0"),
+            F.expr("CAST(sum((y * 1000000 - mu) * f1 div 1000000) AS BIGINT)").alias("g1"),
+            F.expr("CAST(sum((y * 1000000 - mu) * f2 div 1000000) AS BIGINT)").alias("g2"),
+        )
+        norm = sums.selectExpr(
+            *[
+                f"CAST({c} div n AS DECIMAL(38,0)) AS {a}"
+                for c, a in (
+                    ("s00", "a00"), ("s01", "a01"), ("s02", "a02"),
+                    ("s11", "a11"), ("s12", "a12"), ("s22", "a22"),
+                    ("g0", "g0"), ("g1", "g1"), ("g2", "g2"),
+                )
+            ]
+        )
+        det = (
+            "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02)"
+            " + a02 * (a01 * a12 - a11 * a02))"
+        )
+        par = norm.crossJoin(par).selectExpr(
+            f"CAST(b0 + (g0 * (a11 * a22 - a12 * a12) - a01 * (g1 * a22 - a12 * g2)"
+            f" + a02 * (g1 * a12 - a11 * g2)) * 1000000 div NULLIF({det}, 0) AS BIGINT) AS b0",
+            f"CAST(b1 + (a00 * (g1 * a22 - g2 * a12) - g0 * (a01 * a22 - a12 * a02)"
+            f" + a02 * (a01 * g2 - g1 * a02)) * 1000000 div NULLIF({det}, 0) AS BIGINT) AS b1",
+            f"CAST(b2 + (a00 * (a11 * g2 - a12 * g1) - a01 * (a01 * g2 - g1 * a02)"
+            f" + g0 * (a01 * a12 - a11 * a02)) * 1000000 div NULLIF({det}, 0) AS BIGINT) AS b2",
+        )
+    cal = lrows.crossJoin(par).selectExpr("y", f"{mu_expr} AS mu").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("mu").cast("long").alias("mu_sum"),
+    )
+    return par.crossJoin(cal).selectExpr(
+        "b0 AS b0_micro",
+        "b1 AS b1_micro",
+        "b2 AS b2_micro",
+        "n AS n_rows",
+        "CAST(n_pos * 1000000 div n AS BIGINT) AS actual_pos_ppm",
+        "CAST(mu_sum div n AS BIGINT) AS pred_pos_ppm",
+    )
