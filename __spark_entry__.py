@@ -199,6 +199,7 @@ _BUDGET_LAST = (
     "er_fellegi_sunter_em",
     "nations_dyad_census",
     "lineitem_logistic_late",
+    "orders_logrank_priority",
 )
 
 

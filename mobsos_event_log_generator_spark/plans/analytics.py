@@ -8569,3 +8569,175 @@ def lineitem_logistic_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_pos * 1000000 div n AS BIGINT) AS actual_pos_ppm",
         "CAST(mu_sum div n AS BIGINT) AS pred_pos_ppm",
     )
+
+
+@register(
+    "orders_logrank_priority",
+    """
+WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+cut AS (SELECT max(l_shipdate) AS mx FROM lineitem),
+pts AS (
+  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+         CASE WHEN f.first_ship IS NOT NULL
+              THEN date_diff('day', o.o_orderdate, f.first_ship)
+              ELSE greatest(0, date_diff('day', o.o_orderdate, (SELECT mx FROM cut))) END
+           AS duration_days,
+         (f.first_ship IS NOT NULL) AS is_event
+  FROM orders o LEFT JOIN f ON f.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+hist AS (
+  SELECT duration_days, g,
+         CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM pts WHERE duration_days >= 0 GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.duration_days, gg.g, COALESCE(h.d, 0) AS d, COALESCE(h.c, 0) AS c
+  FROM (SELECT DISTINCT duration_days FROM hist) t
+  CROSS JOIN (SELECT unnest([0, 1]) AS g) gg
+  LEFT JOIN hist h ON h.duration_days = t.duration_days AND h.g = gg.g
+),
+tot AS (SELECT g, CAST(sum(d + c) AS BIGINT) AS t FROM grid GROUP BY 1),
+risk AS (
+  SELECT gr.duration_days, gr.g, gr.d,
+         tot.t - sum(gr.d + gr.c) OVER (PARTITION BY gr.g ORDER BY gr.duration_days
+                                        ROWS UNBOUNDED PRECEDING)
+               + gr.d + gr.c AS n_risk
+  FROM grid gr JOIN tot ON tot.g = gr.g
+),
+wide AS (
+  SELECT duration_days,
+         CAST(max(CASE WHEN g = 1 THEN d END) AS BIGINT) AS d1,
+         CAST(max(CASE WHEN g = 0 THEN d END) AS BIGINT) AS d0,
+         CAST(max(CASE WHEN g = 1 THEN n_risk END) AS BIGINT) AS n1,
+         CAST(max(CASE WHEN g = 0 THEN n_risk END) AS BIGINT) AS n0
+  FROM risk GROUP BY 1
+),
+terms AS (
+  SELECT d1, d0, n1, n0, d1 + d0 AS dt, n1 + n0 AS n
+  FROM wide WHERE d1 + d0 > 0 AND n1 + n0 > 0
+),
+agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(dt * n1 * 1000000 // n) AS BIGINT) AS e1_micro,
+         CAST(sum(CASE WHEN n > 1
+                       THEN CAST(dt AS HUGEINT) * n1 * n0 * (n - dt) * 1000000
+                            // (CAST(n AS HUGEINT) * n * (n - 1))
+                       ELSE 0 END) AS BIGINT) AS v_micro
+  FROM terms
+),
+tot2 AS (
+  SELECT CAST(max(CASE WHEN g = 1 THEN t END) AS BIGINT) AS n_urgent,
+         CAST(max(CASE WHEN g = 0 THEN t END) AS BIGINT) AS n_low
+  FROM tot
+)
+SELECT tot2.n_urgent, tot2.n_low, agg.o1 AS observed_urgent,
+       agg.e1_micro AS expected_urgent_micro,
+       agg.v_micro AS variance_micro,
+       round(CAST(agg.o1 * 1000000 - agg.e1_micro AS DOUBLE)
+             / (sqrt(CAST(agg.v_micro AS DOUBLE)) * 1000), 6) AS z_logrank,
+       CAST(CAST(agg.o1 * 1000000 - agg.e1_micro AS HUGEINT)
+            * (agg.o1 * 1000000 - agg.e1_micro) // NULLIF(agg.v_micro, 0) AS BIGINT)
+         AS chi2_micro
+FROM agg, tot2
+""",
+)
+def orders_logrank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing order->first-shipment survival between
+    URGENT and LOW priority orders (right-censored at the study cutoff,
+    same event/censor construction as orders_nelson_aalen) — the
+    hypothesis-testing member of the survival family: O-E accumulated
+    over the pooled event-time axis with hypergeometric expectations
+    E1_t = d_t*n1_t/n_t and variances d*n1*n0*(n-d)/(n^2 (n-1)), each
+    quantized to integer micro BEFORE summation (order-independent;
+    the 4-way count product rides HUGEINT/decimal). The final z is one
+    IEEE-exact sqrt + division rounded to 6 dp; chi2 stays integer
+    micro. At-risk counts per group come from group-partitioned prefix
+    sums over the calendar-bounded duration histogram grid (2 x days
+    rows — bounded; the global-axis sibling uses the two-phase sweep).
+    Reference analog: none (beyond-reference survival-testing op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    cut = li.agg(F.max("l_shipdate").alias("mx"))
+    pts = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(f, o["o_orderkey"] == f["l_orderkey"], "left")
+        .crossJoin(cut)
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g"),
+            F.when(
+                F.col("first_ship").isNotNull(),
+                F.datediff("first_ship", "o_orderdate"),
+            )
+            .otherwise(F.greatest(F.lit(0), F.datediff("mx", "o_orderdate")))
+            .alias("duration_days"),
+            F.col("first_ship").isNotNull().alias("is_event"),
+        )
+        .filter(F.col("duration_days") >= 0)
+    )
+    hist = pts.groupBy("duration_days", "g").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    times = hist.select("duration_days").distinct()
+    groups = spark.range(2).select(F.col("id").cast("int").alias("g"))
+    grid = (
+        times.crossJoin(groups)
+        .join(hist, ["duration_days", "g"], "left")
+        .select(
+            "duration_days",
+            "g",
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    tot = grid.groupBy("g").agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("t"))
+    w = Window.partitionBy("g").orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.join(tot, "g").select(
+        "duration_days",
+        "g",
+        "d",
+        (
+            F.col("t")
+            - F.sum(F.col("d") + F.col("c")).over(w)
+            + F.col("d")
+            + F.col("c")
+        ).alias("n_risk"),
+    )
+    wide = risk.groupBy("duration_days").agg(
+        F.max(F.when(F.col("g") == 1, F.col("d"))).cast("long").alias("d1"),
+        F.max(F.when(F.col("g") == 0, F.col("d"))).cast("long").alias("d0"),
+        F.max(F.when(F.col("g") == 1, F.col("n_risk"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("g") == 0, F.col("n_risk"))).cast("long").alias("n0"),
+    )
+    terms = wide.selectExpr(
+        "d1", "d0", "n1", "n0", "d1 + d0 AS dt", "n1 + n0 AS n"
+    ).filter("dt > 0 AND n > 0")
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.expr("CAST(sum(dt * n1 * 1000000 div n) AS BIGINT)").alias("e1_micro"),
+        F.expr(
+            "CAST(sum(CASE WHEN n > 1 THEN CAST(dt AS DECIMAL(38,0)) * n1 * n0"
+            " * (n - dt) * 1000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("v_micro"),
+    )
+    tot2 = tot.agg(
+        F.max(F.when(F.col("g") == 1, F.col("t"))).cast("long").alias("n_urgent"),
+        F.max(F.when(F.col("g") == 0, F.col("t"))).cast("long").alias("n_low"),
+    )
+    return agg.crossJoin(tot2).selectExpr(
+        "n_urgent",
+        "n_low",
+        "o1 AS observed_urgent",
+        "e1_micro AS expected_urgent_micro",
+        "v_micro AS variance_micro",
+        "round(CAST(o1 * 1000000 - e1_micro AS DOUBLE)"
+        " / (sqrt(CAST(v_micro AS DOUBLE)) * 1000), 6) AS z_logrank",
+        "CAST(CAST(o1 * 1000000 - e1_micro AS DECIMAL(38,0))"
+        " * (o1 * 1000000 - e1_micro) div NULLIF(v_micro, 0) AS BIGINT) AS chi2_micro",
+    )
