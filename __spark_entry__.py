@@ -200,6 +200,7 @@ _BUDGET_LAST = (
     "nations_dyad_census",
     "lineitem_logistic_late",
     "orders_logrank_priority",
+    "lineitem_gbm_stumps",
 )
 
 

@@ -8741,3 +8741,200 @@ def orders_logrank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(o1 * 1000000 - e1_micro AS DECIMAL(38,0))"
         " * (o1 * 1000000 - e1_micro) div NULLIF(v_micro, 0) AS BIGINT) AS chi2_micro",
     )
+
+
+_GBM_CANDS = (
+    (1, "q", 10_000_000),
+    (2, "q", 20_000_000),
+    (3, "q", 30_000_000),
+    (4, "q", 40_000_000),
+    (5, "d", 20_000),
+    (6, "d", 40_000),
+    (7, "d", 60_000),
+    (8, "d", 80_000),
+)
+
+_SQL_GBM_CANDS = ", ".join(f"({c}, '{f}', {t})" for c, f, t in _GBM_CANDS)
+
+
+def _gbm_round_sql(k: int, resid: str) -> str:
+    """One boosting round: per-candidate integer split statistics over the
+    residual column ``resid``, best split by quantized SSE-gain, leaf means."""
+    return f"""
+sums{k} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum({resid}) AS BIGINT) AS s
+  FROM rows{k}
+),
+cstat{k} AS (
+  SELECT c.cid, c.feat, c.thr,
+         CAST(count(CASE WHEN (CASE WHEN c.feat = 'q' THEN r.q_micro ELSE r.d_micro END)
+                          <= c.thr THEN 1 END) AS BIGINT) AS n_l,
+         CAST(COALESCE(sum(CASE WHEN (CASE WHEN c.feat = 'q' THEN r.q_micro ELSE r.d_micro END)
+                          <= c.thr THEN {resid} END), 0) AS BIGINT) AS s_l
+  FROM rows{k} r, (SELECT * FROM (VALUES {_SQL_GBM_CANDS}) v(cid, feat, thr)) c
+  GROUP BY 1, 2, 3
+),
+scored{k} AS (
+  SELECT c.cid, c.feat, c.thr, c.n_l, c.s_l,
+         t.n - c.n_l AS n_r, t.s - c.s_l AS s_r,
+         CAST(CAST(c.s_l // NULLIF(c.n_l, 0) AS HUGEINT) * c.s_l
+              + CAST((t.s - c.s_l) // NULLIF(t.n - c.n_l, 0) AS HUGEINT)
+                * (t.s - c.s_l) AS HUGEINT) AS gain_q
+  FROM cstat{k} c, sums{k} t
+  WHERE c.n_l > 0 AND t.n - c.n_l > 0
+),
+best{k} AS (
+  SELECT cid, feat, thr, n_l, n_r,
+         CAST(s_l // n_l AS BIGINT) AS mean_l,
+         CAST(s_r // n_r AS BIGINT) AS mean_r,
+         CAST(gain_q AS BIGINT) AS gain_q
+  FROM scored{k}
+  ORDER BY gain_q DESC, cid LIMIT 1
+)"""
+
+
+_SQL_GBM = (
+    """
+WITH base AS (
+  SELECT greatest(0, (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000)
+           AS y,
+         CAST(l.l_quantity * 1000000 AS BIGINT) AS q_micro,
+         CAST(floor(l.l_discount * 1000000) AS BIGINT) AS d_micro
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+f0 AS (SELECT CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS f0 FROM base),
+rows1 AS (
+  SELECT q_micro, d_micro, y * 1000000 - (SELECT f0 FROM f0) AS r
+  FROM base
+),"""
+    + _gbm_round_sql(1, "r")
+    + """,
+rows2 AS (
+  SELECT r.q_micro, r.d_micro,
+         r.r - (CASE WHEN (CASE WHEN b.feat = 'q' THEN r.q_micro ELSE r.d_micro END)
+                      <= b.thr THEN b.mean_l ELSE b.mean_r END) AS r
+  FROM rows1 r, best1 b
+),"""
+    + _gbm_round_sql(2, "r")
+    + """
+SELECT CAST(1 AS BIGINT) AS round, feat AS feature,
+       CAST(thr AS BIGINT) AS threshold_micro,
+       CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+       mean_l AS left_value_micro, mean_r AS right_value_micro, gain_q
+FROM best1
+UNION ALL
+SELECT CAST(2 AS BIGINT), feat, CAST(thr AS BIGINT),
+       CAST(n_l AS BIGINT), CAST(n_r AS BIGINT), mean_l, mean_r, gain_q
+FROM best2
+"""
+)
+
+
+@register("lineitem_gbm_stumps", _SQL_GBM)
+def lineitem_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted decision stumps on shipping delay (two
+    least-squares boosting rounds over quantity/discount splits) with a
+    BIT-IDENTICAL cross-engine training trajectory: the base score is the
+    truncating-div global mean, each round scores a FIXED candidate grid
+    of 8 splits by the division-free SSE gain (S_L div n_L)*S_L +
+    (S_R div n_R)*S_R (mean quantized to the integer grid BEFORE the
+    product, keeping the comparison key inside int128/decimal at any
+    corpus size; the shared S^2/n term cancels in comparisons), picks the
+    (gain DESC, cid) winner deterministically, fits truncating-div leaf
+    means, and residualizes through a 1-row best-split cross join.
+    Residual sums stay int64 (micro-days x rows); gain products ride
+    HUGEINT/decimal(38,0). Per round: one candidate x rows
+    conditional aggregate (8-way bounded fan-out via the VALUES dim) —
+    the same shuffle shape as a grouped count; the argmax is a LIMIT 1
+    over 8 rows. Output: the two fitted stumps. Reference analog: none
+    (beyond-reference ML-training op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).selectExpr(
+        "greatest(0, (unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+        " div 86400000000) AS y",
+        "CAST(l_quantity * 1000000 AS BIGINT) AS q_micro",
+        "CAST(floor(l_discount * 1000000) AS BIGINT) AS d_micro",
+    )
+    f0 = base.agg(
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias("f0")
+    )
+    rows_k = base.crossJoin(f0).selectExpr(
+        "q_micro", "d_micro", "y * 1000000 - f0 AS r"
+    )
+    cands = spark.range(1).selectExpr(
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({c} AS BIGINT) AS cid, '{f}' AS feat, CAST({t} AS BIGINT) AS thr)"
+            for c, f, t in _GBM_CANDS
+        )
+        + ")) AS c"
+    ).select("c.*")
+    out = None
+    for k in (1, 2):
+        sums = rows_k.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r").cast("long").alias("s"),
+        )
+        side = (
+            "(CASE WHEN feat = 'q' THEN q_micro ELSE d_micro END) <= thr"
+        )
+        cstat = (
+            rows_k.crossJoin(cands)
+            .groupBy("cid", "feat", "thr")
+            .agg(
+                F.count(F.when(F.expr(side), 1)).cast("long").alias("n_l"),
+                F.coalesce(F.sum(F.when(F.expr(side), F.col("r"))), F.lit(0))
+                .cast("long")
+                .alias("s_l"),
+            )
+        )
+        scored = (
+            cstat.crossJoin(sums)
+            .filter("n_l > 0 AND n - n_l > 0")
+            .selectExpr(
+                "cid",
+                "feat",
+                "thr",
+                "n_l",
+                "n - n_l AS n_r",
+                "s_l",
+                "s - s_l AS s_r",
+                "CAST(CAST(s_l div NULLIF(n_l, 0) AS DECIMAL(38,0)) * s_l"
+                " + CAST((s - s_l) div NULLIF(n - n_l, 0) AS DECIMAL(38,0))"
+                " * (s - s_l) AS DECIMAL(38,0)) AS gain_q",
+            )
+        )
+        best = (
+            scored.orderBy(F.col("gain_q").desc(), "cid")
+            .limit(1)
+            .selectExpr(
+                "cid",
+                "feat",
+                "thr",
+                "n_l",
+                "n_r",
+                "CAST(s_l div n_l AS BIGINT) AS mean_l",
+                "CAST(s_r div n_r AS BIGINT) AS mean_r",
+                "CAST(gain_q AS BIGINT) AS gain_q",
+            )
+        )
+        row = best.selectExpr(
+            f"CAST({k} AS BIGINT) AS round",
+            "feat AS feature",
+            "CAST(thr AS BIGINT) AS threshold_micro",
+            "CAST(n_l AS BIGINT) AS n_left",
+            "CAST(n_r AS BIGINT) AS n_right",
+            "mean_l AS left_value_micro",
+            "mean_r AS right_value_micro",
+            "gain_q",
+        )
+        out = row if out is None else out.unionByName(row)
+        if k == 1:
+            rows_k = rows_k.crossJoin(best).selectExpr(
+                "q_micro",
+                "d_micro",
+                "r - (CASE WHEN (CASE WHEN feat = 'q' THEN q_micro ELSE d_micro END)"
+                " <= thr THEN mean_l ELSE mean_r END) AS r",
+            )
+    return out
