@@ -201,6 +201,7 @@ _BUDGET_LAST = (
     "lineitem_logistic_late",
     "orders_logrank_priority",
     "lineitem_gbm_stumps",
+    "lineitem_logistic_auc",
 )
 
 

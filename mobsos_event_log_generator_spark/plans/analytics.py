@@ -8451,7 +8451,7 @@ lpar{k} AS (
 )"""
 
 
-_SQL_LOGISTIC = (
+_SQL_LOGISTIC_PREFIX = (
     """
 WITH lrows AS (
   SELECT CASE WHEN (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 > 90
@@ -8462,6 +8462,10 @@ WITH lrows AS (
 ),
 lpar0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2),"""
     + ",".join(_logit_iter_sql(k) for k in (1, 2))
+)
+
+_SQL_LOGISTIC = (
+    _SQL_LOGISTIC_PREFIX
     + """,
 cal AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -8497,6 +8501,32 @@ def lineitem_logistic_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 1-row parameter cross join + one hash aggregate — nothing
     row-quadratic. Reference analog: none (beyond-reference ML-training
     op)."""
+    lrows, par = _logistic_fit(spark, sf_dir)
+    cal = lrows.crossJoin(par).selectExpr("y", f"{_LOGIT_MU_EXPR} AS mu").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("mu").cast("long").alias("mu_sum"),
+    )
+    return par.crossJoin(cal).selectExpr(
+        "b0 AS b0_micro",
+        "b1 AS b1_micro",
+        "b2 AS b2_micro",
+        "n AS n_rows",
+        "CAST(n_pos * 1000000 div n AS BIGINT) AS actual_pos_ppm",
+        "CAST(mu_sum div n AS BIGINT) AS pred_pos_ppm",
+    )
+
+
+_LOGIT_MU_EXPR = (
+    "CAST(floor(CAST(1000000 AS DOUBLE)"
+    " / (1 + exp(-(CAST(b0 + (b1 * f1 + b2 * f2) div 1000000"
+    " AS DOUBLE) / 1000000)))) AS BIGINT)"
+)
+
+
+def _logistic_fit(spark: SparkSession, sf_dir: str):
+    """Shared two-step quantized-IRLS trainer: returns (lrows, 1-row params).
+    Kept in lockstep with the lrows/lpar CTE chain of _SQL_LOGISTIC_PREFIX."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     lrows = li.join(o, li["l_orderkey"] == o["o_orderkey"]).selectExpr(
@@ -8508,11 +8538,7 @@ def lineitem_logistic_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = lrows.sparkSession.range(1).selectExpr(
         "CAST(0 AS BIGINT) AS b0", "CAST(0 AS BIGINT) AS b1", "CAST(0 AS BIGINT) AS b2"
     )
-    mu_expr = (
-        "CAST(floor(CAST(1000000 AS DOUBLE)"
-        " / (1 + exp(-(CAST(b0 + (b1 * f1 + b2 * f2) div 1000000"
-        " AS DOUBLE) / 1000000)))) AS BIGINT)"
-    )
+    mu_expr = _LOGIT_MU_EXPR
     w = "(mu * (1000000 - mu) div 1000000)"
     for _ in (1, 2):
         sc = lrows.crossJoin(par).selectExpr("y", "f1", "f2", f"{mu_expr} AS mu")
@@ -8556,19 +8582,7 @@ def lineitem_logistic_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(b2 + (a00 * (a11 * g2 - a12 * g1) - a01 * (a01 * g2 - g1 * a02)"
             f" + g0 * (a01 * a12 - a11 * a02)) * 1000000 div NULLIF({det}, 0) AS BIGINT) AS b2",
         )
-    cal = lrows.crossJoin(par).selectExpr("y", f"{mu_expr} AS mu").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("n_pos"),
-        F.sum("mu").cast("long").alias("mu_sum"),
-    )
-    return par.crossJoin(cal).selectExpr(
-        "b0 AS b0_micro",
-        "b1 AS b1_micro",
-        "b2 AS b2_micro",
-        "n AS n_rows",
-        "CAST(n_pos * 1000000 div n AS BIGINT) AS actual_pos_ppm",
-        "CAST(mu_sum div n AS BIGINT) AS pred_pos_ppm",
-    )
+    return lrows, par
 
 
 @register(
@@ -8938,3 +8952,102 @@ def lineitem_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " <= thr THEN mean_l ELSE mean_r END) AS r",
             )
     return out
+
+
+_SQL_LOGIT_MU_DUCK = (
+    "CAST(floor(CAST(1000000 AS DOUBLE)"
+    " / (1 + exp(-(CAST(p.b0 + (p.b1 * f1 + p.b2 * f2) // 1000000"
+    " AS DOUBLE) / 1000000)))) AS BIGINT)"
+)
+
+_SQL_LOGISTIC_AUC = (
+    _SQL_LOGISTIC_PREFIX
+    + f""",
+lscored AS (SELECT y, {_SQL_LOGIT_MU_DUCK} AS mu FROM lrows, lpar2 p),
+h AS (
+  SELECT mu, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS q
+  FROM lscored GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(p) AS BIGINT) AS n1, CAST(sum(q) AS BIGINT) AS n0,
+         CAST(sum(p + q) AS BIGINT) AS n
+  FROM h
+),
+u AS (
+  SELECT CAST(COALESCE((SELECT sum(CAST(a.p AS HUGEINT) * b.q * 2)
+                        FROM h a JOIN h b ON b.mu < a.mu), 0)
+              + COALESCE((SELECT sum(CAST(p AS HUGEINT) * q) FROM h), 0)
+              AS HUGEINT) AS u2
+),
+br AS (
+  SELECT CAST(sum(CAST(p AS HUGEINT) * (mu - 1000000) * (mu - 1000000)
+               + CAST(q AS HUGEINT) * mu * mu) AS HUGEINT) AS sq
+  FROM h
+)
+SELECT t.n1 AS n_pos, t.n0 AS n_neg,
+       CAST(u.u2 * 1000000 // NULLIF(CAST(2 AS HUGEINT) * t.n1 * t.n0, 0) AS BIGINT)
+         AS auc_ppm,
+       CAST(br.sq // (CAST(t.n AS HUGEINT) * 1000000) AS BIGINT) AS brier_micro
+FROM t, u, br
+"""
+)
+
+
+@register("lineitem_logistic_auc", _SQL_LOGISTIC_AUC)
+def lineitem_logistic_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC and Brier score of the quantized-IRLS logistic model
+    (same trainer CTE chain as lineitem_logistic_late — shared-prefix
+    oracle, shared Spark helper, so the eval can't drift from the
+    model it grades). AUC uses the rank-sum identity over the SCORE
+    HISTOGRAM: doubled concordance 2U = 2*sum_{mu_a > mu_b} p_a*q_b +
+    sum_m p_m*q_m stays integer (ties get the standard half credit via
+    the doubling trick), computed by a self-join over the score support
+    — BOUNDED by the discount x quantity alphabet (~500 values), never
+    a row-scaled pairing or a global rank window. Brier is the exact
+    integer sum p*(mu-1e6)^2 + q*mu^2 over the same histogram,
+    micro-normalized once. HUGEINT/decimal rails on every product.
+    Reference analog: none (beyond-reference model-evaluation op)."""
+    lrows, par = _logistic_fit(spark, sf_dir)
+    scored = lrows.crossJoin(par).selectExpr("y", f"{_LOGIT_MU_EXPR} AS mu")
+    h = scored.groupBy("mu").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.expr("1 - y")).cast("long").alias("q"),
+    )
+    t = h.agg(
+        F.sum("p").cast("long").alias("n1"),
+        F.sum("q").cast("long").alias("n0"),
+        F.sum(F.col("p") + F.col("q")).cast("long").alias("n"),
+    )
+    a = h.select(F.col("mu").alias("mu_a"), F.col("p").alias("p_a"))
+    b = h.select(F.col("mu").alias("mu_b"), F.col("q").alias("q_b"))
+    conc = (
+        a.join(b, F.col("mu_b") < F.col("mu_a"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(p_a AS DECIMAL(38,0)) * q_b * 2")), F.lit(0)
+            ).alias("c2")
+        )
+    )
+    ties = h.agg(
+        F.coalesce(F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * q")), F.lit(0)).alias("t2")
+    )
+    br = h.agg(
+        F.sum(
+            F.expr(
+                "CAST(p AS DECIMAL(38,0)) * (mu - 1000000) * (mu - 1000000)"
+                " + CAST(q AS DECIMAL(38,0)) * mu * mu"
+            )
+        ).alias("sq")
+    )
+    return (
+        t.crossJoin(conc)
+        .crossJoin(ties)
+        .crossJoin(br)
+        .selectExpr(
+            "n1 AS n_pos",
+            "n0 AS n_neg",
+            "CAST((c2 + t2) * 1000000 div NULLIF(CAST(2 AS DECIMAL(38,0)) * n1 * n0, 0)"
+            " AS BIGINT) AS auc_ppm",
+            "CAST(sq div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS brier_micro",
+        )
+    )
