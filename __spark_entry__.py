@@ -202,6 +202,7 @@ _BUDGET_LAST = (
     "orders_logrank_priority",
     "lineitem_gbm_stumps",
     "lineitem_logistic_auc",
+    "lineitem_logistic_reliability",
 )
 
 

@@ -9051,3 +9051,43 @@ def lineitem_logistic_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sq div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS brier_micro",
         )
     )
+
+
+_SQL_LOGISTIC_RELIABILITY = (
+    _SQL_LOGISTIC_PREFIX
+    + f""",
+lscored AS (SELECT y, {_SQL_LOGIT_MU_DUCK} AS mu FROM lrows, lpar2 p)
+SELECT CAST(mu // 100000 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(mu) // count(*) AS BIGINT) AS mean_pred_ppm,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS actual_rate_ppm,
+       CAST(sum(mu) // count(*) - sum(y) * 1000000 // count(*) AS BIGINT)
+         AS gap_ppm
+FROM lscored
+GROUP BY 1
+"""
+)
+
+
+@register("lineitem_logistic_reliability", _SQL_LOGISTIC_RELIABILITY)
+def lineitem_logistic_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) of the quantized-IRLS
+    logistic model: predicted probabilities bucketed into score deciles
+    (mu div 100000), each reporting exact mean prediction, actual
+    positive rate, and the calibration gap — all truncating-div ppm over
+    integer sums (the third member of the model-eval family next to
+    AUC/Brier, same shared trainer prefix). One hash aggregate over the
+    scored rows; bucket alphabet is fixed at 10. Reference analog: none
+    (beyond-reference model-evaluation op)."""
+    lrows, par = _logistic_fit(spark, sf_dir)
+    scored = lrows.crossJoin(par).selectExpr("y", f"{_LOGIT_MU_EXPR} AS mu")
+    return scored.groupBy(F.expr("CAST(mu div 100000 AS BIGINT)").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("CAST(sum(mu) div count(*) AS BIGINT)").alias("mean_pred_ppm"),
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)").alias(
+            "actual_rate_ppm"
+        ),
+        F.expr(
+            "CAST(sum(mu) div count(*) - sum(y) * 1000000 div count(*) AS BIGINT)"
+        ).alias("gap_ppm"),
+    )
