@@ -203,6 +203,7 @@ _BUDGET_LAST = (
     "lineitem_gbm_stumps",
     "lineitem_logistic_auc",
     "lineitem_logistic_reliability",
+    "events_audience_overlap",
 )
 
 

@@ -9091,3 +9091,59 @@ def lineitem_logistic_reliability(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(sum(mu) div count(*) - sum(y) * 1000000 div count(*) AS BIGINT)"
         ).alias("gap_ppm"),
     )
+
+
+@register(
+    "events_audience_overlap",
+    """
+WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM m a JOIN m b ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT) AS jaccard_ppm,
+       CAST(i.n_both * 1000000 // least(sa.n, sb.n) AS BIGINT) AS containment_ppm
+FROM inter i
+JOIN sz sa ON sa.event_type = i.type_a
+JOIN sz sb ON sb.event_type = i.type_b
+""",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact Jaccard and
+    containment (overlap coefficient) of the user sets of every type
+    pair — the audience-segmentation lens (which behaviors share users)
+    next to the per-part co-occurrence graph. The pair intersection is
+    an equi-join on user_id over the DEDUPLICATED (type, user)
+    membership table — fan-out per user is bounded by the type alphabet
+    (5 here), so the join output is |users| x C(types,2) at worst,
+    never |events|^2; set sizes ride a bounded dim join and the ratios
+    are truncating-div ppm. Reference analog: none (beyond-reference
+    audience-analytics op)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("event_type", "user_id").distinct()
+    sz = m.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = m.select(F.col("event_type").alias("type_a"), "user_id")
+    b = m.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            "CAST(n_both * 1000000 div (n_a + n_b - n_both) AS BIGINT) AS jaccard_ppm",
+            "CAST(n_both * 1000000 div least(n_a, n_b) AS BIGINT) AS containment_ppm",
+        )
+    )
