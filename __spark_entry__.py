@@ -204,6 +204,7 @@ _BUDGET_LAST = (
     "lineitem_logistic_auc",
     "lineitem_logistic_reliability",
     "events_audience_overlap",
+    "orders_hill_tail_index",
 )
 
 

@@ -9147,3 +9147,64 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_both * 1000000 div least(n_a, n_b) AS BIGINT) AS containment_ppm",
         )
     )
+
+
+@register(
+    "orders_hill_tail_index",
+    """
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, o_orderkey
+  FROM orders
+),
+top501 AS (SELECT c FROM cents ORDER BY c DESC, o_orderkey LIMIT 501),
+top500 AS (SELECT c FROM cents ORDER BY c DESC, o_orderkey LIMIT 500),
+ref AS (SELECT CAST(min(c) AS BIGINT) AS c_ref, CAST(count(*) AS BIGINT) AS n_top
+        FROM top501),
+terms AS (
+  SELECT CAST(floor(ln(CAST(t.c AS DOUBLE) / r.c_ref) * 1000000) AS BIGINT) AS lnr
+  FROM top500 t, ref r
+)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       (SELECT c_ref FROM ref) AS threshold_cents,
+       CAST(sum(lnr) AS BIGINT) AS sum_ln_micro,
+       CAST(count(*) * 1000000000000 // NULLIF(sum(lnr), 0) AS BIGINT) AS alpha_micro
+FROM terms
+""",
+)
+def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of order values —
+    the heavy-tail diagnostic (alpha ~ how extreme the whale orders run;
+    finite variance needs alpha > 2) next to Benford/Gini/Zipf in the
+    distribution-forensics family. alpha = k / sum ln(x_i / x_(k+1))
+    over the top k = 500 order statistics: the top set comes from a
+    DISTRIBUTED top-k (TakeOrderedAndProject with a deterministic
+    (value, key) tie-break — never a global sort or rank window), each
+    log-ratio is floor-quantized to integer micro-nats against the
+    (k+1)-th value broadcast from a 1-row aggregate, and alpha is one
+    truncating division (k*1e12 div sum). Exact integer cents domain.
+    Reference analog: none (beyond-reference statistics op)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        "o_orderkey",
+    )
+    top501 = cents.orderBy(F.col("c").desc(), "o_orderkey").limit(501).select("c")
+    top500 = cents.orderBy(F.col("c").desc(), "o_orderkey").limit(500).select("c")
+    ref = top501.agg(
+        F.min("c").cast("long").alias("c_ref"),
+        F.count(F.lit(1)).cast("long").alias("n_top"),
+    )
+    terms = top500.crossJoin(ref).select(
+        F.floor(F.log(F.expr("CAST(c AS DOUBLE) / c_ref")) * 1000000)
+        .cast("long")
+        .alias("lnr"),
+        "c_ref",
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("c_ref").cast("long").alias("threshold_cents"),
+        F.sum("lnr").cast("long").alias("sum_ln_micro"),
+        F.expr(
+            "CAST(count(*) * 1000000000000 div NULLIF(sum(lnr), 0) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
