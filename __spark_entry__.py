@@ -205,6 +205,7 @@ _BUDGET_LAST = (
     "lineitem_logistic_reliability",
     "events_audience_overlap",
     "orders_hill_tail_index",
+    "lineitem_regression_discontinuity",
 )
 
 

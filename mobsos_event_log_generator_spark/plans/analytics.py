@@ -9208,3 +9208,101 @@ def orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count(*) * 1000000000000 div NULLIF(sum(lnr), 0) AS BIGINT)"
         ).alias("alpha_micro"),
     )
+
+
+@register(
+    "lineitem_regression_discontinuity",
+    """
+WITH pts AS (
+  SELECT CAST(l.l_quantity AS BIGINT) - 25 AS x,
+         greatest(0, (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000)
+           AS y,
+         CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END AS side
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_quantity BETWEEN 10 AND 40
+),
+s AS (
+  SELECT side,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY 1
+),
+fit AS (
+  SELECT side, n,
+         CAST((CAST(sxx AS HUGEINT) * sy - CAST(sx AS HUGEINT) * sxy) * 1000000
+              // NULLIF(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 0)
+              AS BIGINT) AS a_micro,
+         CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+              // NULLIF(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 0)
+              AS BIGINT) AS b_micro
+  FROM s
+)
+SELECT CAST(max(CASE WHEN side = 0 THEN n END) AS BIGINT) AS n_left,
+       CAST(max(CASE WHEN side = 1 THEN n END) AS BIGINT) AS n_right,
+       CAST(max(CASE WHEN side = 0 THEN a_micro END) AS BIGINT) AS a_left_micro,
+       CAST(max(CASE WHEN side = 1 THEN a_micro END) AS BIGINT) AS a_right_micro,
+       CAST(max(CASE WHEN side = 0 THEN b_micro END) AS BIGINT) AS b_left_micro,
+       CAST(max(CASE WHEN side = 1 THEN b_micro END) AS BIGINT) AS b_right_micro,
+       CAST(max(CASE WHEN side = 1 THEN a_micro END)
+            - max(CASE WHEN side = 0 THEN a_micro END) AS BIGINT) AS jump_micro
+FROM fit
+""",
+)
+def lineitem_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate of the shipping-delay jump
+    at the quantity-25 cutoff (bandwidth +-15): local linear fits on each
+    side of the running variable via exact 2x2 normal equations —
+    intercepts a = (Sxx*Sy - Sx*Sxy)/(n*Sxx - Sx^2) and slopes from the
+    same determinant, each quantized ONCE to truncating-div micro over
+    HUGEINT/decimal rails — and the causal-jump readout is the intercept
+    difference at the cutoff. Completes the quasi-experimental family
+    (DiD = parallel trends, CUPED = variance reduction, RDD = local
+    randomization at a threshold). One filtered FK join + one 2-group
+    aggregate; everything downstream is 2-row algebra. With centered x,
+    a fixture with no true discontinuity reads jump ~ 0 — the null is
+    informative. Reference analog: none (beyond-reference
+    causal-inference op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter("l_quantity BETWEEN 10 AND 40")
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) - 25 AS x",
+            "greatest(0, (unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000) AS y",
+            "CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS side",
+        )
+    )
+    s = pts.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    fit = s.selectExpr(
+        "side",
+        "n",
+        "CAST((CAST(sxx AS DECIMAL(38,0)) * sy - CAST(sx AS DECIMAL(38,0)) * sxy)"
+        " * 1000000 div NULLIF(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx, 0) AS BIGINT) AS a_micro",
+        "CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+        " * 1000000 div NULLIF(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx, 0) AS BIGINT) AS b_micro",
+    )
+    return fit.agg(
+        F.max(F.when(F.col("side") == 0, F.col("n"))).cast("long").alias("n_left"),
+        F.max(F.when(F.col("side") == 1, F.col("n"))).cast("long").alias("n_right"),
+        F.max(F.when(F.col("side") == 0, F.col("a_micro"))).cast("long").alias("a_left_micro"),
+        F.max(F.when(F.col("side") == 1, F.col("a_micro"))).cast("long").alias("a_right_micro"),
+        F.max(F.when(F.col("side") == 0, F.col("b_micro"))).cast("long").alias("b_left_micro"),
+        F.max(F.when(F.col("side") == 1, F.col("b_micro"))).cast("long").alias("b_right_micro"),
+        (
+            F.max(F.when(F.col("side") == 1, F.col("a_micro")))
+            - F.max(F.when(F.col("side") == 0, F.col("a_micro")))
+        ).cast("long").alias("jump_micro"),
+    )
