@@ -206,6 +206,7 @@ _BUDGET_LAST = (
     "events_audience_overlap",
     "orders_hill_tail_index",
     "lineitem_regression_discontinuity",
+    "events_position_attribution",
 )
 
 

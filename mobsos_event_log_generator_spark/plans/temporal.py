@@ -1293,3 +1293,130 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS credit_share_ppm",
     )
     return view_row.unionByName(click_row)
+
+
+@register(
+    "events_position_attribution",
+    """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT c.conv_id, c.conv_ts, e.event_id AS touch_id, e.event_type, e.ts
+  FROM conv c JOIN events e
+    ON e.user_id = c.user_id
+   AND e.event_type IN ('click', 'view')
+   AND e.ts < c.conv_ts
+   AND e.ts >= c.conv_ts - INTERVAL 3600 SECONDS
+),
+ranked AS (
+  SELECT conv_id, touch_id, event_type, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts, touch_id) AS rk,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         1000000 // (1 << CAST((epoch_us(conv_ts) - epoch_us(ts)) // 1800000000
+                               AS BIGINT)) AS w
+  FROM touch
+),
+dec AS (
+  SELECT conv_id, event_type, w,
+         sum(w) OVER (PARTITION BY conv_id ORDER BY ts, touch_id
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY conv_id) AS wtot
+  FROM ranked
+),
+credits AS (
+  SELECT 'u_shaped' AS model, event_type,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN rk = 1 THEN 400000
+              WHEN rk = n THEN 400000 + 200000 - (n - 2) * (200000 // (n - 2))
+              ELSE 200000 // (n - 2) END AS credit
+  FROM ranked
+  UNION ALL
+  SELECT 'time_decay', event_type,
+         cumw * 1000000 // wtot - (cumw - w) * 1000000 // wtot
+  FROM dec
+)
+SELECT model, event_type,
+       CAST(sum(credit) AS BIGINT) AS credit_micro,
+       CAST(count(*) FILTER (WHERE credit > 0) AS BIGINT) AS n_credited
+FROM credits GROUP BY 1, 2
+""",
+)
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based and time-decay attribution — the remaining two
+    heuristic models next to first/last/linear
+    (events_multitouch_attribution) and the Markov removal effect:
+    U-shaped gives 40/20/40 with the middle split by truncating div and
+    the division remainder parked on the LAST touch, and time-decay
+    halves a touch's weight per 30 minutes of age via an INTEGER shift
+    (1e6 div (1 << steps) — no float pow), with per-conversion credit
+    shares in the telescoping form cum*1e6 div tot - prev*1e6 div tot so
+    every conversion books exactly 1e6 under BOTH models (the same
+    conservation audit as the base family). Same banded-range pairing
+    (equi-join on (user, time band), never a cross product);
+    per-conversion windows bounded by touches-per-hour. Reference
+    analog: none (beyond-reference attribution op)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", F.col("ts").alias("conv_ts")
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    paired = banded_range_join(
+        conv.withColumnRenamed("conv_ts", "ts"), touches, "user_id", "ts", 3600
+    ).filter(
+        (F.col("r_ts") < F.col("ts"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 3600 SECONDS"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("r_ts", "r_event_id")
+    ranked = paired.select(
+        "conv_id",
+        F.col("r_event_type").alias("event_type"),
+        F.col("r_ts").alias("tts"),
+        F.col("r_event_id").alias("touch_id"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n"),
+        F.expr(
+            "1000000 div shiftleft(1, CAST((unix_micros(ts) - unix_micros(r_ts))"
+            " div 1800000000 AS INT))"
+        ).alias("wgt"),
+    )
+    wd = Window.partitionBy("conv_id").orderBy("tts", "touch_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = ranked.select(
+        "conv_id",
+        "event_type",
+        "wgt",
+        F.sum("wgt").over(wd).alias("cumw"),
+        F.sum("wgt").over(Window.partitionBy("conv_id")).alias("wtot"),
+    )
+    u_shaped = ranked.selectExpr(
+        "'u_shaped' AS model",
+        "event_type",
+        "CASE WHEN n = 1 THEN 1000000"
+        " WHEN n = 2 THEN 500000"
+        " WHEN rk = 1 THEN 400000"
+        " WHEN rk = n THEN 400000 + 200000 - (n - 2) * (200000 div (n - 2))"
+        " ELSE 200000 div (n - 2) END AS credit",
+    )
+    decay = dec.selectExpr(
+        "'time_decay' AS model",
+        "event_type",
+        "cumw * 1000000 div wtot - (cumw - wgt) * 1000000 div wtot AS credit",
+    )
+    return (
+        u_shaped.unionByName(decay)
+        .groupBy("model", "event_type")
+        .agg(
+            F.sum("credit").cast("long").alias("credit_micro"),
+            F.sum(F.when(F.col("credit") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_credited"),
+        )
+    )
