@@ -207,6 +207,7 @@ _BUDGET_LAST = (
     "orders_hill_tail_index",
     "lineitem_regression_discontinuity",
     "events_position_attribution",
+    "embedding_cka_views",
 )
 
 

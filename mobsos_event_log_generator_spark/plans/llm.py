@@ -7115,3 +7115,126 @@ FROM par2"""
 
 
 _register_fs_em()
+
+
+@register(
+    "embedding_cka_views",
+    """
+WITH e AS (
+  SELECT vec_id, r.j,
+         CAST(floor(CAST(embedding[r.j] AS DOUBLE) * 1000000) AS HUGEINT) AS u
+  FROM embeddings CROSS JOIN range(1, 65) r(j)
+),
+dims AS (
+  SELECT j, CAST(sum(u) AS HUGEINT) AS sj, CAST(count(*) AS HUGEINT) AS n
+  FROM e GROUP BY 1
+),
+y AS (
+  SELECT e.vec_id, e.j, d.n AS n, d.n * e.u - d.sj AS yc
+  FROM e JOIN dims d ON d.j = e.j
+),
+pairs AS (
+  SELECT a.vec_id, a.j AS ja, b.j AS jb, a.n,
+         CAST(a.yc * b.yc AS HUGEINT) AS prod
+  FROM y a JOIN y b ON b.vec_id = a.vec_id
+  WHERE a.j <= 32 AND b.j <= 32
+),
+covxy AS (
+  SELECT a.vec_id, a.j AS ja, b.j AS jb, a.n,
+         CAST(a.yc * b.yc AS HUGEINT) AS prod
+  FROM y a JOIN y b ON b.vec_id = a.vec_id
+  WHERE a.j <= 32 AND b.j > 32
+),
+covyy AS (
+  SELECT a.vec_id, a.j AS ja, b.j AS jb, a.n,
+         CAST(a.yc * b.yc AS HUGEINT) AS prod
+  FROM y a JOIN y b ON b.vec_id = a.vec_id
+  WHERE a.j > 32 AND b.j > 32
+),
+sa AS (
+  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM (
+    SELECT ja, jb, CAST(sum(prod) // (max(n) * max(n)) AS HUGEINT) AS cq
+    FROM pairs GROUP BY 1, 2)
+),
+sc AS (
+  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM (
+    SELECT ja, jb, CAST(sum(prod) // (max(n) * max(n)) AS HUGEINT) AS cq
+    FROM covxy GROUP BY 1, 2)
+),
+sb AS (
+  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM (
+    SELECT ja, jb, CAST(sum(prod) // (max(n) * max(n)) AS HUGEINT) AS cq
+    FROM covyy GROUP BY 1, 2)
+)
+SELECT CAST(32 AS BIGINT) AS dims_per_view,
+       CAST(sc.s AS DOUBLE) AS hsic_xy_q,
+       round(CAST(sc.s AS DOUBLE)
+             / (sqrt(CAST(sa.s AS DOUBLE)) * sqrt(CAST(sb.s AS DOUBLE))), 6)
+         AS cka
+FROM sa, sb, sc
+""",
+)
+def embedding_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment) between the two 32-dim
+    halves of the embedding space — the representation-similarity lens
+    (Kornblith et al.'s metric, the standard answer to "do these two
+    feature views encode the same structure?"). Computed feature-wise —
+    CKA_linear = ||X'Y||_F^2 / (||X'X||_F ||Y'Y||_F) — from integer
+    sufficient statistics: values on the floor-1e6 grid, centering in
+    the n-scaled form y = n*u - S (exact, the PCA convention), each
+    cross-covariance cell quantized ONCE by div n^2, Frobenius sums as
+    exact HUGEINT integers, and the final ratio one double division over
+    IEEE-exact sqrts (HUGEINT->double conversion is round-to-nearest of
+    an identical integer — deterministic cross-engine), rounded 6 dp.
+    Shapes: the dim-pair fan-out is vec x 32 x 32 via a self-join on
+    vec_id — bounded by the FIXED dim count, linear in vectors; cell
+    tables are 32x32. Reference analog: none (beyond-reference
+    representation-analysis op)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", F.posexplode("embedding").alias("p", "val")).select(
+        "vec_id",
+        (F.col("p") + 1).alias("j"),
+        F.floor(F.col("val").cast("double") * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("u"),
+    )
+    dims = e.groupBy("j").agg(
+        F.sum("u").cast("decimal(38,0)").alias("sj"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    y = e.join(dims, "j").select(
+        "vec_id", "j", "n", (F.col("n") * F.col("u") - F.col("sj")).alias("yc")
+    )
+    a = y.select(
+        "vec_id", F.col("j").alias("ja"), F.col("yc").alias("ya"), "n"
+    )
+    b = y.select("vec_id", F.col("j").alias("jb"), F.col("yc").alias("yb"))
+    joined = a.join(b, "vec_id")
+
+    def fro(cond: str):
+        cells = (
+            joined.filter(cond)
+            .groupBy("ja", "jb")
+            .agg(
+                F.expr(
+                    "CAST(sum(ya * yb) div (max(n) * max(n)) AS DECIMAL(38,0))"
+                ).alias("cq")
+            )
+        )
+        return cells.agg(
+            F.sum(F.col("cq") * F.col("cq")).cast("decimal(38,0)").alias("s")
+        )
+
+    sa = fro("ja <= 32 AND jb <= 32").withColumnRenamed("s", "s_a")
+    sb = fro("ja > 32 AND jb > 32").withColumnRenamed("s", "s_b")
+    sc = fro("ja <= 32 AND jb > 32").withColumnRenamed("s", "s_c")
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(sc)
+        .selectExpr(
+            "CAST(32 AS BIGINT) AS dims_per_view",
+            "CAST(s_c AS DOUBLE) AS hsic_xy_q",
+            "round(CAST(s_c AS DOUBLE)"
+            " / (sqrt(CAST(s_a AS DOUBLE)) * sqrt(CAST(s_b AS DOUBLE))), 6) AS cka",
+        )
+    )
