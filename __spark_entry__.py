@@ -208,6 +208,7 @@ _BUDGET_LAST = (
     "lineitem_regression_discontinuity",
     "events_position_attribution",
     "embedding_cka_views",
+    "customers_inequality_indices",
 )
 
 

@@ -9306,3 +9306,87 @@ def lineitem_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataF
             - F.max(F.when(F.col("side") == 0, F.col("a_micro")))
         ).cast("long").alias("jump_micro"),
     )
+
+
+@register(
+    "customers_inequality_indices",
+    """
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(x) AS BIGINT) AS xt, CAST(count(*) AS BIGINT) AS n FROM rev),
+terms AS (
+  SELECT r.x,
+         CAST(floor(ln(CAST(r.x AS DOUBLE) * t.n / t.xt) * 1000000) AS BIGINT) AS lt,
+         CAST(floor(ln(CAST(t.xt AS DOUBLE) / (CAST(r.x AS DOUBLE) * t.n)) * 1000000)
+              AS BIGINT) AS lm
+  FROM rev r, tot t
+),
+idx AS (
+  SELECT CAST(sum(CAST(x AS HUGEINT) * lt) // (SELECT xt FROM tot) AS BIGINT)
+           AS theil_t_micro,
+         CAST(sum(lm) // (SELECT n FROM tot) AS BIGINT) AS mld_micro
+  FROM terms
+),
+top100 AS (
+  SELECT CAST(sum(x) AS BIGINT) AS xtop
+  FROM (SELECT x FROM rev ORDER BY x DESC, ck LIMIT 100)
+)
+SELECT t.n AS n_customers, t.xt AS total_cents,
+       i.theil_t_micro, i.mld_micro,
+       CAST(tp.xtop * 1000000 // t.xt AS BIGINT) AS top100_share_ppm
+FROM tot t, idx i, top100 tp
+""",
+)
+def customers_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-inequality indices over per-customer order totals — the
+    decomposable-entropy companions to the Gini report: Theil T =
+    sum x*ln(x*n/X)/X and the mean log deviation (Theil L), each
+    per-customer log term floor-quantized to integer micro-nats BEFORE
+    the weighted sums (order-independent; ln arguments are exact-integer
+    ratios kept inside double's 2^53 window to ~1e15 cents-x-customers),
+    plus the top-100-customer revenue share via a distributed top-k
+    (TakeOrderedAndProject, deterministic tie-break — never a global
+    rank window). One per-customer aggregate + one 1-row total.
+    Reference analog: none (beyond-reference economic-statistics op)."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tot = rev.agg(
+        F.sum("x").cast("long").alias("xt"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    terms = rev.crossJoin(tot).selectExpr(
+        "x",
+        "xt",
+        "n",
+        "CAST(floor(ln(CAST(x AS DOUBLE) * n / xt) * 1000000) AS BIGINT) AS lt",
+        "CAST(floor(ln(CAST(xt AS DOUBLE) / (CAST(x AS DOUBLE) * n)) * 1000000)"
+        " AS BIGINT) AS lm",
+    )
+    idx = terms.agg(
+        F.expr(
+            "CAST(sum(CAST(x AS DECIMAL(38,0)) * lt) div max(xt) AS BIGINT)"
+        ).alias("theil_t_micro"),
+        F.expr("CAST(sum(lm) div max(n) AS BIGINT)").alias("mld_micro"),
+    )
+    top100 = (
+        rev.orderBy(F.col("x").desc(), "ck")
+        .limit(100)
+        .agg(F.sum("x").cast("long").alias("xtop"))
+    )
+    return (
+        tot.crossJoin(idx)
+        .crossJoin(top100)
+        .selectExpr(
+            "n AS n_customers",
+            "xt AS total_cents",
+            "theil_t_micro",
+            "mld_micro",
+            "CAST(xtop * 1000000 div xt AS BIGINT) AS top100_share_ppm",
+        )
+    )
