@@ -209,6 +209,7 @@ _BUDGET_LAST = (
     "events_position_attribution",
     "embedding_cka_views",
     "customers_inequality_indices",
+    "events_runs_test",
 )
 
 

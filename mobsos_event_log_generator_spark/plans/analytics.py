@@ -9390,3 +9390,102 @@ def customers_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(xtop * 1000000 div xt AS BIGINT) AS top100_share_ppm",
         )
     )
+
+
+@register(
+    "events_runs_test",
+    """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+moves AS (
+  SELECT a.event_type, a.d,
+         CASE WHEN b.c > a.c THEN 1 ELSE 0 END AS s
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + INTERVAL 1 DAY
+  WHERE b.c <> a.c
+),
+runs AS (
+  SELECT event_type, s,
+         CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY d) IS NULL
+              OR lag(s) OVER (PARTITION BY event_type ORDER BY d) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM moves
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n0,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(new_run) AS BIGINT) AS r
+  FROM runs GROUP BY 1
+)
+SELECT event_type, n1 AS n_up, n0 AS n_down, r AS n_runs,
+       CAST(2 * n1 * n0 * 1000000 // n + 1000000 AS BIGINT) AS e_runs_micro,
+       CAST(2 * n1 * n0 * (2 * n1 * n0 - n) * 1000000 // (n * n * (n - 1)) AS BIGINT)
+         AS var_runs_micro,
+       round((CAST(r AS DOUBLE) - (CAST(2 AS DOUBLE) * n1 * n0 / n + 1))
+             / sqrt(CAST(2 AS DOUBLE) * n1 * n0 * (2 * n1 * n0 - n)
+                    / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_runs
+FROM agg
+WHERE n > 1 AND n1 > 0 AND n0 > 0
+""",
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of each type's daily
+    up/down movement sequence — the serial-dependence lens next to the
+    autocorrelation report (too few runs = momentum/trending, too many
+    = mean-reverting oscillation). Consecutive-day moves come from a
+    calendar equi-join (d+1 day — no global window), ties drop per the
+    standard treatment, run boundaries from a TYPE-partitioned lag over
+    the calendar-bounded series, and the moments are exact integer
+    micro: E[R] = 2n1n0/n + 1, Var[R] = 2n1n0(2n1n0-n)/(n^2(n-1));
+    z is pure double arithmetic over identical integers with an
+    IEEE-exact sqrt, 6 dp. Counts stay int64 while n1*n0*(2n1n0) <
+    9e18 (calendar-bounded, so always). Reference analog: none
+    (beyond-reference statistical-testing op)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = daily.select("event_type", "d", F.col("c").alias("c_a"))
+    b = daily.select(
+        "event_type",
+        (F.col("d") - F.expr("INTERVAL 1 DAY")).alias("d"),
+        F.col("c").alias("c_b"),
+    )
+    moves = (
+        a.join(b, ["event_type", "d"])
+        .filter(F.col("c_b") != F.col("c_a"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("c_b") > F.col("c_a"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    runs = moves.withColumn(
+        "new_run",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")), 1
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.expr("1 - s")).cast("long").alias("n0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    return agg.filter("n > 1 AND n1 > 0 AND n0 > 0").selectExpr(
+        "event_type",
+        "n1 AS n_up",
+        "n0 AS n_down",
+        "r AS n_runs",
+        "CAST(2 * n1 * n0 * 1000000 div n + 1000000 AS BIGINT) AS e_runs_micro",
+        "CAST(2 * n1 * n0 * (2 * n1 * n0 - n) * 1000000 div (n * n * (n - 1))"
+        " AS BIGINT) AS var_runs_micro",
+        "round((CAST(r AS DOUBLE) - (CAST(2 AS DOUBLE) * n1 * n0 / n + 1))"
+        " / sqrt(CAST(2 AS DOUBLE) * n1 * n0 * (2 * n1 * n0 - n)"
+        " / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_runs",
+    )
