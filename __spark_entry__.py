@@ -210,6 +210,7 @@ _BUDGET_LAST = (
     "embedding_cka_views",
     "customers_inequality_indices",
     "events_runs_test",
+    "embedding_int8_distortion",
 )
 
 

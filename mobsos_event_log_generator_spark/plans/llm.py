@@ -7238,3 +7238,67 @@ def embedding_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (sqrt(CAST(s_a AS DOUBLE)) * sqrt(CAST(s_b AS DOUBLE))), 6) AS cka",
         )
     )
+
+
+@register(
+    "embedding_int8_distortion",
+    """
+WITH e AS (
+  SELECT vec_id, r.j, CAST(embedding[r.j] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN range(1, 65) r(j)
+),
+q AS (
+  SELECT j,
+         CAST(floor(v * 1000000) AS BIGINT) AS vq,
+         CAST(floor(greatest(-1.0, least(1.0, v)) * 127 + 0.5) AS BIGINT) AS code
+  FROM e
+),
+err AS (
+  SELECT j, vq, vq - code * 1000000 // 127 AS er
+  FROM q
+)
+SELECT CAST(j AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(abs(er)) // count(*) AS BIGINT) AS mean_abs_err_micro,
+       CAST(max(abs(er)) AS BIGINT) AS max_abs_err_micro,
+       CAST(sum(er * er) // count(*) AS BIGINT) AS mse_micro2,
+       CAST(sum(vq * vq) * 1000 // NULLIF(sum(er * er), 0) AS BIGINT) AS snr_x1000
+FROM err GROUP BY 1
+""",
+)
+def embedding_int8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distortion audit of the int8 embedding codec — the
+    SAME floor(clip(v)*127 + 0.5) mapping similarity_topk_quantized
+    searches with (operators/similarity.py::quantize_int8), so the audit
+    grades the codec actually shipped: reconstruction error on the
+    micro grid (vq - code*1e6 div 127, truncating div toward zero in
+    both engines — the settled sign rule), mean/max absolute error,
+    MSE, and signal-to-noise (sum vq^2 over sum err^2, x1000) per
+    dimension. All exact integers after the one floor-grid step. One
+    dim-explode + one 64-group aggregate. Reference analog: none
+    (beyond-reference compression-audit op)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", F.posexplode("embedding").alias("p", "val")).select(
+        (F.col("p") + 1).alias("j"), F.col("val").cast("double").alias("v")
+    )
+    q = e.select(
+        "j",
+        F.floor(F.col("v") * 1000000).cast("long").alias("vq"),
+        F.floor(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.col("v"))) * 127 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    err = q.selectExpr("j", "vq", "vq - code * 1000000 div 127 AS er")
+    return err.groupBy(F.col("j").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(abs(er)) div count(*) AS BIGINT)").alias(
+            "mean_abs_err_micro"
+        ),
+        F.max(F.abs("er")).cast("long").alias("max_abs_err_micro"),
+        F.expr("CAST(sum(er * er) div count(*) AS BIGINT)").alias("mse_micro2"),
+        F.expr(
+            "CAST(sum(vq * vq) * 1000 div NULLIF(sum(er * er), 0) AS BIGINT)"
+        ).alias("snr_x1000"),
+    )
