@@ -211,6 +211,7 @@ _BUDGET_LAST = (
     "customers_inequality_indices",
     "events_runs_test",
     "embedding_int8_distortion",
+    "nations_bowtie_structure",
 )
 
 

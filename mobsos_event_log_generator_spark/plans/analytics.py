@@ -9489,3 +9489,142 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(CAST(2 AS DOUBLE) * n1 * n0 * (2 * n1 * n0 - n)"
         " / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_runs",
     )
+
+
+_SQL_NATION_BOWTIE = (
+    f"""
+WITH latency AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+bedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+    FROM latency
+  ) WHERE rk <= 3
+),
+nodes AS (SELECT src AS node FROM bedges UNION SELECT dst FROM bedges),
+seed AS (
+  SELECT node FROM (
+    SELECT n.node, count(*) AS deg
+    FROM nodes n
+    JOIN (SELECT src AS node FROM bedges UNION ALL SELECT dst FROM bedges) t
+      ON t.node = n.node
+    GROUP BY 1
+  ) ORDER BY deg DESC, node LIMIT 1
+),
+ap0 AS MATERIALIZED (
+  SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig
+  FROM nodes
+),"""
+    + ",".join(_bc_round_cte(k) for k in range(1, _BC_ROUNDS + 1))
+    + f"""
+,
+fwd AS (SELECT v FROM ap{_BC_ROUNDS} WHERE s = (SELECT node FROM seed)),
+bwd AS (SELECT s AS v FROM ap{_BC_ROUNDS} WHERE v = (SELECT node FROM seed)),
+classed AS (
+  SELECT n.node,
+         CASE WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'core'
+              WHEN b.v IS NOT NULL THEN 'in'
+              WHEN f.v IS NOT NULL THEN 'out'
+              ELSE 'other' END AS component
+  FROM nodes n
+  LEFT JOIN fwd f ON f.v = n.node
+  LEFT JOIN bwd b ON b.v = n.node
+),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)
+SELECT component, CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(count(*) * 1000000 // (SELECT n FROM cnt) AS BIGINT) AS share_ppm
+FROM classed GROUP BY 1
+"""
+)
+
+
+@register("nations_bowtie_structure", _SQL_NATION_BOWTIE)
+def nations_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition of the directed trade backbone (the
+    Broder et al. web-graph taxonomy): from a deterministic seed (max
+    degree, min key), CORE = nations that both reach and are reached by
+    the seed within the 4-hop closure, IN = reach it only, OUT = reached
+    only, OTHER = neither — the macro-structure lens over the same
+    all-pairs BFS table the betweenness/eccentricity reports use (no new
+    shuffle shapes: forward reach is the seed's row-slice, backward
+    reach its column-slice of one ap table). Counts and truncating-ppm
+    shares only. Reference analog: none (beyond-reference
+    graph-topology op)."""
+    from mobsos_event_log_generator_spark.operators.graph import bfs_all_pairs_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair_counts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = (
+        pair_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = (
+        nodes.join(
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg")),
+            "node",
+        )
+        .orderBy(F.col("deg").desc(), "node")
+        .limit(1)
+        .select("node")
+    )
+    ap = bfs_all_pairs_counts(edges, rounds=_BC_ROUNDS)
+    fwd = ap.join(seed.withColumnRenamed("node", "s"), "s").select(
+        F.col("v").alias("f_node")
+    )
+    bwd = ap.join(seed.withColumnRenamed("node", "v"), "v").select(
+        F.col("s").alias("b_node")
+    )
+    cnt = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    classed = (
+        nodes.join(fwd, nodes["node"] == fwd["f_node"], "left")
+        .join(bwd, nodes["node"] == bwd["b_node"], "left")
+        .selectExpr(
+            "CASE WHEN f_node IS NOT NULL AND b_node IS NOT NULL THEN 'core'"
+            " WHEN b_node IS NOT NULL THEN 'in'"
+            " WHEN f_node IS NOT NULL THEN 'out'"
+            " ELSE 'other' END AS component"
+        )
+    )
+    return (
+        classed.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nations"))
+        .crossJoin(cnt)
+        .selectExpr(
+            "component",
+            "n_nations",
+            "CAST(n_nations * 1000000 div n AS BIGINT) AS share_ppm",
+        )
+    )
