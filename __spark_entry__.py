@@ -212,6 +212,7 @@ _BUDGET_LAST = (
     "events_runs_test",
     "embedding_int8_distortion",
     "nations_bowtie_structure",
+    "events_periodogram",
 )
 
 

@@ -9628,3 +9628,79 @@ def nations_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_nations * 1000000 div n AS BIGINT) AS share_ppm",
         )
     )
+
+
+@register(
+    "events_periodogram",
+    """
+WITH d0 AS (SELECT min(date_trunc('day', ts)) AS t0 FROM events),
+daily AS (
+  SELECT event_type,
+         date_diff('day', (SELECT t0 FROM d0), date_trunc('day', ts)) AS t,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+terms AS (
+  SELECT daily.event_type, p.p, daily.c,
+         CAST(floor(cos(2 * pi() * (daily.t % p.p) / p.p) * 1000000) AS BIGINT) AS cq,
+         CAST(floor(sin(2 * pi() * (daily.t % p.p) / p.p) * 1000000) AS BIGINT) AS sq
+  FROM daily CROSS JOIN (SELECT unnest([7, 14, 30]) AS p) p
+),
+spec AS (
+  SELECT event_type, CAST(p AS BIGINT) AS period_days,
+         CAST(sum(c * cq) AS HUGEINT) AS a,
+         CAST(sum(c * sq) AS HUGEINT) AS b,
+         CAST(sum(c) AS HUGEINT) * 1000000 AS dc
+  FROM terms GROUP BY 1, 2
+)
+SELECT event_type, period_days,
+       CAST(a AS BIGINT) AS cos_sum_micro,
+       CAST(b AS BIGINT) AS sin_sum_micro,
+       CAST((a * a + b * b) * 1000000 // (dc * dc) AS BIGINT) AS power_rel_ppm
+FROM spec
+""",
+)
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency periodogram of the per-type daily series — DFT
+    power at the calendar-plausible periods (7/14/30 days), the
+    frequency-domain member of the seasonality family (ACF = lag domain,
+    Haar = scale domain, seasonal-decompose = weekday means). Basis
+    values cos/sin(2*pi*(t mod p)/p) are computed on IDENTICAL doubles
+    (integer day index mod the period) and floor-quantized to micro
+    BEFORE the weighted sums, so spectral coefficients are exact
+    integers; relative power normalizes by the squared DC component via
+    one HUGEINT division. One daily rollup + a 3-row period dim
+    fan-out + a (type x 3) aggregate. Reference analog: none
+    (beyond-reference spectral-analysis op)."""
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("t0"))
+    daily = (
+        ev.crossJoin(d0)
+        .groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts"), "t0").alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    periods = spark.range(1).selectExpr(
+        "explode(array(7, 14, 30)) AS p"
+    )
+    terms = daily.crossJoin(periods).selectExpr(
+        "event_type",
+        "p",
+        "c",
+        "CAST(floor(cos(2 * pi() * (t % p) / p) * 1000000) AS BIGINT) AS cq",
+        "CAST(floor(sin(2 * pi() * (t % p) / p) * 1000000) AS BIGINT) AS sq",
+    )
+    spec = terms.groupBy("event_type", F.col("p").cast("long").alias("period_days")).agg(
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * cq")).alias("a"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * sq")).alias("b"),
+        F.expr("CAST(sum(c) AS DECIMAL(38,0)) * 1000000").alias("dc"),
+    )
+    return spec.selectExpr(
+        "event_type",
+        "period_days",
+        "CAST(a AS BIGINT) AS cos_sum_micro",
+        "CAST(b AS BIGINT) AS sin_sum_micro",
+        "CAST((a * a + b * b) * 1000000 div (dc * dc) AS BIGINT) AS power_rel_ppm",
+    )
