@@ -213,6 +213,7 @@ _BUDGET_LAST = (
     "embedding_int8_distortion",
     "nations_bowtie_structure",
     "events_periodogram",
+    "customers_segment_migration",
 )
 
 

@@ -9704,3 +9704,104 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(b AS BIGINT) AS sin_sum_micro",
         "CAST((a * a + b * b) * 1000000 div (dc * dc) AS BIGINT) AS power_rel_ppm",
     )
+
+
+@register(
+    "customers_segment_migration",
+    """
+WITH b AS (
+  SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2 AS mid
+  FROM orders
+),
+rev AS (
+  SELECT o_custkey AS ck,
+         CASE WHEN epoch_us(o_orderdate) <= (SELECT mid FROM b) THEN 1 ELSE 2 END AS half,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+t1 AS (
+  SELECT ck, ntile(3) OVER (ORDER BY x DESC, ck) AS tier
+  FROM rev WHERE half = 1
+),
+t2 AS (
+  SELECT ck, ntile(3) OVER (ORDER BY x DESC, ck) AS tier
+  FROM rev WHERE half = 2
+),
+m AS (
+  SELECT COALESCE(t1.tier, 0) AS tier_h1, COALESCE(t2.tier, 0) AS tier_h2
+  FROM t1 FULL OUTER JOIN t2 ON t2.ck = t1.ck
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM m)
+SELECT CAST(tier_h1 AS BIGINT) AS tier_h1, CAST(tier_h2 AS BIGINT) AS tier_h2,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) * 1000000 // (SELECT nn FROM n) AS BIGINT) AS share_ppm
+FROM m GROUP BY 1, 2
+""",
+)
+def customers_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue-tercile migration matrix between the two halves of
+    the order history (tier 1 = top third; tier 0 = absent that half) —
+    the lifecycle lens (upgrades, downgrades, churn-to-absent,
+    new-customer inflow) next to cohort retention and LTV curves. Each
+    half's terciles are EXACT ntile semantics over (revenue DESC,
+    custkey) computed by sweep.distributed_ntile — two-phase bucketed
+    row numbers + ntile quota arithmetic, never a single-partition
+    global window (the oracle's plain ntile is the semantics being
+    reproduced); the matrix is a full-outer join of the two tier maps
+    with truncating-ppm shares. Reference analog: none
+    (beyond-reference customer-analytics op)."""
+    from mobsos_event_log_generator_spark.operators.sweep import distributed_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr(
+            "(unix_micros(min(o_orderdate)) + unix_micros(max(o_orderdate))) div 2"
+        ).alias("mid")
+    )
+    rev = (
+        o.crossJoin(b)
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.when(F.expr("unix_micros(o_orderdate) <= mid"), 1).otherwise(2).alias("half"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    probs = F.lit([i / 32 for i in range(1, 32)])
+    tiers = {}
+    for half in (1, 2):
+        part = rev.filter(F.col("half") == half).select("ck", "x")
+        probe = part.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx(F.col("x").cast("double"), probs, F.lit(10_000)).alias(
+                "xb"
+            ),
+        ).first()
+        tiers[half] = distributed_ntile(
+            part, 3, probe["n"], "x", ["ck"], "tier", descending=True,
+            bounds=probe["xb"],
+        ).select("ck", "tier")
+    t1 = tiers[1].select(F.col("ck"), F.col("tier").alias("tier_1"))
+    t2 = tiers[2].select(F.col("ck").alias("ck2"), F.col("tier").alias("tier_2"))
+    m = (
+        t1.join(t2, t1["ck"] == t2["ck2"], "full_outer")
+        .select(
+            F.coalesce(F.col("tier_1"), F.lit(0)).alias("tier_h1"),
+            F.coalesce(F.col("tier_2"), F.lit(0)).alias("tier_h2"),
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    return (
+        m.groupBy("tier_h1", "tier_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .crossJoin(n)
+        .selectExpr(
+            "CAST(tier_h1 AS BIGINT) AS tier_h1",
+            "CAST(tier_h2 AS BIGINT) AS tier_h2",
+            "n_customers",
+            "CAST(n_customers * 1000000 div nn AS BIGINT) AS share_ppm",
+        )
+    )
