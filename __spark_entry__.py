@@ -214,6 +214,7 @@ _BUDGET_LAST = (
     "nations_bowtie_structure",
     "events_periodogram",
     "customers_segment_migration",
+    "events_markov_entropy_rate",
 )
 
 

@@ -9805,3 +9805,109 @@ def customers_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_customers * 1000000 div nn AS BIGINT) AS share_ppm",
         )
     )
+
+
+def _register_markov_entropy() -> None:
+    from mobsos_event_log_generator_spark.plans.queries import ORACLES
+
+    @register(
+        "events_markov_entropy_rate",
+        f"""
+WITH pi AS ({ORACLES["events_markov_stationary"]}),
+seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+rowt AS (SELECT src, CAST(sum(n) AS BIGINT) AS nt FROM trans GROUP BY 1),
+terms AS (
+  SELECT t.src,
+         CAST(sum(t.n * CAST(floor(ln(CAST(t.n AS DOUBLE) / r.nt) * 1000000) AS BIGINT))
+              AS BIGINT) AS rsum,
+         CAST(max(r.nt) AS BIGINT) AS nt
+  FROM trans t JOIN rowt r ON r.src = t.src
+  GROUP BY 1
+),
+hstate AS (
+  SELECT src AS event_type, CAST(-(rsum // nt) AS BIGINT) AS h_state_micro
+  FROM terms
+),
+joined AS (
+  SELECT p.event_type, p.pi_fp, h.h_state_micro
+  FROM pi p JOIN hstate h ON h.event_type = p.event_type
+),
+rate AS (
+  SELECT CAST(sum(CAST(pi_fp AS HUGEINT) * h_state_micro) // 1000000000000 AS BIGINT)
+           AS rate_micro
+  FROM joined
+)
+SELECT j.event_type, j.pi_fp, j.h_state_micro, r.rate_micro
+FROM joined j, rate r
+""",
+    )
+    def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Entropy rate of the user behavioral Markov chain — how
+        predictable the next event type is, the information-theoretic
+        lens over the SAME transition counts and stationary distribution
+        as events_markov_stationary (its oracle is spliced as a CTE, so
+        the weights cannot drift from the gated fixed point): per-state
+        conditional entropy H_i = -sum_j n_ij*ln(n_ij/n_i)/n_i with each
+        log floor-quantized to micro-nats BEFORE the sums, and the rate
+        sum_i pi_i*H_i via the 1e12 fixed-point weights over a HUGEINT
+        product. Bounded everywhere past the transition aggregate
+        (alphabet x alphabet cells). Reference analog: none
+        (beyond-reference information-theory op)."""
+        from mobsos_event_log_generator_spark.operators.graph import (
+            markov_stationary_fixed_point,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        trans = (
+            ev.select(
+                F.col("event_type").alias("src"),
+                F.lead("event_type").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        pi = markov_stationary_fixed_point(
+            trans, iterations=_MARKOV_ITERS, scale=_MARKOV_SCALE
+        ).select(F.col("state").alias("event_type"), "pi_fp")
+        rowt = trans.groupBy("src").agg(F.sum("n").cast("long").alias("nt"))
+        terms = (
+            trans.join(rowt, "src")
+            .groupBy("src")
+            .agg(
+                F.sum(
+                    F.col("n")
+                    * F.floor(
+                        F.log(F.expr("CAST(n AS DOUBLE) / nt")) * 1000000
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("rsum"),
+                F.max("nt").cast("long").alias("nt"),
+            )
+        )
+        hstate = terms.selectExpr(
+            "src AS event_type", "CAST(-(rsum div nt) AS BIGINT) AS h_state_micro"
+        )
+        joined = pi.join(hstate, "event_type")
+        rate = joined.agg(
+            F.expr(
+                "CAST(sum(CAST(pi_fp AS DECIMAL(38,0)) * h_state_micro)"
+                " div 1000000000000 AS BIGINT)"
+            ).alias("rate_micro")
+        )
+        return joined.crossJoin(rate).select(
+            "event_type", "pi_fp", "h_state_micro", "rate_micro"
+        )
+
+
+_register_markov_entropy()
