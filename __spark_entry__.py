@@ -215,6 +215,7 @@ _BUDGET_LAST = (
     "events_periodogram",
     "customers_segment_migration",
     "events_markov_entropy_rate",
+    "corpus_quality_knee",
 )
 
 

@@ -7302,3 +7302,80 @@ def embedding_int8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(vq * vq) * 1000 div NULLIF(sum(er * er), 0) AS BIGINT)"
         ).alias("snr_x1000"),
     )
+
+
+@register(
+    "corpus_quality_knee",
+    f"""
+WITH w AS (SELECT doc_id, len({SQL_WORDS}) AS toks FROM documents),
+h AS (SELECT toks, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+cum AS (
+  SELECT toks, cnt,
+         CAST(sum(cnt) OVER (ORDER BY toks ROWS UNBOUNDED PRECEDING) AS BIGINT) AS y
+  FROM h
+),
+ends AS (
+  SELECT CAST(min(toks) AS BIGINT) AS x0, CAST(max(toks) AS BIGINT) AS xn,
+         CAST(min(y) AS BIGINT) AS y0, CAST(max(y) AS BIGINT) AS yn
+  FROM cum
+),
+scored AS (
+  SELECT c.toks, c.y,
+         abs((c.toks - e.x0) * (e.yn - e.y0) - (c.y - e.y0) * (e.xn - e.x0))
+           AS cross_abs
+  FROM cum c, ends e
+),
+knee AS (
+  SELECT toks AS knee_tokens, y AS n_docs_at_or_below, cross_abs
+  FROM scored ORDER BY cross_abs DESC, toks LIMIT 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM w)
+SELECT CAST(k.knee_tokens AS BIGINT) AS knee_tokens,
+       CAST(k.n_docs_at_or_below AS BIGINT) AS n_docs_at_or_below,
+       CAST(k.n_docs_at_or_below * 1000000 // n.nd AS BIGINT) AS share_below_ppm,
+       CAST(k.cross_abs AS BIGINT) AS knee_distance_q
+FROM knee k, n
+""",
+)
+def corpus_quality_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic corpus-filtering threshold by the Kneedle criterion on
+    the token-count CDF: the knee is the point of maximum distance from
+    the chord between the CDF's endpoints — computed as the EXACT
+    integer cross product |(x-x0)(yN-y0) - (y-y0)(xN-x0)| (no
+    normalization, no floats; argmax with a deterministic token-count
+    tie-break), the data-driven answer to "where should the min-length
+    cut go" that quality pipelines otherwise hand-tune. The CDF rides
+    a running sum over the token-count HISTOGRAM — bounded by the
+    distinct-length alphabet (hundreds of rows; for unbounded supports
+    swap in the two-phase sweep); the argmax is a distributed top-1.
+    Reference analog: none (beyond-reference corpus-curation op)."""
+    from pyspark.sql.window import Window as W
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    wdf = docs.select(F.size(X.tokens("text")).alias("toks"))
+    h = wdf.groupBy("toks").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = h.withColumn(
+        "y",
+        F.sum("cnt")
+        .over(W.orderBy("toks").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    ends = cum.agg(
+        F.min("toks").cast("long").alias("x0"),
+        F.max("toks").cast("long").alias("xn"),
+        F.min("y").cast("long").alias("y0"),
+        F.max("y").cast("long").alias("yn"),
+    )
+    scored = cum.crossJoin(ends).selectExpr(
+        "toks",
+        "y",
+        "abs((toks - x0) * (yn - y0) - (y - y0) * (xn - x0)) AS cross_abs",
+    )
+    knee = scored.orderBy(F.col("cross_abs").desc(), "toks").limit(1)
+    n = wdf.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    return knee.crossJoin(n).selectExpr(
+        "CAST(toks AS BIGINT) AS knee_tokens",
+        "CAST(y AS BIGINT) AS n_docs_at_or_below",
+        "CAST(y * 1000000 div nd AS BIGINT) AS share_below_ppm",
+        "CAST(cross_abs AS BIGINT) AS knee_distance_q",
+    )

@@ -118,6 +118,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "orders_revenue_drawdown": "cumulative sum / running max over the per-day "
     "revenue aggregate — calendar-bounded series (thousands of rows at any "
     "corpus size), the documented bounded-series exception in its docstring",
+    "corpus_quality_knee": "CDF cumsum over the token-count HISTOGRAM — input "
+    "bounded by the distinct document-length alphabet (hundreds of rows), "
+    "documented in its docstring with the two-phase-sweep fallback",
 }
 
 
