@@ -216,6 +216,7 @@ _BUDGET_LAST = (
     "customers_segment_migration",
     "events_markov_entropy_rate",
     "corpus_quality_knee",
+    "dedup_cross_source_matrix",
 )
 
 

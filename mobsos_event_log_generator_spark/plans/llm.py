@@ -7379,3 +7379,71 @@ def corpus_quality_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(y * 1000000 div nd AS BIGINT) AS share_below_ppm",
         "CAST(cross_abs AS BIGINT) AS knee_distance_q",
     )
+
+
+def _register_cross_source_matrix() -> None:
+    from mobsos_event_log_generator_spark.plans.queries import ORACLES
+
+    @register(
+        "dedup_cross_source_matrix",
+        f"""
+WITH ndpairs AS ({ORACLES["dedup_minhash_lsh"]}),
+tagged AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM ndpairs p
+  JOIN documents a ON a.doc_id = p.id1
+  JOIN documents b ON b.doc_id = p.id2
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tagged)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS BIGINT)
+         AS is_within_source
+FROM tagged GROUP BY 1, 2
+""",
+    )
+    def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-source contamination matrix: where near-duplicate pairs
+        (the gated LSH >= 0.8 set — its oracle spliced as a CTE, so the
+        pair universe is exactly the proven one) land by (source,
+        source) — within-source pairs are ordinary redundancy, but
+        CROSS-source mass is the leakage signal (mirrored scrapes, a
+        benchmark bleeding into a crawl) that decides whether dedup
+        should run per-source or globally. Pair sources join in by id
+        AFTER pair generation (no wide strings through the LSH
+        shuffles); the matrix is bounded by source-alphabet^2.
+        Reference analog: none (beyond-reference corpus-forensics
+        op)."""
+        from mobsos_event_log_generator_spark.operators import dedup as D
+
+        docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("id1", "id2")
+        a = docs.select(F.col("doc_id").alias("id1"), F.col("source").alias("sa"))
+        b = docs.select(F.col("doc_id").alias("id2"), F.col("source").alias("sb"))
+        tagged = (
+            pairs.join(a, "id1")
+            .join(b, "id2")
+            .select(
+                F.least("sa", "sb").alias("source_a"),
+                F.greatest("sa", "sb").alias("source_b"),
+            )
+        )
+        tot = tagged.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return (
+            tagged.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .crossJoin(tot)
+            .selectExpr(
+                "source_a",
+                "source_b",
+                "n_pairs",
+                "CAST(n_pairs * 1000000 div n AS BIGINT) AS share_ppm",
+                "CAST(CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS BIGINT)"
+                " AS is_within_source",
+            )
+        )
+
+
+_register_cross_source_matrix()
