@@ -217,6 +217,7 @@ _BUDGET_LAST = (
     "events_markov_entropy_rate",
     "corpus_quality_knee",
     "dedup_cross_source_matrix",
+    "orders_priority_jsd",
 )
 
 

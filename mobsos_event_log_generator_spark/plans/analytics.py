@@ -9911,3 +9911,94 @@ FROM joined j, rate r
 
 
 _register_markov_entropy()
+
+
+@register(
+    "orders_priority_jsd",
+    """
+WITH b AS (
+  SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2 AS mid
+  FROM orders
+),
+h AS (
+  SELECT o_orderpriority AS pr,
+         CAST(sum(CASE WHEN epoch_us(o_orderdate) <= (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN epoch_us(o_orderdate) > (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM h),
+terms AS (
+  SELECT h.n1, h.n2,
+         CASE WHEN h.n1 > 0 THEN
+           h.n1 * CAST(floor(ln(CAST(2 AS DOUBLE) * h.n1 * t.t2
+                                / (h.n1 * t.t2 + h.n2 * t.t1)) * 1000000) AS BIGINT)
+           ELSE 0 END AS wp,
+         CASE WHEN h.n2 > 0 THEN
+           h.n2 * CAST(floor(ln(CAST(2 AS DOUBLE) * h.n2 * t.t1
+                                / (h.n1 * t.t2 + h.n2 * t.t1)) * 1000000) AS BIGINT)
+           ELSE 0 END AS wq
+  FROM h, t
+)
+SELECT t.t1 AS n_first_half, t.t2 AS n_second_half,
+       CAST(((SELECT CAST(sum(wp) AS BIGINT) FROM terms) // t.t1
+             + (SELECT CAST(sum(wq) AS BIGINT) FROM terms) // t.t2) // 2 AS BIGINT)
+         AS jsd_micro
+FROM t
+""",
+)
+def orders_priority_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of the order-priority mix between the
+    two halves of the order history — the symmetric, bounded (<= ln 2)
+    member of the drift family (PSI is asymmetric-unstable at empty
+    bins; KS/W1 need an ordered domain; JSD works on any categorical
+    mix). The log arguments reduce to EXACT integer ratios:
+    p_i/m_i = 2*n1_i*N2 / (n1_i*N2 + n2_i*N1), floor-quantized to
+    micro-nats per cell, weighted by integer counts, normalized by the
+    half totals and averaged — one categorical aggregate over the
+    bounded priority alphabet plus scalar algebra; absent-in-a-half
+    cells contribute zero by the 0*ln(0) convention in both engines.
+    Reference analog: none (beyond-reference drift op)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr(
+            "(unix_micros(min(o_orderdate)) + unix_micros(max(o_orderdate))) div 2"
+        ).alias("mid")
+    )
+    h = (
+        o.crossJoin(b)
+        .groupBy(F.col("o_orderpriority").alias("pr"))
+        .agg(
+            F.sum(F.expr("CASE WHEN unix_micros(o_orderdate) <= mid THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.expr("CASE WHEN unix_micros(o_orderdate) > mid THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    t = h.agg(
+        F.sum("n1").cast("long").alias("t1"), F.sum("n2").cast("long").alias("t2")
+    )
+    terms = h.crossJoin(t).selectExpr(
+        "n1",
+        "n2",
+        "CASE WHEN n1 > 0 THEN n1 * CAST(floor(ln(CAST(2 AS DOUBLE) * n1 * t2"
+        " / (n1 * t2 + n2 * t1)) * 1000000) AS BIGINT) ELSE 0 END AS wp",
+        "CASE WHEN n2 > 0 THEN n2 * CAST(floor(ln(CAST(2 AS DOUBLE) * n2 * t1"
+        " / (n1 * t2 + n2 * t1)) * 1000000) AS BIGINT) ELSE 0 END AS wq",
+        "t1",
+        "t2",
+    )
+    agg = terms.agg(
+        F.sum("wp").cast("long").alias("sp"),
+        F.sum("wq").cast("long").alias("sq"),
+        F.max("t1").cast("long").alias("t1"),
+        F.max("t2").cast("long").alias("t2"),
+    )
+    return agg.selectExpr(
+        "t1 AS n_first_half",
+        "t2 AS n_second_half",
+        "CAST((sp div t1 + sq div t2) div 2 AS BIGINT) AS jsd_micro",
+    )
