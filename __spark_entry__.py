@@ -218,6 +218,8 @@ _BUDGET_LAST = (
     "corpus_quality_knee",
     "dedup_cross_source_matrix",
     "orders_priority_jsd",
+    "events_self_exciting_ratio",
+    "orders_duplicate_invoice_audit",
 )
 
 

@@ -10002,3 +10002,70 @@ def orders_priority_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t2 AS n_second_half",
         "CAST((sp div t1 + sq div t2) div 2 AS BIGINT) AS jsd_micro",
     )
+
+
+@register(
+    "orders_duplicate_invoice_audit",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders
+),
+pairs AS (
+  SELECT a.o_custkey AS custkey, a.cents,
+         a.o_orderkey AS orderkey_1, b.o_orderkey AS orderkey_2,
+         CAST(abs(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+           AS gap_days
+  FROM o a
+  JOIN o b ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+          AND b.o_orderkey > a.o_orderkey
+  WHERE abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 30
+)
+SELECT custkey, cents, orderkey_1, orderkey_2, gap_days
+FROM pairs
+""",
+)
+def orders_duplicate_invoice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice detection (the accounts-payable fraud/error
+    audit): order pairs from the SAME customer with the IDENTICAL exact
+    cent amount within 30 days — the classic double-payment signature.
+    The pairing is an equi-join on (custkey, cents) — the natural
+    blocking key, so candidates are bounded by per-(customer, amount)
+    multiplicity, never a cross product — with the date-window predicate
+    as a residual filter and id-ordered pairs for a stable output. All
+    integer cents/days. Reference analog: none (beyond-reference
+    audit op)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "cents",
+        F.col("o_orderkey").alias("orderkey_1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        "cents",
+        F.col("o_orderkey").alias("orderkey_2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    return (
+        a.join(b, ["custkey", "cents"])
+        .filter(
+            (F.col("orderkey_2") > F.col("orderkey_1"))
+            & (F.abs(F.datediff("d2", "d1")) <= 30)
+        )
+        .select(
+            "custkey",
+            "cents",
+            "orderkey_1",
+            "orderkey_2",
+            F.abs(F.datediff("d2", "d1")).cast("long").alias("gap_days"),
+        )
+    )

@@ -1420,3 +1420,62 @@ def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_credited"),
         )
     )
+
+
+@register(
+    "events_self_exciting_ratio",
+    """
+WITH seq AS (
+  SELECT event_type, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flags AS (
+  SELECT event_type,
+         CASE WHEN prev_us IS NOT NULL AND epoch_us(ts) - prev_us <= 600000000
+              THEN 1 ELSE 0 END AS triggered
+  FROM seq
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(triggered) AS BIGINT) AS n_triggered,
+       CAST(sum(triggered) * 1000000 // count(*) AS BIGINT) AS branching_ppm
+FROM flags GROUP BY 1
+""",
+)
+def events_self_exciting_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-excitation (burst-triggering) profile per event type: the
+    share of events landing within 10 minutes of the same user's
+    previous event — the empirical branching-ratio proxy of a Hawkes
+    process (near 1e6 ppm = cascade-dominated arrivals where naive
+    Poisson capacity planning fails; the burstiness/Fano report shows
+    the same physics at day grain, this one at event grain). One
+    user-partitioned lag window + a per-type aggregate, integers
+    end-to-end. Reference analog: none (beyond-reference
+    temporal-analytics op)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    flags = seq.select(
+        "event_type",
+        F.when(
+            F.col("prev_us").isNotNull()
+            & (F.col("us") - F.col("prev_us") <= 600000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("triggered"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("triggered").cast("long").alias("n_triggered"),
+        F.expr("CAST(sum(triggered) * 1000000 div count(*) AS BIGINT)").alias(
+            "branching_ppm"
+        ),
+    )
