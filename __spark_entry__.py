@@ -220,6 +220,7 @@ _BUDGET_LAST = (
     "orders_priority_jsd",
     "events_self_exciting_ratio",
     "orders_duplicate_invoice_audit",
+    "nations_structural_holes",
 )
 
 

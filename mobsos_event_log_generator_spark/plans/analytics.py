@@ -10069,3 +10069,115 @@ def orders_duplicate_invoice_audit(spark: SparkSession, sf_dir: str) -> DataFram
             F.abs(F.datediff("d2", "d1")).cast("long").alias("gap_days"),
         )
     )
+
+
+@register(
+    "nations_structural_holes",
+    """
+WITH latency AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+bedges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+    FROM latency
+  ) WHERE rk <= 3
+),
+sym AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM bedges
+),
+und AS (SELECT a AS i, b AS j FROM sym UNION ALL SELECT b, a FROM sym),
+deg AS (SELECT i, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+p AS (
+  SELECT u.i, u.j, CAST(1000000 // dg.d AS BIGINT) AS pm
+  FROM und u JOIN deg dg ON dg.i = u.i
+),
+ind AS (
+  SELECT p1.i, p2.j, CAST(sum(p1.pm * p2.pm) AS BIGINT) AS ind_m2
+  FROM p p1 JOIN p p2 ON p2.i = p1.j
+  WHERE p1.i <> p2.j
+  GROUP BY 1, 2
+),
+cterm AS (
+  SELECT p.i, p.j,
+         CAST(p.pm AS HUGEINT) * 1000000 + COALESCE(ind.ind_m2, 0) AS tot_m2
+  FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
+)
+SELECT CAST(c.i AS BIGINT) AS nation, dg.d AS degree,
+       CAST(sum(c.tot_m2 * c.tot_m2 // 1000000000000) // 1000000 AS BIGINT)
+         AS constraint_micro
+FROM cterm c JOIN deg dg ON dg.i = c.i
+GROUP BY 1, 2
+""",
+)
+def nations_structural_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burt's structural-holes CONSTRAINT over the undirected trade
+    backbone: c_ij = (p_ij + sum_q p_iq p_qj)^2 summed over neighbors —
+    low constraint marks brokers whose contacts are mutually
+    disconnected (the social-capital lens complementing betweenness'
+    flow view). Uniform tie weights p_ij = 1/deg_i live on the 1e6 grid
+    (truncating div), the indirect term is the wedge join P x P on the
+    shared middle (bounded graph; degree-ordered orientation applies at
+    open-domain scale), squares ride HUGEINT with one div back per
+    quantization step — both engines replay identical integers.
+    Reference analog: none (beyond-reference social-network op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair_counts = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bedges = (
+        pair_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.col("n").desc(), "dst")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    sym = bedges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    und = sym.select(F.col("a").alias("i"), F.col("b").alias("j")).unionAll(
+        sym.select(F.col("b").alias("i"), F.col("a").alias("j"))
+    )
+    deg = und.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    p = und.join(deg, "i").selectExpr("i", "j", "CAST(1000000 div d AS BIGINT) AS pm")
+    p1 = p.select(F.col("i"), F.col("j").alias("q"), F.col("pm").alias("pm1"))
+    p2 = p.select(F.col("i").alias("q"), F.col("j"), F.col("pm").alias("pm2"))
+    ind = (
+        p1.join(p2, "q")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("pm1") * F.col("pm2")).cast("long").alias("ind_m2"))
+    )
+    cterm = p.join(ind, ["i", "j"], "left").selectExpr(
+        "i",
+        "j",
+        "CAST(pm AS DECIMAL(38,0)) * 1000000 + COALESCE(ind_m2, 0) AS tot_m2",
+    )
+    return (
+        cterm.join(deg, "i")
+        .groupBy(F.col("i").cast("long").alias("nation"), F.col("d").alias("degree"))
+        .agg(
+            F.expr(
+                "CAST(sum(tot_m2 * tot_m2 div 1000000000000) div 1000000 AS BIGINT)"
+            ).alias("constraint_micro")
+        )
+    )
