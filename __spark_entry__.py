@@ -221,6 +221,7 @@ _BUDGET_LAST = (
     "events_self_exciting_ratio",
     "orders_duplicate_invoice_audit",
     "nations_structural_holes",
+    "lineitem_twoway_anova",
 )
 
 

@@ -10181,3 +10181,137 @@ def nations_structural_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("constraint_micro")
         )
     )
+
+
+@register(
+    "lineitem_twoway_anova",
+    """
+WITH pts AS (
+  SELECT o.o_orderpriority AS fa,
+         CAST(floor(l.l_discount * 1000000) AS BIGINT) // 20000 AS fb,
+         greatest(0, (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000)
+           AS y
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS q
+  FROM pts
+),
+ga AS (SELECT fa, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM pts GROUP BY 1),
+gb AS (SELECT fb, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM pts GROUP BY 1),
+gc AS (SELECT fa, fb, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM pts GROUP BY 1, 2),
+parts AS (
+  SELECT
+    (SELECT CAST(sum(CAST(s AS HUGEINT) * s * 1000000 // n) AS HUGEINT) FROM ga) AS ra,
+    (SELECT CAST(sum(CAST(s AS HUGEINT) * s * 1000000 // n) AS HUGEINT) FROM gb) AS rb,
+    (SELECT CAST(sum(CAST(s AS HUGEINT) * s * 1000000 // n) AS HUGEINT) FROM gc) AS rc,
+    (SELECT CAST(count(*) AS BIGINT) FROM ga) AS la,
+    (SELECT CAST(count(*) AS BIGINT) FROM gb) AS lb,
+    (SELECT CAST(count(*) AS BIGINT) FROM gc) AS lc,
+    CAST(CAST(t.s AS HUGEINT) * t.s * 1000000 // t.n AS HUGEINT) AS cm,
+    CAST(CAST(t.q AS HUGEINT) * 1000000 AS HUGEINT) AS qt,
+    t.n
+  FROM tot t
+),
+ss AS (
+  SELECT n, la, lb, lc,
+         CAST(ra - cm AS BIGINT) AS ss_a,
+         CAST(rb - cm AS BIGINT) AS ss_b,
+         CAST(rc - ra - rb + cm AS BIGINT) AS ss_ab,
+         CAST(qt - rc AS BIGINT) AS ss_err
+  FROM parts
+)
+SELECT n AS n_rows, ss_a AS ss_a_micro, ss_b AS ss_b_micro,
+       ss_ab AS ss_ab_micro, ss_err AS ss_err_micro,
+       round((CAST(ss_a AS DOUBLE) / (la - 1))
+             / (CAST(ss_err AS DOUBLE) / (n - lc)), 6) AS f_a,
+       round((CAST(ss_b AS DOUBLE) / (lb - 1))
+             / (CAST(ss_err AS DOUBLE) / (n - lc)), 6) AS f_b,
+       round((CAST(ss_ab AS DOUBLE) / ((la - 1) * (lb - 1)))
+             / (CAST(ss_err AS DOUBLE) / (n - lc)), 6) AS f_ab
+FROM ss
+""",
+)
+def lineitem_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of shipping delay on priority x discount band: the
+    sum-of-squares decomposition SS_A + SS_B + SS_AB + SS_err via the
+    classic raw-moment identities (each group's S^2*1e6 div n quantized
+    once, correction term from the grand totals — exact integer micro
+    day^2 over HUGEINT rails; the decomposition identity holds up to
+    the per-group quantization, which both engines replay identically),
+    and F statistics as pure double ratios of identical integers with
+    runtime degrees of freedom from the observed level counts, 6 dp.
+    Shapes: three hash aggregates over bounded factor alphabets plus a
+    1-row algebra block — the factorial-experiment lens completing the
+    stats family (t-ish drift tests are two-sample; this is k x m).
+    Reference analog: none (beyond-reference statistics op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pts = li.join(o, li["l_orderkey"] == o["o_orderkey"]).selectExpr(
+        "o_orderpriority AS fa",
+        "CAST(floor(l_discount * 1000000) AS BIGINT) div 20000 AS fb",
+        "greatest(0, (unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+        " div 86400000000) AS y",
+    )
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+
+    def gsum(cols):
+        g = pts.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+        return g.agg(
+            F.expr(
+                "CAST(sum(CAST(s AS DECIMAL(38,0)) * s * 1000000 div n)"
+                " AS DECIMAL(38,0))"
+            ).alias("r"),
+            F.count(F.lit(1)).cast("long").alias("l"),
+        )
+
+    ra = gsum(["fa"]).selectExpr("r AS ra", "l AS la")
+    rb = gsum(["fb"]).selectExpr("r AS rb", "l AS lb")
+    rc = gsum(["fa", "fb"]).selectExpr("r AS rc", "l AS lc")
+    parts = (
+        tot.crossJoin(ra)
+        .crossJoin(rb)
+        .crossJoin(rc)
+        .selectExpr(
+            "n",
+            "la",
+            "lb",
+            "lc",
+            "CAST(CAST(s AS DECIMAL(38,0)) * s * 1000000 div n AS DECIMAL(38,0)) AS cm",
+            "CAST(CAST(q AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) AS qt",
+            "ra",
+            "rb",
+            "rc",
+        )
+    )
+    ss = parts.selectExpr(
+        "n",
+        "la",
+        "lb",
+        "lc",
+        "CAST(ra - cm AS BIGINT) AS ss_a",
+        "CAST(rb - cm AS BIGINT) AS ss_b",
+        "CAST(rc - ra - rb + cm AS BIGINT) AS ss_ab",
+        "CAST(qt - rc AS BIGINT) AS ss_err",
+    )
+    return ss.selectExpr(
+        "n AS n_rows",
+        "ss_a AS ss_a_micro",
+        "ss_b AS ss_b_micro",
+        "ss_ab AS ss_ab_micro",
+        "ss_err AS ss_err_micro",
+        "round((CAST(ss_a AS DOUBLE) / (la - 1))"
+        " / (CAST(ss_err AS DOUBLE) / (n - lc)), 6) AS f_a",
+        "round((CAST(ss_b AS DOUBLE) / (lb - 1))"
+        " / (CAST(ss_err AS DOUBLE) / (n - lc)), 6) AS f_b",
+        "round((CAST(ss_ab AS DOUBLE) / ((la - 1) * (lb - 1)))"
+        " / (CAST(ss_err AS DOUBLE) / (n - lc)), 6) AS f_ab",
+    )
