@@ -222,6 +222,8 @@ _BUDGET_LAST = (
     "orders_duplicate_invoice_audit",
     "nations_structural_holes",
     "lineitem_twoway_anova",
+    "parts_single_source_risk",
+    "events_stickiness_weekly",
 )
 
 

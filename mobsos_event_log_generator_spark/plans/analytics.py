@@ -10315,3 +10315,123 @@ def lineitem_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((CAST(ss_ab AS DOUBLE) / ((la - 1) * (lb - 1)))"
         " / (CAST(ss_err AS DOUBLE) / (n - lc)), 6) AS f_ab",
     )
+
+
+@register(
+    "parts_single_source_risk",
+    """
+WITH ps AS (
+  SELECT l_partkey AS pk,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_all
+  FROM ps
+)
+SELECT tot.n_parts,
+       CAST(sum(CASE WHEN ps.n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_sourced,
+       CAST(sum(CASE WHEN ps.n_suppliers = 1 THEN 1 ELSE 0 END) * 1000000
+            // tot.n_parts AS BIGINT) AS single_sourced_ppm,
+       CAST(sum(CASE WHEN ps.n_suppliers = 1 THEN ps.rev ELSE 0 END) AS BIGINT)
+         AS revenue_at_risk_cents,
+       CAST(sum(CASE WHEN ps.n_suppliers = 1 THEN ps.rev ELSE 0 END) * 1000000
+            // tot.rev_all AS BIGINT) AS revenue_at_risk_ppm
+FROM ps, tot
+GROUP BY tot.n_parts, tot.rev_all
+""",
+)
+def parts_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk audit: how many parts have exactly one
+    observed supplier, and how much revenue rides on them — the
+    procurement-resilience lens next to the HHI concentration report
+    (HHI says markets are concentrated; this says WHICH spend has no
+    fallback). One (part, supplier)-grain aggregate + a 1-row total;
+    shares in truncating ppm, exact cents. Reference analog: none
+    (beyond-reference supply-chain op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev"),
+    )
+    tot = ps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev").cast("long").alias("rev_all"),
+    )
+    agg = ps.agg(
+        F.sum(F.when(F.col("n_suppliers") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single"),
+        F.sum(F.when(F.col("n_suppliers") == 1, F.col("rev")).otherwise(0))
+        .cast("long")
+        .alias("rev_single"),
+    )
+    return tot.crossJoin(agg).selectExpr(
+        "n_parts",
+        "n_single AS n_single_sourced",
+        "CAST(n_single * 1000000 div n_parts AS BIGINT) AS single_sourced_ppm",
+        "rev_single AS revenue_at_risk_cents",
+        "CAST(rev_single * 1000000 div rev_all AS BIGINT) AS revenue_at_risk_ppm",
+    )
+
+
+@register(
+    "events_stickiness_weekly",
+    """
+WITH d AS (
+  SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day, user_id
+  FROM events
+),
+dau AS (
+  SELECT wk, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM d GROUP BY 1, 2
+),
+wau AS (
+  SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM d GROUP BY 1
+),
+per AS (
+  SELECT dau.wk,
+         CAST(sum(dau.dau) AS BIGINT) AS dau_sum,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY 1
+)
+SELECT strftime(p.wk, '%Y-%m-%d') AS week_start,
+       p.n_days, w.wau,
+       CAST(p.dau_sum // p.n_days AS BIGINT) AS avg_dau,
+       CAST(p.dau_sum * 1000000 // (p.n_days * w.wau) AS BIGINT) AS stickiness_ppm
+FROM per p JOIN wau w ON w.wk = p.wk
+""",
+)
+def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly product stickiness (avg DAU / WAU — the classic engagement
+    ratio): distinct daily actives averaged over each ISO week's active
+    days against the week's distinct actives, in truncating ppm — the
+    engagement lens next to cohort retention and rolling-active-users.
+    Two distinct-count aggregates on (week[, day]) grain; everything
+    after is bounded by the calendar. Reference analog: none
+    (beyond-reference product-analytics op)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    dau = d.groupBy("wk", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    wau = d.groupBy("wk").agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    per = dau.groupBy("wk").agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return per.join(wau, "wk").selectExpr(
+        "date_format(wk, 'yyyy-MM-dd') AS week_start",
+        "n_days",
+        "wau",
+        "CAST(dau_sum div n_days AS BIGINT) AS avg_dau",
+        "CAST(dau_sum * 1000000 div (n_days * wau) AS BIGINT) AS stickiness_ppm",
+    )
