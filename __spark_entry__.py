@@ -224,6 +224,7 @@ _BUDGET_LAST = (
     "lineitem_twoway_anova",
     "parts_single_source_risk",
     "events_stickiness_weekly",
+    "parts_price_dispersion",
 )
 
 

@@ -10435,3 +10435,78 @@ def events_stickiness_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(dau_sum div n_days AS BIGINT) AS avg_dau",
         "CAST(dau_sum * 1000000 div (n_days * wau) AS BIGINT) AS stickiness_ppm",
     )
+
+
+@register(
+    "parts_price_dispersion",
+    """
+WITH sp AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS unit_cents
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+),
+per AS (
+  SELECT pk,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(min(unit_cents) AS BIGINT) AS lo,
+         CAST(max(unit_cents) AS BIGINT) AS hi
+  FROM sp GROUP BY 1
+),
+multi AS (
+  SELECT pk, n_suppliers, lo, hi,
+         CAST((hi - lo) * 1000000 // lo AS BIGINT) AS spread_ppm
+  FROM per WHERE n_suppliers >= 2 AND lo > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_parts_multi_supplier,
+       CAST(sum(spread_ppm) // count(*) AS BIGINT) AS avg_spread_ppm,
+       CAST(max(spread_ppm) AS BIGINT) AS max_spread_ppm,
+       CAST(sum(CASE WHEN spread_ppm > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_5pct,
+       CAST(sum(CASE WHEN spread_ppm > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_10pct
+FROM multi
+""",
+)
+def parts_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Law-of-one-price dispersion audit: per part, the spread between
+    the cheapest and dearest supplier's unit price ((max-min)/min in
+    truncating ppm over exact unit cents) summarized as average/max
+    spread and counts past the 5 %/10 % arbitrage thresholds — the
+    procurement price-benchmarking lens next to the single-source risk
+    and HHI reports. One (part, supplier) aggregate then a part-grain
+    rollup; unit price is floor(extprice/qty*100+0.5) on identical
+    doubles. Reference analog: none (beyond-reference procurement op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.filter("l_quantity > 0")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.min(
+                F.floor(
+                    F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("unit_cents")
+        )
+    )
+    per = sp.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.min("unit_cents").cast("long").alias("lo"),
+        F.max("unit_cents").cast("long").alias("hi"),
+    )
+    multi = per.filter("n_suppliers >= 2 AND lo > 0").selectExpr(
+        "CAST((hi - lo) * 1000000 div lo AS BIGINT) AS spread_ppm"
+    )
+    return multi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_multi_supplier"),
+        F.expr("CAST(sum(spread_ppm) div count(*) AS BIGINT)").alias("avg_spread_ppm"),
+        F.max("spread_ppm").cast("long").alias("max_spread_ppm"),
+        F.sum(F.when(F.col("spread_ppm") > 50000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_5pct"),
+        F.sum(F.when(F.col("spread_ppm") > 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_10pct"),
+    )
