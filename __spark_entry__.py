@@ -37,47 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # come first. The verified set is computed from the CORRECTNESS_r*.json files
 # on disk (round 5's verdict found the old hand-curated sets had gone stale,
 # making the window re-verify the same 50 queries) — reading the artifacts
-# directly cannot go stale. `tools/check_parity.py` still exact-cell-verifies
-# all registered queries locally regardless of order.
-#
-# Legacy hand-curated set, kept only as a fallback if no CORRECTNESS files
-# are present (e.g. a fresh clone without round artifacts).
-_DRIVER_VERIFIED_PRIOR_ROUNDS = {
-    "antijoin_parts_never_shipped", "asof_last_click_before_purchase", "bloom_semijoin_parts",
-    "cms_user_frequencies", "corpus_chunk_documents", "corpus_chunk_documents_udtf",
-    "corpus_decontamination", "corpus_hash_split", "corpus_pack_sequences",
-    "corpus_prep", "cube_status_priority", "customer_rfm_segments",
-    "dedup_clusters", "dedup_exact_prefix", "dedup_incremental_batch",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_winnow_pairs",
-    "distinct_agg_customers", "embedding_near_dup", "event_type_recode_counts",
-    "eventlog_directly_follows", "eventlog_keep_starts_no_bots", "eventlog_minmax",
-    "eventlog_normalize", "eventlog_normalize_full", "eventlog_resource_window",
-    "eventlog_trace_variants", "eventlog_traces", "events_cohort_retention",
-    "events_column_profile", "events_daily_histogram", "events_funnel_stages",
-    "events_ohlc_resample", "events_sessionization", "events_value_anomalies_mad",
-    "grouped_map_source_zscore", "grouping_sets_status_priority", "median_price_by_priority",
-    "minhash_signatures", "multimodal_decode_png", "multimodal_decode_stub",
-    "multimodal_meta", "pivot_user_event_matrix", "quality_constraints_events",
-    "range_join_events_near_errors", "remarks_key_inventory", "rollup_order_priority",
-    "setop_urgent_not_low", "simhash_docs", "similarity_ann_recall",
-    "similarity_topk_ann_bucketed", "similarity_topk_ann_ivf", "similarity_topk_ann_ivf_arrow",
-    "similarity_topk_ann_multiprobe", "similarity_topk_ann_multitable", "similarity_topk_arrow",
-    "similarity_topk_bruteforce", "sketch_distinct_users_daily", "streaming_capped_sessions",
-    "streaming_dedup_events", "streaming_interval_join_attribution", "streaming_sessionize_events",
-    "streaming_sliding_counts", "streaming_static_enrichment", "streaming_totals_complete_mode",
-    "subquery_exists_multi_supplier_orders", "subquery_parts_above_brand_avg", "text_pii_redaction",
-    "text_repetition_stats", "text_stats_docs", "text_winnow_fingerprints",
-    "tfidf_top_terms", "tpch_q10_returned_items", "tpch_q11_important_parts",
-    "tpch_q12_late_shipment_priority", "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_counts", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue", "tpch_q1_pricing_summary",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers", "tpch_q22_dormant_customers",
-    "tpch_q2_cheapest_supplier", "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue", "tpch_q7_nation_volume",
-    "tpch_q8_market_share", "tpch_q9_product_profit", "udaf_source_token_totals",
-    "unpivot_part_metrics", "vocabulary_topk", "window_cumulative_customer_revenue",
-    "window_rank_functions", "window_top_orders_per_customer", "xes_trace_xml",
-}
+# directly cannot go stale; a fresh clone without round artifacts simply
+# treats every query as backlog, which is the correct cold-start behavior
+# (the r6 verdict retired the legacy hand-curated fallback set for exactly
+# that staleness failure mode). `tools/check_parity.py` / `tools/sweep_all.py`
+# still exact-cell-verify all registered queries locally regardless of order.
 # Queries whose plans changed this round and should re-prove their oracle
 # ahead of the already-verified tail (empty when nothing green was touched;
 # sf0.01-identical plan changes are covered by tools/check_parity.py locally).
@@ -256,7 +220,7 @@ def _driver_verified() -> set:
                 and row.get("hash_match") is True
             ):
                 verified.add(name)
-    return verified if verified else set(_DRIVER_VERIFIED_PRIOR_ROUNDS)
+    return verified
 
 
 def _driver_order(registry: dict) -> list[str]:

@@ -181,12 +181,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # The final stdout line must stay SHORT: the driver records only the
-    # output tail, and r4's long line (warm lane + nested per-query deltas)
+    # output tail, and r4's long line (warm lane + NESTED per-query deltas)
     # was truncated into an unparseable record that also broke r5's
-    # deltas_vs_prev. Contract fields + per-query cold timings stay on the
-    # line; everything else (warm lane, deltas, regressions, errors) goes to
-    # the BENCH_DETAIL.json sidecar, which bench consumers and the next
-    # round's _prev_bench() read directly.
+    # deltas_vs_prev. The r6 verdict (#4) asked for the warm lane back in the
+    # driver artifact so cross-round warm trending is self-contained: a flat
+    # 2dp name→sec map adds ~1.2 kB — well inside the tail budget that held
+    # r6's line — so cold + compact warm ride the line; the bulky parts
+    # (deltas, regressions, errors detail) stay in the BENCH_DETAIL.json
+    # sidecar, which bench consumers and the next round's _prev_bench() read.
     record = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -194,6 +196,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "value_warm": round(sum(warm.values()), 3),
+        "queries_warm": {n: round(t, 2) for n, t in warm.items()},
     }
     detail = dict(record, queries_warm=warm, detail_sidecar=True)
     if errors:

@@ -80,6 +80,13 @@ class EventLogService:
             if hit:
                 return hit
         log = build_eventlog(self.events, params)
+        # Intended-semantics divergences from the reference (full list:
+        # SURVEY.md §7.4.3, mapped per-operator in COVERAGE.md A1/A3):
+        # the reference's min/max start/end defaults are dead stores
+        # (event_reader.py:26-29 — computed, never used; we expose them as
+        # operators/traces.py::global_time_bounds but take no default from
+        # them), and its emptiness check tests the wrong variable
+        # (app.py:93); is_empty() here checks the actual filtered log.
         if is_empty(log):
             raise EmptyEventLog()
         out = self.cache.path_for(cache_params)

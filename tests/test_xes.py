@@ -164,3 +164,71 @@ def test_xes_datasource_matches_distributed_reader(spark, tmp_path):
     assert a == b and len(a) == df.count()
     # one input partition per shard
     assert via_source.rdd.getNumPartitions() == 4
+
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures", "golden_eventlog.xes")
+GOLDEN_ROWS = [
+    ("SERVICE_CUSTOM_MESSAGE_1", "c1", 'ask <&> "q"', datetime(2024, 1, 1, 10, 0, 0), "complete", "r1", "bot", '{"user": "u1"}'),
+    ("SERVICE_CUSTOM_MESSAGE_3", "c1", "getMenu", datetime(2024, 1, 1, 10, 0, 5, 250000), "complete", "r1", "bot", None),
+    ("SERVICE_CUSTOM_MESSAGE_1", "c2", "orderFood\nwith newline\ttab", datetime(2024, 1, 2, 12, 0, 0), "complete", "r2", "service", '{"user": "u2"}'),
+]
+
+
+def _split_xes(text: str) -> tuple[str, list[str], str]:
+    """(header, sorted trace blocks, footer) — trace order is the one
+    degree of freedom the sink does not promise (hash-partitioned writes)."""
+    body_start = text.index("\t<trace>")
+    body_end = text.rindex("</trace>\n") + len("</trace>\n")
+    header, body, footer = text[:body_start], text[body_start:body_end], text[body_end:]
+    blocks = ["\t<trace>" + b for b in body.split("\t<trace>") if b]
+    return header, sorted(blocks), footer
+
+
+def test_golden_xes_bytes(spark, tmp_path):
+    """Durable serialization contract (r6 verdict #6): the committed golden
+    fixture pins the exact bytes the sink must keep producing — extension
+    headers, attribute typing/order, XML escaping (incl. &#10;/&#9; refs),
+    ISO-8601 microsecond timestamps with UTC 'Z' — i.e. the pm4py-2.7.7
+    importer conventions the reference relies on (app.py:216-217). pm4py is
+    absent from this env, so the fixture was generated by this sink and
+    hand-audited against IEEE 1849-2016 + pm4py's importer expectations;
+    test_pm4py_parse_if_available re-proves parseability wherever pm4py
+    exists. Comparison is byte-exact modulo trace order."""
+    df = spark.createDataFrame(GOLDEN_ROWS, EVENTLOG_SCHEMA)
+    log = build_eventlog(df, EventLogParams())
+    path = str(tmp_path / "golden_check.xes")
+    write_xes(log, path, single_file=True)
+    with open(path, encoding="utf-8") as fh:
+        got = fh.read()
+    with open(GOLDEN, encoding="utf-8") as fh:
+        want = fh.read()
+    assert _split_xes(got) == _split_xes(want)
+
+
+def test_golden_xes_fixture_invariants():
+    """The fixture itself stays well-formed and pm4py-convention-shaped even
+    if regenerated: standard extension URIs, typed date attrs, escaped text."""
+    import re
+
+    with open(GOLDEN, encoding="utf-8") as fh:
+        text = fh.read()
+    root = ET.fromstring(text)
+    assert root.tag == "{http://www.xes-standard.org/}log"
+    assert root.get("xes.version") == "1849-2016"
+    uris = {e.get("uri") for e in root if e.tag.endswith("extension")}
+    assert {
+        "http://www.xes-standard.org/concept.xesext",
+        "http://www.xes-standard.org/time.xesext",
+        "http://www.xes-standard.org/lifecycle.xesext",
+    } <= uris
+    # every timestamp is ISO-8601 with microseconds, UTC
+    stamps = re.findall(r'<date key="time:timestamp" value="([^"]+)"', text)
+    assert stamps and all(
+        re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}(Z|[+-]\d{2}:\d{2})", s)
+        for s in stamps
+    )
+    # raw control/markup characters never appear inside attribute values
+    # (the newline/tab in the fixture's activity ride as character refs)
+    assert "&#10;" in text and "&#9;" in text
+    values = re.findall(r'value="([^"]*)"', text)
+    assert values and all(ch not in v for v in values for ch in "\n\t<>\"")
