@@ -88,6 +88,11 @@ def main() -> int:
                     help="only names without a green driver CORRECTNESS row")
     ap.add_argument("--sf", action="append", dest="sf_dirs",
                     help="sf dir (repeatable); default both sf0.01 and sf0.1")
+    ap.add_argument("--plain", action="store_true",
+                    help="use a vanilla SparkSession (no session.py conf) — "
+                         "exactly how the external driver runs the queries "
+                         "(CLAUDE.md iron rule 3); catches conf dependencies "
+                         "that only exist in the tuned session")
     ap.add_argument("--record", default=os.path.join(REPO, "SWEEP.json"),
                     help="where to write the sweep record (SWEEP.json)")
     args = ap.parse_args()
@@ -109,7 +114,12 @@ def main() -> int:
         names = [n for n in names if n in want]
 
     sf_dirs = tuple(args.sf_dirs) if args.sf_dirs else DEFAULT_SF_DIRS
-    spark = get_spark("sweep-all")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("sweep-all")
     spark.sparkContext.setLogLevel("ERROR")
 
     started = time.strftime("%Y-%m-%dT%H:%M:%S%z")
@@ -144,6 +154,7 @@ def main() -> int:
         "elapsed_sec": elapsed,
         "sf_dirs": list(sf_dirs),
         "scope": "backlog" if args.backlog else ("subset" if args.names else "all"),
+        "session": "plain" if args.plain else "tuned",
         "names_swept": len(names),
         "cells_checked": total,
         "cells_passed": passed,
