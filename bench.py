@@ -159,6 +159,20 @@ def main() -> None:
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
+    # r6's official capture overlapped other JVMs on the host and produced
+    # phantom +30..+465% warm deltas on queries with unchanged code (the
+    # clean re-run was fine — BASELINE.md "Round-7 clean bench"). Timings
+    # are only comparable on an idle host, so wait briefly (bounded) for
+    # load to drain before the first timed query, and record what we saw.
+    load_waits = 0
+    try:
+        while os.getloadavg()[0] > 8.0 and load_waits < 24:  # <=2 min
+            time.sleep(5)
+            load_waits += 1
+        load_at_start = round(os.getloadavg()[0], 1)
+    except OSError:  # platform without getloadavg: proceed untimed-guarded
+        load_at_start = None
+
     # Warm the JVM/codegen paths once with a trivial job so the first timed
     # query doesn't pay one-off start-up costs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -198,7 +212,8 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": {n: round(t, 2) for n, t in warm.items()},
     }
-    detail = dict(record, queries_warm=warm, detail_sidecar=True)
+    detail = dict(record, queries_warm=warm, detail_sidecar=True,
+                  load_at_start=load_at_start, load_waits=load_waits)
     if errors:
         record["errors"] = errors
         detail["errors"] = errors
