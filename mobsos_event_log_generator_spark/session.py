@@ -47,6 +47,16 @@ def get_spark(
         # Broadcast threshold: dims like region/nation/supplier and the
         # bot-resource dimension are tiny; let them broadcast aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Catalyst sizes relations by COMPRESSED parquet bytes; columnar text
+        # compresses ~10:1, so a corpus-scaled side can sit under the
+        # broadcast threshold on disk while its HashedRelation blows past
+        # driver memory. Round-7 x100 probe (tools/probe_round7b.py): the
+        # PPJoin shingle intermediates of a 78 MB parquet were estimated at
+        # 33-49 MiB, statically broadcast, and killed the 8g driver. A 4x
+        # compression factor makes the estimate reflect in-memory reality
+        # (probe green after) without flipping any small-SF plan — the
+        # largest sf0.1 table is 11 MB -> 44 MB, still under the threshold.
+        .config("spark.sql.sources.fileCompressionFactor", "4.0")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
