@@ -645,6 +645,71 @@ def ivf_assign(
     )
 
 
+def ivf_assign_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS twin of ``ivf_assign`` — the assignment-stage scale path.
+
+    ``ivf_assign``'s crossJoin evaluates ``_sqdist`` as an interpreted HOF
+    fold (no codegen for ``aggregate``/``zip_with`` — ENGINEERING_NOTES
+    pitfall), so its cost is N x k interpreted array folds. With the
+    centroids-scale-with-corpus rule (k ~ N / cell_target) that stage turns
+    quadratic-in-N in the slowest execution mode Spark has: the round-7
+    x100 probe measured semdedup_arrow's assignment exceeding 7 minutes at
+    200k vectors / k=800 while the per-cell pair matmul stayed trivial.
+
+    This kernel collects the (bounded, k-row) centroid table to the driver
+    — the same pattern as ``ivf_ann_topk_arrow`` — and scans the corpus
+    once via ``mapInPandas``. Bit-equality with the JVM fold is by
+    construction, not luck: squared distances ACCUMULATE PER-DIMENSION in
+    fold order (one float64 add per dim, vectorized across rows — the
+    identical operation sequence ``_sqdist``'s ``aggregate`` performs),
+    then round HALF_UP at 6 dp exactly like ``F.round``; ties resolve to
+    the smallest cid because the centroid matrix is cid-sorted and both
+    argmin and stable argsort keep the first occurrence. The corpus never
+    shuffles and nothing corpus-sized is collected or broadcast."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = sorted(
+        centroids.select("cid", "cvec").collect(),  # bounded: k centroid rows
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in cents], dtype=np.int64)
+    cmat = np.array([list(r["cvec"]) for r in cents], dtype=np.float64)
+    npb = int(nprobe)
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("cid", T.LongType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            acc = np.zeros((len(ids), cmat.shape[0]))
+            for d in range(cmat.shape[1]):  # fold-order accumulation
+                diff = mat[:, d, None] - cmat[None, :, d]
+                acc = acc + diff * diff
+            dist = _round_half_up(acc)
+            if npb == 1:
+                j = np.argmin(dist, axis=1)  # first occurrence = smallest cid
+                yield pd.DataFrame({id_col: ids, "cid": cids[j]})
+            else:
+                order = np.argsort(dist, axis=1, kind="stable")[:, :npb]
+                yield pd.DataFrame(
+                    {id_col: np.repeat(ids, order.shape[1]), "cid": cids[order].ravel()}
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
 def ivf_train(
     corpus: DataFrame,
     num_centroids: int = 8,
@@ -652,16 +717,20 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    assign=None,
 ) -> DataFrame:
     """IVF coarse quantizer: deterministic seeds + ``iters`` Lloyd
     refinements. Each iteration is one broadcast assignment pass plus one
     groupBy(cid) computing the per-dimension mean (map-side combined — the
     shuffle carries k×dim partial sums per partition, not the corpus).
     Means are rounded to 6 dp so the refined centroids are engine-portable.
-    Seeds that attract no vectors drop out (standard empty-cluster shrink)."""
+    Seeds that attract no vectors drop out (standard empty-cluster shrink).
+    ``assign`` swaps the assignment kernel (default JVM ``ivf_assign``;
+    ``ivf_assign_arrow`` is the bit-equal scale path)."""
+    assign_fn = assign or ivf_assign
     cents = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+        assigned = assign_fn(corpus, cents, 1, id_col, vec_col)
         cents = (
             corpus.join(assigned, id_col)
             .groupBy("cid")
@@ -809,15 +878,21 @@ def semdedup_arrow(
     vec_col: str = "embedding",
     max_cell_size: int | None = None,
     dim: int = 64,
+    arrow_assign: bool = True,
 ) -> DataFrame:
-    """``semdedup`` with the within-cell pair sweep as an Arrow/BLAS kernel:
-    the quantizer and assignment stay JVM-side (oracle-exact), then each
-    cell's members flow through ``applyInPandas`` where ONE n×n matmul
+    """``semdedup`` with BOTH hot stages as Arrow/BLAS kernels: centroid
+    assignment rides ``ivf_assign_arrow`` (per-dimension fold-order
+    accumulation — bit-equal to the JVM ``_sqdist`` by construction), then
+    each cell's members flow through ``applyInPandas`` where ONE n×n matmul
     scores all pairs — the measured 25x fast path for vector math
     (BASELINE ANN probe) versus the interpreted JVM fold. HALF_UP rounding
-    (``_round_half_up``) keeps the cosines bit-equal to the JVM/SQL form,
-    so both variants share one oracle (unit-gated equivalence, same
-    pattern as ``ivf_ann_topk_arrow``).
+    (``_round_half_up``) keeps cosines and distances bit-equal to the
+    JVM/SQL form, so both variants share one oracle (unit-gated
+    equivalence, same pattern as ``ivf_ann_topk_arrow``).
+    ``arrow_assign=False`` reverts assignment to the JVM crossJoin fold —
+    fine at fixed small k, quadratic-in-N interpreted work under the
+    centroids-scale-with-corpus rule (round-7 x100 probe: >7 min at 200k
+    vectors / k=800 vs seconds on the Arrow path).
 
     Scale shape: grouping key = cid (the same shuffle the JVM form does);
     per-cell memory is O(cell² ) booleans + O(cell·dim) floats, bounded by
@@ -826,9 +901,10 @@ def semdedup_arrow(
 
     from pyspark.sql import types as T
 
-    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    assign_fn = ivf_assign_arrow if arrow_assign else ivf_assign
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim, assign=assign_fn)
     assigned = corpus.select(id_col, vec_col).join(
-        ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
+        assign_fn(corpus, cents, 1, id_col, vec_col), id_col
     )
     if max_cell_size is not None:
         sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))

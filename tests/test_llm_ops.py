@@ -1676,3 +1676,38 @@ def test_dim_correlation_matches_numpy(spark):
         assert r["corr_sign"] == (1 if num > 0 else -1 if num < 0 else 0)
         true_r2 = (num * num) / (dj * dk)
         assert abs(r["corr2_ppm"] / 1e6 - true_r2) < 3e-3
+
+
+def test_ivf_assign_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow assignment kernel must be BIT-EQUAL to the JVM crossJoin
+    fold: per-dimension fold-order accumulation + HALF_UP 6dp rounding +
+    smallest-cid ties. Checked at k=8 and k=32, nprobe 1 and 2."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_train,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for k in (8, 32):
+        cents = ivf_train(emb, num_centroids=k, iters=1)
+        for nprobe in (1, 2):
+            jvm = sorted(map(tuple, ivf_assign(emb, cents, nprobe).collect()))
+            arrow = sorted(map(tuple, ivf_assign_arrow(emb, cents, nprobe).collect()))
+            assert jvm == arrow, (k, nprobe)
+
+
+def test_ivf_train_arrow_assign_same_centroids(spark, sf_dir):
+    """Training with the Arrow assignment kernel yields the identical
+    centroid table (the Lloyd step is downstream of a bit-equal assign)."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_train,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    jvm = sorted(map(tuple, ivf_train(emb, num_centroids=8, iters=1).collect()))
+    arrow = sorted(map(tuple, ivf_train(emb, num_centroids=8, iters=1, assign=ivf_assign_arrow).collect()))
+    assert jvm == arrow
