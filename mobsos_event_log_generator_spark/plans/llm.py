@@ -6103,11 +6103,15 @@ dims AS (
   FROM e GROUP BY 1
 ),
 y AS (SELECT e.vec_id, e.j, d.n * e.u - d.sj AS y FROM e JOIN dims d ON d.j = e.j),
-s1 AS (SELECT vec_id, sum(y * 1000000) AS score FROM y GROUP BY 1),
+s1r AS (SELECT vec_id, sum(y * 1000000) AS sr FROM y GROUP BY 1),
+ms1 AS (SELECT max(abs(sr)) AS ms FROM s1r),
+s1 AS (SELECT vec_id, (sr * 1000000) // (SELECT ms FROM ms1) AS score FROM s1r),
 w1 AS (SELECT y.j, sum(y.y * s1.score) AS w FROM y JOIN s1 ON s1.vec_id = y.vec_id GROUP BY 1),
 m1 AS (SELECT max(abs(w)) AS m FROM w1),
 v1 AS (SELECT j, (w * 1000000) // (SELECT m FROM m1) AS v FROM w1),
-s2 AS (SELECT y.vec_id, sum(y.y * v1.v) AS score FROM y JOIN v1 ON v1.j = y.j GROUP BY 1),
+s2r AS (SELECT y.vec_id, sum(y.y * v1.v) AS sr FROM y JOIN v1 ON v1.j = y.j GROUP BY 1),
+ms2 AS (SELECT max(abs(sr)) AS ms FROM s2r),
+s2 AS (SELECT vec_id, (sr * 1000000) // (SELECT ms FROM ms2) AS score FROM s2r),
 w2 AS (SELECT y.j, sum(y.y * s2.score) AS w FROM y JOIN s2 ON s2.vec_id = y.vec_id GROUP BY 1),
 m2 AS (SELECT max(abs(w)) AS m FROM w2)
 SELECT CAST(j AS BIGINT) AS dim,
@@ -6122,19 +6126,24 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully in exact integer arithmetic so both engines agree to the bit:
     values quantize to 6-dp micro units, centering uses the n-scaled form
     y = n*u - S_j (integers, no mean division), and each of the two
-    iterations is v' = (Y^T (Y v)) renormalized by max|component| via
-    truncating div to the 1e6 grid. The matrix-vector products are the
-    classic distributed shape: Y v is a per-vector sum over the exploded
-    (vec_id, dim) rows with the 64-row v broadcast; Y^T s is a per-dim
-    sum with the per-vector scores joined back — two linear passes per
-    iteration, no dim x dim Gram materialization (that alternative is
+    iterations is v' = (Y^T (Y v)) with BOTH halves renormalized by
+    max|component| via truncating div to the 1e6 grid — the per-vector
+    score s = Y v as well as the per-dim v. The matrix-vector products are
+    the classic distributed shape: Y v is a per-vector sum over the
+    exploded (vec_id, dim) rows with the 64-row v broadcast; Y^T s is a
+    per-dim sum with the per-vector scores joined back — two linear passes
+    per iteration, no dim x dim Gram materialization (that alternative is
     O(D^2) rows/vector; fine at D=64, ruinous at D=4096 — this shape is
-    the one that survives). decimal(38,0)/HUGEINT headroom documented:
-    |w*1e6| < 1e37 at sf0.1; at much larger n, drop the per-row micro
-    precision one decade per 10x corpus growth. The all-ones start vector
-    is deterministic; convergence quality is not the gate's concern, the
-    exact 2-iteration trajectory is. Reference analog: none
-    (beyond-reference embedding-pipeline op)."""
+    the one that survives). Score renormalization is the OVERFLOW
+    CONTRACT, not a nicety: with raw scores the accumulators grow n^3
+    (y ~ n, s ~ n^2, w ~ n^3) and the round-7 x100 probe overflowed
+    decimal(38,0) at exactly 200k vectors (1.0097e38 — dies-at-scale find
+    #5, same class as the r5 sampler overflow); with s clamped to the 1e6
+    grid the bound is |w| <= 64n * 2e6*n * 1e6 ~ 1.3e14 * n^2, headroom to
+    ~2.8e12 vectors. The all-ones start vector is deterministic;
+    convergence quality is not the gate's concern, the exact 2-iteration
+    trajectory is (the oracle replays the renormalized trajectory
+    verbatim). Reference analog: none (beyond-reference embedding op)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", F.posexplode("embedding").alias("p", "v")).select(
         "vec_id",
@@ -6148,8 +6157,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     yc = e.join(F.broadcast(dims), "j").select(
         "vec_id", "j", (F.col("n") * F.col("u") - F.col("sj")).alias("y")
     )
-    # iteration 1: v0 = all-ones at the 1e6 grid (deterministic start)
-    s1 = yc.groupBy("vec_id").agg(F.sum(F.col("y") * F.lit(1_000_000)).alias("score"))
+    # iteration 1: v0 = all-ones at the 1e6 grid (deterministic start);
+    # the raw per-vector score renormalizes to the 1e6 grid BEFORE feeding
+    # Y^T s, keeping every accumulator O(n^2) (overflow contract above)
+    s1r = yc.groupBy("vec_id").agg(F.sum(F.col("y") * F.lit(1_000_000)).alias("sr"))
+    ms1 = s1r.agg(F.max(F.abs(F.col("sr"))).alias("ms"))
+    s1 = s1r.crossJoin(F.broadcast(ms1)).select(
+        "vec_id", F.expr("(sr * 1000000) div ms").alias("score")
+    )
     w1 = (
         yc.join(s1, "vec_id")
         .groupBy("j")
@@ -6160,10 +6175,14 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j", F.expr("(w * 1000000) div m").alias("v")
     )
     # iteration 2: same shape with the renormalized v1 broadcast back in
-    s2 = (
+    s2r = (
         yc.join(F.broadcast(v1), "j")
         .groupBy("vec_id")
-        .agg(F.sum(F.col("y") * F.col("v")).alias("score"))
+        .agg(F.sum(F.col("y") * F.col("v")).alias("sr"))
+    )
+    ms2 = s2r.agg(F.max(F.abs(F.col("sr"))).alias("ms"))
+    s2 = s2r.crossJoin(F.broadcast(ms2)).select(
+        "vec_id", F.expr("(sr * 1000000) div ms").alias("score")
     )
     w2 = (
         yc.join(s2, "vec_id")

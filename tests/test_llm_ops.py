@@ -1711,3 +1711,31 @@ def test_ivf_train_arrow_assign_same_centroids(spark, sf_dir):
     jvm = sorted(map(tuple, ivf_train(emb, num_centroids=8, iters=1).collect()))
     arrow = sorted(map(tuple, ivf_train(emb, num_centroids=8, iters=1, assign=ivf_assign_arrow).collect()))
     assert jvm == arrow
+
+
+def test_pca_power_accumulators_survive_large_n(spark):
+    """Dies-at-scale regression (round-7 find #5): with raw (unrenormalized)
+    Y v scores the power-iteration accumulators grow n^3 and overflowed
+    decimal(38,0) at 200k vectors. The renormalized form is O(n^2); this
+    unit replays the pipeline on a 150k-vector synthetic corpus — the old
+    form fails here with NUMERIC_VALUE_OUT_OF_RANGE, the fixed form must
+    return a full 16-dim eigenvector with the max component pinned at 1e6."""
+    import pyspark.sql.functions as F
+
+    from mobsos_event_log_generator_spark.plans.llm import embedding_pca_power
+
+    n, dim = 150_000, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: (F.pmod(F.col("id") * d, F.lit(997)) / 997.0).cast("float"),
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        rows = embedding_pca_power(spark, td).collect()
+    assert len(rows) == dim
+    assert max(abs(r["v_fp"]) for r in rows) == 1_000_000
