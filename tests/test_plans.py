@@ -480,6 +480,8 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/llm.py", "dims"): (1, "64-row dimension stats (dim-bounded, PCA centering)"),
     ("plans/llm.py", "m1"): (1, "1-row max-abs renormalizer"),
     ("plans/llm.py", "m2"): (1, "1-row max-abs renormalizer"),
+    ("plans/llm.py", "ms1"): (1, "1-row max-abs score renormalizer (PCA overflow contract, find #5)"),
+    ("plans/llm.py", "ms2"): (1, "1-row max-abs score renormalizer (PCA overflow contract, find #5)"),
     ("plans/llm.py", "v1"): (1, "64-row iterate vector (dim-bounded)"),
     ("plans/llm.py", "q"): (1, "3-row split-quota literal dim (stratified allocation)"),
     ("plans/llm.py", "rem"): (1, "per-language remainders (alphabet-bounded)"),
