@@ -93,9 +93,18 @@ def main() -> int:
                          "exactly how the external driver runs the queries "
                          "(CLAUDE.md iron rule 3); catches conf dependencies "
                          "that only exist in the tuned session")
-    ap.add_argument("--record", default=os.path.join(REPO, "SWEEP.json"),
-                    help="where to write the sweep record (SWEEP.json)")
+    ap.add_argument("--record", default=None,
+                    help="where to write the sweep record; defaults per scope "
+                         "(--backlog -> SWEEP.json, full -> SWEEP_FULL.json, "
+                         "explicit names -> SWEEP_SUBSET.json) so a narrow "
+                         "sweep can never overwrite the standing full-gate "
+                         "artifact that COVERAGE.md cites")
     args = ap.parse_args()
+    if args.record is None:
+        default_name = ("SWEEP_SUBSET.json" if args.names
+                        else "SWEEP.json" if args.backlog
+                        else "SWEEP_FULL.json")
+        args.record = os.path.join(REPO, default_name)
 
     import __spark_entry__ as e
     from mobsos_event_log_generator_spark.session import get_spark
