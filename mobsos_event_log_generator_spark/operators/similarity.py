@@ -664,14 +664,21 @@ def ivf_assign_arrow(
 
     This kernel collects the (bounded, k-row) centroid table to the driver
     — the same pattern as ``ivf_ann_topk_arrow`` — and scans the corpus
-    once via ``mapInPandas``. Bit-equality with the JVM fold is by
-    construction, not luck: squared distances ACCUMULATE PER-DIMENSION in
-    fold order (one float64 add per dim, vectorized across rows — the
-    identical operation sequence ``_sqdist``'s ``aggregate`` performs),
-    then round HALF_UP at 6 dp exactly like ``F.round``; ties resolve to
-    the smallest cid because the centroid matrix is cid-sorted and both
-    argmin and stable argsort keep the first occurrence. The corpus never
-    shuffles and nothing corpus-sized is collected or broadcast."""
+    once via ``mapInPandas``. Equality with the JVM fold is structural for
+    the accumulation and unit-gated for the rounding: squared distances
+    ACCUMULATE PER-DIMENSION in fold order (one float64 add per dim,
+    vectorized across rows — the identical operation sequence
+    ``_sqdist``'s ``aggregate`` performs), so the pre-round float64 values
+    are bit-identical by construction. The HALF_UP step, however, is
+    ``_round_half_up``'s float64 emulation (floor(|x|*1e6+0.5)) of
+    ``F.round``'s BigDecimal HALF_UP — these can disagree when |x|*1e6
+    itself rounds across a .5 midpoint in float64, so that step's equality
+    is EMPIRICAL, guarded by the mandatory
+    ``test_ivf_assign_arrow_matches_jvm`` unit on any embedding-data
+    change (ADVICE r7). Ties resolve to the smallest cid because the
+    centroid matrix is cid-sorted and both argmin and stable argsort keep
+    the first occurrence. The corpus never shuffles and nothing
+    corpus-sized is collected or broadcast."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

@@ -6104,16 +6104,16 @@ dims AS (
 ),
 y AS (SELECT e.vec_id, e.j, d.n * e.u - d.sj AS y FROM e JOIN dims d ON d.j = e.j),
 s1r AS (SELECT vec_id, sum(y * 1000000) AS sr FROM y GROUP BY 1),
-ms1 AS (SELECT max(abs(sr)) AS ms FROM s1r),
+ms1 AS (SELECT greatest(max(abs(sr)), 1) AS ms FROM s1r),
 s1 AS (SELECT vec_id, (sr * 1000000) // (SELECT ms FROM ms1) AS score FROM s1r),
 w1 AS (SELECT y.j, sum(y.y * s1.score) AS w FROM y JOIN s1 ON s1.vec_id = y.vec_id GROUP BY 1),
-m1 AS (SELECT max(abs(w)) AS m FROM w1),
+m1 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w1),
 v1 AS (SELECT j, (w * 1000000) // (SELECT m FROM m1) AS v FROM w1),
 s2r AS (SELECT y.vec_id, sum(y.y * v1.v) AS sr FROM y JOIN v1 ON v1.j = y.j GROUP BY 1),
-ms2 AS (SELECT max(abs(sr)) AS ms FROM s2r),
+ms2 AS (SELECT greatest(max(abs(sr)), 1) AS ms FROM s2r),
 s2 AS (SELECT vec_id, (sr * 1000000) // (SELECT ms FROM ms2) AS score FROM s2r),
 w2 AS (SELECT y.j, sum(y.y * s2.score) AS w FROM y JOIN s2 ON s2.vec_id = y.vec_id GROUP BY 1),
-m2 AS (SELECT max(abs(w)) AS m FROM w2)
+m2 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w2)
 SELECT CAST(j AS BIGINT) AS dim,
        CAST((w * 1000000) // (SELECT m FROM m2) AS BIGINT) AS v_fp
 FROM w2
@@ -6140,7 +6140,11 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) at exactly 200k vectors (1.0097e38 — dies-at-scale find
     #5, same class as the r5 sampler overflow); with s clamped to the 1e6
     grid the bound is |w| <= 64n * 2e6*n * 1e6 ~ 1.3e14 * n^2, headroom to
-    ~2.8e12 vectors. The all-ones start vector is deterministic;
+    ~2.8e12 vectors. Every renormalizer divides by greatest(max|.|, 1) in
+    BOTH engines: on a degenerate corpus (all vectors identical) centering
+    zeroes y, and an unguarded Spark div would yield silent NULLs while
+    DuckDB's // raises — guarded, both emit an all-zero component
+    (ADVICE r7). The all-ones start vector is deterministic;
     convergence quality is not the gate's concern, the exact 2-iteration
     trajectory is (the oracle replays the renormalized trajectory
     verbatim). Reference analog: none (beyond-reference embedding op)."""
@@ -6161,7 +6165,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw per-vector score renormalizes to the 1e6 grid BEFORE feeding
     # Y^T s, keeping every accumulator O(n^2) (overflow contract above)
     s1r = yc.groupBy("vec_id").agg(F.sum(F.col("y") * F.lit(1_000_000)).alias("sr"))
-    ms1 = s1r.agg(F.max(F.abs(F.col("sr"))).alias("ms"))
+    ms1 = s1r.agg(F.greatest(F.max(F.abs(F.col("sr"))), F.lit(1).cast("decimal(38,0)")).alias("ms"))
     s1 = s1r.crossJoin(F.broadcast(ms1)).select(
         "vec_id", F.expr("(sr * 1000000) div ms").alias("score")
     )
@@ -6170,7 +6174,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j")
         .agg(F.sum(F.col("y") * F.col("score")).alias("w"))
     )
-    m1 = w1.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    m1 = w1.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("decimal(38,0)")).alias("m"))
     v1 = w1.crossJoin(F.broadcast(m1)).select(
         "j", F.expr("(w * 1000000) div m").alias("v")
     )
@@ -6180,7 +6184,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("y") * F.col("v")).alias("sr"))
     )
-    ms2 = s2r.agg(F.max(F.abs(F.col("sr"))).alias("ms"))
+    ms2 = s2r.agg(F.greatest(F.max(F.abs(F.col("sr"))), F.lit(1).cast("decimal(38,0)")).alias("ms"))
     s2 = s2r.crossJoin(F.broadcast(ms2)).select(
         "vec_id", F.expr("(sr * 1000000) div ms").alias("score")
     )
@@ -6189,7 +6193,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j")
         .agg(F.sum(F.col("y") * F.col("score")).alias("w"))
     )
-    m2 = w2.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    m2 = w2.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("decimal(38,0)")).alias("m"))
     return w2.crossJoin(F.broadcast(m2)).select(
         F.col("j").cast("long").alias("dim"),
         F.expr("(w * 1000000) div m").cast("long").alias("v_fp"),

@@ -1739,3 +1739,38 @@ def test_pca_power_accumulators_survive_large_n(spark):
         rows = embedding_pca_power(spark, td).collect()
     assert len(rows) == dim
     assert max(abs(r["v_fp"]) for r in rows) == 1_000_000
+
+
+def test_pca_power_degenerate_corpus_no_null(spark):
+    """ADVICE r7: all-identical vectors zero the centered matrix, so every
+    renormalizer max|.| is 0 — unguarded, Spark's div yields silent NULLs
+    while DuckDB's // raises, and the engines diverge. The greatest(.,1)
+    guard (applied identically in both) must emit an all-zero component,
+    not NULLs or an error."""
+    import pyspark.sql.functions as F
+
+    from mobsos_event_log_generator_spark.plans.llm import embedding_pca_power
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5).cast("float") for _ in range(64)]).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        rows = embedding_pca_power(spark, td).collect()
+    assert len(rows) == 64
+    assert all(r["v_fp"] == 0 for r in rows)
+
+    import duckdb
+
+    from mobsos_event_log_generator_spark.plans.llm import _SQL_PCA_POWER
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{td}/embeddings.parquet/*.parquet')"
+        )
+        orows = con.execute(_SQL_PCA_POWER).fetchall()
+    assert len(orows) == 64 and all(v == 0 for _, v in orows)
