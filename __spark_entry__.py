@@ -45,7 +45,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose plans changed this round and should re-prove their oracle
 # ahead of the already-verified tail (empty when nothing green was touched;
 # sf0.01-identical plan changes are covered by tools/check_parity.py locally).
-_RECHECK_FIRST = ()
+# r8: the demo-query-set decoupling (vec_id%50 -> capped fixed set, r7
+# verdict #5) changed these six driver-green plans; at sf0.01 the cap does
+# not bind (500 ids < 2000) but the re-gate follows the plan-change
+# precedent. All six re-proved locally at 3 SFs via tools/check_parity.py.
+_RECHECK_FIRST = (
+    "similarity_topk_bruteforce",
+    "similarity_truncated_dim_audit",
+    "similarity_mmr_diversified",
+    "similarity_mmr_arrow",
+    "similarity_topk_pq_adc",
+    "search_hybrid_rrf",
+    # r8 accumulator audit: ks_statistic's n²-order gap/ppm arithmetic
+    # widened from long to decimal(38,0) (long overflowed at ~3e6 rows per
+    # sample) — same values at every fixture SF, re-gated at 3 SFs.
+    "events_ks_drift",
+)
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window
 # time cutoff can't starve it, and brand-new round-6 queries sort behind
@@ -189,6 +204,8 @@ _BUDGET_LAST = (
     "parts_single_source_risk",
     "events_stickiness_weekly",
     "parts_price_dispersion",
+    # r8 addition (sorts behind everything that has waited longer)
+    "search_hybrid_rrf_ann",
 )
 
 

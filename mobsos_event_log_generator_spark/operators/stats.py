@@ -39,6 +39,11 @@ def ks_statistic(
     (n1, n2, ks_num, ks_ppm) where ks_num = max|n1·c2 − n2·c1| and
     ks_ppm = ks_num·10⁶ div (n1·n2). Nulls are dropped (no CDF position).
 
+    Accumulator growth order (r8 audit): n² for the cross-multiplied gap,
+    n²·10⁶ for the ppm numerator — both run in decimal(38,0) (long-form
+    math overflowed int64 at ~3·10⁶ rows per sample). ks_num's bigint
+    OUTPUT is the documented range bound: exact to ~3·10⁹ rows per sample.
+
     The ``per_value`` histogram lineage is consumed up to ~4x (the driver
     ``first()`` for bounds/sizes plus the two-phase cumsum's two passes);
     operators are persist-free by rule, so by default those are recomputes
@@ -74,12 +79,29 @@ def ks_statistic(
     both = value_ordered_running_sum(
         c1, "v", [], F.col("d2").cast("long"), out_col="c2", bounds=bounds
     )
-    gap = F.abs(F.lit(n1c) * F.col("c2") - F.lit(n2c) * F.col("c1"))
+    # Accumulator growth order: the cross-multiplied gap is n1*c2 - n2*c1
+    # ~ n^2, and the ppm step multiplies by 1e6 on top — in int64 that
+    # overflows at n1*n2*1e6 > 2^63, i.e. ~3e6 rows PER SAMPLE (the r7
+    # find-#5 class, invisible at fixture SFs). Both steps therefore run
+    # in decimal(38,0) (headroom ~1e16 rows per sample); only the final
+    # ppm (<= 1e6 by construction) and ks_num narrow back to bigint —
+    # ks_num itself fits int64 up to ~3e9 rows per sample, stated here as
+    # the operator's documented range.
+    dec = "decimal(38,0)"
+    gap = F.abs(
+        F.lit(n1c).cast(dec) * F.col("c2").cast(dec)
+        - F.lit(n2c).cast(dec) * F.col("c1").cast(dec)
+    )
     return both.agg(F.max(gap).alias("ks_num")).select(
         F.lit(n1c).cast("long").alias("n1"),
         F.lit(n2c).cast("long").alias("n2"),
         F.col("ks_num").cast("long").alias("ks_num"),
-        F.expr(f"(ks_num * 1000000L) div ({n1c}L * {n2c}L)").cast("long").alias("ks_ppm"),
+        F.expr(
+            f"(ks_num * CAST(1000000 AS {dec})) div "
+            f"(CAST({n1c} AS {dec}) * CAST({n2c} AS {dec}))"
+        )
+        .cast("long")
+        .alias("ks_ppm"),
     )
 
 

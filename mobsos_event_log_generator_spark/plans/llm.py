@@ -431,10 +431,31 @@ def _sql_sqnorm(a: str, dim: int = 64) -> str:
 _SQL_CODE8 = " + ".join(f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(S.CODE_BITS))
 
 
+#: Demo-entry query-set cap (r7 verdict #5). The registry's linear-scan demo
+#: entries (brute-force top-k, MMR, PQ-ADC, truncated-dim audit, hybrid RRF)
+#: used to derive their query set as `vec_id % 50 == 0` ALONE, which couples
+#: |Q| to corpus size — per-query work is already linear in N, so the ENTRY
+#: became quadratic by parameterization (the ×100 probe: 4000 queries ×
+#: 200k vectors timed out as registered while a fixed 40-query set completed
+#: linearly). The cap bounds the demo set at ≤ 40 queries at ANY corpus
+#: size; the underlying operators take arbitrary query DataFrames and were
+#: never affected. Routed/bucketed entries (IVF, LSH buckets, multi-probe,
+#: SRP standalone) keep the uncapped set — their per-query cost is sublinear
+#: by construction and they are the documented scale path.
+DEMO_QUERY_CAP = 2000
+
+_SQL_DEMO_Q = f"vec_id % 50 = 0 AND vec_id < {DEMO_QUERY_CAP}"
+
+
+def _demo_queries(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The fixed demo query set: every 50th id below the cap (≤ 40 rows)."""
+    return emb.filter((F.col(id_col) % 50 == 0) & (F.col(id_col) < DEMO_QUERY_CAP))
+
+
 #: Shared by the JVM and Arrow brute-force paths — the Arrow kernel's HALF_UP
 #: rounding (similarity._round_half_up) makes both bit-identical to this SQL.
 _SQL_TOPK_BRUTEFORCE = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {_SQL_DEMO_Q}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 pairs AS (
   SELECT query_id, neighbor_id,
@@ -449,11 +470,12 @@ WHERE rn <= 5
 
 @register("similarity_topk_bruteforce", _SQL_TOPK_BRUTEFORCE)
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 per query vector (every 50th id): broadcast query
-    set, corpus scanned once, JVM fold for the dot product."""
+    """Exact cosine top-5 per query vector (every 50th id below the demo
+    cap — a FIXED ≤40-query set, so the entry stays linear in corpus size):
+    broadcast query set, corpus scanned once, JVM fold for the dot
+    product."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.cosine_topk(emb, queries, k=5)
+    return S.cosine_topk(emb, _demo_queries(emb), k=5)
 
 
 _MRL_DIM = 16
@@ -462,7 +484,7 @@ _MRL_DIM = 16
 @register(
     "similarity_truncated_dim_audit",
     f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {_SQL_DEMO_Q}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 tpairs AS (
   SELECT query_id, neighbor_id,
@@ -514,10 +536,10 @@ def similarity_truncated_dim_audit(spark: SparkSession, sf_dir: str) -> DataFram
     sliced vectors, so fold order matches the SQL's 16-term sum."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     trunc = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
-    t5 = S.cosine_topk(trunc, trunc.filter(F.col("vec_id") % 50 == 0), k=5).select(
+    t5 = S.cosine_topk(trunc, _demo_queries(trunc), k=5).select(
         "query_id", "neighbor_id", F.col("cosine").alias("cos_trunc"), F.col("rank")
     )
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _demo_queries(emb)
     f5 = S.cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", F.lit(True).alias("__in_full")
     )
@@ -545,7 +567,7 @@ def _sql_mmr(pool: int = 10, k: int = 5) -> str:
     sel_1..sel_{i-1}) among not-yet-selected candidates. All comparisons are
     BIGINT micro-units — zero float anywhere past the quantization."""
     sql = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {_SQL_DEMO_Q}),
 c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
 rel0 AS (
   SELECT query_id, doc_id,
@@ -609,10 +631,11 @@ def similarity_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs, and every comparison on both engines is exact BIGINT micro-units
     (floor-quantized raw cosines; no float ordering anywhere). Candidate
     generation reuses the broadcast-query scan; the per-query pool bounds
-    the pair matrix at pool², making diversification corpus-size-free."""
+    the pair matrix at pool², making diversification corpus-size-free.
+    The query set is the fixed capped demo set (≤40), so candidate
+    generation stays linear in corpus size."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.mmr_rerank(emb, queries, k=5, pool=10)
+    return S.mmr_rerank(emb, _demo_queries(emb), k=5, pool=10)
 
 
 def _sql_kcenter(k: int = 8, dim: int = 64) -> str:
@@ -673,8 +696,7 @@ def similarity_mmr_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_mmr_diversified``; a unit additionally gates the two
     variants row-identical."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.mmr_rerank_arrow(emb, queries, k=5, pool=10)
+    return S.mmr_rerank_arrow(emb, _demo_queries(emb), k=5, pool=10)
 
 
 @register(
@@ -1429,7 +1451,7 @@ dtab AS (
   SELECT x.vec_id AS query_id, x.m, y.cid,
          {_XM.sql_int_units(f'({sq})', 6)} AS d_micro
   FROM sub x JOIN cb1 y USING (m)
-  WHERE x.vec_id % 50 = 0
+  WHERE x.vec_id % 50 = 0 AND x.vec_id < {DEMO_QUERY_CAP}
 ),
 adc AS (
   SELECT d.query_id, c.neighbor_id, CAST(sum(d.d_micro) AS BIGINT) AS adc_micro
@@ -1473,9 +1495,11 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 vectors, so at 100 TB the ADC scan reads a few bytes per
     vector and only shortlist × queries full vectors come back for the
     rerank. The oracle replays the entire per-subspace training, encode,
-    ADC, and rerank pipeline."""
+    ADC, and rerank pipeline. The ADC scan touches few bytes but every
+    code once PER QUERY, so the entry uses the fixed capped demo query set
+    (≤40) to stay linear in corpus size (r7 verdict #5)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _demo_queries(emb)
     return S.pq_ann_topk(
         emb,
         queries,
@@ -4775,12 +4799,24 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: RRF rank constant (Cormack et al. 2009's k=60).
 _RRF_K = 60
 
+#: BM25 lane capped to the demo query set — the hybrid entries pair the
+#: lexical lane with a dense lane over the SAME fixed ≤40 query ids, so the
+#: registered fusion stays linear in corpus size end-to-end. The standalone
+#: `search_bm25_topk` keeps the uncapped set (its inverted-index join is the
+#: documented lexical scale path).
+_SQL_BM25_TOPK_CAPPED = (
+    f"SELECT * FROM ({_SQL_BM25_TOPK}) WHERE query_id < {DEMO_QUERY_CAP}"
+)
 
-@register(
-    "search_hybrid_rrf",
-    f"""
-WITH sparse AS ({_SQL_BM25_TOPK}),
-dense AS ({_SQL_TOPK_BRUTEFORCE}),
+
+def _sql_rrf_fusion(sparse_sql: str, dense_sql: str) -> str:
+    """The RRF fusion statement over a sparse lane (query_id, result_id,
+    rank) and a dense lane (query_id, neighbor_id, rank) — ONE definition
+    shared verbatim by the brute-force baseline and the ANN variant, so the
+    two hybrids can never drift in fusion semantics."""
+    return f"""
+WITH sparse AS ({sparse_sql}),
+dense AS ({dense_sql}),
 u AS (
   SELECT query_id, result_id AS doc_id FROM sparse
   UNION
@@ -4802,28 +4838,18 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id) AS rn
       FROM f)
 WHERE rn <= 5
-""",
-)
-def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HYBRID retrieval: fuse the sparse BM25 top-5 and the dense cosine
-    top-5 per query with reciprocal-rank fusion (score = sum over lists of
-    1/(60+rank), Cormack et al. 2009) — the standard lexical+semantic
-    ensemble of modern RAG stacks. Both candidate lists come from the
-    registry's own scale paths (inverted-index join; broadcast query
-    matmul), so fusion adds only a full-outer join on (query, doc) over two
-    top-k-bounded inputs — at most 10 rows per query — plus a per-query
-    top-5 window: the fusion stage's cost is independent of corpus size.
-    Scores are sums of at most two fixed rationals 1/(61..65); the set was
-    checked midpoint-free at 6 dp, so the rounded oracle compare is exact.
-    The ranks themselves are driver-verified by the two parent queries."""
+"""
+
+
+def _rrf_fuse(sparse: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF fusion over two (query_id, doc_id, rank) lists — the Spark twin
+    of `_sql_rrf_fusion`, shared by both hybrid entries. Cost: one
+    full-outer join on two ≤5-per-query inputs + a per-query top-5 window —
+    independent of corpus size."""
     from pyspark.sql.window import Window
 
-    sparse = search_bm25_topk(spark, sf_dir).select(
-        "query_id", F.col("result_id").alias("doc_id"), F.col("rank").alias("s_rank")
-    )
-    dense = similarity_topk_bruteforce(spark, sf_dir).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("d_rank")
-    )
+    sparse = sparse.select("query_id", "doc_id", F.col("rank").alias("s_rank"))
+    dense = dense.select("query_id", "doc_id", F.col("rank").alias("d_rank"))
     fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -4847,6 +4873,37 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+@register(
+    "search_hybrid_rrf",
+    _sql_rrf_fusion(_SQL_BM25_TOPK_CAPPED, _SQL_TOPK_BRUTEFORCE),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: fuse the sparse BM25 top-5 and the dense cosine
+    top-5 per query with reciprocal-rank fusion (score = sum over lists of
+    1/(60+rank), Cormack et al. 2009) — the standard lexical+semantic
+    ensemble of modern RAG stacks. Both candidate lists come from the
+    registry's own scale paths (inverted-index join; broadcast query
+    matmul), so fusion adds only a full-outer join on (query, doc) over two
+    top-k-bounded inputs — at most 10 rows per query — plus a per-query
+    top-5 window: the fusion stage's cost is independent of corpus size.
+    Scores are sums of at most two fixed rationals 1/(61..65); the set was
+    checked midpoint-free at 6 dp, so the rounded oracle compare is exact.
+    The ranks themselves are driver-verified by the two parent queries.
+
+    This is the LABELED BASELINE hybrid: its dense lane is the exact
+    brute-force scan (linear per query even with the capped ≤40-query demo
+    set). The scale path is `search_hybrid_rrf_ann`, which fuses the same
+    capped lanes with the SRP-Hamming signature index as the dense parent
+    (8 bytes/vector stage 1) — identical fusion via `_rrf_fuse`."""
+    sparse = search_bm25_topk(spark, sf_dir).filter(
+        F.col("query_id") < DEMO_QUERY_CAP
+    ).select("query_id", F.col("result_id").alias("doc_id"), "rank")
+    dense = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return _rrf_fuse(sparse, dense)
 
 
 @register(
@@ -5322,9 +5379,9 @@ _SQL_SRP_SIG = (
 )
 
 
-@register(
-    "similarity_srp_hamming",
-    f"""
+#: Module-level so the ANN hybrid's oracle can reuse it verbatim as its
+#: dense lane (capped to the demo query set there).
+_SQL_SRP_HAMMING = f"""
 WITH embf AS (
   SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
   FROM (SELECT vec_id, {_SQL_EMB_FLAT} FROM embeddings)
@@ -5354,8 +5411,10 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rn
       FROM reranked)
 WHERE rn <= 5
-""",
-)
+"""
+
+
+@register("similarity_srp_hamming", _SQL_SRP_HAMMING)
 def similarity_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-index ANN: each vector compresses to a SINGLE 32-bit SRP
     signature (sign bits of 32 fixed ±1 hyperplane projections over the
@@ -5397,6 +5456,37 @@ def similarity_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reranked.withColumn("rank", F.row_number().over(w2).cast("long")).filter(
         F.col("rank") <= 5
     )
+
+
+@register(
+    "search_hybrid_rrf_ann",
+    _sql_rrf_fusion(
+        _SQL_BM25_TOPK_CAPPED,
+        f"SELECT * FROM ({_SQL_SRP_HAMMING}) WHERE query_id < {DEMO_QUERY_CAP}",
+    ),
+)
+def search_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval, SCALE PATH (r7 verdict #4): the identical RRF
+    fusion as `search_hybrid_rrf` (shared `_rrf_fuse` / `_sql_rrf_fusion` —
+    zero drift possible) with the dense lane swapped from the brute-force
+    linear scan to the SRP-Hamming signature index: stage 1 ranks 8-byte
+    signatures by xor+popcount (the corpus scan never touches the float
+    vectors), stage 2 exact-cosine reranks a per-query top-20 shortlist.
+    Composition cost at 100 TB: the sparse lane is the inverted-index join,
+    the dense lane reads 32 bits/vector, and the fusion itself joins two
+    ≤5-per-query lists — every stage is linear in corpus size with the
+    fixed ≤40-query demo set. The brute-force variant stays registered as
+    the labeled exactness baseline; this entry is the one a 1000-executor
+    deployment runs. Both lanes use the same capped query set, so the two
+    hybrids' outputs are directly comparable per query (recall of the ANN
+    fusion vs the exact fusion is an aggregate over matching query_ids)."""
+    sparse = search_bm25_topk(spark, sf_dir).filter(
+        F.col("query_id") < DEMO_QUERY_CAP
+    ).select("query_id", F.col("result_id").alias("doc_id"), "rank")
+    dense = similarity_srp_hamming(spark, sf_dir).filter(
+        F.col("query_id") < DEMO_QUERY_CAP
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return _rrf_fuse(sparse, dense)
 
 
 @register(

@@ -820,6 +820,54 @@ def test_hybrid_rrf_fusion_semantics(spark):
         assert single_max <= max(r["rrf"] for r in both) + 1e-9
 
 
+def test_hybrid_rrf_ann_shares_fusion_and_query_set(spark):
+    """The ANN hybrid (r7 verdict #4) is the SAME fusion over the SAME
+    capped query set with only the dense parent swapped (SRP-Hamming
+    shortlist instead of brute force): per-pair scores must be exactly the
+    RRF of the parent ranks, the query-id sets of the two hybrids must be
+    identical, and the sparse lane contribution must agree wherever a doc
+    appears in both hybrids' sparse lanes."""
+    from mobsos_event_log_generator_spark.plans.llm import (
+        DEMO_QUERY_CAP,
+        search_bm25_topk,
+        search_hybrid_rrf,
+        search_hybrid_rrf_ann,
+        similarity_srp_hamming,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = search_hybrid_rrf_ann(spark, sf).collect()
+    assert out, "ANN fusion produced no rows"
+    sparse = {
+        (r["query_id"], r["result_id"]): r["rank"]
+        for r in search_bm25_topk(spark, sf).collect()
+        if r["query_id"] < DEMO_QUERY_CAP
+    }
+    dense = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in similarity_srp_hamming(spark, sf).collect()
+        if r["query_id"] < DEMO_QUERY_CAP
+    }
+    for r in out:
+        key = (r["query_id"], r["doc_id"])
+        assert r["in_sparse"] == (key in sparse)
+        assert r["in_dense"] == (key in dense)
+        expect = (1.0 / (60 + sparse[key]) if key in sparse else 0.0) + (
+            1.0 / (60 + dense[key]) if key in dense else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-6
+    baseline = search_hybrid_rrf(spark, sf).collect()
+    assert {r["query_id"] for r in out} == {r["query_id"] for r in baseline}
+    base_sparse_pairs = {
+        (r["query_id"], r["doc_id"]) for r in baseline if r["in_sparse"]
+    }
+    ann_sparse_pairs = {(r["query_id"], r["doc_id"]) for r in out if r["in_sparse"]}
+    # the sparse lane is shared; a pair sparse-flagged in one hybrid and
+    # surviving both top-5 fusions must be sparse-flagged in the other too
+    for key in base_sparse_pairs & {(r["query_id"], r["doc_id"]) for r in out}:
+        assert key in ann_sparse_pairs
+
+
 def test_mmr_rerank_greedy_selection(spark):
     from mobsos_event_log_generator_spark.operators.similarity import cosine_micro, mmr_rerank
 

@@ -492,6 +492,26 @@ def test_ks_statistic_identical_samples_zero(spark):
     assert r["ks_num"] == 0 and r["ks_ppm"] == 0
 
 
+def test_ks_statistic_accumulators_survive_large_n(spark):
+    """Dies-at-scale regression (r8 accumulator audit, the r7 find-#5
+    class): the ppm step multiplies the n²-order gap by 1e6 — in int64
+    that overflows at ~3.05e6 rows per sample. Two fully-separated
+    3.2e6-row samples make ks_num = n² = 1.024e13, so the old long-form
+    ppm numerator (1.024e19 > 2^63) raised ARITHMETIC_OVERFLOW; the
+    decimal(38,0) form must return the exact D = 1 answer."""
+    import pyspark.sql.functions as F
+
+    from mobsos_event_log_generator_spark.operators.stats import ks_statistic
+
+    n = 3_200_000
+    d1 = spark.range(n).select((F.col("id") % 1000).cast("double").alias("v"))
+    d2 = spark.range(n).select((F.col("id") % 1000 + 1000).cast("double").alias("v"))
+    r = ks_statistic(d1, d2, "v").collect()[0]
+    assert (r["n1"], r["n2"]) == (n, n)
+    assert r["ks_num"] == n * n  # complete separation: max gap = n1*n2
+    assert r["ks_ppm"] == 1_000_000
+
+
 def test_group_trend_slopes_exact(spark):
     from mobsos_event_log_generator_spark.operators.stats import group_trend_slopes
 
