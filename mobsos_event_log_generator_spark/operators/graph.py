@@ -179,6 +179,11 @@ def pagerank_fixed_point(
     ranks are lineage-truncated between rounds via localCheckpoint, same as
     the connected-components loop. Returns (node, pagerank_fp) with rank in
     units of 1/scale.
+
+    Accumulator growth order (r8 audit): O(1) — the iteration is
+    mass-conserving, so every per-node sum is bounded by the constant
+    damping_pct·scale ≈ 8.5e13 regardless of graph size; no renormalization
+    needed (the div-by-outdeg IS the normalization).
     """
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
     e = e.localCheckpoint(eager=True)
@@ -706,7 +711,14 @@ def bfs_all_pairs_counts(
     rounds for the full closure). Intended for BOUNDED graphs (nation
     grids, category graphs): state is O(n^2) pairs — for billion-node
     graphs use landmark sampling instead. Per round: one equi-join +
-    hash agg + left-anti join; lineage truncated per round."""
+    hash agg + left-anti join; lineage truncated per round.
+
+    Accumulator growth order (r8 audit): sig is an EXACT shortest-path
+    count, bounded by Δ^rounds (Δ = max out-degree) — exponential in
+    rounds, intentionally not renormalizable (exactness is the output).
+    At the default 4 rounds int64 holds to Δ ≈ 5.5e4; consistent with the
+    bounded-graph intent above, callers on dense graphs must shrink
+    rounds or accept landmark sampling."""
     e = (
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .distinct()

@@ -113,7 +113,13 @@ def group_trend_slopes(
 ) -> DataFrame:
     """Per-group OLS slope over integer points, exact: returns the raw
     rational (slope_num, slope_den) plus slope_ppm = num·10⁶ div den.
-    Groups with < 2 distinct x (den = 0) report NULL ppm."""
+    Groups with < 2 distinct x (den = 0) report NULL ppm.
+
+    Accumulator growth order (r8 audit): n²·x·y for the co-moments (long
+    arithmetic): int64 to ~3e9 rows per group at day-index x and count-
+    magnitude y — the intended grain (daily series per type). For raw
+    row-level y at larger groups, pre-aggregate or widen to decimal as
+    ks_statistic does."""
     x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("long")
     y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("long")
     agg = df.groupBy(*group_cols).agg(

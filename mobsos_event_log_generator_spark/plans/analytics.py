@@ -4898,14 +4898,17 @@ s AS (
 ),
 c AS (
   SELECT l_returnflag, l_linestatus, n, sx, sy, sz,
-         n*sxx - sx*sx AS cxx, n*syy - sy*sy AS cyy, n*sxy - sx*sy AS cxy,
-         n*sxz - sx*sz AS cxz, n*syz - sy*sz AS cyz
+         (n*sxx - sx*sx) // n AS cxx, (n*syy - sy*sy) // n AS cyy,
+         (n*sxy - sx*sy) // n AS cxy,
+         (n*sxz - sx*sz) // n AS cxz, (n*syz - sy*sz) // n AS cyz
   FROM s
 ),
 b AS (
   SELECT l_returnflag, l_linestatus, n, sx, sy, sz,
-         ((cxz*cyy - cyz*cxy) * 1000000) // (cxx*cyy - cxy*cxy) AS b1,
-         ((cyz*cxx - cxz*cxy) * 1000000) // (cxx*cyy - cxy*cxy) AS b2
+         ((cxz*cyy - cyz*cxy) * 1000000)
+           // greatest(cxx*cyy - cxy*cxy, 1) AS b1,
+         ((cyz*cxx - cxz*cxy) * 1000000)
+           // greatest(cxx*cyy - cxy*cxy, 1) AS b2
   FROM c
 )
 SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
@@ -4925,11 +4928,21 @@ def lineitem_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy pass (the only shuffle — this is the shape
     that turns regression into a single distributed aggregate), the
     n-scaled centering C = n*S2 - S*S avoids any mean division, and the
-    slopes/intercept land as truncating-div micro units. decimal(38,0)/
-    HUGEINT headroom: the Cramer numerators scale as n^3; at ~1e6-row
-    groups the *1e6 output scaling saturates 38 digits — drop the
-    feature quantization one decade per 10x group growth (documented,
-    same rule as embedding_pca_power). Reference analog: none
+    slopes/intercept land as truncating-div micro units.
+
+    Accumulator growth order (r8 audit): raw co-moments are n²·v²; the
+    Cramer products of two of them grew n⁴·v⁴ — at this op's value grain
+    that saturated decimal(38,0)/HUGEINT around only ~7·10⁵ rows per
+    group (the r7 PCA find-#5 class, one decade past the fixtures). The
+    RENORMALIZATION step divides every co-moment by n (truncating
+    //-div, identical in both engines) before Cramer — slopes are
+    invariant to common scaling, the per-co-moment truncation error is
+    O(1) absolute on an n·v²-magnitude quantity, and products drop to
+    n²·v⁴ (headroom ~4·10¹⁰ rows per group). The Cramer determinant is
+    guarded with greatest(det, 1) in both engines: exact CS guarantees
+    det ≥ 0 pre-truncation, but a collinear/degenerate group could reach
+    0 (or −1 after truncation) and an unguarded div diverges NULL-vs-
+    raise across engines (the r8 PCA-guard rule). Reference analog: none
     (beyond-reference ML-adjacent analytics op)."""
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
@@ -4951,18 +4964,27 @@ def lineitem_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
         d38(F.col("x") * F.col("z")).alias("sxz"),
         d38(F.col("y") * F.col("z")).alias("syz"),
     )
+    # Spark's `div` narrows to BIGINT, so each renormalized co-moment (an
+    # n·v²-magnitude quantity — inside int64 to ~1.8e10 rows/group at this
+    # value grain) is cast straight back to decimal(38,0): the Cramer
+    # products must NOT run in long arithmetic.
+    dd = "decimal(38,0)"
     c = s.select(
         "l_returnflag", "l_linestatus", "n", "sx", "sy", "sz",
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
-        (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")).alias("cxz"),
-        (F.col("n") * F.col("syz") - F.col("sy") * F.col("sz")).alias("cyz"),
+        F.expr(f"CAST((n*sxx - sx*sx) div n AS {dd})").alias("cxx"),
+        F.expr(f"CAST((n*syy - sy*sy) div n AS {dd})").alias("cyy"),
+        F.expr(f"CAST((n*sxy - sx*sy) div n AS {dd})").alias("cxy"),
+        F.expr(f"CAST((n*sxz - sx*sz) div n AS {dd})").alias("cxz"),
+        F.expr(f"CAST((n*syz - sy*sz) div n AS {dd})").alias("cyz"),
     )
     b = c.select(
         "l_returnflag", "l_linestatus", "n", "sx", "sy", "sz",
-        F.expr("((cxz*cyy - cyz*cxy) * 1000000) div (cxx*cyy - cxy*cxy)").alias("b1"),
-        F.expr("((cyz*cxx - cxz*cxy) * 1000000) div (cxx*cyy - cxy*cxy)").alias("b2"),
+        F.expr(
+            "((cxz*cyy - cyz*cxy) * 1000000) div greatest(cxx*cyy - cxy*cxy, 1)"
+        ).alias("b1"),
+        F.expr(
+            "((cyz*cxx - cxz*cxy) * 1000000) div greatest(cxx*cyy - cxy*cxy, 1)"
+        ).alias("b2"),
     )
     return b.select(
         "l_returnflag",

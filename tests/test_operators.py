@@ -492,6 +492,68 @@ def test_ks_statistic_identical_samples_zero(spark):
     assert r["ks_num"] == 0 and r["ks_ppm"] == 0
 
 
+def test_ols_multifeature_accumulators_survive_large_n(spark, tmp_path):
+    """Dies-at-scale regression (r8 accumulator audit): the pre-r8 OLS
+    Cramer products ran on RAW co-moments (n²·v² each), so the b1/b2
+    numerators grew n⁴·v⁴·10⁶ — past decimal(38,0) around 7e5 rows per
+    group at this value grain. On a 1M-row single-group corpus with a
+    wide-variance price the old form overflowed; the renormalized form
+    (co-moments div n, n²·v⁴ products) must return the slopes exactly as
+    a pure-Python integer replay of the same truncating arithmetic."""
+    import pyspark.sql.functions as F
+
+    from mobsos_event_log_generator_spark.plans.analytics import (
+        lineitem_ols_multifeature,
+    )
+
+    n = 1_000_000
+    li = spark.range(n).select(
+        F.lit("A").alias("l_returnflag"),
+        F.lit("F").alias("l_linestatus"),
+        (F.col("id") % 50 + 1).cast("double").alias("l_quantity"),
+        ((F.col("id") % 11).cast("double") / 100.0).alias("l_discount"),
+        # wide-variance price: the quantity slope is 2000 $/unit, so
+        # cov(x, z_cents) ~ 2e5 * var(x) — big enough that the OLD form's
+        # n^4 products exceed 1e38 at n = 1e6
+        ((F.col("id") % 50 + 1) * 2000.0 + (F.col("id") % 11).cast("double"))
+        .alias("l_extendedprice"),
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = lineitem_ols_multifeature(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    got = rows[0]
+
+    # pure-Python exact replay (same quantization, div-n renormalization,
+    # truncating division toward zero)
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    import math
+    sx = sy = sz = sxx = syy = sxy = sxz = syz = 0
+    for i in range(n):
+        x = i % 50 + 1
+        y = math.floor((i % 11) / 100.0 * 100 + 0.5)
+        z = math.floor(((i % 50 + 1) * 2000.0 + (i % 11)) * 100 + 0.5)
+        sx += x; sy += y; sz += z
+        sxx += x * x; syy += y * y; sxy += x * y; sxz += x * z; syz += y * z
+    cxx = tdiv(n * sxx - sx * sx, n)
+    cyy = tdiv(n * syy - sy * sy, n)
+    cxy = tdiv(n * sxy - sx * sy, n)
+    cxz = tdiv(n * sxz - sx * sz, n)
+    cyz = tdiv(n * syz - sy * sz, n)
+    det = max(cxx * cyy - cxy * cxy, 1)
+    b1 = tdiv((cxz * cyy - cyz * cxy) * 1_000_000, det)
+    b2 = tdiv((cyz * cxx - cxz * cxy) * 1_000_000, det)
+    assert got["n_rows"] == n
+    assert got["beta_qty_micro"] == b1
+    assert got["beta_disc_micro"] == b2
+    assert got["alpha_micro"] == tdiv(sz * 1_000_000 - b1 * sx - b2 * sy, n)
+    # sanity: the fitted slope recovers the construction (2000 $ = 2e5
+    # cents per quantity unit, within integer-truncation tolerance)
+    assert abs(got["beta_qty_micro"] - 200_000 * 1_000_000) <= 2_000_000
+
+
 def test_ks_statistic_accumulators_survive_large_n(spark):
     """Dies-at-scale regression (r8 accumulator audit, the r7 find-#5
     class): the ppm step multiplies the n²-order gap by 1e6 — in int64
