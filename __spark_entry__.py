@@ -51,6 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # precedent. All six re-proved locally at 3 SFs via tools/check_parity.py.
 _RECHECK_FIRST = (
     "similarity_topk_bruteforce",
+    "similarity_topk_arrow",
+    "similarity_ann_recall",
     "similarity_truncated_dim_audit",
     "similarity_mmr_diversified",
     "similarity_mmr_arrow",

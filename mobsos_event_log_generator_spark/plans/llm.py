@@ -958,10 +958,11 @@ def similarity_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp summation variance, so the rounded cosines (and therefore the
     rank window) are bit-identical to the sequential SQL fold — verified
     exact-cell at sf0.001 and sf0.01, plus the JVM-equality unit test
-    (test_arrow_topk_matches_jvm_topk)."""
+    (test_arrow_topk_matches_jvm_topk). Query set: the shared capped demo
+    set (it shares the capped brute-force oracle, so the lanes must
+    match)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.cosine_topk_arrow(emb, queries, k=5)
+    return S.cosine_topk_arrow(emb, _demo_queries(emb), k=5)
 
 
 @register(
@@ -1011,7 +1012,7 @@ WITH embf AS (
   SELECT vec_id, {_SQL_RECALL_COLS}, {_SQL_RECALL_SQN} AS sqn
   FROM (SELECT vec_id, {_SQL_RECALL_FLAT} FROM embeddings)
 ),
-q AS (SELECT vec_id AS query_id, {_SQL_RECALL_Q}, sqn AS qsqn FROM embf WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS query_id, {_SQL_RECALL_Q}, sqn AS qsqn FROM embf WHERE {_SQL_DEMO_Q}),
 c AS (SELECT vec_id AS neighbor_id, {_SQL_RECALL_N}, sqn AS nsqn FROM embf),
 bf_pairs AS (
   SELECT query_id, neighbor_id,
@@ -1024,7 +1025,7 @@ bf AS (
   WHERE rn <= 5
 ),
 coded AS (SELECT vec_id, {_SQL_RECALL_COLS}, sqn, {_SQL_CODE8_FLAT} AS code FROM embf),
-aq AS (SELECT vec_id AS query_id, {_SQL_RECALL_Q}, sqn AS qsqn, code FROM coded WHERE vec_id % 50 = 0),
+aq AS (SELECT vec_id AS query_id, {_SQL_RECALL_Q}, sqn AS qsqn, code FROM coded WHERE {_SQL_DEMO_Q}),
 ac AS (SELECT vec_id AS neighbor_id, {_SQL_RECALL_N}, sqn AS nsqn, code FROM coded),
 ann_pairs AS (
   SELECT query_id, neighbor_id,
@@ -1045,9 +1046,13 @@ SELECT CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_exact,
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the bucketed ANN against the exact brute force — the
     quality metric that justifies (or indicts) the bucketing at scale. Both
-    top-k sets are deterministic, so the recall itself is oracle-checkable."""
+    top-k sets are deterministic, so the recall itself is oracle-checkable.
+    The brute-force TRUTH lane is inherently linear per query, so the
+    metric samples the fixed capped demo query set (≤40) — recall over a
+    fixed probe set is the production pattern anyway (ground truth at full
+    |Q| ∝ N would be quadratic by parameterization, r7 verdict #5)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _demo_queries(emb)
     bf = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     ann = S.bucketed_ann_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     hits = ann.join(bf, ["query_id", "neighbor_id"])
