@@ -81,6 +81,10 @@ HEADLINE = [
     "er_fellegi_sunter",
     "text_naive_bayes_langid",
     "parts_densest_subgraph",
+    # round 8: the ANN-backed hybrid retrieval scale path (RRF fusion over
+    # the SRP-Hamming dense lane; the brute-force hybrid above stays as the
+    # labeled exactness baseline)
+    "search_hybrid_rrf_ann",
 ]
 
 
@@ -108,6 +112,19 @@ def _prev_bench() -> tuple[str, dict] | None:
     # The driver wraps the bench JSON line as {"n", "rc", "tail", "parsed"}.
     if isinstance(rec.get("parsed"), dict):
         rec = rec["parsed"]
+    # r7's artifact had "parsed": null (record line exceeded the driver's
+    # tail capture). When the wrapper carries no usable cold map, fall back
+    # to the committed BENCH_DETAIL.json sidecar from the same run so
+    # cross-round trending survives an unparseable official record.
+    if "queries" not in rec:
+        try:
+            with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+                detail = json.load(f)
+            if detail.get("detail_sidecar") and "queries" in detail:
+                return f"{best[1]} (via BENCH_DETAIL.json)", detail
+        except (OSError, json.JSONDecodeError):
+            return None
+        return None
     # The short final line carries only the cold lane (2dp) + warm total; the
     # full-precision lanes live in the BENCH_DETAIL.json sidecar written by
     # the same run. Supplement when the sidecar clearly belongs to the
