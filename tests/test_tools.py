@@ -135,6 +135,12 @@ def test_sweep_record_schema():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     expected_scope = {"SWEEP.json": {"backlog"}, "SWEEP_FULL.json": {"all"},
                       "SWEEP_PLAIN.json": {"all"}, "SWEEP_SUBSET.json": {"subset"}}
+    # Session must match the filename too: in round 8 a full-registry
+    # --plain run clobbered the tuned SWEEP_FULL.json because the default
+    # record path ignored --plain. SWEEP.json/SWEEP_FULL.json are the
+    # tuned-session gate artifacts; SWEEP_PLAIN.json is the vanilla one.
+    expected_session = {"SWEEP.json": "tuned", "SWEEP_FULL.json": "tuned",
+                        "SWEEP_PLAIN.json": "plain"}
     for fn, scopes in expected_scope.items():
         path = os.path.join(repo, fn)
         if not os.path.exists(path):
@@ -143,3 +149,20 @@ def test_sweep_record_schema():
         assert rec["cells_passed"] == rec["cells_checked"] and not rec["failures"]
         assert rec["started"] and rec["sf_dirs"]
         assert rec["scope"] in scopes, f"{fn} carries scope {rec['scope']!r}"
+        if fn in expected_session:
+            assert rec["session"] == expected_session[fn], (
+                f"{fn} carries session {rec['session']!r}"
+            )
+
+
+def test_sweep_default_record_name_keys_on_session_and_scope():
+    """--plain must route to SWEEP_PLAIN.json regardless of scope (the r8
+    overwrite); otherwise subset > backlog > full."""
+    from sweep_all import default_record_name
+
+    assert default_record_name(True, False, False) == "SWEEP_PLAIN.json"
+    assert default_record_name(True, True, False) == "SWEEP_PLAIN.json"
+    assert default_record_name(True, False, True) == "SWEEP_PLAIN.json"
+    assert default_record_name(False, True, False) == "SWEEP_SUBSET.json"
+    assert default_record_name(False, False, True) == "SWEEP.json"
+    assert default_record_name(False, False, False) == "SWEEP_FULL.json"

@@ -81,6 +81,24 @@ def check_one(spark, con, name, fn, oracle_sql):
     return None
 
 
+def default_record_name(plain: bool, subset: bool, backlog: bool) -> str:
+    """Default sweep-record filename — one artifact per (session, scope).
+
+    --plain wins over every scope: a vanilla-session record must never
+    replace the tuned-session artifact of the same scope. This exact
+    overwrite happened in round 8 — the r7-ADVICE fix keyed the default on
+    scope only, and a full-registry --plain run clobbered the tuned
+    SWEEP_FULL.json written 40 minutes earlier (restored from the run log;
+    gated by test_sweep_record_schema's session check since)."""
+    if plain:
+        return "SWEEP_PLAIN.json"
+    if subset:
+        return "SWEEP_SUBSET.json"
+    if backlog:
+        return "SWEEP.json"
+    return "SWEEP_FULL.json"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("names", nargs="*", help="restrict to these query names")
@@ -96,15 +114,15 @@ def main() -> int:
     ap.add_argument("--record", default=None,
                     help="where to write the sweep record; defaults per scope "
                          "(--backlog -> SWEEP.json, full -> SWEEP_FULL.json, "
-                         "explicit names -> SWEEP_SUBSET.json) so a narrow "
-                         "sweep can never overwrite the standing full-gate "
-                         "artifact that COVERAGE.md cites")
+                         "explicit names -> SWEEP_SUBSET.json, any --plain "
+                         "sweep -> SWEEP_PLAIN.json) so a narrow or "
+                         "plain-session sweep can never overwrite the "
+                         "standing full-gate artifact that COVERAGE.md cites")
     args = ap.parse_args()
     if args.record is None:
-        default_name = ("SWEEP_SUBSET.json" if args.names
-                        else "SWEEP.json" if args.backlog
-                        else "SWEEP_FULL.json")
-        args.record = os.path.join(REPO, default_name)
+        args.record = os.path.join(
+            REPO, default_record_name(args.plain, bool(args.names), args.backlog)
+        )
 
     import __spark_entry__ as e
     from mobsos_event_log_generator_spark.session import get_spark
