@@ -5514,25 +5514,29 @@ cell AS (
 branch AS (
   SELECT feature, bucket,
          CAST(sum(n) AS BIGINT) AS nb,
-         CAST(sum(n * n) AS BIGINT) AS sb
+         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sb
   FROM cell GROUP BY 1, 2
 ),
 cls AS (
   SELECT feature, y, CAST(sum(n) AS BIGINT) AS nc FROM cell GROUP BY 1, 2
 ),
 parent AS (
-  SELECT feature, CAST(sum(nc) AS BIGINT) AS n, CAST(sum(nc * nc) AS BIGINT) AS s
+  SELECT feature, CAST(sum(nc) AS BIGINT) AS n,
+         CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS s
   FROM cls GROUP BY 1
 ),
 purity AS (
-  SELECT b.feature, b.bucket, b.nb, (b.sb * 1000000) // (b.nb * b.nb) AS purity_ppm
+  SELECT b.feature, b.bucket, b.nb,
+         (b.sb * 1000000) // (CAST(b.nb AS HUGEINT) * b.nb) AS purity_ppm
   FROM branch b
 ),
 agg AS (
   SELECT p.feature,
          CAST(count(*) AS BIGINT) AS n_branches,
-         CAST(sum(u.nb * u.purity_ppm) // min(p.n) AS BIGINT) AS child_purity_ppm,
-         CAST(min((p.s * 1000000) // (p.n * p.n)) AS BIGINT) AS parent_purity_ppm
+         CAST(sum(CAST(u.nb AS HUGEINT) * u.purity_ppm) // min(p.n) AS BIGINT)
+           AS child_purity_ppm,
+         CAST(min((p.s * 1000000) // (CAST(p.n AS HUGEINT) * p.n)) AS BIGINT)
+           AS parent_purity_ppm
   FROM purity u JOIN parent p ON p.feature = u.feature
   GROUP BY 1
 )
@@ -5577,25 +5581,40 @@ def lineitem_gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame
     cell = f.groupBy("feature", "bucket", "y").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    # n²-order accumulators (r8 audit second pass): bucket/label alphabets
+    # are bounded, so cell counts are corpus-scaled and Σn² overflowed
+    # int64 at ~3e9 rows — ride decimal(38,0)/HUGEINT (headroom ~1e19).
     branch = cell.groupBy("feature", "bucket").agg(
         F.sum("n").cast("long").alias("nb"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sb"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("decimal(38,0)")
+        .alias("sb"),
     )
     cls = cell.groupBy("feature", "y").agg(F.sum("n").cast("long").alias("nc"))
     parent = cls.groupBy("feature").agg(
         F.sum("nc").cast("long").alias("n"),
-        F.sum(F.col("nc") * F.col("nc")).cast("long").alias("s"),
+        F.sum(F.col("nc").cast("decimal(38,0)") * F.col("nc"))
+        .cast("decimal(38,0)")
+        .alias("s"),
     )
     purity = branch.select(
-        "feature", "nb", F.expr("(sb * 1000000) div (nb * nb)").alias("purity_ppm")
+        "feature",
+        "nb",
+        F.expr(
+            "(sb * 1000000) div (CAST(nb AS DECIMAL(38,0)) * nb)"
+        ).alias("purity_ppm"),
     )
     agg = (
         purity.join(parent, "feature")
         .groupBy("feature")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_branches"),
-            F.expr("sum(nb * purity_ppm) div min(n)").cast("long").alias("child_purity_ppm"),
-            F.expr("min((s * 1000000) div (n * n))").cast("long").alias("parent_purity_ppm"),
+            F.expr("sum(CAST(nb AS DECIMAL(38,0)) * purity_ppm) div min(n)")
+            .cast("long")
+            .alias("child_purity_ppm"),
+            F.expr("min((s * 1000000) div (CAST(n AS DECIMAL(38,0)) * n))")
+            .cast("long")
+            .alias("parent_purity_ppm"),
         )
     )
     return agg.select(
@@ -7636,7 +7655,7 @@ nm AS (
 ),
 cv AS (
   SELECT partkey,
-         CAST((CAST((SELECT n_months FROM nm) AS HUGEINT) * sum(q * q)
+         CAST((CAST((SELECT n_months FROM nm) AS HUGEINT) * sum(CAST(q AS HUGEINT) * q)
                - CAST(sum(q) AS HUGEINT) * sum(q)) * 1000000
               // (CAST(sum(q) AS HUGEINT) * sum(q)) AS BIGINT) AS cv2_ppm
   FROM mon GROUP BY 1
@@ -7702,7 +7721,13 @@ def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         mon.groupBy("partkey")
         .agg(
             F.sum("q").cast("long").alias("s"),
-            F.sum(F.col("q") * F.col("q")).cast("long").alias("q2"),
+            # per-part monthly demand grows with the corpus (TPC-H adds
+            # orders per part, not just parts), so q² overflowed int64 at
+            # ~3e9 units/part-month — decimal(38,0)/HUGEINT (r8 audit
+            # second pass)
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+            .cast("decimal(38,0)")
+            .alias("q2"),
         )
         .crossJoin(nm)
         .selectExpr(
@@ -7813,17 +7838,17 @@ nd AS (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n FROM ev
 s AS (
   SELECT event_type,
          CAST(sum(c) AS BIGINT) AS tot,
-         CAST(sum(c * c) AS BIGINT) AS q2,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q2,
          CAST(count(*) AS BIGINT) AS n_active_days
   FROM daily GROUP BY 1
 )
 SELECT event_type, tot, n_active_days,
        round(CAST(tot AS DOUBLE) / nd.n, 6) AS mean_per_day,
-       round((CAST(nd.n * q2 - tot * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
+       round((CAST(nd.n * q2 - CAST(tot AS HUGEINT) * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
              / (CAST(tot AS DOUBLE) / nd.n), 6) AS fano,
-       round((sqrt(CAST(nd.n * q2 - tot * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
+       round((sqrt(CAST(nd.n * q2 - CAST(tot AS HUGEINT) * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
               - CAST(tot AS DOUBLE) / nd.n)
-             / (sqrt(CAST(nd.n * q2 - tot * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
+             / (sqrt(CAST(nd.n * q2 - CAST(tot AS HUGEINT) * tot AS DOUBLE) / (CAST(nd.n AS DOUBLE) * nd.n))
                 + CAST(tot AS DOUBLE) / nd.n), 6) AS burstiness
 FROM s, nd
 """,
@@ -7836,8 +7861,9 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     [-1, 1). Days absent for a type count as zero via the global day
     alphabet n (they add nothing to sum or sum-of-squares, so no grid
     expansion), variance uses the exact integer form (n*Q - S^2)/n^2
-    converted to double only at the final division (int64-safe while
-    n*Q < 9e18 — beyond that widen the operand), sigma is IEEE-exact
+    converted to double only at the final division — Q, n·Q and S² are
+    n²-order in the daily-count grain and ride decimal(38,0)/HUGEINT
+    (r8 audit second pass; int64 died at ~3e9 events/day), sigma is IEEE-exact
     sqrt, outputs round to 6 dp. One hash aggregate over (type, day),
     one 1-row day count. Reference analog: none (beyond-reference
     temporal-statistics op)."""
@@ -7848,12 +7874,20 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = ev.agg(
         F.countDistinct(F.date_trunc("day", "ts")).cast("long").alias("n")
     )
+    # n²-order accumulators (r8 audit second pass): daily counts are
+    # corpus-scaled, so Σc², n·Q and tot² overflowed int64 at ~3e9
+    # events/day — ride decimal(38,0)/HUGEINT before the double division.
     s = daily.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("tot"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("q2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("q2"),
         F.count(F.lit(1)).cast("long").alias("n_active_days"),
     )
-    var = "(CAST(n * q2 - tot * tot AS DOUBLE) / (CAST(n AS DOUBLE) * n))"
+    var = (
+        "(CAST(n * q2 - CAST(tot AS DECIMAL(38,0)) * tot AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n))"
+    )
     mean = "(CAST(tot AS DOUBLE) / n)"
     return s.crossJoin(nd).selectExpr(
         "event_type",
@@ -7892,7 +7926,8 @@ cum AS (
 ),
 terms AS (
   SELECT c.event_type,
-         abs(c.cc1 * t.n2 - c.cc2 * t.n1) * (c.vnext - c.v) AS m
+         abs(CAST(c.cc1 AS HUGEINT) * t.n2 - CAST(c.cc2 AS HUGEINT) * t.n1)
+           * (c.vnext - c.v) AS m
   FROM cum c JOIN t USING (event_type)
   WHERE c.vnext IS NOT NULL
 ),
@@ -7912,8 +7947,12 @@ def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuning beyond the integer value bands. W1 = sum over the banded
     support of |F1 - F2| * gap, computed exactly as
     |cc1*N2 - cc2*N1| * (v_next - v) summed in integers and quantized
-    once to truncating-div micro (int64-safe while N1*N2 < 9e18 — about
-    3e9 rows per side per type; widen the operand beyond). CDFs ride
+    once to truncating-div micro. The cc·N per-term products are
+    n²-order and ride decimal(38,0)/HUGEINT (r8 audit second pass —
+    int64 died at ~3e9 rows per side per type); the RAW w1_num
+    diagnostic output stays BIGINT and is itself n²-order (overflows
+    its column near ~1e9 rows/side — at that scale read the bounded
+    w1_micro ratio, which is what the drift monitor consumes). CDFs ride
     windows PARTITIONED by type over the banded support (bounded by the
     value range, ~300 bands here — for unbounded supports use the
     two-phase sweep). Types alive on only one side surface NULL via
@@ -7954,8 +7993,14 @@ def events_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vnext").isNotNull())
         .select(
             "event_type",
+            # n²-order per-term products (r8 audit second pass): cc·N
+            # overflowed int64 at ~3e9 rows per side per type — ride
+            # decimal(38,0)/HUGEINT
             (
-                F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+                F.abs(
+                    F.col("cc1").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("cc2").cast("decimal(38,0)") * F.col("n1")
+                )
                 * (F.col("vnext") - F.col("v"))
             ).alias("m"),
         )
@@ -10264,6 +10309,12 @@ def lineitem_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-group quantization, which both engines replay identically),
     and F statistics as pure double ratios of identical integers with
     runtime degrees of freedom from the observed level counts, 6 dp.
+    Accumulator growth (r8 audit second pass): all S²·1e6 paths already
+    ride decimal(38,0)/HUGEINT; Σy and Σy² are n¹·v-order in int64
+    (day-grain delays, safe to ~9e14 rows), and the raw ss_*_micro
+    DIAGNOSTIC outputs are n¹·v²·1e6 BIGINTs that saturate near ~1e12
+    rows — at that scale consume the bounded F ratios, which is what
+    the test reports anyway.
     Shapes: three hash aggregates over bounded factor alphabets plus a
     1-row algebra block — the factorial-experiment lens completing the
     stats family (t-ish drift tests are two-sample; this is k x m).

@@ -6629,7 +6629,7 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_FS_FIELD_S = """
 s_{f} AS (
-  SELECT CAST(sum(n * n) AS BIGINT) AS s
+  SELECT CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s
   FROM (SELECT count(*) AS n FROM feats GROUP BY {f})
 )"""
 
@@ -6662,7 +6662,7 @@ fsw AS (
 """
     + ",\n".join(
         f"    CAST(floor(ln((CAST(19 AS DOUBLE) * nn.n * nn.n) / (CAST(20 AS DOUBLE) * s_{f}.s)) * 1000000) AS BIGINT) AS wa_{f},\n"
-        f"    CAST(floor(ln((CAST(1 AS DOUBLE) * nn.n * nn.n) / (CAST(20 AS DOUBLE) * (nn.n * nn.n - s_{f}.s))) * 1000000) AS BIGINT) AS wd_{f}"
+        f"    CAST(floor(ln((CAST(1 AS DOUBLE) * nn.n * nn.n) / (CAST(20 AS DOUBLE) * (CAST(nn.n AS HUGEINT) * nn.n - s_{f}.s))) * 1000000) AS BIGINT) AS wd_{f}"
         for f in ("lang", "source", "band", "head")
     )
     + """
@@ -6706,8 +6706,12 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ratios (19*N^2/(20*S), N^2/(20*(N^2-S))), floor-quantized to
     integer micro-nats BEFORE the per-pair sums (order-independent;
     double-exact while 20*N^2 < 2^53 — beyond that precompute the ratio
-    in decimal). Decisions use the textbook two-threshold rule (match /
-    possible / nonmatch at +2 nats / 0). Shapes at scale: candidates
+    in decimal). Accumulator growth (r8 audit second pass): S = Σcnt²
+    and N² are n²-order — both ride decimal(38,0)/HUGEINT (headroom
+    ~1e19 docs; they previously ran in int64 and a dominant field value
+    overflowed at ~3.2e9 docs). Decisions use the textbook two-threshold
+    rule (match / possible / nonmatch at +2 nats / 0). Shapes at scale:
+    candidates
     come from the bucketed prefix join (never all-pairs), field stats
     are four value-histogram aggregates, weights ride a 1-row cross
     join, and scoring is two FK joins on the pair ids. Reference analog:
@@ -6728,7 +6732,15 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_f = (
             feats.groupBy(f)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias(f"s_{f}"))
+            # n²-order accumulator (r8 audit second pass): a dominant field
+            # value (e.g. one language holding most of the corpus) makes
+            # cnt² overflow int64 at ~3.2e9 docs — ride decimal(38,0)
+            # (headroom ~1e19), HUGEINT in the oracle.
+            .agg(
+                F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+                .cast("decimal(38,0)")
+                .alias(f"s_{f}")
+            )
         )
         w = w.crossJoin(s_f)
     w = w.selectExpr(
@@ -6737,7 +6749,7 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in fields
             for e in (
                 f"CAST(floor(ln((CAST(19 AS DOUBLE) * n * n) / (CAST(20 AS DOUBLE) * s_{f})) * 1000000) AS BIGINT) AS wa_{f}",
-                f"CAST(floor(ln((CAST(1 AS DOUBLE) * n * n) / (CAST(20 AS DOUBLE) * (n * n - s_{f}))) * 1000000) AS BIGINT) AS wd_{f}",
+                f"CAST(floor(ln((CAST(1 AS DOUBLE) * n * n) / (CAST(20 AS DOUBLE) * (CAST(n AS DECIMAL(38,0)) * n - s_{f}))) * 1000000) AS BIGINT) AS wd_{f}",
             )
         ]
     )
@@ -6985,14 +6997,14 @@ diag AS (SELECT CAST(sum(n_docs) AS BIGINT) AS agree FROM cm WHERE actual = pred
 act AS (SELECT actual AS lang, CAST(sum(n_docs) AS BIGINT) AS r FROM cm GROUP BY 1),
 prd AS (SELECT predicted AS lang, CAST(sum(n_docs) AS BIGINT) AS c FROM cm GROUP BY 1),
 ex AS (
-  SELECT CAST(sum(a.r * COALESCE(p.c, 0)) AS BIGINT) AS rc
+  SELECT CAST(sum(CAST(a.r AS HUGEINT) * COALESCE(p.c, 0)) AS HUGEINT) AS rc
   FROM act a LEFT JOIN prd p ON p.lang = a.lang
 )
 SELECT tot.n AS n_docs,
-       CAST(diag.agree * 1000000 // tot.n AS BIGINT) AS accuracy_ppm,
-       CAST(ex.rc * 1000000 // (tot.n * tot.n) AS BIGINT) AS expected_agreement_ppm,
-       CAST((tot.n * diag.agree - ex.rc) * 1000000
-            // NULLIF(tot.n * tot.n - ex.rc, 0) AS BIGINT) AS kappa_ppm
+       CAST(CAST(diag.agree AS HUGEINT) * 1000000 // tot.n AS BIGINT) AS accuracy_ppm,
+       CAST(ex.rc * 1000000 // (CAST(tot.n AS HUGEINT) * tot.n) AS BIGINT) AS expected_agreement_ppm,
+       CAST((CAST(tot.n AS HUGEINT) * diag.agree - ex.rc) * 1000000
+            // NULLIF(CAST(tot.n AS HUGEINT) * tot.n - ex.rc, 0) AS BIGINT) AS kappa_ppm
 FROM tot, diag, ex
 """,
     )
@@ -7002,9 +7014,13 @@ FROM tot, diag, ex
         confusion matrix as the per-class metrics (shared-prefix oracle;
         the Spark side post-aggregates the gated matrix query). kappa =
         (N*agree - sum r_k*c_k) / (N^2 - sum r_k*c_k), exact integers
-        quantized once to ppm (N*agree ~ N^2 passes int64 to ~3e9 docs).
-        Everything is classes x classes bounded. Reference analog: none
-        (beyond-reference classifier-evaluation op)."""
+        quantized once to ppm. Accumulator growth (r8 audit second
+        pass): rc and N² are n²-order and rc·10⁶ is n²·10⁶ — in int64
+        that died at only ~3e6 docs (one decade above the sf0.1
+        fixture); all n² terms now ride decimal(38,0)/HUGEINT (headroom
+        ~3e15 docs with the 1e6 output scaling). Everything is classes
+        x classes bounded. Reference analog: none (beyond-reference
+        classifier-evaluation op)."""
         cm = text_naive_bayes_langid(spark, sf_dir)
         tot = cm.agg(F.sum("n_docs").cast("long").alias("n"))
         diag = cm.filter(F.col("actual") == F.col("predicted")).agg(
@@ -7019,8 +7035,8 @@ FROM tot, diag, ex
         ex = (
             act.join(prd, "lang", "left")
             .agg(
-                F.sum(F.col("r") * F.coalesce(F.col("c"), F.lit(0)))
-                .cast("long")
+                F.sum(F.col("r").cast("decimal(38,0)") * F.coalesce(F.col("c"), F.lit(0)))
+                .cast("decimal(38,0)")
                 .alias("rc")
             )
         )
@@ -7029,9 +7045,12 @@ FROM tot, diag, ex
             .crossJoin(ex)
             .selectExpr(
                 "n AS n_docs",
-                "CAST(agree * 1000000 div n AS BIGINT) AS accuracy_ppm",
-                "CAST(rc * 1000000 div (n * n) AS BIGINT) AS expected_agreement_ppm",
-                "CAST((n * agree - rc) * 1000000 div NULLIF(n * n - rc, 0) AS BIGINT)"
+                "CAST(CAST(agree AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+                " AS accuracy_ppm",
+                "CAST(rc * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+                " AS expected_agreement_ppm",
+                "CAST((CAST(n AS DECIMAL(38,0)) * agree - rc) * 1000000"
+                " div NULLIF(CAST(n AS DECIMAL(38,0)) * n - rc, 0) AS BIGINT)"
                 " AS kappa_ppm",
             )
         )
@@ -7247,42 +7266,29 @@ dims AS (
   SELECT j, CAST(sum(u) AS HUGEINT) AS sj, CAST(count(*) AS HUGEINT) AS n
   FROM e GROUP BY 1
 ),
-y AS (
-  SELECT e.vec_id, e.j, d.n AS n, d.n * e.u - d.sj AS yc
-  FROM e JOIN dims d ON d.j = e.j
+cells AS (
+  SELECT a.j AS ja, b.j AS jb, CAST(sum(a.u * b.u) AS HUGEINT) AS p
+  FROM e a JOIN e b ON b.vec_id = a.vec_id
+  GROUP BY 1, 2
 ),
-pairs AS (
-  SELECT a.vec_id, a.j AS ja, b.j AS jb, a.n,
-         CAST(a.yc * b.yc AS HUGEINT) AS prod
-  FROM y a JOIN y b ON b.vec_id = a.vec_id
-  WHERE a.j <= 32 AND b.j <= 32
-),
-covxy AS (
-  SELECT a.vec_id, a.j AS ja, b.j AS jb, a.n,
-         CAST(a.yc * b.yc AS HUGEINT) AS prod
-  FROM y a JOIN y b ON b.vec_id = a.vec_id
-  WHERE a.j <= 32 AND b.j > 32
-),
-covyy AS (
-  SELECT a.vec_id, a.j AS ja, b.j AS jb, a.n,
-         CAST(a.yc * b.yc AS HUGEINT) AS prod
-  FROM y a JOIN y b ON b.vec_id = a.vec_id
-  WHERE a.j > 32 AND b.j > 32
+cq AS (
+  SELECT ja, jb,
+         CAST((p // da.n) - ((da.sj * db.sj) // (da.n * da.n)) AS HUGEINT) AS cq
+  FROM cells
+  JOIN dims da ON da.j = ja
+  JOIN dims db ON db.j = jb
 ),
 sa AS (
-  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM (
-    SELECT ja, jb, CAST(sum(prod) // (max(n) * max(n)) AS HUGEINT) AS cq
-    FROM pairs GROUP BY 1, 2)
+  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM cq
+  WHERE ja <= 32 AND jb <= 32
 ),
 sc AS (
-  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM (
-    SELECT ja, jb, CAST(sum(prod) // (max(n) * max(n)) AS HUGEINT) AS cq
-    FROM covxy GROUP BY 1, 2)
+  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM cq
+  WHERE ja <= 32 AND jb > 32
 ),
 sb AS (
-  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM (
-    SELECT ja, jb, CAST(sum(prod) // (max(n) * max(n)) AS HUGEINT) AS cq
-    FROM covyy GROUP BY 1, 2)
+  SELECT CAST(sum(cq * cq) AS HUGEINT) AS s FROM cq
+  WHERE ja > 32 AND jb > 32
 )
 SELECT CAST(32 AS BIGINT) AS dims_per_view,
        CAST(sc.s AS DOUBLE) AS hsic_xy_q,
@@ -7298,16 +7304,31 @@ def embedding_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Kornblith et al.'s metric, the standard answer to "do these two
     feature views encode the same structure?"). Computed feature-wise —
     CKA_linear = ||X'Y||_F^2 / (||X'X||_F ||Y'Y||_F) — from integer
-    sufficient statistics: values on the floor-1e6 grid, centering in
-    the n-scaled form y = n*u - S (exact, the PCA convention), each
-    cross-covariance cell quantized ONCE by div n^2, Frobenius sums as
-    exact HUGEINT integers, and the final ratio one double division over
-    IEEE-exact sqrts (HUGEINT->double conversion is round-to-nearest of
-    an identical integer — deterministic cross-engine), rounded 6 dp.
-    Shapes: the dim-pair fan-out is vec x 32 x 32 via a self-join on
-    vec_id — bounded by the FIXED dim count, linear in vectors; cell
-    tables are 32x32. Reference analog: none (beyond-reference
-    representation-analysis op)."""
+    sufficient statistics on the floor-1e6 value grid, and the final
+    ratio one double division over IEEE-exact sqrts (HUGEINT->double
+    conversion is round-to-nearest of an identical integer —
+    deterministic cross-engine), rounded 6 dp.
+
+    Accumulator growth order (r8 audit, second pass): the pre-r8 form
+    centered per row (y = n*u - S) and summed y-products — an n³·v²
+    accumulator before its div-n² quantization, and the quantized cell
+    cq stayed n¹, so the Frobenius sum of cq² grew n²·v⁴·10²⁴ — past
+    decimal(38,0)/HUGEINT as little as two decades above the 2k-vector
+    fixture (the r7 find-#5 class; the r8 audit's first pass missed this
+    op). The RENORMALIZED form computes each cell from raw sums — cq =
+    (Σu_a·u_b div n) - (S_a·S_b div n²), two truncating divs mirrored in
+    both engines, truncation error O(1) per cell on an n-scaled quantity
+    — so every accumulator is now ≤ n²·v²·10¹² (the S_a·S_b product;
+    headroom ~5·10¹³ vectors at unit-normalized grain) and the Frobenius
+    sums are CORPUS-SIZE-FREE (≤ 4096·v⁴·10²⁴: bounded for |v| ≲ 100).
+    Overflow regression unit: test_cka_views_accumulators_survive_wide
+    (the old arithmetic dies on it at n = 200).
+
+    Shapes: the dim-pair fan-out is vec x 64 x 64 via a self-join on
+    vec_id — bounded by the FIXED dim count, linear in vectors, one
+    map-side-combined aggregate into a 4096-row cell table; the 64-row
+    dim table joins are AQE-broadcast. Reference analog: none
+    (beyond-reference representation-analysis op)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", F.posexplode("embedding").alias("p", "val")).select(
         "vec_id",
@@ -7320,41 +7341,46 @@ def embedding_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("u").cast("decimal(38,0)").alias("sj"),
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
     )
-    y = e.join(dims, "j").select(
-        "vec_id", "j", "n", (F.col("n") * F.col("u") - F.col("sj")).alias("yc")
+    a = e.select("vec_id", F.col("j").alias("ja"), F.col("u").alias("ua"))
+    b = e.select("vec_id", F.col("j").alias("jb"), F.col("u").alias("ub"))
+    cells = (
+        a.join(b, "vec_id")
+        .groupBy("ja", "jb")
+        .agg(F.sum(F.col("ua") * F.col("ub")).cast("decimal(38,0)").alias("p"))
+        .join(dims.select(F.col("j").alias("ja"), F.col("sj").alias("sa"), "n"), "ja")
+        .join(dims.select(F.col("j").alias("jb"), F.col("sj").alias("sb")), "jb")
+        # Spark's `div` narrows to BIGINT (≤ v²·1e12 per term here — safe);
+        # the Frobenius squares must run back in decimal(38,0).
+        .select(
+            "ja",
+            "jb",
+            F.expr(
+                "CAST((p div n) - ((sa * sb) div (n * n)) AS DECIMAL(38,0))"
+            ).alias("cq"),
+        )
     )
-    a = y.select(
-        "vec_id", F.col("j").alias("ja"), F.col("yc").alias("ya"), "n"
-    )
-    b = y.select("vec_id", F.col("j").alias("jb"), F.col("yc").alias("yb"))
-    joined = a.join(b, "vec_id")
-
-    def fro(cond: str):
-        cells = (
-            joined.filter(cond)
-            .groupBy("ja", "jb")
-            .agg(
-                F.expr(
-                    "CAST(sum(ya * yb) div (max(n) * max(n)) AS DECIMAL(38,0))"
-                ).alias("cq")
+    blocks = cells.agg(
+        F.sum(
+            F.when(
+                (F.col("ja") <= 32) & (F.col("jb") <= 32), F.col("cq") * F.col("cq")
             )
-        )
-        return cells.agg(
-            F.sum(F.col("cq") * F.col("cq")).cast("decimal(38,0)").alias("s")
-        )
-
-    sa = fro("ja <= 32 AND jb <= 32").withColumnRenamed("s", "s_a")
-    sb = fro("ja > 32 AND jb > 32").withColumnRenamed("s", "s_b")
-    sc = fro("ja <= 32 AND jb > 32").withColumnRenamed("s", "s_c")
-    return (
-        sa.crossJoin(sb)
-        .crossJoin(sc)
-        .selectExpr(
-            "CAST(32 AS BIGINT) AS dims_per_view",
-            "CAST(s_c AS DOUBLE) AS hsic_xy_q",
-            "round(CAST(s_c AS DOUBLE)"
-            " / (sqrt(CAST(s_a AS DOUBLE)) * sqrt(CAST(s_b AS DOUBLE))), 6) AS cka",
-        )
+        ).cast("decimal(38,0)").alias("s_a"),
+        F.sum(
+            F.when(
+                (F.col("ja") > 32) & (F.col("jb") > 32), F.col("cq") * F.col("cq")
+            )
+        ).cast("decimal(38,0)").alias("s_b"),
+        F.sum(
+            F.when(
+                (F.col("ja") <= 32) & (F.col("jb") > 32), F.col("cq") * F.col("cq")
+            )
+        ).cast("decimal(38,0)").alias("s_c"),
+    )
+    return blocks.selectExpr(
+        "CAST(32 AS BIGINT) AS dims_per_view",
+        "CAST(s_c AS DOUBLE) AS hsic_xy_q",
+        "round(CAST(s_c AS DOUBLE)"
+        " / (sqrt(CAST(s_a AS DOUBLE)) * sqrt(CAST(s_b AS DOUBLE))), 6) AS cka",
     )
 
 

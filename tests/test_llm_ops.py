@@ -1822,3 +1822,70 @@ def test_pca_power_degenerate_corpus_no_null(spark):
         )
         orows = con.execute(_SQL_PCA_POWER).fetchall()
     assert len(orows) == 64 and all(v == 0 for _, v in orows)
+
+def test_cka_views_accumulators_survive_wide(spark):
+    """Dies-at-scale regression (r8 accumulator audit, second pass): the
+    pre-r8 CKA centered per row (y = n*u - S) and summed y-products — an
+    n³·v² accumulator — and its quantized cells stayed n-scaled, so the
+    Frobenius sum of cq² grew n²·v⁴·10²⁴ past decimal(38,0) as little as
+    two decades above the 2k-vector fixture. On this 2000-vector corpus
+    with |v| ≤ 50 the OLD arithmetic's Frobenius sum reaches 1.49e38 —
+    measured by replaying the old oracle SQL in DuckDB, past Spark's
+    decimal(38,0) ceiling of 1e38 (NUMERIC_VALUE_OUT_OF_RANGE); the
+    renormalized form (cq from raw sums via two truncating divs,
+    corpus-size-free Frobenius) must complete and match an exact integer
+    replay of the identical arithmetic."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from mobsos_event_log_generator_spark.plans.llm import embedding_cka_views
+
+    n, dim = 2000, 64
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: (F.pmod(F.col("id") * d, F.lit(101)) - 50).cast("float"),
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        rows = embedding_cka_views(spark, td).collect()
+    assert len(rows) == 1
+    got = rows[0]
+
+    # exact integer replay: same floor-1e6 grid (values are small
+    # integers, float32-exact), same truncating-toward-zero divisions.
+    # The Gram matrix rides int64 numpy (max |p| = n·v²·1e12 = 5e18 <
+    # 2^63); the S_a·S_b products exceed int64, so they run as Python ints
+    # (4096 cells — cheap).
+    import numpy as np
+
+    def tdiv(x, y):
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    u = np.array(
+        [[((i * d) % 101 - 50) * 1_000_000 for d in range(1, dim + 1)] for i in range(n)],
+        dtype=np.int64,
+    )
+    gram = u.T @ u
+    s = [int(x) for x in u.sum(axis=0)]
+    fa = fb = fc = 0
+    for ja in range(dim):
+        for jb in range(dim):
+            cq = tdiv(int(gram[ja][jb]), n) - tdiv(s[ja] * s[jb], n * n)
+            if ja < 32 and jb < 32:
+                fa += cq * cq
+            elif ja >= 32 and jb >= 32:
+                fb += cq * cq
+            elif ja < 32 and jb >= 32:
+                fc += cq * cq
+    assert got["dims_per_view"] == 32
+    assert got["hsic_xy_q"] == float(fc)
+    assert abs(got["cka"] - fc / (math.sqrt(fa) * math.sqrt(fb))) < 2e-6

@@ -156,12 +156,13 @@ def test_sweep_record_schema():
 
 
 def test_sweep_default_record_name_keys_on_session_and_scope():
-    """--plain must route to SWEEP_PLAIN.json regardless of scope (the r8
-    overwrite); otherwise subset > backlog > full."""
+    """Explicit subsets always route to SWEEP_SUBSET.json (never clobber a
+    standing artifact); otherwise --plain routes to SWEEP_PLAIN.json
+    regardless of backlog/full scope (the r8 overwrite)."""
     from sweep_all import default_record_name
 
     assert default_record_name(True, False, False) == "SWEEP_PLAIN.json"
-    assert default_record_name(True, True, False) == "SWEEP_PLAIN.json"
+    assert default_record_name(True, True, False) == "SWEEP_SUBSET.json"
     assert default_record_name(True, False, True) == "SWEEP_PLAIN.json"
     assert default_record_name(False, True, False) == "SWEEP_SUBSET.json"
     assert default_record_name(False, False, True) == "SWEEP.json"

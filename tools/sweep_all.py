@@ -84,16 +84,19 @@ def check_one(spark, con, name, fn, oracle_sql):
 def default_record_name(plain: bool, subset: bool, backlog: bool) -> str:
     """Default sweep-record filename — one artifact per (session, scope).
 
-    --plain wins over every scope: a vanilla-session record must never
-    replace the tuned-session artifact of the same scope. This exact
-    overwrite happened in round 8 — the r7-ADVICE fix keyed the default on
-    scope only, and a full-registry --plain run clobbered the tuned
-    SWEEP_FULL.json written 40 minutes earlier (restored from the run log;
-    gated by test_sweep_record_schema's session check since)."""
-    if plain:
-        return "SWEEP_PLAIN.json"
+    Precedence: explicit-subset sweeps always land in SWEEP_SUBSET.json
+    (a narrow record must never clobber ANY standing artifact, plain or
+    tuned); otherwise --plain wins over backlog/full — a vanilla-session
+    record must never replace the tuned-session artifact of the same
+    scope. That exact overwrite happened in round 8: the r7-ADVICE fix
+    keyed the default on scope only, and a full-registry --plain run
+    clobbered the tuned SWEEP_FULL.json written 40 minutes earlier
+    (restored from the run log; gated by test_sweep_record_schema's
+    session check since)."""
     if subset:
         return "SWEEP_SUBSET.json"
+    if plain:
+        return "SWEEP_PLAIN.json"
     if backlog:
         return "SWEEP.json"
     return "SWEEP_FULL.json"
