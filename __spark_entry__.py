@@ -45,24 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose plans changed this round and should re-prove their oracle
 # ahead of the already-verified tail (empty when nothing green was touched;
 # sf0.01-identical plan changes are covered by tools/check_parity.py locally).
-# r8: the demo-query-set decoupling (vec_id%50 -> capped fixed set, r7
-# verdict #5) changed these six driver-green plans; at sf0.01 the cap does
-# not bind (500 ids < 2000) but the re-gate follows the plan-change
-# precedent. All six re-proved locally at 3 SFs via tools/check_parity.py.
-_RECHECK_FIRST = (
-    "similarity_topk_bruteforce",
-    "similarity_topk_arrow",
-    "similarity_ann_recall",
-    "similarity_truncated_dim_audit",
-    "similarity_mmr_diversified",
-    "similarity_mmr_arrow",
-    "similarity_topk_pq_adc",
-    "search_hybrid_rrf",
-    # r8 accumulator audit: ks_statistic's n²-order gap/ppm arithmetic
-    # widened from long to decimal(38,0) (long overflowed at ~3e6 rows per
-    # sample) — same values at every fixture SF, re-gated at 3 SFs.
-    "events_ks_drift",
-)
+# r9: EMPTY — all nine r8 re-gates went green in CORRECTNESS_r08, and no
+# driver-green plan is touched this round so the full 44-name backlog fits
+# the 50-row window (the r8 verdict's explicit bar). The remaining
+# uncapped-|Q| bucketed-ANN demo entries (similarity_topk_ann_bucketed /
+# _ivfpq / _quantized, text_feature_hashing, embedding_random_projection)
+# are all driver-green; capping them is deferred to round 10, when the
+# emptied backlog frees the window for their mandatory re-gates.
+_RECHECK_FIRST = ()
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window
 # time cutoff can't starve it, and brand-new round-6 queries sort behind
