@@ -198,6 +198,14 @@ _BUDGET_LAST = (
     "parts_price_dispersion",
     # r8 addition (sorts behind everything that has waited longer)
     "search_hybrid_rrf_ann",
+    # r9 additions (portable-sketch/estimator lane; sort behind the whole
+    # 44-name r8 backlog so they cannot evict a query that has waited
+    # longer — 44 + 5 = 49 fits the 50-row window with one slot spare)
+    "sketch_hll_portable_daily",
+    "sketch_kmv_distinct_daily",
+    "lineitem_histogram_quantiles",
+    "events_ewma_daily",
+    "orders_bandit_allocation",
 )
 
 

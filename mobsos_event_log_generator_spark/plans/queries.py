@@ -394,6 +394,7 @@ from mobsos_event_log_generator_spark.plans import llm  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import temporal  # noqa: E402,F401
 from mobsos_event_log_generator_spark.plans import procmining  # noqa: E402,F401  isort:skip
 from mobsos_event_log_generator_spark.plans import streaming_queries  # noqa: E402,F401  isort:skip
+from mobsos_event_log_generator_spark.plans import sketches  # noqa: E402,F401  isort:skip
 
 
 @register(

@@ -1,0 +1,549 @@
+"""Round-9 sketch/estimator coverage: portable mergeable sketches whose
+REGISTERS — not just an error bound — are hash-checked against the DuckDB
+oracle, plus exact-integer smoothing and allocation estimators.
+
+Why these exist (SURVEY.md §2 extension lane, 100 TB pipeline ops):
+* `sketch_distinct_users_daily` (analytics.py) can only contract an error
+  BOUND because Spark's HLL++ registers are engine-internal. The portable
+  HLL here derives its registers from md5 — byte-identical in Spark and
+  DuckDB (proven: identical digests, identical `ln`/`pow` doubles) — so the
+  whole estimate is value-hash-checked, and the register table is exactly
+  the mergeable state a 1000-executor rollup would union (max per bucket is
+  associative/commutative → map-side partial aggregation, 256 rows per day
+  per partition ceiling).
+* KMV (k-minimum-values / bottom-k) is the other classical mergeable
+  distinct sketch; bottom-k sets union by re-taking the k smallest.
+* The histogram quantile sketch is the mergeable fixed-grid equi-width
+  profile (bucket counts add across partitions/executors); its exact-lane
+  audit narrows to ONE bucket before sorting, so no per-group full sort.
+* EWMA rides the repo's exact-integer-math discipline (XM): power-of-two
+  decay weights are IEEE-exact in both engines, summed order-free as
+  integers (decimal(38,0) per the r7/r8 accumulator-audit rule).
+
+Scale notes per query live in each docstring. No UDFs anywhere — every
+expression is JVM-side built-ins (whole-stage codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mobsos_event_log_generator_spark.operators import exactmath as XM
+from mobsos_event_log_generator_spark.plans.queries import register
+from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (m = 256 buckets, md5-derived registers)
+# ---------------------------------------------------------------------------
+
+# rho = 1 + number of leading zero BITS of the 52-bit tail (13 hex chars),
+# capped at 50 so 2^(50-rho) stays an exact BIGINT (empty bucket -> 2^50;
+# 256 * 2^50 = 2^58 < int64 max). All-zero tail (p = 2^-52) also caps to 50.
+_HEX_LZ_CASE = (
+    "CASE WHEN {d} IN ('8','9','a','b','c','d','e','f') THEN 0 "
+    "WHEN {d} IN ('4','5','6','7') THEN 1 "
+    "WHEN {d} IN ('2','3') THEN 2 ELSE 3 END"
+)
+
+# alpha_256 * m^2 * 2^50, written as one arithmetic expression so BOTH
+# engines constant-fold it with identical IEEE doubles.
+_HLL_NUM = "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 1099511627776.0"
+
+
+def _rho_sql(tail: str) -> str:
+    """Leading-zero rank of a 13-hex-char tail, identical text for both
+    engines (regexp_extract'^0*' and substring are 1-indexed in each)."""
+    lz = f"length(regexp_extract({tail}, '^0*'{{g}}))"
+    first = f"substring({tail}, {lz} + 1, 1)"
+    return (
+        f"CASE WHEN {lz} >= 13 THEN 50 "
+        f"ELSE least(4 * {lz} + " + _HEX_LZ_CASE.format(d=first) + " + 1, 50) END"
+    )
+
+
+_RHO_SPARK = _rho_sql("tail").replace("{g}", ", 0")  # Spark needs group idx
+_RHO_DUCK = _rho_sql("tail").replace("{g}", "")
+
+
+@register(
+    "sketch_hll_portable_daily",
+    f"""
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         user_id,
+         md5('hll|' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+r AS (
+  SELECT event_date,
+         substring(hx, 1, 2) AS bucket,
+         {_RHO_DUCK.replace('tail', 'substring(hx, 3, 13)')} AS rho
+  FROM h
+),
+reg AS (
+  SELECT event_date, bucket, max(rho) AS rmax
+  FROM r GROUP BY 1, 2
+),
+day AS (
+  SELECT event_date,
+         CAST(sum(CAST(pow(2, 50 - rmax) AS BIGINT)) AS BIGINT) AS z_used,
+         CAST(count(*) AS BIGINT) AS buckets_used
+  FROM reg GROUP BY 1
+),
+ex AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+),
+est AS (
+  SELECT d.event_date, ex.exact_users, d.buckets_used,
+         CASE
+           WHEN ({_HLL_NUM} / (d.z_used + (256 - d.buckets_used) * 1125899906842624))
+                  <= 640.0 AND d.buckets_used < 256
+           THEN 256.0 * ln(256.0 / (256 - d.buckets_used))
+           ELSE {_HLL_NUM} / (d.z_used + (256 - d.buckets_used) * 1125899906842624)
+         END AS e
+  FROM day d JOIN ex ON ex.event_date = d.event_date
+)
+SELECT event_date, exact_users, buckets_used,
+       round(e, 4) AS hll_estimate,
+       round(abs(e - exact_users) / exact_users * 100.0, 4) AS rel_err_pct
+FROM est
+""",
+)
+def sketch_hll_portable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-users-per-day whose registers AND
+    estimate are value-hash-checked (md5 buckets + leading-zero ranks are
+    byte-identical across engines; `sketch_distinct_users_daily` can only
+    contract a bound). m=256 (rsd ~6.5%), standard small-range linear
+    counting below 2.5m. Scale shape: one (day,bucket) partial-max shuffle
+    — each map task emits <= 256 rows/day regardless of input size — then a
+    calendar-bounded day rollup; the register table is the mergeable state
+    (MAX is associative), so 1000 executors union registers, never rows.
+    The exact lane (count distinct) is the audit, kept per fixture SFs."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.col("user_id"),
+        F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string"))).alias("hx"),
+    )
+    r = h.select(
+        "event_date",
+        F.substring("hx", 1, 2).alias("bucket"),
+        F.expr(_RHO_SPARK.replace("tail", "substring(hx, 3, 13)")).alias("rho"),
+    )
+    reg = r.groupBy("event_date", "bucket").agg(F.max("rho").alias("rmax"))
+    day = reg.groupBy("event_date").agg(
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("rmax")).cast("bigint")).alias("z_used"),
+        F.count(F.lit(1)).alias("buckets_used"),
+    )
+    ex = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    e_raw = F.expr(
+        f"{_HLL_NUM} / (z_used + (256 - buckets_used) * 1125899906842624)"
+    )
+    e = F.when(
+        (e_raw <= 640.0) & (F.col("buckets_used") < 256),
+        256.0 * F.log(256.0 / (256 - F.col("buckets_used"))),
+    ).otherwise(e_raw)
+    return (
+        day.join(ex, "event_date")
+        .select(
+            "event_date",
+            "exact_users",
+            "buckets_used",
+            F.round(e, 4).alias("hll_estimate"),
+            F.round(F.abs(e - F.col("exact_users")) / F.col("exact_users") * 100.0, 4).alias(
+                "rel_err_pct"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+_KMV_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_KMV_A = 48271  # MINSTD multiplier: h = a*(x+1) mod p is a bijection on [1,p)
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_distinct_daily",
+    f"""
+WITH u AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date, user_id
+  FROM events
+),
+h AS (
+  SELECT event_date,
+         ({_KMV_A} * ((user_id % {_KMV_P}) + 1)) % {_KMV_P} AS hv
+  FROM u
+),
+r AS (
+  SELECT event_date, hv,
+         row_number() OVER (PARTITION BY event_date ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_date) AS cnt
+  FROM h
+)
+SELECT event_date,
+       CAST(cnt AS BIGINT) AS exact_users,
+       CAST(rn AS BIGINT) AS k_used,
+       round(CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * {float(_KMV_P)} / hv END, 4) AS kmv_estimate,
+       round(abs(CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {float(_KMV_P)} / hv END
+                 - cnt) / cnt * 100.0, 4) AS rel_err_pct
+FROM r
+WHERE rn = least({_KMV_K}, cnt)
+""",
+)
+def sketch_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (bottom-k) distinct sketch per day, k=64: estimate
+    (k-1)·p / h_(k) from the k-th smallest value of a bijective integer hash
+    (MINSTD permutation on [1, 2^31-1) — distinct users map to distinct
+    hashes, so ORDER BY hv alone is deterministic). Under k distinct ->
+    estimate = exact (the sketch IS the set). The bottom-k set is the other
+    classical mergeable distinct state: union = re-take k smallest. Fixture
+    lane uses a per-day window sort; the 100 TB path pre-prunes each map
+    partition to its local bottom-k (k·partitions rows) before the per-day
+    merge — same answer, documented here as the swap-in (the distinct
+    pre-shuffle already bounds the sort input to distinct users/day)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "user_id"
+    ).distinct()
+    h = u.select(
+        "event_date",
+        ((F.lit(_KMV_A) * ((F.col("user_id") % _KMV_P) + 1)) % _KMV_P).alias("hv"),
+    )
+    w = Window.partitionBy("event_date")
+    r = h.select(
+        "event_date",
+        "hv",
+        F.row_number().over(w.orderBy("hv")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("cnt")))
+    est = F.when(
+        F.col("cnt") < _KMV_K, F.col("cnt").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * float(_KMV_P) / F.col("hv"))
+    return r.select(
+        "event_date",
+        F.col("cnt").cast("bigint").alias("exact_users"),
+        F.col("rn").cast("bigint").alias("k_used"),
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("cnt")) / F.col("cnt") * 100.0, 4).alias("rel_err_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-grid histogram quantiles + single-bucket exact audit
+# ---------------------------------------------------------------------------
+
+_HQ_WIDTH = 100000  # bucket width in cents -> $1000.00 equi-width bins
+
+
+@register(
+    "lineitem_histogram_quantiles",
+    f"""
+WITH c AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         {XM.sql_int_units('l_extendedprice', 2)} AS cents
+  FROM lineitem
+),
+hist AS (
+  SELECT l_returnflag, cents // {_HQ_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS bcnt
+  FROM c GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bucket, bcnt,
+         sum(bcnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum_n,
+         sum(bcnt) OVER (PARTITION BY l_returnflag) AS n_rows
+  FROM hist
+),
+q AS (SELECT unnest([50, 90, 99]) AS q_pct),
+tgt AS (
+  SELECT cum.*, q.q_pct, (q.q_pct * n_rows + 99) // 100 AS k
+  FROM cum CROSS JOIN q
+),
+hit AS (
+  SELECT l_returnflag, q_pct, k, n_rows, bucket, bcnt,
+         cum_n - bcnt AS cum_prev
+  FROM tgt
+  WHERE cum_n >= k AND cum_n - bcnt < k
+),
+exact AS (
+  SELECT h.l_returnflag, h.q_pct,
+         c.cents AS exact_cents,
+         h.cum_prev + row_number() OVER (
+           PARTITION BY h.l_returnflag, h.q_pct
+           ORDER BY c.cents, c.l_orderkey, c.l_linenumber) AS grk,
+         h.k
+  FROM hit h JOIN c ON c.l_returnflag = h.l_returnflag
+                   AND c.cents // {_HQ_WIDTH} = h.bucket
+)
+SELECT h.l_returnflag,
+       CAST(h.q_pct AS BIGINT) AS q_pct,
+       CAST(h.n_rows AS BIGINT) AS n_rows,
+       round(CAST(h.bucket * {_HQ_WIDTH}
+             + ((h.k - h.cum_prev) * {_HQ_WIDTH}) // h.bcnt AS DOUBLE) / 100.0,
+             2) AS est_quantile,
+       round(CAST(e.exact_cents AS DOUBLE) / 100.0, 2) AS exact_quantile,
+       round(abs(CAST(h.bucket * {_HQ_WIDTH}
+             + ((h.k - h.cum_prev) * {_HQ_WIDTH}) // h.bcnt AS DOUBLE)
+             - e.exact_cents) / 100.0, 2) AS abs_err
+FROM hit h
+JOIN exact e ON e.l_returnflag = h.l_returnflag AND e.q_pct = h.q_pct
+            AND e.grk = e.k
+""",
+)
+def lineitem_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch (P50/P90/P99 of
+    l_extendedprice per returnflag, $1000 bins on exact cents) with an
+    exact-order-statistic audit. Scale shape: bucket counts ADD across
+    partitions (one partial-agg shuffle to ~120 buckets x 3 flags), the
+    estimate interpolates inside the target bucket with pure integer
+    arithmetic, and the exact k-th value is found WITHOUT a per-group full
+    sort: the histogram locates the one bucket containing rank k, rows are
+    semi-joined down to that bucket (~1/120th of the group), and only that
+    slice is ranked (offset by the bucket's cumulative base). DuckDB oracle
+    mirrors every integer step; ties broken by (orderkey, linenumber) don't
+    affect the k-th VALUE but keep the rank lane deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        XM.int_units_long(F.col("l_extendedprice"), 2).alias("cents"),
+    )
+    hist = c.groupBy(
+        "l_returnflag", (F.col("cents") - F.col("cents") % _HQ_WIDTH).alias("b0")
+    ).agg(F.count(F.lit(1)).alias("bcnt"))
+    hist = hist.select(
+        "l_returnflag", (F.col("b0") / _HQ_WIDTH).cast("bigint").alias("bucket"), "bcnt"
+    )
+    wflag = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bucket",
+        "bcnt",
+        F.sum("bcnt").over(wflag.orderBy("bucket")).alias("cum_n"),
+        F.sum("bcnt").over(wflag).alias("n_rows"),
+    )
+    q = spark.range(1).select(F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q_pct"))
+    tgt = cum.crossJoin(F.broadcast(q)).withColumn(
+        "k",
+        ((F.col("q_pct") * F.col("n_rows") + 99) - (F.col("q_pct") * F.col("n_rows") + 99) % 100)
+        / 100,
+    ).withColumn("k", F.col("k").cast("bigint"))
+    hit = tgt.filter(
+        (F.col("cum_n") >= F.col("k")) & (F.col("cum_n") - F.col("bcnt") < F.col("k"))
+    ).select(
+        "l_returnflag",
+        "q_pct",
+        "k",
+        "n_rows",
+        "bucket",
+        "bcnt",
+        (F.col("cum_n") - F.col("bcnt")).alias("cum_prev"),
+    )
+    # Exact lane: rank only inside the located bucket (hit is <= 9 rows ->
+    # broadcast; the semi-join prunes lineitem to ~1 bucket per (flag, q)).
+    cl, ht = c.alias("cl"), hit.alias("ht")
+    joined = cl.join(
+        F.broadcast(ht),
+        (F.col("cl.l_returnflag") == F.col("ht.l_returnflag"))
+        & (
+            (F.col("cl.cents") - F.col("cl.cents") % _HQ_WIDTH) / _HQ_WIDTH
+            == F.col("ht.bucket")
+        ),
+    ).select(
+        F.col("ht.l_returnflag").alias("flag"),
+        F.col("ht.q_pct").alias("q_pct"),
+        F.col("ht.k").alias("k"),
+        F.col("ht.cum_prev").alias("cum_prev"),
+        F.col("cl.cents").alias("cents"),
+        F.col("cl.l_orderkey").alias("l_orderkey"),
+        F.col("cl.l_linenumber").alias("l_linenumber"),
+    )
+    wq = Window.partitionBy("flag", "q_pct").orderBy("cents", "l_orderkey", "l_linenumber")
+    exact = (
+        joined.withColumn("grk", F.col("cum_prev") + F.row_number().over(wq))
+        .filter(F.col("grk") == F.col("k"))
+        .select(F.col("flag").alias("l_returnflag"), "q_pct", F.col("cents").alias("exact_cents"))
+    )
+    est_cents = F.col("bucket") * _HQ_WIDTH + (
+        (F.col("k") - F.col("cum_prev")) * _HQ_WIDTH
+        - ((F.col("k") - F.col("cum_prev")) * _HQ_WIDTH) % F.col("bcnt")
+    ) / F.col("bcnt")
+    out = hit.join(exact, ["l_returnflag", "q_pct"]).select(
+        "l_returnflag",
+        F.col("q_pct").cast("bigint").alias("q_pct"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(est_cents.cast("bigint").cast("double") / 100.0, 2).alias("est_quantile"),
+        F.round(F.col("exact_cents").cast("double") / 100.0, 2).alias("exact_quantile"),
+        F.round(
+            F.abs(est_cents.cast("bigint").cast("double") - F.col("exact_cents")) / 100.0, 2
+        ).alias("abs_err"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer EWMA over daily event counts
+# ---------------------------------------------------------------------------
+
+_EWMA_HORIZON = 30  # weights 2^-d truncate past 30 days (< 1e-9 relative)
+
+
+@register(
+    "events_ewma_daily",
+    f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(count(*) AS BIGINT) AS daily_count
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_date) AS t
+  FROM daily
+),
+conv AS (
+  SELECT a.event_type, a.event_date, a.daily_count,
+         sum(CAST(b.daily_count AS HUGEINT)
+             * CAST(pow(2, {_EWMA_HORIZON} - (a.t - b.t)) AS BIGINT)) AS num_q,
+         sum(CAST(pow(2, {_EWMA_HORIZON} - (a.t - b.t)) AS BIGINT)) AS den_q
+  FROM idx a JOIN idx b
+    ON b.event_type = a.event_type
+   AND b.t BETWEEN a.t - {_EWMA_HORIZON} AND a.t
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, event_date, daily_count,
+       {XM.sql_ratio_round('num_q', 'den_q', 4)} AS ewma
+FROM conv
+""",
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted EWMA (alpha = 1/2) of daily event counts per type via
+    EXACT integer arithmetic: decay weights 2^-d are scaled to 2^(30-d)
+    BIGINTs (IEEE-exact pow both engines), the weighted sum accumulates in
+    decimal(38,0)/HUGEINT (r7/r8 accumulator-audit rule — daily counts
+    ~1e10 at 100 TB x 2^30 x 31 terms stays ~3e20, 17 orders inside
+    decimal(38,0)), and the ratio rounds half-up via XM.ratio_round with no
+    double addition anywhere (float sums are partitioning-order-dependent;
+    integer sums are order-free). Weights past 30 days truncate to 0 —
+    < 1e-9 relative, invisible at 4dp. Scale shape: events collapse to the
+    calendar FIRST (one partial-agg shuffle to ~types x days rows), so the
+    41-wide band self-join runs on a bounded series, never on raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("daily_count"))
+    idx = daily.withColumn(
+        "t", F.row_number().over(Window.partitionBy("event_type").orderBy("event_date"))
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    d = F.col("a.t") - F.col("b.t")
+    w = F.pow(F.lit(2.0), _EWMA_HORIZON - d).cast("bigint")
+    conv = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.t") >= F.col("a.t") - _EWMA_HORIZON)
+            & (F.col("b.t") <= F.col("a.t")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.event_date").alias("event_date"),
+            F.col("a.daily_count").alias("daily_count"),
+        )
+        .agg(
+            F.sum((F.col("b.daily_count") * w).cast("decimal(38,0)")).alias("num_q"),
+            F.sum(w).alias("den_q"),
+        )
+    )
+    return conv.select(
+        "event_type",
+        "event_date",
+        "daily_count",
+        XM.ratio_round(F.col("num_q"), F.col("den_q"), 4).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bandit posterior allocation over order-priority arms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_bandit_allocation",
+    f"""
+WITH arms AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_success
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders),
+post AS (
+  SELECT a.*, t.n_total,
+         {XM.sql_ratio_round('1 + n_success', '2 + n_trials', 6)} AS posterior_mean,
+         round(CAST(n_success AS DOUBLE) / n_trials
+               + sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / n_trials), 6) AS ucb1
+  FROM arms a CROSS JOIN tot t
+),
+ppm AS (
+  SELECT *, CAST(floor(posterior_mean * 1000000 + 0.5) AS BIGINT) AS pm_ppm
+  FROM post
+)
+SELECT o_orderpriority, n_trials, n_success, posterior_mean, ucb1,
+       {XM.sql_ratio_round('pm_ppm', 'sum(pm_ppm) OVER ()', 6)} AS thompson_share
+FROM ppm
+""",
+)
+def orders_bandit_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-armed-bandit allocation summary over order-priority arms
+    (success = order reached status 'F'): Beta(1+s, 1+f) posterior mean
+    (exact half-up integer ratio), UCB1 index (sqrt/ln are IEEE-identical
+    across engines on identical integer inputs), and a Thompson-style
+    allocation share — posterior means are quantized to integer ppm FIRST
+    so the normalizing sum is an order-free integer window sum, never a
+    float accumulation. Data-mixture allocation twin of
+    `corpus_temperature_mix`. One partial-agg shuffle to 5 arm rows; the
+    1-row total broadcasts (bounded scalar)."""
+    o = load_table(spark, sf_dir, "orders")
+    arms = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_trials"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_success"),
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n_total"))
+    post = arms.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_trials",
+        "n_success",
+        XM.ratio_round(1 + F.col("n_success"), 2 + F.col("n_trials"), 6).alias(
+            "posterior_mean"
+        ),
+        F.round(
+            F.col("n_success").cast("double") / F.col("n_trials")
+            + F.sqrt(2.0 * F.log(F.col("n_total").cast("double")) / F.col("n_trials")),
+            6,
+        ).alias("ucb1"),
+    )
+    ppm = post.withColumn(
+        "pm_ppm", F.floor(F.col("posterior_mean") * 1000000 + 0.5).cast("bigint")
+    )
+    return ppm.select(
+        "o_orderpriority",
+        "n_trials",
+        "n_success",
+        "posterior_mean",
+        "ucb1",
+        XM.ratio_round(F.col("pm_ppm"), F.sum("pm_ppm").over(Window.partitionBy()), 6).alias(
+            "thompson_share"
+        ),
+    )

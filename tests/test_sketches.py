@@ -1,0 +1,131 @@
+"""Semantic units for plans/sketches.py (round 9): the portable-sketch lane.
+
+Parity with DuckDB is gated by tools/check_parity.py / sweep_all.py; these
+tests pin the MATH — estimator accuracy, mergeability (the property that
+makes each sketch a 100 TB operator), exact-when-small contracts, and
+pandas-reference agreement for the EWMA."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mobsos_event_log_generator_spark.plans.queries import QUERIES
+from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+
+def test_hll_portable_estimate_within_rsd(spark, sf_dir):
+    rows = QUERIES["sketch_hll_portable_daily"](spark, sf_dir).collect()
+    assert rows, "no days"
+    for r in rows:
+        assert 1 <= r.buckets_used <= 256
+        # m=256 -> rsd ~6.5%; allow 4 sigma.
+        assert r.rel_err_pct <= 26.0, (r.event_date, r.rel_err_pct)
+        assert r.hll_estimate > 0
+
+
+def test_hll_registers_merge_like_union(spark, sf_dir):
+    """The defining sketch property: registers of (A union B) == per-bucket
+    MAX of A's and B's registers — what a 1000-executor rollup relies on.
+    Recomputed from the same md5 derivation as the query."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string"))).alias("hx"),
+        (F.col("user_id") % 2 == 0).alias("half"),
+    ).select(
+        F.substring("hx", 1, 2).alias("bucket"),
+        F.length(F.regexp_extract(F.substring("hx", 3, 13), "^0*", 0)).alias("lz"),
+        "half",
+    )
+    rho = F.least(F.col("lz") * 4 + 1, F.lit(50))  # lower bound on rho is fine here
+    whole = {r.bucket: r.m for r in h.groupBy("bucket").agg(F.max(rho).alias("m")).collect()}
+    halves = (
+        h.groupBy("bucket", "half").agg(F.max(rho).alias("m")).groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    )
+    merged = {r.bucket: r.m for r in halves}
+    assert merged == whole
+
+
+def test_kmv_exact_when_under_k(spark, sf_dir):
+    out = QUERIES["sketch_kmv_distinct_daily"](spark, sf_dir)
+    for r in out.collect():
+        assert r.k_used <= 64
+        if r.exact_users < 64:
+            assert r.kmv_estimate == float(r.exact_users)
+            assert r.rel_err_pct == 0.0
+        else:
+            assert r.k_used == 64
+            # KMV rsd ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma.
+            assert r.rel_err_pct <= 51.0, (r.event_date, r.rel_err_pct)
+
+
+def test_histogram_quantile_within_one_bucket(spark, sf_dir):
+    rows = QUERIES["lineitem_histogram_quantiles"](spark, sf_dir).collect()
+    flags = {r.l_returnflag for r in rows}
+    assert len(rows) == 3 * len(flags)  # P50/P90/P99 per flag
+    for r in rows:
+        assert r.abs_err <= 1000.0, r  # estimate can never leave its $1000 bucket
+        assert abs(r.est_quantile - r.exact_quantile) == pytest.approx(r.abs_err, abs=0.011)
+
+
+def test_histogram_exact_lane_matches_full_sort(spark, sf_dir):
+    """The single-bucket exact audit must equal the k-th order statistic of
+    a full per-group sort (the thing it avoids computing at scale)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    pdf = li.toPandas()
+    rows = QUERIES["lineitem_histogram_quantiles"](spark, sf_dir).collect()
+    for r in rows:
+        grp = pdf[pdf.l_returnflag == r.l_returnflag].l_extendedprice
+        cents = (grp * 100 + 0.5).astype("int64").sort_values().to_numpy()
+        k = -(-r.q_pct * len(cents) // 100)  # ceil
+        assert r.exact_quantile == pytest.approx(cents[int(k) - 1] / 100.0, abs=0.011)
+
+
+def test_ewma_matches_pandas_reference(spark, sf_dir):
+    out = QUERIES["events_ewma_daily"](spark, sf_dir).orderBy("event_type", "event_date")
+    pdf = out.toPandas()
+    assert len(pdf)
+    for etype, g in pdf.groupby("event_type"):
+        ref = g.daily_count.ewm(alpha=0.5, adjust=True).mean()
+        # 30-day weight truncation + 4dp rounding -> tolerance 2e-4 relative.
+        assert (g.ewma - ref).abs().max() <= max(2e-4 * ref.max(), 5e-4), etype
+
+
+def test_bandit_posteriors_and_shares(spark, sf_dir):
+    rows = QUERIES["orders_bandit_allocation"](spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r.thompson_share for r in rows)
+    assert total_share == pytest.approx(1.0, abs=len(rows) * 1e-6)
+    for r in rows:
+        assert 0 < r.posterior_mean < 1
+        expect = (1 + r.n_success) / (2 + r.n_trials)
+        assert r.posterior_mean == pytest.approx(expect, abs=1e-6)
+        assert r.ucb1 >= r.n_success / r.n_trials
+
+
+def test_ewma_accumulator_survives_scale_counts(spark):
+    """Daily counts at 100 TB (~1e10/day) x 2^30 weights x 31 terms must not
+    overflow the decimal(38,0) accumulator (r7/r8 audit discipline)."""
+    horizon_terms = 31
+    peak = int(1e10) * (2**30) * horizon_terms
+    assert peak < 10**38
+    # and the int64 path WOULD have died (documents why decimal is required)
+    assert peak > 2**63 - 1
+
+
+def test_sketch_plans_stay_jvm_side(spark, sf_dir):
+    for name in (
+        "sketch_hll_portable_daily",
+        "sketch_kmv_distinct_daily",
+        "lineitem_histogram_quantiles",
+        "events_ewma_daily",
+        "orders_bandit_allocation",
+    ):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
