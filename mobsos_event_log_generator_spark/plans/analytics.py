@@ -8373,13 +8373,22 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nations_dyad_census",
     """
-WITH latency AS (
-  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
+WITH od AS MATERIALIZED (
+  -- dst comes off the fact side BEFORE customer enters scope: when the
+  -- <> predicate can see raw customer x supplier, DuckDB's optimizer
+  -- builds a 15k x 1k NESTED_LOOP (14.4M rows, re-run per CTE reference
+  -- without MATERIALIZED -> 380-1790 s at sf0.1); this shape yields
+  -- identical (src, dst, n) in seconds.
+  SELECT l.l_orderkey AS ok, s.s_nationkey AS dst, count(*) AS cnt
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+latency AS MATERIALIZED (
+  SELECT c.c_nationkey AS src, od.dst, CAST(sum(od.cnt) AS BIGINT) AS n
+  FROM od
+  JOIN orders o ON o.o_orderkey = od.ok
   JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
+  WHERE c.c_nationkey <> od.dst
   GROUP BY 1, 2
 ),
 bedges AS (
@@ -10141,13 +10150,22 @@ def orders_duplicate_invoice_audit(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "nations_structural_holes",
     """
-WITH latency AS (
-  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
+WITH od AS MATERIALIZED (
+  -- dst comes off the fact side BEFORE customer enters scope: when the
+  -- <> predicate can see raw customer x supplier, DuckDB's optimizer
+  -- builds a 15k x 1k NESTED_LOOP (14.4M rows, re-run per CTE reference
+  -- without MATERIALIZED -> 380-1790 s at sf0.1); this shape yields
+  -- identical (src, dst, n) in seconds.
+  SELECT l.l_orderkey AS ok, s.s_nationkey AS dst, count(*) AS cnt
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+latency AS MATERIALIZED (
+  SELECT c.c_nationkey AS src, od.dst, CAST(sum(od.cnt) AS BIGINT) AS n
+  FROM od
+  JOIN orders o ON o.o_orderkey = od.ok
   JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
+  WHERE c.c_nationkey <> od.dst
   GROUP BY 1, 2
 ),
 bedges AS (
