@@ -206,6 +206,7 @@ _BUDGET_LAST = (
     "lineitem_histogram_quantiles",
     "events_ewma_daily",
     "orders_bandit_allocation",
+    "sketch_hll_union_monthly",
 )
 
 

@@ -163,6 +163,143 @@ def sketch_hll_portable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HLL register-merge rollup: monthly distinct from max-merged DAILY registers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_hll_union_monthly",
+    f"""
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         strftime(ts, '%Y-%m-%d') AS event_date,
+         user_id,
+         md5('hll|' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+r AS (
+  SELECT month, event_date,
+         substring(hx, 1, 2) AS bucket,
+         {_RHO_DUCK.replace('tail', 'substring(hx, 3, 13)')} AS rho
+  FROM h
+),
+daily_reg AS (
+  SELECT month, event_date, bucket, max(rho) AS rmax
+  FROM r GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT month, bucket, max(rmax) AS rmax
+  FROM daily_reg GROUP BY 1, 2
+),
+mon AS (
+  SELECT month,
+         CAST(sum(CAST(pow(2, 50 - rmax) AS BIGINT)) AS BIGINT) AS z_used,
+         CAST(count(*) AS BIGINT) AS buckets_used
+  FROM merged GROUP BY 1
+),
+exd AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS daily_users
+  FROM events GROUP BY 1, 2
+),
+ex AS (
+  SELECT month,
+         CAST(sum(daily_users) AS BIGINT) AS sum_daily_users,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM exd GROUP BY 1
+),
+exm AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+),
+est AS (
+  SELECT m.month, exm.exact_users, ex.sum_daily_users, ex.n_days,
+         m.buckets_used,
+         CASE
+           WHEN ({_HLL_NUM} / (m.z_used + (256 - m.buckets_used) * 1125899906842624))
+                  <= 640.0 AND m.buckets_used < 256
+           THEN 256.0 * ln(256.0 / (256 - m.buckets_used))
+           ELSE {_HLL_NUM} / (m.z_used + (256 - m.buckets_used) * 1125899906842624)
+         END AS e
+  FROM mon m JOIN exm ON exm.month = m.month JOIN ex ON ex.month = m.month
+)
+SELECT month, exact_users, sum_daily_users, n_days, buckets_used,
+       CAST(sum_daily_users - exact_users AS BIGINT) AS repeat_user_days,
+       round(e, 4) AS hll_union_estimate,
+       round(abs(e - exact_users) / exact_users * 100.0, 4) AS rel_err_pct
+FROM est
+""",
+)
+def sketch_hll_union_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA on the portable HLL: monthly distinct users estimated
+    from the max-merge (union) of the DAILY register tables — the exact
+    motion a 1000-executor / partitioned-lake rollup performs: daily
+    sketches persist (256 rows/day), months aggregate registers, never
+    rows. MAX is associative+commutative so merged registers equal the
+    direct monthly sketch (unit-pinned property); `repeat_user_days`
+    (sum of daily distincts minus monthly distinct) reads out cross-day
+    overlap without any pairwise set intersection. Exact lanes are the
+    audit; at scale only the register lane survives."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.col("user_id"),
+        F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string"))).alias("hx"),
+    )
+    r = h.select(
+        "month",
+        "event_date",
+        F.substring("hx", 1, 2).alias("bucket"),
+        F.expr(_RHO_SPARK.replace("tail", "substring(hx, 3, 13)")).alias("rho"),
+    )
+    daily_reg = r.groupBy("month", "event_date", "bucket").agg(F.max("rho").alias("rmax"))
+    merged = daily_reg.groupBy("month", "bucket").agg(F.max("rmax").alias("rmax"))
+    mon = merged.groupBy("month").agg(
+        F.sum(F.pow(F.lit(2.0), 50 - F.col("rmax")).cast("bigint")).alias("z_used"),
+        F.count(F.lit(1)).alias("buckets_used"),
+    )
+    exd = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    ).agg(F.countDistinct("user_id").alias("daily_users"))
+    ex = exd.groupBy("month").agg(
+        F.sum("daily_users").alias("sum_daily_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exm = ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    e_raw = F.expr(
+        f"{_HLL_NUM} / (z_used + (256 - buckets_used) * 1125899906842624)"
+    )
+    e = F.when(
+        (e_raw <= 640.0) & (F.col("buckets_used") < 256),
+        256.0 * F.log(256.0 / (256 - F.col("buckets_used"))),
+    ).otherwise(e_raw)
+    return (
+        mon.join(exm, "month")
+        .join(ex, "month")
+        .select(
+            "month",
+            "exact_users",
+            "sum_daily_users",
+            "n_days",
+            "buckets_used",
+            (F.col("sum_daily_users") - F.col("exact_users"))
+            .cast("bigint")
+            .alias("repeat_user_days"),
+            F.round(e, 4).alias("hll_union_estimate"),
+            F.round(F.abs(e - F.col("exact_users")) / F.col("exact_users") * 100.0, 4).alias(
+                "rel_err_pct"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV (k-minimum-values / bottom-k) distinct sketch
 # ---------------------------------------------------------------------------
 

@@ -51,6 +51,19 @@ def test_hll_registers_merge_like_union(spark, sf_dir):
     assert merged == whole
 
 
+def test_hll_union_monthly_consistency(spark, sf_dir):
+    """Merged-register monthly estimate must obey the same rsd bound as a
+    direct monthly sketch (they are EQUAL by max-associativity), and the
+    overlap readout must be the exact identity sum_daily - exact."""
+    rows = QUERIES["sketch_hll_union_monthly"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err_pct <= 26.0, (r.month, r.rel_err_pct)
+        assert r.repeat_user_days == r.sum_daily_users - r.exact_users
+        assert r.repeat_user_days >= 0
+        assert r.n_days >= 1
+
+
 def test_kmv_exact_when_under_k(spark, sf_dir):
     out = QUERIES["sketch_kmv_distinct_daily"](spark, sf_dir)
     for r in out.collect():
@@ -121,6 +134,7 @@ def test_ewma_accumulator_survives_scale_counts(spark):
 def test_sketch_plans_stay_jvm_side(spark, sf_dir):
     for name in (
         "sketch_hll_portable_daily",
+        "sketch_hll_union_monthly",
         "sketch_kmv_distinct_daily",
         "lineitem_histogram_quantiles",
         "events_ewma_daily",
