@@ -85,6 +85,9 @@ HEADLINE = [
     # the SRP-Hamming dense lane; the brute-force hybrid above stays as the
     # labeled exactness baseline)
     "search_hybrid_rrf_ann",
+    # round 9: the portable-register HLL (hash-checked mergeable sketch —
+    # the per-day register lane is the 100 TB rollup state)
+    "sketch_hll_portable_daily",
 ]
 
 
