@@ -651,7 +651,10 @@ def orders_bandit_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the normalizing sum is an order-free integer window sum, never a
     float accumulation. Data-mixture allocation twin of
     `corpus_temperature_mix`. One partial-agg shuffle to 5 arm rows; the
-    1-row total broadcasts (bounded scalar)."""
+    1-row total broadcasts (bounded scalar). The partition-less
+    share-normalizing window runs over the per-ARM aggregate — the
+    order-priority alphabet (5 rows at any corpus size), the documented
+    bounded-input exception in test_plans' global-window gate."""
     o = load_table(spark, sf_dir, "orders")
     arms = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_trials"),

@@ -121,6 +121,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "corpus_quality_knee": "CDF cumsum over the token-count HISTOGRAM — input "
     "bounded by the distinct document-length alphabet (hundreds of rows), "
     "documented in its docstring with the two-phase-sweep fallback",
+    "orders_bandit_allocation": "share-normalizing sum over the per-ARM "
+    "aggregate — order-priority alphabet (5 rows at any corpus size), "
+    "documented in its docstring",
 }
 
 
@@ -518,6 +521,9 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "alpha"): (1, "sensitive-alphabet dim (acctbal buckets)"),
     ("plans/analytics.py", "nn_tot"): (2, "1-row grand total"),
     ("plans/analytics.py", "ct"): (1, "7-row day-of-week margin"),
+    ("plans/sketches.py", "q"): (1, "3-row literal quantile dim (histogram quantiles)"),
+    ("plans/sketches.py", "ht"): (1, "located-bucket dim — <= 3 quantiles x flags rows (histogram exact audit)"),
+    ("plans/sketches.py", "tot"): (1, "1-row order-count scalar (bandit UCB1)"),
 }
 
 
