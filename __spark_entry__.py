@@ -207,6 +207,14 @@ _BUDGET_LAST = (
     "events_ewma_daily",
     "orders_bandit_allocation",
     "sketch_hll_union_monthly",
+    # r9 second wave: pre-gated runway for the ROUND-10 window (positions
+    # 51+ this round — deliberately beyond the 50-row window so they cannot
+    # displace anything; they become r10 backlog with check_parity gates
+    # already recorded)
+    "events_kmv_day_overlap",
+    "events_holt_linear_daily",
+    "events_mann_kendall_daily",
+    "lineitem_welch_ttest",
 )
 
 

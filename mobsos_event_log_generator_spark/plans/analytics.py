@@ -10601,3 +10601,241 @@ def parts_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_over_10pct"),
     )
+
+
+@register(
+    "events_mann_kendall_daily",
+    """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.event_date > a.event_date
+  GROUP BY 1
+),
+nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS tc
+        FROM daily GROUP BY 1, 2)
+  WHERE tc > 1
+  GROUP BY 1
+)
+SELECT s.event_type, nn.n AS n_days, s.s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+            - COALESCE(t.tie_term, 0) AS BIGINT) AS var18,
+       round(CASE
+         WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                      - COALESCE(t.tie_term, 0)) / 18.0)
+         WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                      - COALESCE(t.tie_term, 0)) / 18.0)
+         ELSE 0.0 END, 6) AS z_stat,
+       CASE
+         WHEN s.s_stat > 0 AND (s.s_stat - 1)
+              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                      - COALESCE(t.tie_term, 0)) / 18.0) > 1.959964
+           THEN 'increasing'
+         WHEN s.s_stat < 0 AND (s.s_stat + 1)
+              / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                      - COALESCE(t.tie_term, 0)) / 18.0) < -1.959964
+           THEN 'decreasing'
+         ELSE 'no_trend' END AS trend
+FROM s JOIN nn ON nn.event_type = s.event_type
+LEFT JOIN ties t ON t.event_type = s.event_type
+""",
+)
+def events_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type over the daily-count
+    series — the nonparametric significance twin of `events_theilsen_trend`
+    (same series, same pair space; Theil-Sen gives the slope, MK gives the
+    trend verdict). S = sum of pairwise count-comparison signs (exact
+    integer, tie-corrected normal approximation with the standard
+    continuity correction); z from identical integers in both engines.
+    Scale shape: the O(days^2) pair join runs AFTER the calendar collapse
+    (bounded series, the documented bounded-series exception), never on
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.event_date") > F.col("a.event_date")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .filter(F.col("tc") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = (
+        s.join(nn, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn(
+            "var18",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    sd = F.sqrt(F.col("var18") / 18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var18",
+        F.round(z, 6).alias("z_stat"),
+        F.when((F.col("s_stat") > 0) & (z > 1.959964), F.lit("increasing"))
+        .when((F.col("s_stat") < 0) & (z < -1.959964), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+@register(
+    "lineitem_welch_ttest",
+    f"""
+WITH pts AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 'high_discount' ELSE 'low_discount' END AS grp,
+         {XM.sql_int_units('l_extendedprice', 2)} AS cents
+  FROM lineitem
+),
+g AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q
+  FROM pts GROUP BY 1
+),
+wide AS (
+  SELECT
+    max(CASE WHEN grp = 'high_discount' THEN n END) AS n1,
+    max(CASE WHEN grp = 'high_discount' THEN s END) AS s1,
+    max(CASE WHEN grp = 'high_discount' THEN q END) AS q1,
+    max(CASE WHEN grp = 'low_discount' THEN n END) AS n2,
+    max(CASE WHEN grp = 'low_discount' THEN s END) AS s2,
+    max(CASE WHEN grp = 'low_discount' THEN q END) AS q2
+  FROM g
+),
+v AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 / 100.0 AS m1,
+         CAST(s2 AS DOUBLE) / n2 / 100.0 AS m2,
+         (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / n1 / (n1 - 1) / 10000.0 AS v1,
+         (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+           / n2 / (n2 - 1) / 10000.0 AS v2
+  FROM wide
+)
+SELECT n1, n2,
+       round(m1, 4) AS mean_high, round(m2, 4) AS mean_low,
+       round(m1 - m2, 4) AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 4) AS df_welch,
+       abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.959964 AS significant_5pct
+FROM v
+""",
+)
+def lineitem_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: does line price differ
+    between high-discount (>= 5%) and low-discount lines? Sufficient
+    statistics (n, sum-cents, sum-cents^2) accumulate as EXACT integers in
+    one map-side-combined pass (decimal(38,0)/HUGEINT; cents^2 ~ 1e14 per
+    row keeps ~1e24 headroom), then means/variances/t/Welch-Satterthwaite
+    df are identical double arithmetic on identical integers in both
+    engines. Complements the ANOVA/Mann-Whitney entries with the classic
+    unequal-variance mean test. One aggregation, zero row shuffles of the
+    fact table beyond the 2-group partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.when(F.col("l_discount") >= 0.05, "high_discount")
+        .otherwise("low_discount")
+        .alias("grp"),
+        XM.int_units_long(F.col("l_extendedprice"), 2).alias("cents"),
+    )
+    g = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == "high_discount", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "high_discount", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "high_discount", F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("grp") == "low_discount", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "low_discount", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "low_discount", F.col("q"))).alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1") / 100.0
+    m2 = F.col("s2").cast("double") / F.col("n2") / 100.0
+    v1 = (
+        (
+            F.col("n1").cast("double") * F.col("q1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / F.col("n1")
+        / (F.col("n1") - 1)
+        / 10000.0
+    )
+    v2 = (
+        (
+            F.col("n2").cast("double") * F.col("q2").cast("double")
+            - F.col("s2").cast("double") * F.col("s2").cast("double")
+        )
+        / F.col("n2")
+        / (F.col("n2") - 1)
+        / 10000.0
+    )
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    t = (m1 - m2) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(v1 / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(v2 / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(m1, 4).alias("mean_high"),
+        F.round(m2, 4).alias("mean_low"),
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 4).alias("df_welch"),
+        (F.abs(t) > 1.959964).alias("significant_5pct"),
+    )

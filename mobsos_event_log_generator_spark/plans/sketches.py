@@ -612,6 +612,321 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV set algebra: consecutive-day user overlap from bottom-k sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_kmv_day_overlap",
+    f"""
+WITH u AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date, user_id
+  FROM events
+),
+h AS (
+  SELECT event_date,
+         ({_KMV_A} * ((user_id % {_KMV_P}) + 1)) % {_KMV_P} AS hv
+  FROM u
+),
+bot AS (
+  SELECT event_date, hv FROM (
+    SELECT event_date, hv,
+           row_number() OVER (PARTITION BY event_date ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+),
+days AS (SELECT DISTINCT event_date FROM u),
+pairs AS (
+  SELECT d.event_date AS day_a,
+         strftime(CAST(d.event_date AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d') AS day_b
+  FROM days d
+  JOIN days n ON n.event_date =
+       strftime(CAST(d.event_date AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+),
+tagged AS (
+  SELECT p.day_a, b.hv, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN bot b ON b.event_date = p.day_a
+  UNION ALL
+  SELECT p.day_a, b.hv, 0, 1
+  FROM pairs p JOIN bot b ON b.event_date = p.day_b
+),
+uni AS (
+  SELECT day_a, hv, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM tagged GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day_a, hv, in_a, in_b,
+         row_number() OVER (PARTITION BY day_a ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY day_a) AS ucnt
+  FROM uni
+),
+sk AS (
+  SELECT day_a,
+         CAST(max(CASE WHEN rn = least({_KMV_K}, ucnt) THEN hv END) AS BIGINT) AS hk,
+         CAST(least(max(ucnt), {_KMV_K}) AS BIGINT) AS k_used,
+         CAST(max(ucnt) AS BIGINT) AS sketch_union_size,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS inter_in_sketch
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY 1
+),
+exd AS (SELECT event_date, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+exi AS (
+  SELECT p.day_a, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM pairs p
+  JOIN u a ON a.event_date = p.day_a
+  JOIN u b ON b.event_date = p.day_b AND b.user_id = a.user_id
+  GROUP BY 1
+)
+SELECT s.day_a AS event_date,
+       p.day_b AS next_date,
+       s.k_used,
+       {XM.sql_ratio_round('inter_in_sketch', 'k_used', 6)} AS kmv_jaccard,
+       round(CASE WHEN s.sketch_union_size < {_KMV_K}
+                  THEN CAST(s.sketch_union_size AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * {float(_KMV_P)} / s.hk END, 4) AS kmv_union,
+       {XM.sql_ratio_round('COALESCE(exi.exact_inter, 0)',
+                           'da.n + db.n - COALESCE(exi.exact_inter, 0)', 6)}
+         AS exact_jaccard,
+       CAST(da.n + db.n - COALESCE(exi.exact_inter, 0) AS BIGINT) AS exact_union
+FROM sk s
+JOIN pairs p ON p.day_a = s.day_a
+LEFT JOIN exi ON exi.day_a = s.day_a
+JOIN exd da ON da.event_date = s.day_a
+JOIN exd db ON db.event_date = p.day_b
+""",
+)
+def events_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set ALGEBRA: day-over-day user overlap estimated purely from the
+    per-day bottom-64 sketches — union sketch = bottom-k of the two
+    sketches' union (a theorem, so persisting one 64-row sketch per day
+    lets any pair's Jaccard/union be answered later without touching
+    rows), Jaccard = |both-days hashes in the union sketch| / k,
+    union-size via the k-th minimum. Exact lanes (distinct-user
+    intersection join) are the audit. Under-k unions are exact by
+    construction. Complements `sketch_hll_union_monthly` (HLL merges
+    forget membership; bottom-k keeps it, which is what intersection
+    needs)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "user_id"
+    ).distinct()
+    h = u.select(
+        "event_date",
+        ((F.lit(_KMV_A) * ((F.col("user_id") % _KMV_P) + 1)) % _KMV_P).alias("hv"),
+    )
+    wday = Window.partitionBy("event_date").orderBy("hv")
+    bot = (
+        h.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_date", "hv")
+    )
+    days = u.select("event_date").distinct()
+    nxt = F.date_format(F.date_add(F.to_date(F.col("event_date")), 1), "yyyy-MM-dd")
+    d1, d2 = days.alias("d"), days.alias("n")
+    pairs = d1.select(
+        F.col("event_date").alias("day_a"), nxt.alias("day_b")
+    ).join(d2, F.col("n.event_date") == F.col("day_b")).select("day_a", "day_b")
+    ba, bb = bot.alias("ba"), bot.alias("bb")
+    tagged = (
+        pairs.join(ba, F.col("ba.event_date") == F.col("day_a"))
+        .select("day_a", F.col("ba.hv").alias("hv"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            pairs.join(bb, F.col("bb.event_date") == F.col("day_b")).select(
+                "day_a", F.col("bb.hv").alias("hv"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+    )
+    uni = tagged.groupBy("day_a", "hv").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wpair = Window.partitionBy("day_a")
+    ranked = uni.select(
+        "day_a",
+        "hv",
+        "in_a",
+        "in_b",
+        F.row_number().over(wpair.orderBy("hv")).alias("rn"),
+        F.count(F.lit(1)).over(wpair).alias("ucnt"),
+    ).filter(F.col("rn") <= _KMV_K)
+    sk = ranked.groupBy("day_a").agg(
+        F.max(
+            F.when(F.col("rn") == F.least(F.lit(_KMV_K), F.col("ucnt")), F.col("hv"))
+        ).cast("bigint").alias("hk"),
+        F.least(F.max("ucnt"), F.lit(_KMV_K)).cast("bigint").alias("k_used"),
+        F.max("ucnt").cast("bigint").alias("sketch_union_size"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("inter_in_sketch"),
+    )
+    exd = u.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+    ua, ub = u.alias("ua"), u.alias("ub")
+    exi = (
+        pairs.join(ua, F.col("ua.event_date") == F.col("day_a"))
+        .join(
+            ub,
+            (F.col("ub.event_date") == F.col("day_b"))
+            & (F.col("ub.user_id") == F.col("ua.user_id")),
+        )
+        .groupBy("day_a")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    da, db = exd.alias("da"), exd.alias("db")
+    out = (
+        sk.join(pairs, "day_a")
+        .join(exi, "day_a", "left")
+        .join(da, F.col("da.event_date") == F.col("day_a"))
+        .join(db, F.col("db.event_date") == F.col("day_b"))
+        .select(
+            F.col("day_a").alias("event_date"),
+            F.col("day_b").alias("next_date"),
+            "k_used",
+            XM.ratio_round(F.col("inter_in_sketch"), F.col("k_used"), 6).alias("kmv_jaccard"),
+            F.round(
+                F.when(
+                    F.col("sketch_union_size") < _KMV_K,
+                    F.col("sketch_union_size").cast("double"),
+                ).otherwise(F.lit(float(_KMV_K - 1)) * float(_KMV_P) / F.col("hk")),
+                4,
+            ).alias("kmv_union"),
+            XM.ratio_round(
+                F.coalesce(F.col("exact_inter"), F.lit(0)),
+                F.col("da.n") + F.col("db.n") - F.coalesce(F.col("exact_inter"), F.lit(0)),
+                6,
+            ).alias("exact_jaccard"),
+            (F.col("da.n") + F.col("db.n") - F.coalesce(F.col("exact_inter"), F.lit(0)))
+            .cast("bigint")
+            .alias("exact_union"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Brown double-smoothing (Holt-style level + trend) via two exact EWMA passes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_holt_linear_daily",
+    f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(count(*) AS BIGINT) AS daily_count
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_date) AS t
+  FROM daily
+),
+s1 AS (
+  SELECT a.event_type, a.event_date, a.t, a.daily_count,
+         CAST( (2000000 * sum(CAST(b.daily_count AS HUGEINT)
+                              * CAST(pow(2, {_EWMA_HORIZON} - (a.t - b.t)) AS BIGINT))
+                + sum(CAST(pow(2, {_EWMA_HORIZON} - (a.t - b.t)) AS BIGINT)))
+               // (2 * sum(CAST(pow(2, {_EWMA_HORIZON} - (a.t - b.t)) AS BIGINT)))
+              AS BIGINT) AS s1_micro
+  FROM idx a JOIN idx b
+    ON b.event_type = a.event_type
+   AND b.t BETWEEN a.t - {_EWMA_HORIZON} AND a.t
+  GROUP BY 1, 2, 3, 4
+),
+s2 AS (
+  SELECT a.event_type, a.event_date, a.daily_count, a.s1_micro,
+         sum(CAST(b.s1_micro AS HUGEINT)
+             * CAST(pow(2, {_EWMA_HORIZON} - (a.t - b.t)) AS BIGINT)) AS num2_q,
+         sum(CAST(pow(2, {_EWMA_HORIZON} - (a.t - b.t)) AS BIGINT)) AS den2_q
+  FROM s1 a JOIN s1 b
+    ON b.event_type = a.event_type
+   AND b.t BETWEEN a.t - {_EWMA_HORIZON} AND a.t
+  GROUP BY 1, 2, 3, 4
+),
+s3 AS (
+  SELECT event_type, event_date, daily_count, s1_micro, num2_q, den2_q,
+         CAST((2 * num2_q + den2_q) // (2 * den2_q) AS BIGINT) AS s2_micro
+  FROM s2
+)
+SELECT event_type, event_date, daily_count,
+       {XM.sql_ratio_round('s1_micro', '1000000', 4)} AS s_single,
+       {XM.sql_ratio_round('num2_q', 'den2_q * 1000000', 4)} AS s_double,
+       {XM.sql_ratio_round('2 * s1_micro - s2_micro', '1000000', 4)} AS level,
+       {XM.sql_ratio_round('s1_micro - s2_micro', '1000000', 4)} AS trend,
+       {XM.sql_ratio_round('3 * s1_micro - 2 * s2_micro', '1000000', 4)} AS forecast_next
+FROM s3
+""",
+)
+def events_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double exponential smoothing (alpha = 1/2) over daily counts
+    per type: S' = EWMA(x), S'' = EWMA(S'), level = 2S' - S'', trend =
+    (alpha/(1-alpha))(S' - S'') = S' - S'', one-step forecast = level +
+    trend — the linear-trend forecaster the seasonal-naive MASE entry
+    lacks. Numerics: pass 1 quantizes S' to integer MICRO units (exact
+    half-up ratio) so pass 2's weighted sum is again an order-free
+    integer accumulation in decimal(38,0)/HUGEINT — no float addition
+    between passes (1e10-count days: s1_micro ~ 1e16, x 2^30 x 31 terms
+    ~ 3e26, inside decimal(38,0)). Both band self-joins run AFTER the
+    calendar collapse, exactly as `events_ewma_daily`."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("daily_count"))
+    idx = daily.withColumn(
+        "t", F.row_number().over(Window.partitionBy("event_type").orderBy("event_date"))
+    )
+
+    def _band_sum(df, val_col: str, out_num: str, out_den: str):
+        a, b = df.alias("a"), df.alias("b")
+        d = F.col("a.t") - F.col("b.t")
+        w = F.pow(F.lit(2.0), _EWMA_HORIZON - d).cast("bigint")
+        keep = [F.col(f"a.{c}").alias(c) for c in df.columns]
+        return (
+            a.join(
+                b,
+                (F.col("b.event_type") == F.col("a.event_type"))
+                & (F.col("b.t") >= F.col("a.t") - _EWMA_HORIZON)
+                & (F.col("b.t") <= F.col("a.t")),
+            )
+            .groupBy(*keep)
+            .agg(
+                F.sum((F.col(f"b.{val_col}") * w).cast("decimal(38,0)")).alias(out_num),
+                F.sum(w).alias(out_den),
+            )
+        )
+
+    s1 = _band_sum(idx, "daily_count", "num1_q", "den1_q").select(
+        "event_type",
+        "event_date",
+        "t",
+        "daily_count",
+        # exact half-up micro quantization: (2e6*num + den) div (2*den)
+        F.expr(
+            "CAST((2000000 * num1_q + den1_q) div (2 * CAST(den1_q AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("s1_micro"),
+    )
+    s2 = _band_sum(s1, "s1_micro", "num2_q", "den2_q")
+    # quantize S'' to integer micro FIRST (exact half-up), then every output
+    # rides XM.ratio_round — round(int/1e6, 4) via plain double division
+    # diverges between engines on exact .5 boundaries (hit at sf0.01).
+    s3 = s2.withColumn(
+        "s2_micro",
+        F.expr("CAST((2 * num2_q + den2_q) div (2 * CAST(den2_q AS DECIMAL(38,0))) AS BIGINT)"),
+    )
+    mega = F.lit(1000000)
+    return s3.select(
+        "event_type",
+        "event_date",
+        "daily_count",
+        XM.ratio_round(F.col("s1_micro"), mega, 4).alias("s_single"),
+        XM.ratio_round(F.col("num2_q"), F.col("den2_q") * 1000000, 4).alias("s_double"),
+        XM.ratio_round(2 * F.col("s1_micro") - F.col("s2_micro"), mega, 4).alias("level"),
+        XM.ratio_round(F.col("s1_micro") - F.col("s2_micro"), mega, 4).alias("trend"),
+        XM.ratio_round(3 * F.col("s1_micro") - 2 * F.col("s2_micro"), mega, 4).alias(
+            "forecast_next"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bandit posterior allocation over order-priority arms
 # ---------------------------------------------------------------------------
 

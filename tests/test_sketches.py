@@ -143,3 +143,36 @@ def test_sketch_plans_stay_jvm_side(spark, sf_dir):
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_kmv_day_overlap_contracts(spark, sf_dir):
+    rows = QUERIES["events_kmv_day_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.kmv_jaccard <= 1.0
+        assert r.k_used <= 64
+        if r.exact_union < 64:
+            # under-k the union sketch IS the union: estimates are exact
+            assert r.kmv_jaccard == pytest.approx(r.exact_jaccard, abs=2e-6)
+            assert r.kmv_union == float(r.exact_union)
+        else:
+            # k=64 -> rsd ~ 12.5%; generous 4-sigma absolute band on J
+            assert abs(r.kmv_jaccard - r.exact_jaccard) <= 0.5
+            assert abs(r.kmv_union - r.exact_union) / r.exact_union <= 0.55
+
+
+def test_holt_linear_matches_pandas_double_smoothing(spark, sf_dir):
+    out = QUERIES["events_holt_linear_daily"](spark, sf_dir).orderBy(
+        "event_type", "event_date"
+    )
+    pdf = out.toPandas()
+    assert len(pdf)
+    for etype, g in pdf.groupby("event_type"):
+        s1 = g.daily_count.ewm(alpha=0.5, adjust=True).mean()
+        s2 = s1.ewm(alpha=0.5, adjust=True).mean()
+        lvl, tr = 2 * s1 - s2, s1 - s2
+        tol = max(3e-4 * g.daily_count.max(), 2e-3)  # truncation + 2x micro-quant
+        assert (g.s_single - s1).abs().max() <= tol, etype
+        assert (g.level - lvl).abs().max() <= tol, etype
+        assert (g.trend - tr).abs().max() <= tol, etype
+        assert (g.forecast_next - (g.level + g.trend)).abs().max() <= 2e-3, etype

@@ -1,0 +1,65 @@
+"""Units for the round-9 second-wave statistics (Mann-Kendall, Welch):
+reference implementations recomputed in numpy/pandas on the same fixture."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from mobsos_event_log_generator_spark.plans.queries import QUERIES
+from mobsos_event_log_generator_spark.sources.parquet import load_table
+from pyspark.sql import functions as F
+
+
+def test_mann_kendall_matches_reference(spark, sf_dir):
+    rows = QUERIES["events_mann_kendall_daily"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+    )
+    for r in rows:
+        c = daily[daily.event_type == r.event_type].sort_values("d").c.to_numpy()
+        n = len(c)
+        s = sum(
+            int(np.sign(c[j] - c[i])) for i in range(n) for j in range(i + 1, n)
+        )
+        assert r.s_stat == s, r.event_type
+        assert r.n_days == n
+        _, tc = np.unique(c, return_counts=True)
+        tie = int(sum(t * (t - 1) * (2 * t + 5) for t in tc if t > 1))
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        assert r.var18 == var18
+        if s != 0:
+            z = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+            assert r.z_stat == pytest.approx(z, abs=2e-6)
+
+
+def test_welch_matches_reference(spark, sf_dir):
+    row = QUERIES["lineitem_welch_ttest"](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select("l_discount", "l_extendedprice")
+    pdf = li.toPandas()
+    cents = (pdf.l_extendedprice * 100 + 0.5).astype("int64")
+    hi = cents[pdf.l_discount >= 0.05].to_numpy(dtype=float) / 100.0
+    lo = cents[pdf.l_discount < 0.05].to_numpy(dtype=float) / 100.0
+    assert row.n1 == len(hi) and row.n2 == len(lo)
+    m1, m2 = hi.mean(), lo.mean()
+    v1, v2 = hi.var(ddof=1), lo.var(ddof=1)
+    se2 = v1 / len(hi) + v2 / len(lo)
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2**2 / ((v1 / len(hi)) ** 2 / (len(hi) - 1) + (v2 / len(lo)) ** 2 / (len(lo) - 1))
+    assert row.mean_diff == pytest.approx(m1 - m2, abs=2e-4)
+    assert row.t_stat == pytest.approx(t, abs=1e-4)
+    assert row.df_welch == pytest.approx(df, rel=1e-5)
+    assert row.significant_5pct == (abs(t) > 1.959964)
+
+
+def test_welch_accumulator_headroom():
+    """cents^2 ~ 1e14/row; 6e8 rows/group at 100 TB -> ~6e22, 15 orders
+    inside decimal(38,0). int64 would overflow at ~9e4 rows (documented)."""
+    assert int(1e14) * int(6e8) < 10**38
+    assert int(1e14) * int(1e5) > 2**63 - 1
