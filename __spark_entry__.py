@@ -215,6 +215,8 @@ _BUDGET_LAST = (
     "events_holt_linear_daily",
     "events_mann_kendall_daily",
     "lineitem_welch_ttest",
+    "events_cusum_changepoint",
+    "events_mad_anomaly_days",
 )
 
 

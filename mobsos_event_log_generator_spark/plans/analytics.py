@@ -10839,3 +10839,208 @@ def lineitem_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 4).alias("df_welch"),
         (F.abs(t) > 1.959964).alias("significant_5pct"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_date) AS t,
+         sum(c) OVER (PARTITION BY event_type ORDER BY event_date) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+dev AS (
+  -- centered cumulative sum scaled by n to stay integer:
+  -- S'_t = n*cum_t - t*total = n^2 * (classic CUSUM / 1)
+  SELECT event_type, event_date, t, n, total,
+         CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * total AS s_scaled
+  FROM idx
+),
+peak AS (
+  SELECT event_type, event_date, t, n, total, s_scaled,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(s_scaled) DESC, event_date) AS pk
+  FROM dev
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       event_date AS changepoint_date,
+       CAST(t AS BIGINT) AS changepoint_t,
+       CAST(abs(s_scaled) AS BIGINT) AS cusum_peak_scaled,
+       CASE WHEN total > 0
+            THEN round(CAST(abs(s_scaled) AS DOUBLE) / (CAST(n AS DOUBLE) * total), 6)
+            ELSE 0.0 END AS peak_ratio
+FROM peak WHERE pk = 1
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator per event type over the daily-count
+    series: the t maximizing |n*cum_t - t*total| — the integer-scaled
+    centered cumulative sum (classic CUSUM x n, so no fractional mean
+    ever materializes; HUGEINT/decimal at 1e10-count days: n*cum ~
+    365 x 3.6e12 ~ 1e15 x n ~ 1e18, decades of headroom). peak_ratio =
+    peak / (n*total) in [0, 1) is the scale-free magnitude readout.
+    Deterministic tiebreak: earliest date at equal peaks. Pair with
+    `events_mann_kendall_daily` (is there a trend?) — CUSUM answers
+    WHERE the level shifted. Calendar-bounded windows after the daily
+    collapse; the raw scan is the only xN cost."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("event_date")
+    idx = daily.select(
+        "event_type",
+        "event_date",
+        F.row_number().over(wo).alias("t"),
+        F.sum("c").over(wo).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    dev = idx.withColumn(
+        "s_scaled",
+        F.col("n").cast("decimal(38,0)") * F.col("cum")
+        - F.col("t").cast("decimal(38,0)") * F.col("total"),
+    )
+    peak = dev.withColumn(
+        "pk",
+        F.row_number().over(wt.orderBy(F.abs(F.col("s_scaled")).desc(), "event_date")),
+    ).filter(F.col("pk") == 1)
+    return peak.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("event_date").alias("changepoint_date"),
+        F.col("t").cast("long").alias("changepoint_t"),
+        F.abs(F.col("s_scaled")).cast("long").alias("cusum_peak_scaled"),
+        F.when(
+            F.col("total") > 0,
+            F.round(
+                F.abs(F.col("s_scaled")).cast("double")
+                / (F.col("n").cast("double") * F.col("total")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("peak_ratio"),
+    )
+
+
+@register(
+    "events_mad_anomaly_days",
+    """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  -- lower median (discrete): element at rank ceil(n/2) -- stays integer
+  SELECT event_type, c AS median_count FROM (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c, event_date) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+  ) WHERE r = (n + 1) // 2
+),
+dv AS (
+  SELECT d.event_type, d.event_date, d.c, m.median_count,
+         abs(d.c - m.median_count) AS adev
+  FROM daily d JOIN med m ON m.event_type = d.event_type
+),
+mad AS (
+  SELECT event_type, adev AS mad_count FROM (
+    SELECT event_type, adev,
+           row_number() OVER (PARTITION BY event_type ORDER BY adev, event_date) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dv
+  ) WHERE r = (n + 1) // 2
+),
+flagged AS (
+  SELECT dv.event_type, dv.event_date, dv.adev, dv.median_count, md.mad_count,
+         -- |c - med| > 3.5 * 1.4826 * MAD via integers: adev*10000 > 51891*MAD
+         CASE WHEN dv.adev * 10000 > 51891 * md.mad_count THEN 1 ELSE 0 END AS is_anom
+  FROM dv JOIN mad md ON md.event_type = dv.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(median_count) AS BIGINT) AS median_count,
+       CAST(max(mad_count) AS BIGINT) AS mad_count,
+       CAST(sum(is_anom) AS BIGINT) AS n_anomaly_days,
+       CAST(max(adev) AS BIGINT) AS max_abs_dev,
+       min(CASE WHEN adev = (SELECT max(f2.adev) FROM flagged f2
+                             WHERE f2.event_type = flagged.event_type)
+                THEN event_date END) AS worst_date
+FROM flagged
+GROUP BY 1
+""",
+)
+def events_mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly-day detector per event type: lower-median and MAD of
+    the daily-count series (exact discrete order statistics at rank
+    ceil(n/2) — integers end to end, no interpolation convention to
+    diverge on), flagging days where |c - med| > 3.5 x 1.4826 x MAD via
+    the integer inequality adev x 10000 > 51891 x MAD. Reports the count
+    of anomalous days and the worst day (earliest date tiebreak).
+    Calendar-bounded rank windows after the daily collapse."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+
+    def _lower_median(df, val: str, out: str):
+        return (
+            df.select(
+                "event_type",
+                F.col(val),
+                F.row_number().over(wt.orderBy(val, "event_date")).alias("r"),
+                F.count(F.lit(1)).over(wt).alias("n"),
+            )
+            .filter(F.col("r") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = _lower_median(daily, "c", "median_count")
+    dv = daily.join(med, "event_type").select(
+        "event_type",
+        "event_date",
+        "c",
+        "median_count",
+        F.abs(F.col("c") - F.col("median_count")).alias("adev"),
+    )
+    mad = _lower_median(dv, "adev", "mad_count")
+    flagged = dv.join(mad, "event_type").withColumn(
+        "is_anom",
+        (F.col("adev") * 10000 > 51891 * F.col("mad_count")).cast("int"),
+    )
+    worst = flagged.withColumn(
+        "wr", F.row_number().over(wt.orderBy(F.col("adev").desc(), "event_date"))
+    ).filter(F.col("wr") == 1).select(
+        "event_type", F.col("event_date").alias("worst_date")
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("median_count").cast("long").alias("median_count"),
+        F.max("mad_count").cast("long").alias("mad_count"),
+        F.sum("is_anom").cast("long").alias("n_anomaly_days"),
+        F.max("adev").cast("long").alias("max_abs_dev"),
+    )
+    return agg.join(worst, "event_type").select(
+        "event_type",
+        "n_days",
+        "median_count",
+        "mad_count",
+        "n_anomaly_days",
+        "max_abs_dev",
+        "worst_date",
+    )

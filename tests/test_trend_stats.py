@@ -63,3 +63,47 @@ def test_welch_accumulator_headroom():
     inside decimal(38,0). int64 would overflow at ~9e4 rows (documented)."""
     assert int(1e14) * int(6e8) < 10**38
     assert int(1e14) * int(1e5) > 2**63 - 1
+
+
+def test_cusum_matches_reference(spark, sf_dir):
+    rows = QUERIES["events_cusum_changepoint"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+    )
+    for r in rows:
+        g = daily[daily.event_type == r.event_type].sort_values("d")
+        c = g.c.to_numpy()
+        n, total = len(c), int(c.sum())
+        s = n * np.cumsum(c) - (np.arange(1, n + 1)) * total
+        peak = int(np.abs(s).max())
+        assert r.cusum_peak_scaled == peak, r.event_type
+        # earliest argmax tiebreak
+        t_star = int(np.argmax(np.abs(s) == peak)) + 1
+        assert r.changepoint_t == t_star
+        assert r.peak_ratio == pytest.approx(peak / (n * total), abs=2e-6)
+
+
+def test_mad_anomaly_matches_reference(spark, sf_dir):
+    rows = QUERIES["events_mad_anomaly_days"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+    )
+    for r in rows:
+        g = daily[daily.event_type == r.event_type].sort_values("d")
+        c = np.sort(g.c.to_numpy())
+        med = int(c[(len(c) + 1) // 2 - 1])  # lower median
+        assert r.median_count == med
+        adev = np.sort(np.abs(g.c.to_numpy() - med))
+        mad = int(adev[(len(adev) + 1) // 2 - 1])
+        assert r.mad_count == mad
+        n_anom = int(((np.abs(g.c.to_numpy() - med) * 10000) > 51891 * mad).sum())
+        assert r.n_anomaly_days == n_anom
+        assert r.max_abs_dev == int(np.abs(g.c.to_numpy() - med).max())
