@@ -210,6 +210,21 @@ def main() -> None:
     # query doesn't pay one-off start-up costs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Host-speed calibration scalar (r9): a fixed-size JVM job timed twice,
+    # best-of-2, recorded as "calib" so cross-round bench totals can be
+    # normalized for host-side interference — round-9 observed the SAME
+    # commit swing 109 -> 174 s cold between idle captures, with per-query
+    # blow-ups moving between runs (BASELINE.md round-9 section). A calib
+    # far off its ~baseline flags the whole capture as noise-contaminated.
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 3 % 7)", "count(if(id % 11 = 0, 1, NULL))"
+        ).collect()
+        return time.perf_counter() - t0
+
+    calib = round(min(_calib(), _calib()), 3)
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -242,6 +257,7 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": float(sf),
         "value_warm": round(sum(warm.values()), 3),
+        "calib": calib,
     }
     detail = dict(record, queries=timings, queries_warm=warm,
                   detail_sidecar=True, load_at_start=load_at_start,
