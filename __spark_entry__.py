@@ -217,6 +217,7 @@ _BUDGET_LAST = (
     "lineitem_welch_ttest",
     "events_cusum_changepoint",
     "events_mad_anomaly_days",
+    "orders_kaplan_meier",
 )
 
 

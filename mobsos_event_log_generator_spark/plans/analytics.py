@@ -11044,3 +11044,137 @@ def events_mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_dev",
         "worst_date",
     )
+
+
+@register(
+    "orders_kaplan_meier",
+    """
+WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1),
+cut AS (SELECT max(l_shipdate) AS mx FROM lineitem),
+pts AS (
+  SELECT CASE WHEN f.first_ship IS NOT NULL
+              THEN date_diff('day', o.o_orderdate, f.first_ship)
+              ELSE greatest(0, date_diff('day', o.o_orderdate, (SELECT mx FROM cut))) END
+           AS duration_days,
+         (f.first_ship IS NOT NULL) AS is_event
+  FROM orders o LEFT JOIN f ON f.l_orderkey = o.o_orderkey
+),
+hist AS (
+  SELECT duration_days,
+         sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS c
+  FROM pts WHERE duration_days >= 0 GROUP BY 1
+),
+tot AS (SELECT sum(d + c) AS t FROM hist),
+risk AS (
+  SELECT duration_days, d, c,
+         (SELECT t FROM tot)
+           - sum(d + c) OVER (ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+           + d + c AS n_risk
+  FROM hist
+),
+step AS (
+  -- per-step -ln(1 - d/n) on exact integers, half-up quantized to integer
+  -- MICRO-nats BEFORE the cumulative sum (same discipline as the ppm
+  -- hazards in orders_nelson_aalen: no float accumulation, order-free)
+  SELECT duration_days, d, c, n_risk,
+         CASE WHEN d = 0 THEN 0
+              WHEN d >= n_risk THEN NULL
+              ELSE CAST(floor(ln(CAST(n_risk AS DOUBLE) / (n_risk - d)) * 1000000 + 0.5)
+                        AS BIGINT) END AS step_micro
+  FROM risk
+),
+cum AS (
+  SELECT duration_days, d, c, n_risk, step_micro,
+         sum(step_micro) OVER (ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+           AS cum_micro
+  FROM step WHERE step_micro IS NOT NULL
+)
+SELECT CAST(duration_days AS BIGINT) AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(cum_micro AS BIGINT) AS cum_neg_ln_micro,
+       round(exp(-(cum_micro / 1000000.0)), 6) AS km_survival
+FROM cum
+""",
+)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival for order fulfilment (event =
+    first lineitem shipped; right-censored at the observation horizon —
+    IDENTICAL risk-set construction to `orders_nelson_aalen`, its
+    cumulative-hazard sibling). The product Π(1 - d/n) is carried as a
+    SUM of per-step -ln(1 - d/n) values half-up-quantized to integer
+    micro-nats BEFORE accumulating — the same no-float-accumulation
+    discipline as the ppm hazards (each step's ln runs on exact integers,
+    so both engines quantize identically; the cumulative sum is then an
+    order-free integer). Plateau levels where everyone at risk dies
+    (d = n) are excluded (survival 0, ln undefined) — the standard KM
+    convention for a terminal drop. Running sums ride the two-phase
+    distributed prefix sum (operators/sweep.py) over the duration
+    histogram - no global single-partition window touches row-scaled
+    data (the de-weak rule, same as nelson_aalen)."""
+    from mobsos_event_log_generator_spark.operators.sweep import value_ordered_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    f = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    cut = li.agg(F.max("l_shipdate").alias("mx"))
+    pts = (
+        o.join(f, o["o_orderkey"] == f["l_orderkey"], "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(
+                F.col("first_ship").isNotNull(),
+                F.datediff(F.col("first_ship"), F.col("o_orderdate")),
+            )
+            .otherwise(
+                F.greatest(F.lit(0), F.datediff(F.col("mx"), F.col("o_orderdate")))
+            )
+            .alias("duration_days"),
+            F.col("first_ship").isNotNull().alias("is_event"),
+        )
+        .filter(F.col("duration_days") >= 0)
+    )
+    hist = pts.groupBy("duration_days").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1)).alias("c"),
+    )
+    tot = hist.agg(F.sum(F.col("d") + F.col("c")).alias("t"))
+    risk = (
+        value_ordered_running_sum(
+            hist,
+            order_col="duration_days",
+            tie_cols=[],
+            value_col=F.col("d") + F.col("c"),
+            out_col="cum_le",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("t") - F.col("cum_le") + F.col("d") + F.col("c"))
+    )
+    step = risk.withColumn(
+        "step_micro",
+        F.when(F.col("d") == 0, F.lit(0)).when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log(F.col("n_risk").cast("double") / (F.col("n_risk") - F.col("d")))
+                * 1000000
+                + 0.5
+            ).cast("long"),
+        ),
+    ).filter(F.col("step_micro").isNotNull())
+    cum = value_ordered_running_sum(
+        step,
+        order_col="duration_days",
+        tie_cols=[],
+        value_col=F.col("step_micro"),
+        out_col="cum_micro",
+    )
+    return cum.select(
+        F.col("duration_days").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.col("cum_micro").cast("long").alias("cum_neg_ln_micro"),
+        F.round(F.exp(-(F.col("cum_micro") / 1000000.0)), 6).alias("km_survival"),
+    )

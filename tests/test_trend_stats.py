@@ -107,3 +107,43 @@ def test_mad_anomaly_matches_reference(spark, sf_dir):
         n_anom = int(((np.abs(g.c.to_numpy() - med) * 10000) > 51891 * mad).sum())
         assert r.n_anomaly_days == n_anom
         assert r.max_abs_dev == int(np.abs(g.c.to_numpy() - med).max())
+
+
+def test_kaplan_meier_matches_reference(spark, sf_dir):
+    """KM survival vs a direct product-limit recomputation (float product)
+    — the micro-nat quantization drift is bounded by ~1e-6 per step."""
+    rows = sorted(
+        QUERIES["orders_kaplan_meier"](spark, sf_dir).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert rows
+    surv = 1.0
+    prev_s = 1.0 + 1e-12
+    for r in rows:
+        assert 0 < r.n_events <= r.n_risk or r.n_events == 0
+        if r.n_events < r.n_risk:
+            surv *= 1.0 - r.n_events / r.n_risk
+        assert r.km_survival == pytest.approx(surv, abs=max(2e-6 * len(rows), 1e-4))
+        assert r.km_survival <= prev_s  # survival is non-increasing
+        prev_s = r.km_survival
+    # risk sets agree with nelson_aalen's construction on shared durations
+    na = {
+        r.duration_days: r.n_risk
+        for r in QUERIES["orders_nelson_aalen"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r.duration_days in na and r.n_events > 0:
+            assert r.n_risk == na[r.duration_days]
+
+
+def test_benford_audit_reference(spark, sf_dir):
+    """The long-standing r6 Benford entry (this round briefly shadowed it
+    with a duplicate registration — caught and removed; the original, with
+    its pre-scaled ppm literal table, is the keeper): pin its math."""
+    rows = QUERIES["orders_benford_audit"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 9
+    n = sum(r.cnt for r in rows)
+    for r in rows:
+        assert r.benford_ppm == round(math.log10(1 + 1 / r.d) * 1e6)
+        assert r.obs_ppm == r.cnt * 1000000 // n
+        assert r.dev_ppm == abs(r.obs_ppm - r.benford_ppm)
