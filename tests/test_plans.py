@@ -467,7 +467,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
     ("plans/analytics.py", "types"): (1, "event-type alphabet"),
     ("plans/analytics.py", "n_ref_row"): (1, "1-row scalar"),
-    ("plans/analytics.py", "tot"): (7, "1-row scalar or alphabet-bounded per-group totals (PSI x2, Nelson-Aalen, weighted median, Kaplan-Meier, Benford)"),
+    ("plans/analytics.py", "tot"): (6, "1-row scalar or alphabet-bounded per-group totals (PSI x2, Nelson-Aalen, weighted median, Kaplan-Meier)"),
     ("plans/analytics.py", "cut"): (2, "1-row study-cutoff max shipdate (Nelson-Aalen, Kaplan-Meier)"),
     ("plans/analytics.py", "mx"): (2, "1-row max (PSI, drawdown)"),
     ("plans/analytics.py", "qs"): (1, "9-cut decile array (1 row)"),
