@@ -45,14 +45,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose plans changed this round and should re-prove their oracle
 # ahead of the already-verified tail (empty when nothing green was touched;
 # sf0.01-identical plan changes are covered by tools/check_parity.py locally).
-# r9: EMPTY — all nine r8 re-gates went green in CORRECTNESS_r08, and no
-# driver-green plan is touched this round so the full 44-name backlog fits
-# the 50-row window (the r8 verdict's explicit bar). The remaining
-# uncapped-|Q| bucketed-ANN demo entries (similarity_topk_ann_bucketed /
-# _ivfpq / _quantized, text_feature_hashing, embedding_random_projection)
-# are all driver-green; capping them is deferred to round 10, when the
-# emptied backlog frees the window for their mandatory re-gates.
-_RECHECK_FIRST = ()
+# r10: the mandatory re-gates the r9 verdict scheduled into the emptied
+# window. Three change classes, all exact-cell re-verified locally at
+# sf0.001+sf0.01+sf0.1 before registration:
+#  * demo-|Q| caps (verdict #2): every remaining `% 50`-derived query set
+#    now also bounds the id below DEMO_QUERY_CAP — vec_id lanes are
+#    fixture-identical (max vec_id 1999 < 2000); doc_id lanes shrink at
+#    sf0.1 only (max doc_id 4999), both engines consistently.
+#  * scale-overflow fixes (r9 ADVICE): EWMA/Holt decimal-first multiply,
+#    KMV md5 60-bit hash (values change, both engines consistently),
+#    histogram-quantile LONG `div` instead of double division.
+#  * oracle-only dim×dim `<>` reshape (verdict #5):
+#    join_cardinality_estimates, orders_conformal_shipping.
+# The 7-name runway backlog (no prior driver row) sorts immediately after
+# these; 19 rechecks + 7 backlog + 1 new hybrid = 27 of 50 window rows.
+_RECHECK_FIRST = (
+    "events_ewma_daily",
+    "sketch_kmv_distinct_daily",
+    "lineitem_histogram_quantiles",
+    "similarity_topk_ann_bucketed",
+    "similarity_topk_ann_multiprobe",
+    "similarity_topk_ann_multitable",
+    "similarity_topk_ann_ivf",
+    "similarity_topk_ann_ivf_arrow",
+    "similarity_topk_ann_ivfpq",
+    "similarity_topk_quantized",
+    "similarity_topk_rerank",
+    "similarity_srp_hamming",
+    "search_bm25_topk",
+    "search_rm3_expansion",
+    "search_hybrid_rrf",
+    "search_hybrid_rrf_ann",
+    "streaming_ann_index_maintenance",
+    "join_cardinality_estimates",
+    "orders_conformal_shipping",
+)
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window
 # time cutoff can't starve it, and brand-new round-6 queries sort behind
@@ -200,7 +227,8 @@ _BUDGET_LAST = (
     "search_hybrid_rrf_ann",
     # r9 additions (portable-sketch/estimator lane; sort behind the whole
     # 44-name r8 backlog so they cannot evict a query that has waited
-    # longer — 44 + 5 = 49 fits the 50-row window with one slot spare)
+    # longer — 44 + 6 = 50 exactly filled the r9 50-row window, no spare;
+    # the r9 ADVICE flagged the stale "44 + 5 = 49" arithmetic here)
     "sketch_hll_portable_daily",
     "sketch_kmv_distinct_daily",
     "lineitem_histogram_quantiles",

@@ -431,17 +431,18 @@ def _sql_sqnorm(a: str, dim: int = 64) -> str:
 _SQL_CODE8 = " + ".join(f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {2**j} ELSE 0 END)" for j in range(S.CODE_BITS))
 
 
-#: Demo-entry query-set cap (r7 verdict #5). The registry's linear-scan demo
-#: entries (brute-force top-k, MMR, PQ-ADC, truncated-dim audit, hybrid RRF)
-#: used to derive their query set as `vec_id % 50 == 0` ALONE, which couples
-#: |Q| to corpus size — per-query work is already linear in N, so the ENTRY
-#: became quadratic by parameterization (the ×100 probe: 4000 queries ×
-#: 200k vectors timed out as registered while a fixed 40-query set completed
-#: linearly). The cap bounds the demo set at ≤ 40 queries at ANY corpus
-#: size; the underlying operators take arbitrary query DataFrames and were
-#: never affected. Routed/bucketed entries (IVF, LSH buckets, multi-probe,
-#: SRP standalone) keep the uncapped set — their per-query cost is sublinear
-#: by construction and they are the documented scale path.
+#: Demo-entry query-set cap (r7 verdict #5; extended to ALL demo entries by
+#: r9 verdict #1). Demo entries used to derive their query set as
+#: `vec_id % 50 == 0` ALONE, which couples |Q| to corpus size — per-query
+#: work is linear (brute lanes) or sublinear (routed lanes) in N, but an
+#: uncapped |Q| makes the registered ENTRY superlinear either way (the r7
+#: ×100 probe: 4000 queries × 200k vectors timed out as registered while a
+#: fixed 40-query set completed linearly). The cap bounds every demo set at
+#: ≤ 40 queries at ANY corpus size; the underlying operators take arbitrary
+#: query DataFrames and were never affected. As of r10 there are ZERO
+#: uncapped `% 50` query-set derivations in the registry (the r9 "routed
+#: lanes may stay uncapped" carve-out is retired — a real deployment's
+#: query set is externally given, never derived from corpus ids).
 DEMO_QUERY_CAP = 2000
 
 _SQL_DEMO_Q = f"vec_id % 50 = 0 AND vec_id < {DEMO_QUERY_CAP}"
@@ -703,7 +704,7 @@ def similarity_mmr_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_topk_ann_bucketed",
     f"""
 WITH coded AS (SELECT vec_id, embedding, {_SQL_CODE8} AS code FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, code FROM coded WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS query_id, embedding AS qv, code FROM coded WHERE {_SQL_DEMO_Q}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, code FROM coded),
 pairs AS (
   SELECT query_id, neighbor_id,
@@ -718,10 +719,12 @@ WHERE rn <= 5
 def similarity_topk_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5: deterministic 8-bit hypercube code (sign LSH) buckets the
     corpus; the query probes only its own bucket — equi-join, no cross
-    product. The oracle runs the same quantizer, proving the bucket routing."""
+    product. The oracle runs the same quantizer, proving the bucket routing.
+    Query set is the capped ≤40-row demo set (r9 verdict: an uncapped
+    ``vec_id % 50`` couples |Q| to corpus size even when per-query cost is
+    sublinear — total work still grows superlinearly at ×100)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.bucketed_ann_topk(emb, queries, k=5)
+    return S.bucketed_ann_topk(emb, _demo_queries(emb), k=5)
 
 
 _SQL_PROBES8 = "[code, " + ", ".join(f"xor(code, {1 << j})" for j in range(S.CODE_BITS)) + "]"
@@ -733,7 +736,7 @@ _SQL_PROBES8 = "[code, " + ", ".join(f"xor(code, {1 << j})" for j in range(S.COD
 WITH coded AS (SELECT vec_id, embedding, {_SQL_CODE8} AS code FROM embeddings),
 q AS (
   SELECT vec_id AS query_id, embedding AS qv, unnest({_SQL_PROBES8}) AS code
-  FROM coded WHERE vec_id % 50 = 0
+  FROM coded WHERE {_SQL_DEMO_Q}
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, code FROM coded),
 pairs AS (
@@ -751,10 +754,10 @@ def similarity_topk_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     — 9 probes per query against a corpus coded once. Measured on the sf0.01
     fixture: recall@5 0.20 probing 4.0% of the corpus, vs 0.02@3% for the
     single-bucket probe and 0.92@65% for the L=16 multitable variant — the
-    intermediate point on the recall/prune curve, with no index blowup."""
+    intermediate point on the recall/prune curve, with no index blowup.
+    Query set capped at ≤40 rows (see similarity_topk_ann_bucketed)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.multiprobe_ann_topk(emb, queries, k=5)
+    return S.multiprobe_ann_topk(emb, _demo_queries(emb), k=5)
 
 
 @register(
@@ -1172,7 +1175,7 @@ WITH coded AS (
   FROM embeddings
 ),
 flat AS (SELECT vec_id, embedding, tc[1] AS tbl, tc[2] AS code FROM coded),
-q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, code FROM flat WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, code FROM flat WHERE {_SQL_DEMO_Q}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, tbl, code FROM flat),
 cand AS (
   SELECT DISTINCT query_id, neighbor_id
@@ -1195,10 +1198,10 @@ WHERE rn <= 5
 def similarity_topk_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (L=16 tables x 4 sign bits): recall@5 0.92 on the
     fixture vs 0.02 for the single 8-bit table — the measured recall/prune
-    tradeoff is documented on the operator."""
+    tradeoff is documented on the operator. Query set capped at ≤40 rows
+    (see similarity_topk_ann_bucketed)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.multitable_ann_topk(emb, queries, k=5)
+    return S.multitable_ann_topk(emb, _demo_queries(emb), k=5)
 
 
 # IVF oracle helpers over a FLATTENED embedding projection: each of the 64
@@ -1269,7 +1272,7 @@ probes AS (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
     FROM embf e CROSS JOIN cents c
-    WHERE e.vec_id % 50 = 0
+    WHERE e.vec_id % 50 = 0 AND e.vec_id < {DEMO_QUERY_CAP}
   ) WHERE rk <= 2
 ),
 pairs AS (
@@ -1335,7 +1338,7 @@ probes AS (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
     FROM embf e CROSS JOIN cents c
-    WHERE e.vec_id % 50 = 0
+    WHERE e.vec_id % 50 = 0 AND e.vec_id < {DEMO_QUERY_CAP}
   ) WHERE rk <= 2
 ),
 pairs AS (
@@ -1360,10 +1363,10 @@ def similarity_topk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit at 0.02 @ 3% (single), 0.20 @ 4% (multi-probe), 0.92 @ 65% (L=16
     tables): the trained cells adapt to the distribution, dominating the
     mid-recall regime. The oracle replays the identical training (seed →
-    assign → mean → re-assign), proving the whole quantizer end-to-end."""
+    assign → mean → re-assign), proving the whole quantizer end-to-end.
+    Query set capped at ≤40 rows (see similarity_topk_ann_bucketed)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ivf_ann_topk(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
+    return S.ivf_ann_topk(emb, _demo_queries(emb), k=5, num_centroids=8, nprobe=2, iters=1)
 
 
 @register("similarity_topk_ann_ivf_arrow", _SQL_IVF_ANN)
@@ -1372,10 +1375,10 @@ def similarity_topk_ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     (BASELINE ANN probe), sharing the JVM IVF oracle: the Arrow kernel's
     HALF_UP rounding makes it bit-equal to the JVM path
     (`test_llm_ops.py::test_ivf_arrow_matches_jvm_ivf`), which matches the
-    SQL quantizer replay exact-cell at sf0.001 and sf0.01."""
+    SQL quantizer replay exact-cell at sf0.001 and sf0.01. Query set capped
+    at ≤40 rows (see similarity_topk_ann_bucketed)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ivf_ann_topk_arrow(emb, queries, k=5, num_centroids=8, nprobe=2, iters=1)
+    return S.ivf_ann_topk_arrow(emb, _demo_queries(emb), k=5, num_centroids=8, nprobe=2, iters=1)
 
 
 # Product-quantization oracle: the same flat-column replay style as the IVF
@@ -1565,7 +1568,7 @@ qprobes AS (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY round({_sql_flat_sqdist('e', 'c')}, 6), c.cid) AS rk
     FROM embf e CROSS JOIN icents c
-    WHERE e.vec_id % 50 = 0
+    WHERE e.vec_id % 50 = 0 AND e.vec_id < {DEMO_QUERY_CAP}
   ) WHERE rk <= 2
 ),
 pseedbase AS (
@@ -1604,7 +1607,7 @@ dtab AS (
   SELECT x.vec_id AS query_id, x.m, y.cid,
          {_XM.sql_int_units(f'({sq})', 6)} AS d_micro
   FROM sub x JOIN cb1 y USING (m)
-  WHERE x.vec_id % 50 = 0
+  WHERE x.vec_id % 50 = 0 AND x.vec_id < {DEMO_QUERY_CAP}
 ),
 adc AS (
   SELECT q.query_id, c.neighbor_id, CAST(sum(d.d_micro) AS BIGINT) AS adc_micro
@@ -1647,9 +1650,10 @@ def similarity_topk_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring at the same nprobe (`similarity_topk_ann_ivf`): the recall
     cost of the code distortion and the routing compose roughly
     independently. The oracle replays BOTH quantizer trainings plus the
-    pruned ADC and rerank end-to-end."""
+    pruned ADC and rerank end-to-end. Query set capped at ≤40 rows (see
+    similarity_topk_ann_bucketed)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _demo_queries(emb)
     return S.ivfpq_ann_topk(
         emb,
         queries,
@@ -4558,7 +4562,7 @@ pairs AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST({_SQL_QUANT_DOT} AS BIGINT) AS qdot
   FROM zq p JOIN zq c ON p.vec_id <> c.vec_id
-  WHERE p.vec_id % 50 = 0
+  WHERE p.vec_id % 50 = 0 AND p.vec_id < {DEMO_QUERY_CAP}
 )
 SELECT query_id, neighbor_id, qdot, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4575,10 +4579,9 @@ def similarity_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100-TB retrieval stack runs this as its first stage (4x less I/O
     and cache) and reserves float cosine for reranking the shortlist; the
     quantization rule uses the shared floor(x+0.5) op tree on both
-    engines."""
+    engines. Query set capped at ≤40 rows (see similarity_topk_ann_bucketed)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.quantized_topk(emb, queries, k=5)
+    return S.quantized_topk(emb, _demo_queries(emb), k=5)
 
 
 @register(
@@ -4595,7 +4598,7 @@ shortlist AS (
            row_number() OVER (PARTITION BY p.vec_id
                               ORDER BY CAST({_SQL_QUANT_DOT} AS BIGINT) DESC, c.vec_id) AS rn
     FROM zq p JOIN zq c ON p.vec_id <> c.vec_id
-    WHERE p.vec_id % 50 = 0
+    WHERE p.vec_id % 50 = 0 AND p.vec_id < {DEMO_QUERY_CAP}
   ) WHERE rn <= 20
 ),
 reranked AS (
@@ -4620,9 +4623,10 @@ def similarity_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist to the final top-5. Stage-2 work is per-query O(shortlist),
     not O(corpus) — the float path never touches the corpus at large. The
     oracle replays BOTH stages (deterministic shortlist via integer-dot +
-    id tiebreak, rerank via the shared rounded-cosine contract)."""
+    id tiebreak, rerank via the shared rounded-cosine contract). Query set
+    capped at ≤40 rows (see similarity_topk_ann_bucketed)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _demo_queries(emb)
     shortlist = S.quantized_topk(emb, queries, k=20).select("query_id", "neighbor_id")
     q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
@@ -4714,7 +4718,8 @@ idf AS (
   SELECT tok, ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5) + 1.0) AS idf
   FROM df_t
 ),
-q AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id % 50 = 0),
+q AS (SELECT doc_id AS query_id, tok FROM tf
+      WHERE doc_id % 50 = 0 AND doc_id < {DEMO_QUERY_CAP}),
 scored AS (
   SELECT q.query_id, tf.doc_id AS result_id,
          round(sum(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
@@ -4753,8 +4758,10 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and doclen on doc_id make all three corpus-side joins exchange-free —
     bit-identical scores, gated by tests/test_bucketing.py. Scoring sums
     tens of per-term contributions per (query, doc) and rounds 6 dp — the
-    chargram float-sum contract. Query set: every 50th doc as a
-    'more-like-this' probe."""
+    chargram float-sum contract. Query set: every 50th doc below the demo
+    cap as a 'more-like-this' probe (≤40 queries at any corpus size — r10
+    closed the last uncapped corpus-derived query sets; a real deployment's
+    query set is externally given, never derived from corpus ids)."""
     from pyspark.sql.window import Window
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -4770,9 +4777,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
     )
-    q = tf.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("query_id"), "tok"
-    )
+    q = _demo_queries(tf, "doc_id").select(F.col("doc_id").alias("query_id"), "tok")
     scored = (
         q.join(tf, "tok")
         .filter(F.col("doc_id") != F.col("query_id"))
@@ -4804,11 +4809,9 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: RRF rank constant (Cormack et al. 2009's k=60).
 _RRF_K = 60
 
-#: BM25 lane capped to the demo query set — the hybrid entries pair the
-#: lexical lane with a dense lane over the SAME fixed ≤40 query ids, so the
-#: registered fusion stays linear in corpus size end-to-end. The standalone
-#: `search_bm25_topk` keeps the uncapped set (its inverted-index join is the
-#: documented lexical scale path).
+#: BM25 lane filtered to the demo query set — since r10 the shared q CTE is
+#: already capped at source, so this wrapper is a provably-redundant no-op
+#: kept only so the hybrid oracles state their query-set contract locally.
 _SQL_BM25_TOPK_CAPPED = (
     f"SELECT * FROM ({_SQL_BM25_TOPK}) WHERE query_id < {DEMO_QUERY_CAP}"
 )
@@ -5385,7 +5388,8 @@ _SQL_SRP_SIG = (
 
 
 #: Module-level so the ANN hybrid's oracle can reuse it verbatim as its
-#: dense lane (capped to the demo query set there).
+#: dense lane (query set capped at source since r10; the hybrid's extra
+#: query_id filter is a redundant no-op restating the contract).
 _SQL_SRP_HAMMING = f"""
 WITH embf AS (
   SELECT vec_id, {_SQL_EMB_COLS}, {_SQL_FLAT_SQNORM} AS sqn
@@ -5400,7 +5404,7 @@ shortlist AS (
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS rn
     FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
-    WHERE q.vec_id % 50 = 0
+    WHERE q.vec_id % 50 = 0 AND q.vec_id < {DEMO_QUERY_CAP}
   ) WHERE rn <= 20
 ),
 reranked AS (
@@ -5435,7 +5439,7 @@ def similarity_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     sig = S.srp_signatures(emb, _SRP_SIGNS)
-    q = sig.filter(F.col("vec_id") % 50 == 0).select(
+    q = _demo_queries(sig).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
     )
     c = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("c_sig"))
@@ -5999,9 +6003,7 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
     )
-    q = tf.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("query_id"), "tok"
-    )
+    q = _demo_queries(tf, "doc_id").select(F.col("doc_id").alias("query_id"), "tok")
 
     def bm25_scores(qterms: DataFrame, score_name: str) -> DataFrame:
         wq = F.col("wq") if "wq" in qterms.columns else F.lit(1.0)

@@ -303,9 +303,27 @@ def sketch_hll_union_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # KMV (k-minimum-values / bottom-k) distinct sketch
 # ---------------------------------------------------------------------------
 
-_KMV_P = 2147483647  # 2^31 - 1 (Mersenne prime)
-_KMV_A = 48271  # MINSTD multiplier: h = a*(x+1) mod p is a bijection on [1,p)
+# 60-bit md5-derived hash (first 15 hex chars), like the HLL lane: the r9
+# MINSTD permutation was only a bijection for user_id < 2^31-1 — ids past
+# that collapsed (mod p) and id ≡ p-1 hashed to 0, outside the claimed
+# range (r9 ADVICE). md5 keeps the hash uniform on [0, 2^60) at ANY id
+# domain; collisions are ~n²/2^61 (birthday), immaterial to a sketch whose
+# rsd is 1/sqrt(k-1) ≈ 13%, and the hv VALUE at any rank is deterministic
+# even under ties (sorting a multiset), so the ORDER BY hv lanes stay
+# order-free. Spark computes it as conv(hex, 16, 10); DuckDB casts the
+# '0x'-prefixed hex string — different spellings, identical 60-bit values.
+_KMV_R = 1 << 60  # hash range (15 hex chars)
 _KMV_K = 64
+
+_KMV_HASH_DUCK = "CAST('0x' || substring(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _kmv_hash_spark() -> "F.Column":
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
 
 
 @register(
@@ -317,7 +335,7 @@ WITH u AS (
 ),
 h AS (
   SELECT event_date,
-         ({_KMV_A} * ((user_id % {_KMV_P}) + 1)) % {_KMV_P} AS hv
+         {_KMV_HASH_DUCK} AS hv
   FROM u
 ),
 r AS (
@@ -330,9 +348,9 @@ SELECT event_date,
        CAST(cnt AS BIGINT) AS exact_users,
        CAST(rn AS BIGINT) AS k_used,
        round(CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE)
-                  ELSE ({_KMV_K} - 1) * {float(_KMV_P)} / hv END, 4) AS kmv_estimate,
+                  ELSE ({_KMV_K} - 1) * {float(_KMV_R)} / hv END, 4) AS kmv_estimate,
        round(abs(CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE)
-                      ELSE ({_KMV_K} - 1) * {float(_KMV_P)} / hv END
+                      ELSE ({_KMV_K} - 1) * {float(_KMV_R)} / hv END
                  - cnt) / cnt * 100.0, 4) AS rel_err_pct
 FROM r
 WHERE rn = least({_KMV_K}, cnt)
@@ -340,9 +358,9 @@ WHERE rn = least({_KMV_K}, cnt)
 )
 def sketch_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values (bottom-k) distinct sketch per day, k=64: estimate
-    (k-1)·p / h_(k) from the k-th smallest value of a bijective integer hash
-    (MINSTD permutation on [1, 2^31-1) — distinct users map to distinct
-    hashes, so ORDER BY hv alone is deterministic). Under k distinct ->
+    (k-1)·R / h_(k) from the k-th smallest value of a 60-bit md5-derived
+    hash (domain-independent — see the _KMV_R comment; the r9 MINSTD
+    permutation silently collapsed user ids ≥ 2^31-1). Under k distinct ->
     estimate = exact (the sketch IS the set). The bottom-k set is the other
     classical mergeable distinct state: union = re-take k smallest. Fixture
     lane uses a per-day window sort; the 100 TB path pre-prunes each map
@@ -353,10 +371,7 @@ def sketch_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.select(
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "user_id"
     ).distinct()
-    h = u.select(
-        "event_date",
-        ((F.lit(_KMV_A) * ((F.col("user_id") % _KMV_P) + 1)) % _KMV_P).alias("hv"),
-    )
+    h = u.select("event_date", _kmv_hash_spark().alias("hv"))
     w = Window.partitionBy("event_date")
     r = h.select(
         "event_date",
@@ -366,7 +381,7 @@ def sketch_kmv_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("cnt")))
     est = F.when(
         F.col("cnt") < _KMV_K, F.col("cnt").cast("double")
-    ).otherwise(F.lit(float(_KMV_K - 1)) * float(_KMV_P) / F.col("hv"))
+    ).otherwise(F.lit(float(_KMV_K - 1)) * float(_KMV_R) / F.col("hv"))
     return r.select(
         "event_date",
         F.col("cnt").cast("bigint").alias("exact_users"),
@@ -451,18 +466,17 @@ def lineitem_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors every integer step; ties broken by (orderkey, linenumber) don't
     affect the k-th VALUE but keep the rank lane deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
+    # LONG `div` everywhere an integer quotient is needed (r9 ADVICE): the
+    # old (x - x % b)/b double-division trick is exact only below 2^53 —
+    # k * 100000 crosses that at ~9e10 rows/flag, a scale-only divergence
+    # from the oracle's `//` integer path. `div` on BIGINT never rounds.
     c = li.select(
         "l_returnflag",
         "l_orderkey",
         "l_linenumber",
         XM.int_units_long(F.col("l_extendedprice"), 2).alias("cents"),
-    )
-    hist = c.groupBy(
-        "l_returnflag", (F.col("cents") - F.col("cents") % _HQ_WIDTH).alias("b0")
-    ).agg(F.count(F.lit(1)).alias("bcnt"))
-    hist = hist.select(
-        "l_returnflag", (F.col("b0") / _HQ_WIDTH).cast("bigint").alias("bucket"), "bcnt"
-    )
+    ).withColumn("bucket", F.expr(f"cents div {_HQ_WIDTH}"))
+    hist = c.groupBy("l_returnflag", "bucket").agg(F.count(F.lit(1)).alias("bcnt"))
     wflag = Window.partitionBy("l_returnflag")
     cum = hist.select(
         "l_returnflag",
@@ -473,10 +487,8 @@ def lineitem_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = spark.range(1).select(F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q_pct"))
     tgt = cum.crossJoin(F.broadcast(q)).withColumn(
-        "k",
-        ((F.col("q_pct") * F.col("n_rows") + 99) - (F.col("q_pct") * F.col("n_rows") + 99) % 100)
-        / 100,
-    ).withColumn("k", F.col("k").cast("bigint"))
+        "k", F.expr("(q_pct * n_rows + 99) div 100").cast("bigint")
+    )
     hit = tgt.filter(
         (F.col("cum_n") >= F.col("k")) & (F.col("cum_n") - F.col("bcnt") < F.col("k"))
     ).select(
@@ -494,10 +506,7 @@ def lineitem_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cl.join(
         F.broadcast(ht),
         (F.col("cl.l_returnflag") == F.col("ht.l_returnflag"))
-        & (
-            (F.col("cl.cents") - F.col("cl.cents") % _HQ_WIDTH) / _HQ_WIDTH
-            == F.col("ht.bucket")
-        ),
+        & (F.col("cl.bucket") == F.col("ht.bucket")),
     ).select(
         F.col("ht.l_returnflag").alias("flag"),
         F.col("ht.q_pct").alias("q_pct"),
@@ -513,10 +522,7 @@ def lineitem_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("grk") == F.col("k"))
         .select(F.col("flag").alias("l_returnflag"), "q_pct", F.col("cents").alias("exact_cents"))
     )
-    est_cents = F.col("bucket") * _HQ_WIDTH + (
-        (F.col("k") - F.col("cum_prev")) * _HQ_WIDTH
-        - ((F.col("k") - F.col("cum_prev")) * _HQ_WIDTH) % F.col("bcnt")
-    ) / F.col("bcnt")
+    est_cents = F.expr(f"bucket * {_HQ_WIDTH} + ((k - cum_prev) * {_HQ_WIDTH}) div bcnt")
     out = hit.join(exact, ["l_returnflag", "q_pct"]).select(
         "l_returnflag",
         F.col("q_pct").cast("bigint").alias("q_pct"),
@@ -599,7 +605,12 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.daily_count").alias("daily_count"),
         )
         .agg(
-            F.sum((F.col("b.daily_count") * w).cast("decimal(38,0)")).alias("num_q"),
+            # Cast to decimal(38,0) BEFORE multiplying by w: a BIGINT product
+            # daily_count * 2^30 wraps silently past int64 (~8.6e9/day hits
+            # it) with ANSI off — the oracle multiplies in HUGEINT, so the
+            # divergence would be invisible at fixture SFs (r9 ADVICE, same
+            # class as the r8 ks_statistic overflow).
+            F.sum(F.col("b.daily_count").cast("decimal(38,0)") * w).alias("num_q"),
             F.sum(w).alias("den_q"),
         )
     )
@@ -625,7 +636,7 @@ WITH u AS (
 ),
 h AS (
   SELECT event_date,
-         ({_KMV_A} * ((user_id % {_KMV_P}) + 1)) % {_KMV_P} AS hv
+         {_KMV_HASH_DUCK} AS hv
   FROM u
 ),
 bot AS (
@@ -684,7 +695,7 @@ SELECT s.day_a AS event_date,
        {XM.sql_ratio_round('inter_in_sketch', 'k_used', 6)} AS kmv_jaccard,
        round(CASE WHEN s.sketch_union_size < {_KMV_K}
                   THEN CAST(s.sketch_union_size AS DOUBLE)
-                  ELSE ({_KMV_K} - 1) * {float(_KMV_P)} / s.hk END, 4) AS kmv_union,
+                  ELSE ({_KMV_K} - 1) * {float(_KMV_R)} / s.hk END, 4) AS kmv_union,
        {XM.sql_ratio_round('COALESCE(exi.exact_inter, 0)',
                            'da.n + db.n - COALESCE(exi.exact_inter, 0)', 6)}
          AS exact_jaccard,
@@ -711,10 +722,7 @@ def events_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ev.select(
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "user_id"
     ).distinct()
-    h = u.select(
-        "event_date",
-        ((F.lit(_KMV_A) * ((F.col("user_id") % _KMV_P) + 1)) % _KMV_P).alias("hv"),
-    )
+    h = u.select("event_date", _kmv_hash_spark().alias("hv"))
     wday = Window.partitionBy("event_date").orderBy("hv")
     bot = (
         h.withColumn("rn", F.row_number().over(wday))
@@ -786,7 +794,7 @@ def events_kmv_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col("sketch_union_size") < _KMV_K,
                     F.col("sketch_union_size").cast("double"),
-                ).otherwise(F.lit(float(_KMV_K - 1)) * float(_KMV_P) / F.col("hk")),
+                ).otherwise(F.lit(float(_KMV_K - 1)) * float(_KMV_R) / F.col("hk")),
                 4,
             ).alias("kmv_union"),
             XM.ratio_round(
@@ -888,7 +896,10 @@ def events_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy(*keep)
             .agg(
-                F.sum((F.col(f"b.{val_col}") * w).cast("decimal(38,0)")).alias(out_num),
+                # decimal-first multiply — BIGINT val * 2^30 wraps past int64
+                # at the scales the docstring claims (r9 ADVICE; the oracle's
+                # HUGEINT multiply never wraps, so parity can't catch it).
+                F.sum(F.col(f"b.{val_col}").cast("decimal(38,0)") * w).alias(out_num),
                 F.sum(w).alias(out_den),
             )
         )

@@ -507,6 +507,11 @@ def _register_streaming_ann() -> None:
             run_ivf_index_maintenance,
         )
 
+        # Deferred import (module-load-time llm imports break here — see the
+        # registration comment above); the cap keeps |Q| fixed at any corpus
+        # size, mirroring SQL_IVF_STREAM's capped probe CTE.
+        from mobsos_event_log_generator_spark.plans.llm import DEMO_QUERY_CAP
+
         emb = load_table(spark, sf_dir, "embeddings")
         root = scratch_dir("sann_")
         src = os.path.join(root, "src")
@@ -531,7 +536,9 @@ def _register_streaming_ann() -> None:
                 spark.conf.unset("spark.sql.shuffle.partitions")
             else:
                 spark.conf.set("spark.sql.shuffle.partitions", old)
-        queries = emb.filter(F.col("vec_id") % 50 == 0)
+        queries = emb.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < DEMO_QUERY_CAP)
+        )
         return query_index(spark, os.path.join(root, "index"), queries, k=5, nprobe=2)
 
 
