@@ -79,6 +79,11 @@ _RECHECK_FIRST = (
     "streaming_ann_index_maintenance",
     "join_cardinality_estimates",
     "orders_conformal_shipping",
+    # Janino 64 KB fix (verdict #3): the non-nullable bucket key removed the
+    # inferred isnotnull(<641-term chain>) filter; values unchanged, plan
+    # materially changed (codegen'd now) — representative re-gate for the
+    # shared value_ordered_running_sum path.
+    "lineitem_zorder_layout",
 )
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window

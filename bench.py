@@ -19,11 +19,80 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+
+# --- Per-query codegen-failure attribution (r9 verdict #3) -----------------
+# BENCH_r09's stderr tail carried one Janino UnitCompiler stack with no way
+# to tell WHICH query compiled interpreted — correctness-neutral, but an
+# interpreted stage in a headline query is a silent 2-7x row-cost regression
+# at scale. The JVM's log4j2 output is routed to an additional file appender
+# (console untouched, so the driver's tail capture is unchanged) and the
+# file is polled between queries, attributing every codegen ERROR/WARN to
+# the query that was executing.
+
+_LOG4J2_TEMPLATE = """\
+rootLogger.level = error
+rootLogger.appenderRef.stderr.ref = console
+rootLogger.appenderRef.benchfile.ref = benchfile
+appender.console.type = Console
+appender.console.name = console
+appender.console.target = SYSTEM_ERR
+appender.console.layout.type = PatternLayout
+appender.console.layout.pattern = %d{{yy/MM/dd HH:mm:ss}} %p %c{{1}}: %m%n
+appender.benchfile.type = File
+appender.benchfile.name = benchfile
+appender.benchfile.fileName = {logfile}
+appender.benchfile.layout.type = PatternLayout
+appender.benchfile.layout.pattern = %p %c{{1}}: %m%n
+logger.codegen.name = org.apache.spark.sql.catalyst.expressions.codegen
+logger.codegen.level = warn
+logger.wsc.name = org.apache.spark.sql.execution.WholeStageCodegenExec
+logger.wsc.level = warn
+"""
+
+
+class _CodegenWatch:
+    """Incremental scanner over the bench log4j file: counts codegen compile
+    failures (Janino errors, whole-stage fallbacks) appearing since the last
+    poll. ``setLogLevel("ERROR")`` raises the ROOT level only; the two
+    explicit warn-level loggers above keep the fallback warnings flowing."""
+
+    # Count EVENTS (one per logged failure/fallback message), not the
+    # hundreds of Janino stack-frame lines that follow each one.
+    PAT = re.compile(
+        r"^(ERROR CodeGenerator|WARN (CodeGenerator|WholeStageCodegenExec))"
+    )
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.pos = 0
+
+    def poll(self) -> int:
+        try:
+            with open(self.path, errors="replace") as f:
+                f.seek(self.pos)
+                chunk = f.read()
+                self.pos = f.tell()
+        except OSError:
+            return 0
+        return sum(1 for ln in chunk.splitlines() if self.PAT.search(ln))
+
+
+def _codegen_log_conf() -> tuple[str, _CodegenWatch]:
+    """Write the log4j2 properties + empty log file; return (java opt, watch)."""
+    d = tempfile.mkdtemp(prefix="bench_log4j_")
+    logfile = os.path.join(d, "spark.log")
+    props = os.path.join(d, "log4j2.properties")
+    with open(props, "w") as f:
+        f.write(_LOG4J2_TEMPLATE.format(logfile=logfile))
+    return f"-Dlog4j2.configurationFile=file:{props}", _CodegenWatch(logfile)
 
 HEADLINE = [
     "eventlog_normalize",
@@ -180,7 +249,14 @@ def main() -> None:
 
     # No console progress bars: the driver captures only the output tail, and
     # progress redraw lines truncated the r4 record into "parsed": null.
-    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    java_opt, cgwatch = _codegen_log_conf()
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.extraJavaOptions": java_opt,
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # r6's official capture overlapped other JVMs on the host and produced
@@ -225,6 +301,11 @@ def main() -> None:
 
     calib = round(min(_calib(), _calib()), 3)
 
+    codegen_errors: dict[str, int] = {}
+    n = cgwatch.poll()  # warm-up/calib jobs attribute to a _setup bucket
+    if n:
+        codegen_errors["_setup"] = n
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -236,10 +317,16 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # one broken query must not kill the record
             errors[name] = str(ex)[:200]
+            n = cgwatch.poll()
+            if n:
+                codegen_errors[name] = n
             continue
         t1 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t1, 3)
+        n = cgwatch.poll()
+        if n:
+            codegen_errors[name] = n
 
     total = round(sum(timings.values()), 3)
     # The final stdout line must stay SHORT: the driver's tail capture is
@@ -267,6 +354,12 @@ def main() -> None:
     if errors:
         record["errors"] = {n: e[:60] for n, e in errors.items()}
         detail["errors"] = errors
+    if codegen_errors:
+        # Compact on the record line (tail budget); full map in the sidecar.
+        record["codegen"] = codegen_errors
+        detail["codegen_errors"] = codegen_errors
+        print("CODEGEN FAILURES attributed per query: %s" % codegen_errors,
+              file=sys.stderr)
     trend = _deltas_vs_prev(timings, warm)
     if trend is not None:
         deltas, regressions = trend

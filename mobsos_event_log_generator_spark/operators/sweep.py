@@ -108,6 +108,16 @@ def value_ordered_running_sum(
         # the rows that sort FIRST, so bucket order == global order.
         passed = (v < F.lit(b)) if descending else (v > F.lit(b))
         bucket = bucket + passed.cast("int")
+    # Pin the bucket NON-NULLABLE (order_col is non-null by contract, so the
+    # coalesce never fires): a nullable offsets-join key makes
+    # InferFiltersFromConstraints push isnotnull(<whole chain>) below the
+    # Project, re-inlining order_col's DEFINING expression into every one of
+    # the ~31 comparisons — lineitem_zorder_layout's 20-term Morton code
+    # exploded to 641 inlined shift terms in that filter and blew Janino's
+    # 64 KB method limit (r10 bench codegen watch; interpreted fallback =
+    # silent 2-7x row cost). Non-nullable key -> no inferred filter -> the
+    # chain compiles exactly once, against the materialized attribute.
+    bucket = F.coalesce(bucket, F.lit(0))
     gcols = list(group_cols or [])
     bucketed = df.withColumn("__bucket", bucket)
     head = F.col(order_col).desc() if descending else F.col(order_col).asc()

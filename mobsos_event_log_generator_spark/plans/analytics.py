@@ -7198,7 +7198,10 @@ def nations_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_conformal_shipping",
     """
-WITH d AS (
+WITH d AS MATERIALIZED (
+  -- MATERIALIZED: referenced by med/scores (via cal) AND test — without it
+  -- DuckDB re-inlines the fact join + per-row md5 once per reference
+  -- (the nations_structural_holes sweep-hog class, r9 ENGINEERING_NOTES).
   SELECT o.o_orderpriority AS priority,
          (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS delay,
          CASE WHEN ('0x' || substr(md5(CAST(l.l_orderkey * 10 + l.l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 2 = 0

@@ -1167,9 +1167,10 @@ def _sql_multitable_codes(num_tables: int = 16, bits: int = 4, dim: int = 64) ->
     return "[" + ", ".join(entries) + "]"
 
 
-@register(
-    "similarity_topk_ann_multitable",
-    f"""
+#: Module-level so the high-recall hybrid's oracle reuses it verbatim as its
+#: dense lane (the same sharing pattern as _SQL_SRP_HAMMING / the cheap
+#: hybrid — one definition, zero drift between standalone and fused use).
+_SQL_MULTITABLE_ANN = f"""
 WITH coded AS (
   SELECT vec_id, embedding, unnest({_sql_multitable_codes()}) AS tc
   FROM embeddings
@@ -1193,8 +1194,10 @@ scored AS (
 SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
 WHERE rn <= 5
-""",
-)
+"""
+
+
+@register("similarity_topk_ann_multitable", _SQL_MULTITABLE_ANN)
 def similarity_topk_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (L=16 tables x 4 sign bits): recall@5 0.92 on the
     fixture vs 0.02 for the single 8-bit table — the measured recall/prune
