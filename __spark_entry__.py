@@ -251,6 +251,8 @@ _BUDGET_LAST = (
     "events_cusum_changepoint",
     "events_mad_anomaly_days",
     "orders_kaplan_meier",
+    # r10 addition (high-recall hybrid, verdict #4; sorts behind the runway)
+    "search_hybrid_rrf_ann_hq",
 )
 
 

@@ -5502,6 +5502,34 @@ def search_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_hybrid_rrf_ann_hq",
+    _sql_rrf_fusion(_SQL_BM25_TOPK_CAPPED, _SQL_MULTITABLE_ANN),
+)
+def search_hybrid_rrf_ann_hq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval, HIGH-RECALL configuration (r8/r9 verdict #4): the
+    identical RRF fusion (shared `_rrf_fuse` / `_sql_rrf_fusion`) with the
+    multi-table LSH index (L=16 tables x 4 sign bits) as the dense parent —
+    measured dense-lane recall@5 0.92 vs brute force on the fixture, where
+    the cheap SRP-Hamming hybrid's dense lane sits at 0.14-0.24 on the hard
+    probe corpus. The recall/cost menu this completes (probed at x10/x100 in
+    BASELINE.md): SRP hybrid reads 8 B/vector and ranks everything (cheap,
+    low recall); THIS entry probes the union of 16 hash buckets per query
+    (~65% of the corpus on the fixture, shrinking as buckets sharpen with
+    corpus size) through bucketed EQUI-joins — no cross product, candidate
+    generation is plan-gated by the multitable parent — and reranks exact
+    cosine only inside the candidate set. Deployments pick by recall SLO;
+    both ends fuse the same capped ≤40-query BM25 lane, so the two hybrids
+    are directly comparable per query_id."""
+    sparse = search_bm25_topk(spark, sf_dir).filter(
+        F.col("query_id") < DEMO_QUERY_CAP
+    ).select("query_id", F.col("result_id").alias("doc_id"), "rank")
+    dense = similarity_topk_ann_multitable(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return _rrf_fuse(sparse, dense)
+
+
+@register(
     "text_readability",
     f"""
 WITH w AS (

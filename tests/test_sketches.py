@@ -176,3 +176,51 @@ def test_holt_linear_matches_pandas_double_smoothing(spark, sf_dir):
         assert (g.level - lvl).abs().max() <= tol, etype
         assert (g.trend - tr).abs().max() <= tol, etype
         assert (g.forecast_next - (g.level + g.trend)).abs().max() <= 2e-3, etype
+
+
+def test_ewma_weighted_sum_exact_past_int64(spark):
+    """r9 ADVICE (high): the weighted accumulation must multiply in
+    decimal(38,0), never in BIGINT — daily_count * 2^30 wraps silently past
+    int64 at ~8.6e9/day with ANSI off, and fixture parity cannot see it.
+    Recreates the _band_sum aggregation shape at wrap scale and checks the
+    sum against exact Python integers."""
+    horizon = 30
+    counts = [9_000_000_000 + i for i in range(31)]  # each * 2^30 > int64
+    rows = [(i + 1, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "t INT, daily_count LONG")
+    w = F.pow(F.lit(2.0), horizon - (F.lit(31) - F.col("t"))).cast("bigint")
+    got = df.agg(
+        F.sum(F.col("daily_count").cast("decimal(38,0)") * w).alias("num"),
+        F.sum(w).alias("den"),
+    ).first()
+    expect_num = sum(c * 2 ** (horizon - (31 - t)) for t, c in rows)
+    expect_den = sum(2 ** (horizon - (31 - t)) for t, _ in rows)
+    assert int(got["num"]) == expect_num  # > 2**63: the BIGINT path wrapped
+    assert expect_num > 2**63 - 1
+    assert int(got["den"]) == expect_den
+
+
+def test_kmv_hash_cross_engine_and_wide_domain(spark):
+    """The md5-derived 60-bit KMV hash must (a) agree bit-for-bit between
+    Spark's conv() and DuckDB's '0x' cast and (b) stay injective-in-practice
+    past 2^31 — the exact domain where the retired MINSTD permutation
+    collapsed ids (r9 ADVICE)."""
+    import duckdb
+
+    ids = [0, 1, 63, 2**31 - 2, 2**31 - 1, 2**31, 2**40 + 17, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id LONG")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    got = {r["user_id"]: r["hv"] for r in df.select("user_id", hv.alias("hv")).collect()}
+    con = duckdb.connect()
+    for i in ids:
+        (dv,) = con.execute(
+            "SELECT CAST('0x' || substring(md5('kmv|' || CAST(? AS VARCHAR)), 1, 15) AS BIGINT)",
+            [i],
+        ).fetchone()
+        assert got[i] == dv, i
+        assert 0 <= got[i] < 2**60
+    assert len(set(got.values())) == len(ids)  # distinct past 2^31 too
