@@ -157,6 +157,10 @@ HEADLINE = [
     # round 9: the portable-register HLL (hash-checked mergeable sketch —
     # the per-day register lane is the 100 TB rollup state)
     "sketch_hll_portable_daily",
+    # round 10: the high-recall hybrid (multitable-LSH dense parent,
+    # recall@5 0.96-1.00 vs the cheap SRP lane's 0.12-0.17 — BASELINE.md
+    # recall/cost menu); tracks the expensive end of the retrieval stack
+    "search_hybrid_rrf_ann_hq",
 ]
 
 

@@ -622,3 +622,14 @@ def test_silhouette_no_pairwise_materialization(spark, sf_dir):
     bounded (class, dim) stats table — never vectors x vectors."""
     plan = plan_of(spark, sf_dir, "embedding_silhouette_by_label")
     assert "CartesianProduct" not in plan
+
+
+def test_hq_hybrid_dense_lane_is_bucket_equijoin(spark, sf_dir):
+    """The high-recall hybrid's candidate generation (multitable LSH) must
+    stay a (tbl, code) hash equi-join — never a cross product; the only
+    nested-loop joins in the whole fused plan are 1-row broadcast scalars
+    (BM25 corpus stats). Entire plan stays JVM-side."""
+    plan = plan_of(spark, sf_dir, "search_hybrid_rrf_ann_hq")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
