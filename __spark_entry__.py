@@ -84,6 +84,13 @@ _RECHECK_FIRST = (
     # materially changed (codegen'd now) — representative re-gate for the
     # shared value_ordered_running_sum path.
     "lineitem_zorder_layout",
+    # r10 decimal-first-multiply audit (the r9-ADVICE overflow class, swept
+    # repo-wide): daily-count cross products, rank*cents Gini numerator,
+    # whole-table bootstrap w*cents — all widened BEFORE the multiply,
+    # fixture-identical, both engines consistent.
+    "events_type_correlation",
+    "customers_revenue_gini",
+    "orders_poisson_bootstrap",
 )
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window

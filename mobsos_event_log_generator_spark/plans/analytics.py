@@ -2785,18 +2785,18 @@ m AS (
 ),
 p AS (
   SELECT a.event_type AS ta, b.event_type AS tb,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
-         CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
-         CAST(sum(a.n * a.n) AS BIGINT) AS sxx, CAST(sum(b.n * b.n) AS BIGINT) AS syy
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(a.n AS HUGEINT)) AS sx, sum(CAST(b.n AS HUGEINT)) AS sy,
+         sum(CAST(a.n AS HUGEINT) * b.n) AS sxy,
+         sum(CAST(a.n AS HUGEINT) * a.n) AS sxx, sum(CAST(b.n AS HUGEINT) * b.n) AS syy
   FROM m a JOIN m b ON a.day = b.day AND a.event_type < b.event_type
   GROUP BY 1, 2
 )
 SELECT ta, tb,
        CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS corr_sign,
-       CAST(((n * sxy - sx * sy)::HUGEINT * (n * sxy - sx * sy)::HUGEINT * 1000000)
-            // ((n * sxx - sx * sx)::HUGEINT * (n * syy - sy * sy)::HUGEINT) AS BIGINT) AS corr2_ppm
+       CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000)
+            // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT) AS corr2_ppm
 FROM p
 """,
 )
@@ -2806,7 +2806,16 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nΣx²−(Σx)²)(nΣy²−(Σy)²) — DECIMAL on Spark, HUGEINT in DuckDB, zero
     float sums — plus the sign as ±1. The day×type matrix (zeros included —
     a missing day IS signal for correlation) is O(days·types), bounded at
-    any corpus size; the pair join keys on the day."""
+    any corpus size; the pair join keys on the day.
+
+    Numerics (r10, the decimal-first-multiply audit): per-term products and
+    every moment widen BEFORE multiplying (decimal(38,0) here, HUGEINT in
+    the oracle) — a BIGINT x·y wraps silently at ~3e9 events/day and flips
+    corr_sign without any error. Exact-rational DOMAIN: num²·10⁶ must fit
+    decimal(38)/HUGEINT, i.e. |nΣxy−ΣxΣy| ≤ ~1e16 — daily volumes to ~1e6
+    at 1000-day windows. Beyond it both engines now fail LOUDLY (DuckDB
+    raises on HUGEINT overflow, Spark nulls the decimal) instead of
+    returning a silently wrapped sign."""
     ev = load_table(spark, sf_dir, "events")
     d = (
         ev.withColumn("day", F.expr("unix_micros(ts) div 86400000000"))
@@ -2822,29 +2831,29 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = m.select(F.col("day"), F.col("event_type").alias("ta"), F.col("n").alias("x"))
     b = m.select(F.col("day"), F.col("event_type").alias("tb"), F.col("n").alias("y"))
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     p = (
         a.join(b, "day")
         .filter(F.col("ta") < F.col("tb"))
         .groupBy("ta", "tb")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * F.col("y")).alias("sxy"),
+            F.sum(xd * F.col("x")).alias("sxx"),
+            F.sum(yd * F.col("y")).alias("syy"),
         )
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(19,0)")
-    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(19,0)")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(19,0)")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return p.select(
         "ta",
         "tb",
-        F.signum(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long").alias("corr_sign"),
+        F.signum(num).cast("long").alias("corr_sign"),
         F.expr(
-            "CAST((CAST(n * sxy - sx * sy AS DECIMAL(19,0)) * CAST(n * sxy - sx * sy AS DECIMAL(19,0)) * 1000000) "
-            "div (CAST(n * sxx - sx * sx AS DECIMAL(19,0)) * CAST(n * syy - sy * sy AS DECIMAL(19,0))) AS BIGINT)"
+            "CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000) "
+            "div ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)"
         ).alias("corr2_ppm"),
     )
 
@@ -3112,13 +3121,13 @@ ranked AS (
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(cents) AS BIGINT) AS s,
-         CAST(sum(k * cents) AS BIGINT) AS ks
+         sum(CAST(k AS HUGEINT) * cents) AS ks
   FROM ranked
 )
 SELECT n AS n_customers, s AS total_cents,
-       CAST(2 * ks - (n + 1) * s AS BIGINT) AS gini_num,
+       CAST(2 * ks - (n::HUGEINT + 1) * s AS BIGINT) AS gini_num,
        CAST(n * s AS BIGINT) AS gini_den,
-       CAST(((2 * ks - (n + 1) * s)::HUGEINT * 1000000) // (n::HUGEINT * s::HUGEINT) AS BIGINT) AS gini_ppm
+       CAST(((2 * ks - (n::HUGEINT + 1) * s) * 1000000) // (n::HUGEINT * s::HUGEINT) AS BIGINT) AS gini_ppm
 FROM agg
 """,
 )
@@ -3139,10 +3148,15 @@ def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = value_ordered_running_sum(
         rev, "cents", ["o_custkey"], F.lit(1).cast("long"), out_col="k"
     )
+    # decimal-first multiply (r10 audit): rank k reaches the customer count,
+    # so the BIGINT product k*cents wraps silently at ~3e7 customers; the
+    # oracle multiplies in HUGEINT. The num/den READOUTS stay BIGINT by
+    # contract (the exact-rational domain: n*s must fit int64; out of
+    # domain Spark nulls and DuckDB raises — never a silent wrap).
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
-        F.sum(F.col("k") * F.col("cents")).cast("long").alias("ks"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("cents")).alias("ks"),
     )
     return agg.select(
         F.col("n").alias("n_customers"),
@@ -3150,8 +3164,8 @@ def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(2) * F.col("ks") - (F.col("n") + 1) * F.col("s")).cast("long").alias("gini_num"),
         (F.col("n") * F.col("s")).cast("long").alias("gini_den"),
         F.expr(
-            "CAST((CAST(2 * ks - (n + 1) * s AS DECIMAL(30,0)) * 1000000) "
-            "div (CAST(n AS DECIMAL(30,0)) * CAST(s AS DECIMAL(30,0))) AS BIGINT)"
+            "CAST((CAST(2 * ks - (CAST(n AS DECIMAL(38,0)) + 1) * s AS DECIMAL(38,0)) * 1000000) "
+            "div (CAST(n AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_ppm"),
     )
 
@@ -3570,7 +3584,14 @@ def orders_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b").cast("int").alias("replicate"))
         .agg(
             F.sum("w").cast("long").alias("n_sampled"),
-            XM.sum_round(F.sum(F.col("w") * F.col("cents")), 2, in_scale=2).alias("boot_total"),
+            # decimal-first multiply (r10 audit): the per-replicate group
+            # spans the WHOLE orders table, so the long accumulation of
+            # w*cents (w <= 8) exits int_units_long's bounded-key domain at
+            # ~$9.2e16 total — widen BEFORE the sum; DuckDB's sum already
+            # promotes to HUGEINT.
+            XM.sum_round(
+                F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")), 2, in_scale=2
+            ).alias("boot_total"),
         )
     )
 

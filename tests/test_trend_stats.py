@@ -147,3 +147,21 @@ def test_benford_audit_reference(spark, sf_dir):
         assert r.benford_ppm == round(math.log10(1 + 1 / r.d) * 1e6)
         assert r.obs_ppm == r.cnt * 1000000 // n
         assert r.dev_ppm == abs(r.obs_ppm - r.benford_ppm)
+
+
+def test_moment_products_widen_before_multiply(spark):
+    """r10 decimal-first-multiply audit: cross/second-moment accumulations
+    (events_type_correlation's x*y, customers_revenue_gini's rank*cents)
+    must widen the operand BEFORE the product — a BIGINT product of two
+    ~3e9-scale counts wraps silently with ANSI off and flips corr_sign.
+    Recreates both shapes at wrap scale against exact Python integers."""
+    vals = [(i + 1, 3_000_000_000 + 7 * i, 4_000_000_000 + 11 * i) for i in range(10)]
+    df = spark.createDataFrame(vals, "k LONG, x LONG, y LONG")
+    xd = F.col("x").cast("decimal(38,0)")
+    got = df.agg(
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("x")).alias("kx"),
+    ).first()
+    assert int(got["sxy"]) == sum(x * y for _, x, y in vals)
+    assert int(got["kx"]) == sum(k * x for k, x, _ in vals)
+    assert sum(x * y for _, x, y in vals) > 2**63 - 1  # int64 WOULD wrap
