@@ -290,6 +290,21 @@ def main() -> None:
     # query doesn't pay one-off start-up costs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Warm the Python/Arrow worker pool too: the first mapInPandas job forks
+    # one Python worker per core and each imports pandas/pyarrow (~8-15 s for
+    # 32 workers on a contended host — observed charging semdedup_arrow /
+    # multimodal_audio instead of the engine). Same rationale as the JVM
+    # warm-up: cold numbers should measure the query, not one-off pool spawn.
+    import pandas as _pd  # noqa: F401  (driver-side import is instant here)
+
+    def _noop_batches(it):
+        for batch in it:
+            yield batch
+
+    spark.range(64, numPartitions=int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        _noop_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     # Host-speed calibration scalar (r9): a fixed-size JVM job timed twice,
     # best-of-2, recorded as "calib" so cross-round bench totals can be
     # normalized for host-side interference — round-9 observed the SAME

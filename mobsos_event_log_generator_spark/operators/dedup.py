@@ -153,7 +153,14 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact set-Jaccard on candidate pairs via shingle co-count:
     |A∩B| from a join on the shingle key, |A∪B| = |A|+|B|-|A∩B|.
-    Jaccard is a ratio of small ints — bit-exact across engines."""
+    Jaccard is a ratio of small ints — bit-exact across engines.
+
+    An array formulation (collect_list per doc → two id joins →
+    array_intersect) was A/B'd at sf0.1/τ=0.5 (tools/profile_verify_ab):
+    medians tie (~8.2 s incl. shared upstream) but the fat per-pair arrays
+    show GC-pressure outliers (28 s worst vs 14 s), so the skinny
+    posting-level co-count stays — its intermediates are rows, not
+    duplicated O(doc)-sized arrays per candidate."""
     counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = shingles.select(F.col(id_col).alias("id1"), "shingle")
     s2 = shingles.select(F.col(id_col).alias("id2"), "shingle")

@@ -61,8 +61,10 @@ def prefix_postings(
     under the canonical (document-frequency, token) total order.
 
     Input: distinct (id, shingle) postings. Output columns:
-    (id, shingle, n_sh) — n_sh is carried so the candidate join can apply
-    the length filter without another join against the size table.
+    (id, shingle, n_sh, pos) — n_sh is carried so the candidate join can
+    apply the length filter without another join against the size table;
+    pos (1-based rank under the canonical order) feeds the PPJoin
+    positional filter in ``prefix_filter_candidates``.
     """
     frac = _threshold_fraction(threshold)
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("t_df"))
@@ -78,7 +80,7 @@ def prefix_postings(
     return (
         ranked.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select(id_col, "shingle", "n_sh")
+        .select(id_col, "shingle", "n_sh", "pos")
     )
 
 
@@ -89,7 +91,22 @@ def prefix_filter_candidates(
 ) -> DataFrame:
     """Candidate pairs from the symmetric prefix equi-join, with the length
     filter den·|B| ≥ num·|A| (⇔ |B| ≥ τ·|A|, exact integers) fused into the
-    join condition on both sides."""
+    join condition on both sides, then the PPJoin POSITIONAL filter
+    (Xiao et al. WWW'08, public algorithm) applied on the pair aggregate.
+
+    Positional filter, exactly in integers: let m = number of prefix tokens
+    the pair shares, and (i_last, j_last) the 1-based prefix positions of the
+    LAST shared token under the canonical (df, token) order. Every common
+    token NOT counted in m orders strictly after that token in both documents
+    (a prefix(A)∩suffix(B) token orders after all of prefix(B), and
+    vice-versa; suffix∩suffix tokens after both), so
+
+        o = |A∩B| ≤ m + min(n1 − i_last, n2 − j_last),
+
+    while J ≥ τ=num/den requires o ≥ α = ⌈num·(n1+n2)/(num+den)⌉. Pairs whose
+    upper bound misses α are pruned BEFORE the verify join — recall is
+    preserved by the bound, and the pair aggregate replaces the DISTINCT the
+    plain prefix join already paid, so the filter costs no extra shuffle."""
     frac = _threshold_fraction(threshold)
     num, den = frac.numerator, frac.denominator
     # Rename BOTH sides' token columns before the self-join: a shared lineage
@@ -97,10 +114,16 @@ def prefix_filter_candidates(
     # (Spark's "trivially true equals" warning), silently degrading the
     # candidate join into a size-filtered cross join.
     a = prefixes.select(
-        F.col(id_col).alias("id1"), F.col("shingle").alias("sh1"), F.col("n_sh").alias("n1")
+        F.col(id_col).alias("id1"),
+        F.col("shingle").alias("sh1"),
+        F.col("n_sh").alias("n1"),
+        F.col("pos").alias("p1"),
     )
     b = prefixes.select(
-        F.col(id_col).alias("id2"), F.col("shingle").alias("sh2"), F.col("n_sh").alias("n2")
+        F.col(id_col).alias("id2"),
+        F.col("shingle").alias("sh2"),
+        F.col("n_sh").alias("n2"),
+        F.col("pos").alias("p2"),
     )
     return (
         a.join(
@@ -110,8 +133,18 @@ def prefix_filter_candidates(
             & (F.col("n2") * den >= F.col("n1") * num)
             & (F.col("n1") * den >= F.col("n2") * num),
         )
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("p1").alias("i_last"),
+            F.max("p2").alias("j_last"),
+        )
+        .filter(
+            F.col("m")
+            + F.least(F.col("n1") - F.col("i_last"), F.col("n2") - F.col("j_last"))
+            >= F.expr(f"({num} * (n1 + n2) + {num} + {den} - 1) div ({num} + {den})")
+        )
         .select("id1", "id2")
-        .distinct()
     )
 
 

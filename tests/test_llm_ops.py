@@ -123,6 +123,26 @@ def test_prefix_filter_join_matches_exhaustive(docs):
         assert got == truth
 
 
+def test_prefix_positional_filter_bound(spark):
+    """PPJoin positional filter: a pair sharing one prefix token keeps only
+    when m + min(n1−i_last, n2−j_last) ≥ ⌈num(n1+n2)/(num+den)⌉. At τ=0.8
+    and n1=n2=10, α=⌈4·20/9⌉=9: a single match at positions (3,3) bounds the
+    overlap at 1+7=8 < 9 → pruned; the same match at (1,1) bounds 1+9=10 ≥ 9
+    → kept. The plain size filter passes both, so any regression that drops
+    the positional filter flips the first case."""
+    from mobsos_event_log_generator_spark.operators.setjoin import prefix_filter_candidates
+
+    def run(pos1, pos2):
+        pref = spark.createDataFrame(
+            [(1, "t", 10, pos1), (2, "t", 10, pos2)],
+            "doc_id long, shingle string, n_sh long, pos int",
+        )
+        return prefix_filter_candidates(pref, threshold=0.8).count()
+
+    assert run(3, 3) == 0  # bound 8 < alpha 9: pruned exactly
+    assert run(1, 1) == 1  # bound 10 >= 9: survives
+
+
 def test_prefix_length_integer_exact(spark):
     """τ=0.8, n=5 shingles → prefix length 5 − ⌈4⌉ + 1 = 2. A float
     ceil(0.8*5)=ceil(4.0000000000000004)=5 would emit only 1 token and
