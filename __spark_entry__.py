@@ -58,7 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #  * oracle-only dim×dim `<>` reshape (verdict #5):
 #    join_cardinality_estimates, orders_conformal_shipping.
 # The 7-name runway backlog (no prior driver row) sorts immediately after
-# these; 19 rechecks + 7 backlog + 1 new hybrid = 27 of 50 window rows.
+# these; 29 rechecks (incl. the wave-2 tokenizer/PPJoin representatives)
+# + 7 backlog + 1 new hybrid = 37 of 50 window rows; verified tail fills
+# the remaining 13.
 _RECHECK_FIRST = (
     "events_ewma_daily",
     "sketch_kmv_distinct_daily",
@@ -91,6 +93,18 @@ _RECHECK_FIRST = (
     "events_type_correlation",
     "customers_revenue_gini",
     "orders_poisson_bootstrap",
+    # r10 wave 2: PPJoin positional filter (candidate generation materially
+    # changed for the prefix-join consumers; values identical, recall is the
+    # bound's theorem) + tokenizer moved from interpreted HOF filter to
+    # codegen'd array_remove (identical semantics, every shingle/text path's
+    # plan changed — representatives below cover the shingle, text-stats,
+    # and bag-key tokenizer surfaces).
+    "dedup_jaccard_prefix_join",
+    "er_fellegi_sunter",
+    "er_fellegi_sunter_em",
+    "dedup_minhash_lsh",
+    "text_stats_docs",
+    "er_blocking_quality",
 )
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window
