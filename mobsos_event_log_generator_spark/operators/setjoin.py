@@ -68,9 +68,12 @@ def prefix_postings(
     """
     frac = _threshold_fraction(threshold)
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("t_df"))
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    ranked = shingles.join(dfreq, "shingle").join(sizes, id_col)
+    ranked = shingles.join(dfreq, "shingle")
+    # n_sh rides the SAME doc-partitioned window shuffle as the rank (an
+    # unordered count spec shares the row_number spec's exchange), replacing
+    # the former groupBy(id)+join — one fewer shuffle of the posting table.
     w = Window.partitionBy(id_col).orderBy("t_df", "shingle")
+    w_n = Window.partitionBy(id_col)
     # p = n − ⌈(num·n)/den⌉ + 1, all-integer so exact multiples never round up.
     prefix_len = (
         F.col("n_sh")
@@ -79,6 +82,7 @@ def prefix_postings(
     )
     return (
         ranked.withColumn("pos", F.row_number().over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_n))
         .filter(F.col("pos") <= prefix_len)
         .select(id_col, "shingle", "n_sh", "pos")
     )
