@@ -4775,7 +4775,13 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    # dlen = Σ tf over the doc = size(tokens) straight off the scan — a
+    # map-side projection instead of re-shuffling the posting table by doc.
+    # The dlen > 0 filter keeps the old contract exactly: zero-token docs
+    # never reached tf, so they were absent from dl (and from n_docs).
+    dl = docs.select(
+        "doc_id", F.size(X.tokens()).cast("long").alias("dlen")
+    ).filter(F.col("dlen") > 0)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(
@@ -6029,7 +6035,13 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    # dlen = Σ tf over the doc = size(tokens) straight off the scan — a
+    # map-side projection instead of re-shuffling the posting table by doc.
+    # The dlen > 0 filter keeps the old contract exactly: zero-token docs
+    # never reached tf, so they were absent from dl (and from n_docs).
+    dl = docs.select(
+        "doc_id", F.size(X.tokens()).cast("long").alias("dlen")
+    ).filter(F.col("dlen") > 0)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats)).select(
