@@ -274,6 +274,16 @@ _BUDGET_LAST = (
     "orders_kaplan_meier",
     # r10 addition (high-recall hybrid, verdict #4; sorts behind the runway)
     "search_hybrid_rrf_ann_hq",
+    # r10 wave-3 additions (new operator classes: Borůvka MSF, rank-1 ALS,
+    # CEM matching ATT) — sort behind the hybrid; with the 29 rechecks +
+    # 7 runway + hq they land at window positions 38-40, still inside the
+    # 50-row window. All three pre-gated exact-cell at sf0.001+0.01+0.1
+    # (tuned) and sf0.01 (plain). nations_boruvka_msf is driver-coordinated
+    # (~25 s plain sf0.01 — the bpe_train_merges cost class); it sorts
+    # LAST of the three so a window time cutoff starves only it.
+    "lineitem_als_rank1",
+    "lineitem_cem_att",
+    "nations_boruvka_msf",
 )
 
 

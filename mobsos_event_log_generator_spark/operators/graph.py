@@ -752,3 +752,84 @@ def bfs_all_pairs_counts(
         )
         ap = ap.unionByName(fresh).localCheckpoint(eager=True)
     return ap
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    rounds: int = 5,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka rounds — the shuffle-parallel MST
+    algorithm (each round EVERY component picks its minimum incident
+    crossing edge simultaneously, so components at least halve per round:
+    O(log n) rounds total, vs. Kruskal/Prim's inherently sequential edge
+    admission, which cannot be expressed as a bounded number of shuffles).
+
+    ``edges`` must be in canonical undirected form: one row per edge with
+    ``src < dst`` and an integer ``weight``. Selection uses the TOTAL order
+    (weight, src, dst) — the classic tie-break that makes the per-component
+    minimum unique, which is exactly the condition under which Borůvka
+    never creates a cycle and the MSF is unique (so the output is
+    deterministic under any parallelism, even with duplicate weights).
+
+    Per round: component labels come from ``connected_components`` over
+    the forest-so-far (≤ nodes−1 edges — CHEAP regardless of input edge
+    count); crossing edges are found with two hash equi-joins of the edge
+    table against the label table; each endpoint component's minimum is a
+    window over the comp key (partitioned — no global sort); winners are
+    de-duplicated (two components may elect the same edge) and unioned
+    into the forest. Rounds are idempotent once the forest is complete, and
+    the loop early-stops on an empty winner round (one ≤1-row count action
+    per round, the fixed-point family's convergence-check shape).
+    Lineage is truncated per round via ``localCheckpoint`` (the
+    ``connected_components`` pitfall — see module docstring).
+
+    Returns the forest: (a, b, w, round_added). Output size is nodes−#components
+    rows — bounded by the node count, never the edge count.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(src).cast("long").alias("a"),
+        F.col(dst).cast("long").alias("b"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+
+    forest: DataFrame | None = None
+    schema_cols = ["a", "b", "w", "round_added"]
+    for k in range(1, rounds + 1):
+        if forest is None:
+            # round 1: every node is its own component
+            ca = e.select(F.col("a").alias("comp_a"), "a", "b", "w")
+            cb = e.select(F.col("b").alias("comp_b"), "a", "b", "w")
+            crossing_a = ca.select(F.col("comp_a").alias("comp"), "a", "b", "w")
+            crossing_b = cb.select(F.col("comp_b").alias("comp"), "a", "b", "w")
+        else:
+            labels = connected_components(forest, src="a", dst="b")
+            la = labels.select(F.col("node").alias("a"), F.col("component").alias("comp_a"))
+            lb = labels.select(F.col("node").alias("b"), F.col("component").alias("comp_b"))
+            tagged = e.join(la, "a").join(lb, "b").filter(F.col("comp_a") != F.col("comp_b"))
+            crossing_a = tagged.select(F.col("comp_a").alias("comp"), "a", "b", "w")
+            crossing_b = tagged.select(F.col("comp_b").alias("comp"), "a", "b", "w")
+        cand = crossing_a.unionByName(crossing_b)
+        win = Window.partitionBy("comp").orderBy("w", "a", "b")
+        winners = (
+            cand.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select("a", "b", "w")
+            .distinct()
+            .withColumn("round_added", F.lit(k).cast("long"))
+        )
+        new_forest = (
+            winners if forest is None else forest.unionByName(winners.select(*schema_cols))
+        ).localCheckpoint(eager=True)
+        # convergence probe reads the just-materialized checkpoint, not the
+        # winner lineage (no window re-execution)
+        grew = new_forest.filter(F.col("round_added") == k).limit(1).count() > 0
+        forest = new_forest
+        if not grew:
+            break
+    assert forest is not None
+    return forest.select(*schema_cols)

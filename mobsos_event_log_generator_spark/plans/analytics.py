@@ -11202,3 +11202,323 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_micro").cast("long").alias("cum_neg_ln_micro"),
         F.round(F.exp(-(F.col("cum_micro") / 1000000.0)), 6).alias("km_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (Borůvka) over the nation latency graph
+# ---------------------------------------------------------------------------
+
+_MSF_ROUNDS = 5  # components at least halve per round: covers 25 nodes (2^5)
+
+
+def _msf_round_ctes(k: int) -> str:
+    """One unrolled Borůvka round: crossing edges under the previous round's
+    component labels → per-component minimum under the (w, a, b) total order
+    → distinct winners appended to the forest → fresh labels via recursive-CTE
+    reachability (the ``dedup_clusters`` oracle pattern — exact connected
+    components, mirroring the operator's min-label fixpoint result)."""
+    prev_c = "c0" if k == 1 else f"c{k - 1}"
+    base = f"""
+cand{k} AS (
+  SELECT comp, a, b, w,
+         row_number() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+  FROM (
+    SELECT ca.comp AS comp, e.a, e.b, e.w
+    FROM edges e JOIN {prev_c} ca ON ca.node = e.a JOIN {prev_c} cb ON cb.node = e.b
+    WHERE ca.comp <> cb.comp
+    UNION ALL
+    SELECT cb.comp AS comp, e.a, e.b, e.w
+    FROM edges e JOIN {prev_c} ca ON ca.node = e.a JOIN {prev_c} cb ON cb.node = e.b
+    WHERE ca.comp <> cb.comp
+  )
+),
+add{k} AS (SELECT DISTINCT a, b, w FROM cand{k} WHERE rn = 1),
+f{k} AS MATERIALIZED (
+  {f"SELECT a, b, w, CAST({k} AS BIGINT) AS r FROM add{k}" if k == 1 else
+   f"SELECT a, b, w, r FROM f{k - 1} UNION ALL SELECT a, b, w, CAST({k} AS BIGINT) FROM add{k}"}
+)"""
+    if k == _MSF_ROUNDS:
+        return base
+    return base + f""",
+fs{k} AS (SELECT a AS na, b AS nb FROM f{k} UNION ALL SELECT b, a FROM f{k}),
+r{k}(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.nb FROM r{k} r JOIN fs{k} e ON r.dst = e.na
+),
+c{k} AS MATERIALIZED (SELECT src AS node, min(dst) AS comp FROM r{k} GROUP BY 1)"""
+
+
+_SQL_NATION_MSF = (
+    f"""
+WITH RECURSIVE latency AS (
+  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+         greatest(c.c_nationkey, s.s_nationkey) AS b,
+         greatest(0, date_diff('day', o.o_orderdate, l.l_shipdate)) AS days
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+edges AS MATERIALIZED (
+  SELECT a, b, CAST((CAST(sum(days) AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS w
+  FROM latency GROUP BY 1, 2
+),
+nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+c0 AS (SELECT node, node AS comp FROM nodes),
+{','.join(_msf_round_ctes(k) for k in range(1, _MSF_ROUNDS + 1))}
+SELECT CAST(a AS BIGINT) AS nation_a, CAST(b AS BIGINT) AS nation_b,
+       w AS mean_latency_micro_days, r AS round_added
+FROM f{_MSF_ROUNDS}
+"""
+)
+
+
+@register("nations_boruvka_msf", _SQL_NATION_MSF)
+def nations_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the undirected nation-to-nation supply
+    graph (edge weight = MEAN observed order→ship latency in exact integer
+    micro-days), via Borůvka rounds — the shuffle-parallel MST algorithm
+    (``operators/graph.py::boruvka_msf``): every component elects its
+    minimum crossing edge under the (w, a, b) TOTAL order simultaneously,
+    components at least halve per round, O(log n) rounds — vs. Kruskal /
+    Prim whose sequential edge admission cannot be bounded in shuffles.
+    The total tie-break order makes the MSF unique, so the result is
+    deterministic under any parallelism and the oracle can unroll the
+    IDENTICAL trajectory: 5 rounds of per-component window minima with
+    component labels recomputed by recursive-CTE reachability (exactly the
+    min-reachable-label the operator's fixpoint produces). Rounds past
+    convergence are idempotent (no crossing edges remain); the fixture
+    graphs converge in 2. Edge extraction is the bounded 4-way FK join
+    aggregated onto the ≤ n² nation grid (mean in truncating integer
+    micro-units — HUGEINT/decimal(38,0) widened BEFORE the multiply); the
+    round loop only ever shuffles the ≤ 625-row edge table and a ≤ n−1-row
+    forest. round_added is part of the contract — it pins the whole
+    trajectory cross-engine, not just the final edge set. Reference
+    analog: none (beyond-reference graph op)."""
+    from mobsos_event_log_generator_spark.operators.graph import boruvka_msf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+            F.greatest(F.lit(0), F.datediff("l_shipdate", "o_orderdate")).alias("days"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.expr(
+                "CAST((CAST(sum(days) AS DECIMAL(38,0)) * 1000000) div count(*) AS BIGINT)"
+            ).alias("w")
+        )
+    )
+    msf = boruvka_msf(edges, src="a", dst="b", weight="w", rounds=_MSF_ROUNDS)
+    return msf.select(
+        F.col("a").cast("long").alias("nation_a"),
+        F.col("b").cast("long").alias("nation_b"),
+        F.col("w").alias("mean_latency_micro_days"),
+        F.col("round_added"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 ALS matrix factorization (customer × part implicit ratings)
+# ---------------------------------------------------------------------------
+
+_SQL_ALS_RANK1 = """
+WITH ratings AS MATERIALIZED (
+  SELECT o.o_custkey AS c, l.l_partkey AS p,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+u1 AS MATERIALIZED (
+  SELECT c, (CAST(sum(r) AS HUGEINT) * 1000000) // count(*) AS u
+  FROM ratings GROUP BY 1
+),
+v1 AS MATERIALIZED (
+  SELECT p, (sum(CAST(r AS HUGEINT) * u.u) * 1000000000000)
+             // greatest(sum(CAST(u.u AS HUGEINT) * u.u), 1) AS v
+  FROM ratings t JOIN u1 u ON u.c = t.c GROUP BY 1
+),
+u2 AS MATERIALIZED (
+  SELECT t.c, (sum(CAST(r AS HUGEINT) * v.v) * 1000000000000)
+              // greatest(sum(CAST(v.v AS HUGEINT) * v.v), 1) AS u
+  FROM ratings t JOIN v1 v ON v.p = t.p GROUP BY 1
+),
+v2 AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_raters,
+         CAST((sum(CAST(r AS HUGEINT) * u.u) * 1000000000000)
+              // greatest(sum(CAST(u.u AS HUGEINT) * u.u), 1) AS BIGINT) AS v
+  FROM ratings t JOIN u2 u ON u.c = t.c GROUP BY 1
+)
+SELECT p AS part, n_raters, v AS factor_micro
+FROM v2 ORDER BY v DESC, p LIMIT 20
+"""
+
+
+@register("lineitem_als_rank1", _SQL_ALS_RANK1)
+def lineitem_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS matrix factorization over the implicit customer × part
+    rating matrix (rating = total quantity purchased): r ≈ u_c · v_p, solved
+    by TWO full alternations of the closed-form least-squares half-steps
+    u_c ← Σ_p r·v / Σ_p v², v_p ← Σ_c r·u / Σ_c u² over the OBSERVED entries
+    — the alternating-least-squares recommender primitive (the registry's
+    item-kNN is the neighborhood method; this is the latent-factor one).
+    Each half-step is one equi-join of the ratings table against the
+    just-solved factor side + one hash aggregate — the same shuffle shape
+    per step at any scale, no iteration-count dependence on data size.
+    EXACT cross-engine arithmetic: factors live on the 1e-6 grid via
+    truncating integer division (Spark `div` ≡ DuckDB `//`); every
+    accumulator widens the OPERAND to decimal(38,0)/HUGEINT before the
+    multiply (v₁ ≥ 400 micro > 0 on any input with r ≥ 1, but the
+    greatest(·,1) guard stays per the divide-guard rule). With v⁰ = 1 the
+    first half-step is exactly the per-customer mean rating — unit-pinned.
+    Top-20 parts by the converged factor via orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, no global sort, no rank
+    window). Reference analog: none (beyond-reference ML op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("r"))
+    )
+    u1 = ratings.groupBy("c").agg(
+        F.expr("(CAST(sum(r) AS DECIMAL(38,0)) * 1000000) div count(*)").alias("u")
+    )
+    half = "(sum(CAST(r AS DECIMAL(38,0)) * {f}) * 1000000000000) div greatest(sum(CAST({f} AS DECIMAL(38,0)) * {f}), 1)"
+    v1 = (
+        ratings.join(u1, "c")
+        .groupBy("p")
+        .agg(F.expr(half.format(f="u")).alias("v"))
+    )
+    u2 = (
+        ratings.join(v1, "p")
+        .groupBy("c")
+        .agg(F.expr(half.format(f="v")).alias("u"))
+    )
+    v2 = (
+        ratings.join(u2, "c")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raters"),
+            F.expr(half.format(f="u")).cast("long").alias("v"),
+        )
+    )
+    return (
+        v2.orderBy(F.col("v").desc(), "p")
+        .limit(20)
+        .select(F.col("p").alias("part"), "n_raters", F.col("v").alias("factor_micro"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coarsened Exact Matching (CEM) average treatment effect on the treated
+# ---------------------------------------------------------------------------
+
+_SQL_CEM_ATT = """
+WITH obs AS MATERIALIZED (
+  SELECT o.o_orderpriority AS pri,
+         CAST((CAST(l.l_quantity AS BIGINT) - 1) // 10 AS BIGINT) AS qty_bin,
+         CAST(month(o.o_orderdate) AS BIGINT) AS omonth,
+         CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS treated,
+         CAST(greatest(0, date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS y
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+strata AS MATERIALIZED (
+  SELECT pri, qty_bin, omonth,
+         sum(treated) AS n_t, count(*) - sum(treated) AS n_c,
+         sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS y_t,
+         sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS y_c
+  FROM obs GROUP BY 1, 2, 3
+),
+matched AS MATERIALIZED (
+  SELECT pri, qty_bin, omonth, n_t, n_c,
+         (CAST(y_t AS HUGEINT) * 1000000) // n_t
+           - (CAST(y_c AS HUGEINT) * 1000000) // n_c AS diff_micro
+  FROM strata WHERE n_t > 0 AND n_c > 0
+)
+SELECT pri, qty_bin, omonth,
+       CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control,
+       CAST(diff_micro AS BIGINT) AS effect_micro_days
+FROM matched
+UNION ALL
+SELECT 'ALL', -1, -1, CAST(sum(n_t) AS BIGINT), CAST(sum(n_c) AS BIGINT),
+       CAST(sum(CAST(n_t AS HUGEINT) * diff_micro) // sum(n_t) AS BIGINT)
+FROM matched
+"""
+
+
+@register("lineitem_cem_att", _SQL_CEM_ATT)
+def lineitem_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching (Iacus/King/Porro) — the matching member of
+    the causal-inference family (CUPED, diff-in-diff and regression
+    discontinuity are the registry's adjustment members; CEM is the design
+    member): does a deep discount (l_discount ≥ 0.05) change shipping
+    latency? Covariates are COARSENED onto a bounded grid (order priority ×
+    quantity decile-bin × order month — ≤ 300 strata at any corpus size),
+    treated and control units match exactly within a stratum, unmatched
+    strata are pruned, and the ATT is the treated-weighted mean of
+    per-stratum outcome differences. ONE hash aggregate over the fact join
+    computes every stratum's four accumulators (conditional sums — no
+    per-arm scans); the stratum grid is bounded, so the final ATT fold is
+    a ≤ 300-row aggregate. All arithmetic is exact integers: per-stratum
+    mean differences on the 1e-6 grid via truncating div (widened operand,
+    never the product), ATT as the n_t-weighted integer fold. Output =
+    the per-stratum matched table + one 'ALL' summary row carrying the
+    ATT in micro-days. Reference analog: none (beyond-reference causal
+    op)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    obs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS BIGINT)").alias("qty_bin"),
+        F.month("o_orderdate").cast("long").alias("omonth"),
+        F.when(F.col("l_discount") >= 0.05, F.lit(1)).otherwise(F.lit(0)).alias("treated"),
+        F.greatest(F.lit(0), F.datediff("l_shipdate", "o_orderdate")).cast("long").alias("y"),
+    )
+    strata = obs.groupBy("pri", "qty_bin", "omonth").agg(
+        F.sum("treated").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("treated")).alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(F.lit(0))).alias("y_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(F.lit(0))).alias("y_c"),
+    )
+    matched = strata.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).withColumn(
+        "diff_micro",
+        F.expr(
+            "(CAST(y_t AS DECIMAL(38,0)) * 1000000) div n_t"
+            " - (CAST(y_c AS DECIMAL(38,0)) * 1000000) div n_c"
+        ),
+    )
+    per_stratum = matched.select(
+        "pri",
+        "qty_bin",
+        "omonth",
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("diff_micro").cast("long").alias("effect_micro_days"),
+    )
+    total = matched.agg(
+        F.sum("n_t").cast("long").alias("n_treated"),
+        F.sum("n_c").cast("long").alias("n_control"),
+        F.expr(
+            "CAST(sum(CAST(n_t AS DECIMAL(38,0)) * diff_micro) div sum(n_t) AS BIGINT)"
+        ).alias("effect_micro_days"),
+    ).select(
+        F.lit("ALL").alias("pri"),
+        F.lit(-1).cast("long").alias("qty_bin"),
+        F.lit(-1).cast("long").alias("omonth"),
+        "n_treated",
+        "n_control",
+        "effect_micro_days",
+    )
+    return per_stratum.unionByName(total)

@@ -1120,3 +1120,156 @@ def test_revenue_recognition_conserves_totals(spark, sf_dir):
         .first()[0]
     )
     assert recognized == cents
+
+
+def test_boruvka_msf_known_graph_ties_and_forest(spark):
+    """Equal-weight triangle: naive per-component minima under an
+    inconsistent tie-break can admit a cycle; the (w, a, b) total order
+    must pick exactly 2 of the 3 edges. Second component (4-5) proves the
+    FOREST contract; chain weights force a 2-round trajectory."""
+    from mobsos_event_log_generator_spark.operators.graph import boruvka_msf
+
+    edges = spark.createDataFrame(
+        [(0, 1, 7), (0, 2, 7), (1, 2, 7), (4, 5, 3)], "a long, b long, w long"
+    )
+    got = {(r["a"], r["b"]): r["round_added"] for r in boruvka_msf(edges).collect()}
+    # total order picks (0,1) then (0,2); (1,2) would close the cycle
+    assert set(got) == {(0, 1), (0, 2), (4, 5)}
+    # two chained components merge in round 2: 0-1 (w1), 2-3 (w1), 1-2 (w9)
+    chain = spark.createDataFrame(
+        [(0, 1, 1), (2, 3, 1), (1, 2, 9)], "a long, b long, w long"
+    )
+    rounds = {(r["a"], r["b"]): r["round_added"] for r in boruvka_msf(chain).collect()}
+    assert rounds == {(0, 1): 1, (2, 3): 1, (1, 2): 2}
+
+
+def test_boruvka_msf_matches_kruskal(spark):
+    """MSF total weight and edge set equal a pure-Python Kruskal replay
+    under the same (w, a, b) total order, on a deterministic 12-node graph
+    with duplicate weights."""
+    from mobsos_event_log_generator_spark.operators.graph import boruvka_msf
+
+    rows = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            if (i * 7 + j * 3) % 4 == 0:  # sparse deterministic subset
+                rows.append((i, j, (i * j) % 5 + 1))  # duplicate weights on purpose
+    edges = spark.createDataFrame(rows, "a long, b long, w long")
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    expect = set()
+    for a, b, w in sorted(rows, key=lambda e: (e[2], e[0], e[1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            expect.add((a, b, w))
+    got = {(r["a"], r["b"], r["w"]) for r in boruvka_msf(edges).collect()}
+    assert got == expect
+
+
+def test_als_rank1_matches_python_integer_replay(spark, sf_dir):
+    """Top-20 factors match an exact pure-Python integer replay of the two
+    ALS alternations (Python ints are unbounded, so the replay is the
+    ground truth for the decimal(38,0) accumulator chain); the first
+    half-step is by construction the truncated per-customer mean rating."""
+    from collections import defaultdict
+
+    from mobsos_event_log_generator_spark.plans.analytics import lineitem_als_rank1
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = defaultdict(int)
+    for r in li.join(o, li["l_orderkey"] == o["o_orderkey"]).collect():
+        pairs[(r["o_custkey"], r["l_partkey"])] += int(r["l_quantity"])
+
+    by_c, by_p = defaultdict(list), defaultdict(list)
+    for (c, p), rt in pairs.items():
+        by_c[c].append((p, rt))
+        by_p[p].append((c, rt))
+    u = {c: sum(rt for _, rt in lst) * 10**6 // len(lst) for c, lst in by_c.items()}
+
+    def solve(side, other):
+        out = {}
+        for k, lst in side.items():
+            num = sum(rt * other[kk] for kk, rt in lst)
+            den = sum(other[kk] * other[kk] for kk, rt in lst)
+            out[k] = num * 10**12 // max(den, 1)
+        return out
+
+    v = solve(by_p, u)
+    u = solve(by_c, v)
+    v = solve(by_p, u)
+    expect = sorted(((vv, p) for p, vv in v.items()), key=lambda t: (-t[0], t[1]))[:20]
+    got = lineitem_als_rank1(spark, sf_dir).collect()
+    assert [(r["factor_micro"], r["part"]) for r in got] == expect
+    assert all(r["n_raters"] == len(by_p[r["part"]]) for r in got)
+
+
+def test_cem_att_matches_python_replay(spark, sf_dir):
+    """Per-stratum effects and the ALL row match a pure-Python integer
+    replay of the coarsening, matching, and treated-weighted fold."""
+    from collections import defaultdict
+
+    from mobsos_event_log_generator_spark.plans.analytics import lineitem_cem_att
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_discount", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # n_t, n_c, y_t, y_c
+    for r in li.join(o, li["l_orderkey"] == o["o_orderkey"]).collect():
+        key = (
+            r["o_orderpriority"],
+            (int(r["l_quantity"]) - 1) // 10,
+            r["o_orderdate"].month,
+        )
+        y = max(0, (r["l_shipdate"].date() - r["o_orderdate"].date()).days)
+        if r["l_discount"] >= 0.05:
+            acc[key][0] += 1
+            acc[key][2] += y
+        else:
+            acc[key][1] += 1
+            acc[key][3] += y
+    expect = {}
+    num = den = 0
+    for key, (n_t, n_c, y_t, y_c) in acc.items():
+        if n_t > 0 and n_c > 0:
+            d = y_t * 10**6 // n_t - y_c * 10**6 // n_c
+            expect[key] = (n_t, n_c, d)
+            num += n_t * d
+            den += n_t
+    rows = lineitem_cem_att(spark, sf_dir).collect()
+    got = {
+        (r["pri"], r["qty_bin"], r["omonth"]): (
+            r["n_treated"],
+            r["n_control"],
+            r["effect_micro_days"],
+        )
+        for r in rows
+        if r["pri"] != "ALL"
+    }
+    assert got == expect
+    all_rows = [r for r in rows if r["pri"] == "ALL"]
+    assert len(all_rows) == 1
+    # python // floors; the engine chain uses truncating div — identical here
+    # because the weighted fold's operands make the quotient sign-stable, and
+    # the replay mirrors the same div semantics on the per-stratum means.
+    assert all_rows[0]["n_treated"] == den
+    assert all_rows[0]["effect_micro_days"] == _trunc_div(num, den)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
