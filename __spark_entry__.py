@@ -284,6 +284,9 @@ _BUDGET_LAST = (
     "lineitem_als_rank1",
     "lineitem_cem_att",
     "nations_boruvka_msf",
+    # r10 wave-3b: AMS/Tug-of-War F2 moment sketch — completes the classic
+    # sketch family (window position 41; same pre-gating as the wave-3 trio)
+    "sketch_ams_f2_daily",
 )
 
 

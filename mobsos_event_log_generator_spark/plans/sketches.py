@@ -1013,3 +1013,122 @@ def orders_bandit_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thompson_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS / Tug-of-War second frequency moment (F2) sketch
+# ---------------------------------------------------------------------------
+
+_AMS_M = 64       # estimators
+_AMS_GROUP = 8    # mean group size; median over _AMS_M/_AMS_GROUP = 8 means
+
+#: +1/-1 sign for (estimator j, user u): first hex digit of an md5 over the
+#: salted pair — byte-identical cross-engine (the HLL lane's derivation) and
+#: independent of the day, so per-day counters stay mergeable across any
+#: partitioning of the SAME stream.
+_AMS_SIGN_SPARK = (
+    "CASE WHEN substring(md5(concat('ams|', CAST(j AS STRING), '|', "
+    "CAST(user_id AS STRING))), 1, 1) IN "
+    "('0','1','2','3','4','5','6','7') THEN fu ELSE -fu END"
+)
+_AMS_SIGN_DUCK = (
+    "CASE WHEN substring(md5('ams|' || CAST(j AS VARCHAR) || '|' || "
+    "CAST(user_id AS VARCHAR)), 1, 1) IN "
+    "('0','1','2','3','4','5','6','7') THEN fu ELSE -fu END"
+)
+
+
+@register(
+    "sketch_ams_f2_daily",
+    f"""
+WITH f AS MATERIALIZED (
+  SELECT strftime(ts, '%Y-%m-%d') AS event_date, user_id,
+         CAST(count(*) AS BIGINT) AS fu
+  FROM events GROUP BY 1, 2
+),
+fan AS (
+  SELECT event_date, user_id, fu, j
+  FROM f, (SELECT unnest(range(0, {_AMS_M})) AS j)
+),
+c AS MATERIALIZED (
+  SELECT event_date, j, sum({_AMS_SIGN_DUCK}) AS c
+  FROM fan GROUP BY 1, 2
+),
+g AS (
+  SELECT event_date, j // {_AMS_GROUP} AS grp,
+         sum(CAST(c AS HUGEINT) * c) // {_AMS_GROUP} AS gm
+  FROM c GROUP BY 1, 2
+),
+med AS (
+  SELECT event_date, gm AS est
+  FROM (SELECT event_date, gm,
+               row_number() OVER (PARTITION BY event_date ORDER BY gm, grp) AS rn
+        FROM g)
+  WHERE rn = {_AMS_M // _AMS_GROUP // 2}
+),
+ex AS (
+  SELECT event_date, sum(CAST(fu AS HUGEINT) * fu) AS f2
+  FROM f GROUP BY 1
+)
+SELECT m.event_date, CAST(ex.f2 AS BIGINT) AS exact_f2,
+       CAST(m.est AS BIGINT) AS ams_estimate,
+       CAST((abs(m.est - ex.f2) * 1000000) // ex.f2 AS BIGINT) AS err_ppm,
+       (abs(m.est - ex.f2) * 2 <= ex.f2) AS within_50pct
+FROM med m JOIN ex ON ex.event_date = m.event_date
+""",
+)
+def sketch_ams_f2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS / Tug-of-War sketch (Alon-Matias-Szegedy) for the second
+    frequency moment F2 = Σ f_u² of daily user activity — the skew/self-join
+    -size signal, and the classic sketch family's last missing member here
+    (HLL = distinct, KMV = distinct algebra, CMS = point frequency,
+    Misra-Gries = top-k, Bloom = membership, histogram = quantiles, AMS =
+    moments). Per estimator j, counter c_j = Σ_u sign_j(u)·f_u with
+    md5-derived ±1 signs (byte-identical cross-engine, day-independent);
+    E[c_j²] = F2 exactly. The estimate is the house discrete LOWER MEDIAN
+    of {_AMS_M // _AMS_GROUP} group means of c_j² ({_AMS_GROUP} per group,
+    truncating div) — all exact integers end to end, so the whole register
+    trajectory is value-hash-checked like the HLL lane, not just a bound.
+
+    Scale shape: the only per-row work is a codegen'd ×{_AMS_M} generator
+    fan-out feeding a (day, j) hash aggregate — map-side partials mean the
+    shuffle carries ≤ partitions × days × {_AMS_M} counter rows, never the
+    fan-out; counters are SUMS, so per-executor partial sketches merge by
+    addition (the mergeable state a 1000-executor rollup unions — pinned by
+    the merge-≡-bulk unit). c_j² accumulates in decimal(38,0)/HUGEINT with
+    the operand widened BEFORE the multiply (r9 ADVICE rule); int64 output
+    domain: |c| ≤ day volume, so exact_f2/ams_estimate fit BIGINT to ~3e9
+    events/day — past that the output unit must coarsen (documented
+    contract, same class as the KMV estimator-range note)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "user_id")
+        .groupBy("event_date", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("fu"))
+    )
+    fan = f.select(
+        "event_date",
+        "user_id",
+        "fu",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_M - 1))).alias("j"),
+    )
+    c = fan.groupBy("event_date", "j").agg(F.expr(f"sum({_AMS_SIGN_SPARK})").alias("c"))
+    g = c.groupBy("event_date", F.expr(f"j div {_AMS_GROUP}").alias("grp")).agg(
+        F.expr(f"sum(CAST(c AS DECIMAL(38,0)) * c) div {_AMS_GROUP}").alias("gm")
+    )
+    w = Window.partitionBy("event_date").orderBy("gm", "grp")
+    med = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _AMS_M // _AMS_GROUP // 2)
+        .select("event_date", F.col("gm").alias("est"))
+    )
+    ex = f.groupBy("event_date").agg(
+        F.expr("sum(CAST(fu AS DECIMAL(38,0)) * fu)").alias("f2")
+    )
+    return med.join(ex, "event_date").select(
+        "event_date",
+        F.col("f2").cast("long").alias("exact_f2"),
+        F.col("est").cast("long").alias("ams_estimate"),
+        F.expr("CAST((abs(est - f2) * 1000000) div f2 AS BIGINT)").alias("err_ppm"),
+        (F.expr("abs(est - f2) * 2") <= F.col("f2")).alias("within_50pct"),
+    )

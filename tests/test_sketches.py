@@ -224,3 +224,55 @@ def test_kmv_hash_cross_engine_and_wide_domain(spark):
         assert got[i] == dv, i
         assert 0 <= got[i] < 2**60
     assert len(set(got.values())) == len(ids)  # distinct past 2^31 too
+
+
+def test_ams_f2_matches_python_replay_and_merges(spark, sf_dir):
+    """The AMS counters, group means, lower-median estimate, and the exact
+    lane all match an unbounded-precision Python replay from the raw
+    (day, user) frequencies — and counters built from two halves of the
+    stream MERGE BY ADDITION to the bulk counters (the mergeable-state
+    property a multi-executor rollup relies on)."""
+    import hashlib
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    )
+    freq = defaultdict(int)
+    for r in ev.collect():
+        freq[(r["d"], r["user_id"])] += 1
+
+    def sign(j: int, u: int) -> int:
+        h = hashlib.md5(f"ams|{j}|{u}".encode()).hexdigest()
+        return 1 if h[0] in "01234567" else -1
+
+    counters = defaultdict(int)  # (day, j) -> c
+    f2 = defaultdict(int)
+    for (d, u), fu in freq.items():
+        f2[d] += fu * fu
+        for j in range(64):
+            counters[(d, j)] += sign(j, u) * fu
+    expect = {}
+    for d in f2:
+        gms = []
+        for grp in range(8):
+            s = sum(counters[(d, j)] ** 2 for j in range(grp * 8, grp * 8 + 8))
+            gms.append((s // 8, grp))
+        est = sorted(gms)[3][0]  # lower median (4th of 8)
+        expect[d] = (f2[d], est, abs(est - f2[d]) * 10**6 // f2[d])
+
+    rows = QUERIES["sketch_ams_f2_daily"](spark, sf_dir).collect()
+    got = {r["event_date"]: (r["exact_f2"], r["ams_estimate"], r["err_ppm"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["within_50pct"] == (abs(r["ams_estimate"] - r["exact_f2"]) * 2 <= r["exact_f2"])
+
+    # mergeability: per-user frequencies split into two disjoint halves ->
+    # half counters sum to the bulk counters (c is linear in f).
+    half = defaultdict(int)
+    for (d, u), fu in freq.items():
+        part = 0 if u % 2 == 0 else 1
+        for j in range(64):
+            half[(d, j, part)] += sign(j, u) * fu
+    for (d, j), c in counters.items():
+        assert half[(d, j, 0)] + half[(d, j, 1)] == c
