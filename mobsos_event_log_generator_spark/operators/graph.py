@@ -774,9 +774,11 @@ def boruvka_msf(
     never creates a cycle and the MSF is unique (so the output is
     deterministic under any parallelism, even with duplicate weights).
 
-    Per round: component labels come from ``connected_components`` over
-    the forest-so-far (≤ nodes−1 edges — CHEAP regardless of input edge
-    count); crossing edges are found with two hash equi-joins of the edge
+    Per round: component labels come from ``connected_components_star``
+    over the forest-so-far (≤ nodes−1 edges — CHEAP regardless of input
+    edge count; the STAR variant because an MSF forest routinely has
+    diameter Θ(n), where min-label propagation would need Θ(n) rounds —
+    identical (node, min-reachable-label) contract either way); crossing edges are found with two hash equi-joins of the edge
     table against the label table; each endpoint component's minimum is a
     window over the comp key (partitioned — no global sort); winners are
     de-duplicated (two components may elect the same edge) and unioned
@@ -807,7 +809,12 @@ def boruvka_msf(
             crossing_a = ca.select(F.col("comp_a").alias("comp"), "a", "b", "w")
             crossing_b = cb.select(F.col("comp_b").alias("comp"), "a", "b", "w")
         else:
-            labels = connected_components(forest, src="a", dst="b")
+            # star contraction, NOT min-label: an MSF forest routinely has
+            # diameter Θ(n) (a path), and min-label needs diameter rounds —
+            # the O(log n)-round contraction has the identical
+            # (node, min-reachable-label) contract, so the labels (and the
+            # oracle's recursive-CTE mirror) are value-identical.
+            labels = connected_components_star(forest, src="a", dst="b")
             la = labels.select(F.col("node").alias("a"), F.col("component").alias("comp_a"))
             lb = labels.select(F.col("node").alias("b"), F.col("component").alias("comp_b"))
             tagged = e.join(la, "a").join(lb, "b").filter(F.col("comp_a") != F.col("comp_b"))
