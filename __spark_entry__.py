@@ -59,8 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #    join_cardinality_estimates, orders_conformal_shipping.
 # The 7-name runway backlog (no prior driver row) sorts immediately after
 # these; 29 rechecks (incl. the wave-2 tokenizer/PPJoin representatives)
-# + 7 backlog + 1 new hybrid = 37 of 50 window rows; verified tail fills
-# the remaining 13.
+# + 7 backlog + 1 new hybrid + 4 wave-3 additions (MSF/ALS/CEM/AMS) =
+# 41 of 50 window rows; verified tail fills the remaining 9.
 _RECHECK_FIRST = (
     "events_ewma_daily",
     "sketch_kmv_distinct_daily",
