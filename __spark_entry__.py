@@ -45,66 +45,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose plans changed this round and should re-prove their oracle
 # ahead of the already-verified tail (empty when nothing green was touched;
 # sf0.01-identical plan changes are covered by tools/check_parity.py locally).
-# r10: the mandatory re-gates the r9 verdict scheduled into the emptied
-# window. Three change classes, all exact-cell re-verified locally at
-# sf0.001+sf0.01+sf0.1 before registration:
-#  * demo-|Q| caps (verdict #2): every remaining `% 50`-derived query set
-#    now also bounds the id below DEMO_QUERY_CAP — vec_id lanes are
-#    fixture-identical (max vec_id 1999 < 2000); doc_id lanes shrink at
-#    sf0.1 only (max doc_id 4999), both engines consistently.
-#  * scale-overflow fixes (r9 ADVICE): EWMA/Holt decimal-first multiply,
-#    KMV md5 60-bit hash (values change, both engines consistently),
-#    histogram-quantile LONG `div` instead of double division.
-#  * oracle-only dim×dim `<>` reshape (verdict #5):
-#    join_cardinality_estimates, orders_conformal_shipping.
-# The 7-name runway backlog (no prior driver row) sorts immediately after
-# these; 29 rechecks (incl. the wave-2 tokenizer/PPJoin representatives)
-# + 7 backlog + 1 new hybrid + 4 wave-3 additions (MSF/ALS/CEM/AMS) =
-# 41 of 50 window rows; verified tail fills the remaining 9.
+# r11: the backlog is fully drained (353/353 cumulative green after r10), so
+# only names actually touched this round re-gate. Both exact-cell re-verified
+# locally at sf0.001+sf0.01+sf0.1 before registration:
+#  * lineitem_cem_att — qty_bin floor-then-cast in BOTH engines (r10 ADVICE:
+#    DuckDB rounds decimal->int casts, Spark truncates; values identical on
+#    the integral TPC-H fixture, plan + oracle text changed).
+#  * nations_boruvka_msf — round-1 branch simplification (two redundant
+#    select layers removed; values identical) + post-loop convergence raise
+#    when the round budget is exhausted with crossing edges remaining.
 _RECHECK_FIRST = (
-    "events_ewma_daily",
-    "sketch_kmv_distinct_daily",
-    "lineitem_histogram_quantiles",
-    "similarity_topk_ann_bucketed",
-    "similarity_topk_ann_multiprobe",
-    "similarity_topk_ann_multitable",
-    "similarity_topk_ann_ivf",
-    "similarity_topk_ann_ivf_arrow",
-    "similarity_topk_ann_ivfpq",
-    "similarity_topk_quantized",
-    "similarity_topk_rerank",
-    "similarity_srp_hamming",
-    "search_bm25_topk",
-    "search_rm3_expansion",
-    "search_hybrid_rrf",
-    "search_hybrid_rrf_ann",
-    "streaming_ann_index_maintenance",
-    "join_cardinality_estimates",
-    "orders_conformal_shipping",
-    # Janino 64 KB fix (verdict #3): the non-nullable bucket key removed the
-    # inferred isnotnull(<641-term chain>) filter; values unchanged, plan
-    # materially changed (codegen'd now) — representative re-gate for the
-    # shared value_ordered_running_sum path.
-    "lineitem_zorder_layout",
-    # r10 decimal-first-multiply audit (the r9-ADVICE overflow class, swept
-    # repo-wide): daily-count cross products, rank*cents Gini numerator,
-    # whole-table bootstrap w*cents — all widened BEFORE the multiply,
-    # fixture-identical, both engines consistent.
-    "events_type_correlation",
-    "customers_revenue_gini",
-    "orders_poisson_bootstrap",
-    # r10 wave 2: PPJoin positional filter (candidate generation materially
-    # changed for the prefix-join consumers; values identical, recall is the
-    # bound's theorem) + tokenizer moved from interpreted HOF filter to
-    # codegen'd array_remove (identical semantics, every shingle/text path's
-    # plan changed — representatives below cover the shingle, text-stats,
-    # and bag-key tokenizer surfaces).
-    "dedup_jaccard_prefix_join",
-    "er_fellegi_sunter",
-    "er_fellegi_sunter_em",
-    "dedup_minhash_lsh",
-    "text_stats_docs",
-    "er_blocking_quality",
+    "lineitem_cem_att",
+    "nations_boruvka_msf",
 )
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window
@@ -290,8 +242,9 @@ _BUDGET_LAST = (
 )
 
 
-def _driver_verified() -> set:
-    """Names with a fully-green driver row in ANY round's CORRECTNESS file.
+def _driver_verified() -> dict:
+    """Name -> LAST round with a fully-green driver row, over every round's
+    CORRECTNESS file on disk.
 
     A row counts as verified only when rows/schema/hash all matched and no
     error was recorded — so `no_oracle` / errored rows (e.g. the historical
@@ -300,9 +253,12 @@ def _driver_verified() -> set:
     """
     import glob
     import json
+    import re
 
-    verified = set()
+    verified: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -317,7 +273,7 @@ def _driver_verified() -> set:
                 and row.get("schema_match") is True
                 and row.get("hash_match") is True
             ):
-                verified.add(name)
+                verified[name] = max(rnd, verified.get(name, 0))
     return verified
 
 
@@ -326,7 +282,12 @@ def _driver_order(registry: dict) -> list[str]:
     recheck = [n for n in _RECHECK_FIRST if n in registry]
     backlog = [n for n in registry if n not in verified and n not in recheck]
     backlog.sort(key=lambda n: _BUDGET_LAST.index(n) if n in _BUDGET_LAST else -1)
+    # Verified tail walks LEAST-recently-verified first (stable within a
+    # round: registry order), so with the backlog drained the 50-row window
+    # continuously re-gates the stalest green rows instead of pinning the
+    # same registry prefix every round (r10 verdict #7's standing rotation).
     seen = [n for n in registry if n in verified and n not in recheck]
+    seen.sort(key=lambda n: verified[n])
     return recheck + backlog + seen
 
 
