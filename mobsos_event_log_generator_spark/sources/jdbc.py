@@ -7,9 +7,11 @@ Here the scan is Spark's JDBC data source with range partitioning on
 pushes filters/column pruning into the generated SQL (same effect as the
 reference's hand-built WHERE clause, event_reader.py:59-69, but automatic).
 
-No MySQL is available in the test environment; this module is exercised against
-parquet fixtures via ``load_eventlog`` falling back, and the JDBC path is
-covered by option-construction unit tests only.
+No MySQL is available in the test environment; the live JDBC path is
+integration-tested end-to-end against embedded Apache Derby (bundled with
+Spark — ``tests/test_jdbc_derby.py``: partitioned range scan, filter/column
+pushdown, high-watermark incremental polling, DB→XES pipeline), and the
+MySQL-specific option construction is covered by unit tests.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ def jdbc_reader_options(
     lower_bound: datetime | str | None = None,
     upper_bound: datetime | str | None = None,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    driver: str = "com.mysql.cj.jdbc.Driver",
 ) -> dict[str, str]:
     """Build the option dict for a partitioned JDBC read.
 
@@ -45,7 +48,7 @@ def jdbc_reader_options(
         "dbtable": table,
         "user": user,
         "password": password,
-        "driver": "com.mysql.cj.jdbc.Driver",
+        "driver": driver,
         "fetchsize": "10000",
         # Push aggregates (MIN/MAX/COUNT) into MySQL when possible (DSv2).
         "pushDownAggregate": "true",

@@ -119,13 +119,24 @@ class JdbcIncrementalSource:
 
 
 def jdbc_slice_loader(
-    spark: SparkSession, jdbc_options: dict[str, str], table: str, ts_col: str = "TIME_STAMP"
+    spark: SparkSession,
+    jdbc_options: dict[str, str],
+    table: str,
+    ts_col: str = "TIME_STAMP",
+    ts_literal: Callable[[str], str] | None = None,
 ) -> Callable[[str | None], DataFrame]:
     """Production slice loader: pushes ``ts > watermark`` into the JDBC query
-    so MySQL scans only new rows (requires an index on the ts column)."""
+    so the database scans only new rows (requires an index on the ts column).
+
+    ``ts_literal`` renders the watermark as a SQL literal for the target
+    dialect: MySQL implicitly casts a quoted string (the default); strict
+    engines like Derby require ``TIMESTAMP('...')``.
+    """
+    if ts_literal is None:
+        ts_literal = lambda v: f"'{v}'"  # noqa: E731 — MySQL-style implicit cast
 
     def load(hwm: str | None) -> DataFrame:
-        pred = f"WHERE {ts_col} > '{hwm}'" if hwm else ""
+        pred = f"WHERE {ts_col} > {ts_literal(hwm)}" if hwm else ""
         query = f"SELECT * FROM {table} {pred}"
         reader = spark.read.format("jdbc")
         for k, v in {**jdbc_options, "query": query}.items():
