@@ -239,6 +239,11 @@ _BUDGET_LAST = (
     # r10 wave-3b: AMS/Tug-of-War F2 moment sketch — completes the classic
     # sketch family (window position 41; same pre-gating as the wave-3 trio)
     "sketch_ams_f2_daily",
+    # r11 additions (r10 verdict #5/#6): persisted multitable signature
+    # index + high-recall multiprobe; backlog is otherwise drained, so they
+    # enter the window right after the two r11 rechecks.
+    "similarity_topk_ann_multitable_indexed",
+    "similarity_topk_ann_multiprobe_hq",
 )
 
 

@@ -774,25 +774,37 @@ def boruvka_msf(
     never creates a cycle and the MSF is unique (so the output is
     deterministic under any parallelism, even with duplicate weights).
 
-    Per round: component labels come from ``connected_components_star``
-    over the forest-so-far (≤ nodes−1 edges — CHEAP regardless of input
-    edge count; the STAR variant because an MSF forest routinely has
-    diameter Θ(n), where min-label propagation would need Θ(n) rounds —
-    identical (node, min-reachable-label) contract either way); crossing edges are found with two hash equi-joins of the edge
-    table against the label table; each endpoint component's minimum is a
-    window over the comp key (partitioned — no global sort); winners are
-    de-duplicated (two components may elect the same edge) and unioned
-    into the forest. Rounds are idempotent once the forest is complete, and
-    the loop early-stops on an empty winner round (one ≤1-row count action
-    per round, the fixed-point family's convergence-check shape).
+    Per round (the r11 FUSED form — winner trajectory provably identical to
+    the original recompute-labels-from-the-forest form, because winners
+    depend only on the node PARTITION, never on label values):
+
+    * labels are maintained INCREMENTALLY: after round k's winners merge
+      components, ``connected_components_star`` runs on the COMPONENT
+      graph (one node per pre-merge component, one edge per winner — its
+      size is the component count, which at least halves per round), and
+      the resulting (comp → merged-comp) map is joined back onto the
+      (node → comp) label table. The original form re-contracted the FULL
+      forest-so-far (Θ(nodes) edges) from scratch every round — O(log n)
+      inner star rounds x Θ(n) work, the dominant cost of the 1k-node
+      probe (97.6 s; fused: see BASELINE.md round-11 table);
+    * crossing edges are found with two hash equi-joins of the edge table
+      against the label table; each endpoint component's minimum is ONE
+      hash aggregate ``min(struct(w, a, b))`` per comp key (map-side
+      partial combine — replaces the original sort-window per comp);
+    * winners are de-duplicated (two components may elect the same edge)
+      and unioned into the forest. The loop early-stops on an empty winner
+      round (one ≤1-row count action per round, the fixed-point family's
+      convergence-check shape).
+
     Lineage is truncated per round via ``localCheckpoint`` (the
-    ``connected_components`` pitfall — see module docstring).
+    ``connected_components`` pitfall — see module docstring). If the round
+    budget is exhausted while edges were still being admitted, a final
+    crossing-edge probe RAISES rather than returning a partial forest
+    labeled as the MSF (same contract as connected_components_star).
 
     Returns the forest: (a, b, w, round_added). Output size is nodes−#components
     rows — bounded by the node count, never the edge count.
     """
-    from pyspark.sql.window import Window
-
     e = edges.select(
         F.col(src).cast("long").alias("a"),
         F.col(dst).cast("long").alias("b"),
@@ -800,59 +812,69 @@ def boruvka_msf(
     ).localCheckpoint(eager=True)
 
     forest: DataFrame | None = None
+    labels: DataFrame | None = None  # (node, comp); None ⇔ comp == node
     schema_cols = ["a", "b", "w", "round_added"]
+
+    def _crossing(lbls: DataFrame) -> DataFrame:
+        la = lbls.select(F.col("node").alias("a"), F.col("comp").alias("comp_a"))
+        lb = lbls.select(F.col("node").alias("b"), F.col("comp").alias("comp_b"))
+        return e.join(la, "a").join(lb, "b").filter(F.col("comp_a") != F.col("comp_b"))
+
     for k in range(1, rounds + 1):
-        if forest is None:
+        if labels is None:
             # round 1: every node is its own component
-            crossing_a = e.select(F.col("a").alias("comp"), "a", "b", "w")
-            crossing_b = e.select(F.col("b").alias("comp"), "a", "b", "w")
+            tagged = e.select(F.col("a").alias("comp_a"), F.col("b").alias("comp_b"), "a", "b", "w")
         else:
-            # star contraction, NOT min-label: an MSF forest routinely has
-            # diameter Θ(n) (a path), and min-label needs diameter rounds —
-            # the O(log n)-round contraction has the identical
-            # (node, min-reachable-label) contract, so the labels (and the
-            # oracle's recursive-CTE mirror) are value-identical.
-            labels = connected_components_star(forest, src="a", dst="b")
-            la = labels.select(F.col("node").alias("a"), F.col("component").alias("comp_a"))
-            lb = labels.select(F.col("node").alias("b"), F.col("component").alias("comp_b"))
-            tagged = e.join(la, "a").join(lb, "b").filter(F.col("comp_a") != F.col("comp_b"))
-            crossing_a = tagged.select(F.col("comp_a").alias("comp"), "a", "b", "w")
-            crossing_b = tagged.select(F.col("comp_b").alias("comp"), "a", "b", "w")
-        cand = crossing_a.unionByName(crossing_b)
-        win = Window.partitionBy("comp").orderBy("w", "a", "b")
+            tagged = _crossing(labels)
+        cand = tagged.select(F.col("comp_a").alias("comp"), "a", "b", "w").unionByName(
+            tagged.select(F.col("comp_b").alias("comp"), "a", "b", "w")
+        )
         winners = (
-            cand.withColumn("__rn", F.row_number().over(win))
-            .filter(F.col("__rn") == 1)
-            .select("a", "b", "w")
+            cand.groupBy("comp")
+            .agg(F.min(F.struct("w", "a", "b")).alias("e"))
+            .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"), F.col("e.w").alias("w"))
             .distinct()
             .withColumn("round_added", F.lit(k).cast("long"))
+            .localCheckpoint(eager=True)
         )
-        new_forest = (
-            winners if forest is None else forest.unionByName(winners.select(*schema_cols))
-        ).localCheckpoint(eager=True)
-        # convergence probe reads the just-materialized checkpoint, not the
-        # winner lineage (no window re-execution)
-        grew = new_forest.filter(F.col("round_added") == k).limit(1).count() > 0
-        forest = new_forest
+        grew = winners.limit(1).count() > 0
+        forest = winners if forest is None else forest.unionByName(winners.select(*schema_cols))
         if not grew:
             break
+        # Fused label maintenance: contract the COMPONENT graph (one edge
+        # per winner, node count halves per round), then remap node labels
+        # through the (comp -> merged-comp) table. Label VALUES may differ
+        # from the full-forest recontraction, but the induced partition is
+        # identical — and winners depend only on the partition.
+        if labels is None:
+            comp_edges = winners.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+            labels = (
+                e.select(F.col("a").alias("node"))
+                .unionByName(e.select(F.col("b").alias("node")))
+                .distinct()
+                .withColumn("comp", F.col("node"))
+            )
+        else:
+            wl = winners.join(
+                labels.select(F.col("node").alias("a"), F.col("comp").alias("ca")), "a"
+            ).join(labels.select(F.col("node").alias("b"), F.col("comp").alias("cb")), "b")
+            comp_edges = wl.select("ca", "cb")
+        merged = connected_components_star(comp_edges, src="ca", dst="cb").select(
+            F.col("node").alias("comp"), F.col("component").alias("new_comp")
+        )
+        labels = (
+            labels.join(merged, "comp", "left")
+            .select("node", F.coalesce("new_comp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
     assert forest is not None
+    forest = forest.localCheckpoint(eager=True)
     if grew:
         # Budget exhausted while the final round was still admitting edges:
         # convergence is unproven, so probe once for remaining crossing edges
-        # and refuse to return a partial forest labeled as the MSF (same
-        # contract as connected_components_star's budget-exhaustion raise).
-        labels = connected_components_star(forest, src="a", dst="b")
-        la = labels.select(F.col("node").alias("a"), F.col("component").alias("comp_a"))
-        lb = labels.select(F.col("node").alias("b"), F.col("component").alias("comp_b"))
-        remaining = (
-            e.join(la, "a")
-            .join(lb, "b")
-            .filter(F.col("comp_a") != F.col("comp_b"))
-            .limit(1)
-            .count()
-        )
-        if remaining > 0:
+        # and refuse to return a partial forest labeled as the MSF.
+        assert labels is not None
+        if _crossing(labels).limit(1).count() > 0:
             raise RuntimeError(
                 f"boruvka_msf did not converge within rounds={rounds}: crossing "
                 "edges remain (components at least halve per round, so rounds "
