@@ -54,9 +54,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #  * nations_boruvka_msf — round-1 branch simplification (two redundant
 #    select layers removed; values identical) + post-loop convergence raise
 #    when the round budget is exhausted with crossing edges remaining.
+#  * tpch_q1_pricing_summary — the 4/6-dp wide-DECIMAL accumulators moved
+#    to hi/lo split long sums (XM.split_hi/split_lo; values proven
+#    identical in an interleaved same-session A/B, ~20% warm win) —
+#    the r10 verdict's q1 follow-up.
 _RECHECK_FIRST = (
     "lineitem_cem_att",
     "nations_boruvka_msf",
+    "tpch_q1_pricing_summary",
 )
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window

@@ -107,6 +107,48 @@ def ratio_round(num_units: Column, den_units: Column, out_dp: int) -> Column:
     return q.cast("double") / F.lit(float(s))
 
 
+#: Chunk for hi/lo split sums — see ``split_hi``/``split_lo``.
+SPLIT_CHUNK = 10**6
+
+
+def split_hi(units: Column, chunk: int = SPLIT_CHUNK) -> Column:
+    """High half of a hi/lo SPLIT SUM: wide integer sums on the LONG fast
+    path. ``sum(decimal)`` costs ~2x ``sum(long)`` per expression (it leaves
+    whole-stage codegen's primitive loop), but a plain long sum of 10^-4/-6
+    units WRAPS near the design scale. Splitting each per-row unit value
+    into ``units div chunk`` and ``units % chunk``, summing BOTH as longs,
+    and recombining post-agg (``recombine_split``) is exact whenever
+
+      rows_per_group < 2^63 / chunk                     (lo-sum ceiling)
+      rows_per_group * max|units| / chunk < 2^63        (hi-sum ceiling)
+
+    With chunk=10^6 and 6-dp units of ~1e5-magnitude money (|units|~1e11):
+    rows_per_group < 9.2e12 — an order of magnitude above sf100k's whole
+    lineitem (6e11 rows), the module's design point. Truncating %/- make
+    the identity units = hi*chunk + lo hold for negatives too, and sums
+    are additive, so recombination is exact regardless of sign.
+
+    The double division below is EXACT under ``int_units_long``'s
+    |units| < 1e15 contract: (units - lo) is an exactly-representable
+    multiple of chunk and the integer quotient is < 2^53, so IEEE
+    division returns it exactly."""
+    u = units.cast("long")
+    return ((u - u % F.lit(chunk)) / F.lit(chunk)).cast("long")
+
+
+def split_lo(units: Column, chunk: int = SPLIT_CHUNK) -> Column:
+    """Low half of a hi/lo split sum (see ``split_hi``)."""
+    return units.cast("long") % F.lit(chunk)
+
+
+def recombine_split(hi_sum: Column, lo_sum: Column, chunk: int = SPLIT_CHUNK) -> Column:
+    """Exact recombination of the two long split sums into DECIMAL(38,0) —
+    drop-in for the wide sum the split replaced."""
+    return (
+        hi_sum.cast("decimal(38,0)") * F.lit(chunk) + lo_sum.cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+
+
 def sql_int_units(col: str, scale: int = 6) -> str:
     """DuckDB mirror of ``int_units``/``int_units_long`` (BIGINT per row;
     DuckDB sums promote to HUGEINT, so no wide/narrow split is needed).

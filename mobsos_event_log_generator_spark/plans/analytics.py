@@ -60,10 +60,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded digit at any SF. Per-column accumulator choice: quantity
     (scale 0) / cents (scale 2) sums provably fit 63 bits at sf100k and use
     the codegen long fast path; the whole-table-group 4-dp disc-price and
-    6-dp charge sums cross 2^63 near the design scale and pay the wide
-    DECIMAL accumulator instead — exactness is the point of q1's contract,
-    and a wrapped long would be silently wrong."""
+    6-dp charge sums cross 2^63 near the design scale, so they ride the
+    hi/lo SPLIT SUM (XM.split_hi/split_lo: two long sums per quantity,
+    recombined exactly post-agg — the long fast path without the wrap
+    hazard; ceilings in the split_hi docstring clear sf100k by 10x).
+    Exactness is the point of q1's contract, and a wrapped long would be
+    silently wrong; the earlier wide-DECIMAL accumulators were the exact
+    but ~2x-slower alternative (r11 A/B in BASELINE.md)."""
     li = load_table(spark, sf_dir, "lineitem")
+    dp_u = XM.int_units_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    ch_u = XM.int_units_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    )
     u = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -71,13 +79,17 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(XM.int_units_long(F.col("l_quantity"), 0)).alias("qty_u"),
             F.sum(XM.int_units_long(F.col("l_extendedprice"), 2)).alias("ep_u"),
             F.sum(XM.int_units_long(F.col("l_discount"), 2)).alias("disc_u"),
-            F.sum(XM.int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias("dp_u"),
-            F.sum(
-                XM.int_units(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
-                )
-            ).alias("ch_u"),
+            F.sum(XM.split_hi(dp_u)).alias("dp_hi"),
+            F.sum(XM.split_lo(dp_u)).alias("dp_lo"),
+            F.sum(XM.split_hi(ch_u)).alias("ch_hi"),
+            F.sum(XM.split_lo(ch_u)).alias("ch_lo"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .withColumns(
+            {
+                "dp_u": XM.recombine_split(F.col("dp_hi"), F.col("dp_lo")),
+                "ch_u": XM.recombine_split(F.col("ch_hi"), F.col("ch_lo")),
+            }
         )
     )
     return u.select(

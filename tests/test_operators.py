@@ -765,6 +765,26 @@ def test_exact_mean_round_midpoints(spark):
     assert r3["m"] is None
 
 
+def test_split_sum_equals_decimal_sum(spark):
+    """The hi/lo split sum (two long sums, recombined post-agg) must equal
+    the wide-DECIMAL sum it replaces in tpch_q1 — including negatives
+    (truncating %/- preserve units = hi*chunk + lo for any sign) and
+    values straddling the chunk boundary."""
+    from pyspark.sql import functions as F
+
+    from mobsos_event_log_generator_spark.operators import exactmath as XM
+
+    vals = [7, -7, 999_999, 1_000_000, 1_000_001, -1_000_001,
+            123_456_789_012_345, -123_456_789_012_345, 0, 999_999_999_999]
+    df = spark.createDataFrame([(v,) for v in vals], "u long")
+    r = df.agg(
+        F.sum(F.col("u").cast("decimal(29,0)")).alias("dec"),
+        F.sum(XM.split_hi(F.col("u"))).alias("hi"),
+        F.sum(XM.split_lo(F.col("u"))).alias("lo"),
+    ).select("dec", XM.recombine_split(F.col("hi"), F.col("lo")).alias("split")).collect()[0]
+    assert int(r["split"]) == int(r["dec"]) == sum(vals)
+
+
 def test_poisson_bootstrap_weights_and_moments(spark):
     """The md5->threshold weight table must replay exactly in pure Python
     (pins the inverse-CDF constants), replicate sizes must concentrate
