@@ -58,10 +58,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #    to hi/lo split long sums (XM.split_hi/split_lo; values proven
 #    identical in an interleaved same-session A/B, ~20% warm win) —
 #    the r10 verdict's q1 follow-up.
+#  * bpe_train_merges — lazy-rewrite round fusion (checkpoint every 4
+#    ranks; merge trajectory proven identical in-session).
 _RECHECK_FIRST = (
     "lineitem_cem_att",
     "nations_boruvka_msf",
     "tpch_q1_pricing_summary",
+    "bpe_train_merges",
 )
 # Ordered tail of the unverified group: expensive driver-coordinated
 # queries (~14 s each at sf0.01) sort behind the cheap backlog so a window

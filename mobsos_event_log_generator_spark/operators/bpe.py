@@ -56,13 +56,23 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 20,
     min_pair_freq: int = 2,
+    checkpoint_every: int = 4,
 ) -> list[dict]:
     """Learn up to ``num_merges`` BPE merges; returns them in rank order as
     dicts ``{rank, left, right, merged, pair_freq}``. Stops early when no
-    pair reaches ``min_pair_freq``."""
-    spark = docs.sparkSession
+    pair reaches ``min_pair_freq``.
+
+    Round fusion (r10 verdict #4): the per-rank rewrite is applied LAZILY —
+    the next rank's pair-count job executes the pending ``regexp_replace``
+    chain as part of its own scan, and the vocabulary is only materialized
+    every ``checkpoint_every`` ranks (plan depth stays bounded). This
+    halves the driver-round job count vs checkpoint-per-rank (the
+    bpe_train_merges cost class is round-bound, not data-bound); the merge
+    trajectory is unchanged — the rewrites applied are identical, only
+    WHERE they execute moves."""
     vocab = _word_vocab(docs, text_col).localCheckpoint()
     merges: list[dict] = []
+    pending = 0
     for rank in range(num_merges):
         top = (
             vocab.select("freq", F.split("symstr", " ").alias("syms"))
@@ -87,9 +97,11 @@ def bpe_train(
         # special there (NOT regex metachars — re.escape would inject
         # literal backslashes into the merged symbol).
         replacement = (l + r).replace("\\", "\\\\").replace("$", "\\$")
-        vocab = vocab.withColumn(
-            "symstr", F.regexp_replace("symstr", pattern, replacement)
-        ).localCheckpoint()
+        vocab = vocab.withColumn("symstr", F.regexp_replace("symstr", pattern, replacement))
+        pending += 1
+        if pending >= checkpoint_every:
+            vocab = vocab.localCheckpoint()
+            pending = 0
     return merges
 
 
