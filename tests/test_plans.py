@@ -431,7 +431,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/graph.py", "closing"): (1, "explicit opt-in (broadcast_closing flag, default off)"),
     ("operators/privacy.py", "small"): (1, "under-k quasi-identifier groups (k-anonymity audit output, contractually small)"),
     ("operators/sampling.py", "tot"): (1, "1-row total-weight aggregate"),
-    ("operators/similarity.py", "q"): (6, "caller-provided query set (API contract: bounded workload)"),
+    ("operators/similarity.py", "q"): (8, "caller-provided query set (API contract: bounded workload)"),
     ("operators/similarity.py", "centroids"): (1, "num_centroids-bounded"),
     ("operators/similarity.py", "sel_df"): (1, "k-center selected set (<= k rows)"),
     ("operators/similarity.py", "probes"): (3, "queries x nprobe routing rows"),
