@@ -378,9 +378,13 @@ def triangle_counts(
     this call itself because the post-aggregation edge stats are unknown at
     plan time.
     """
+    # One explode instead of a 2-way self-union: the (possibly expensive)
+    # edge-derivation subtree appears ONCE in the plan — a union of N
+    # selects over the same lineage replicates the whole upstream pipeline
+    # N times (nothing reuses the exchanges), which at sf0.1 showed up as
+    # hundreds of duplicate Exchange nodes in this operator's consumers.
     deg = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -407,10 +411,11 @@ def triangle_counts(
     if broadcast_closing:
         closing = F.broadcast(closing)
     tris = wedges.join(closing, ["a", "b"], "left_semi").select("u", "a", "b")
-    corner = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("a").alias("node")))
-        .unionAll(tris.select(F.col("b").alias("node")))
+    # Same explode-over-union rewrite: each triangle row contributes one
+    # count to each of its three corners; the 3-way self-union evaluated
+    # the whole wedge+closing pipeline three times.
+    corner = tris.select(
+        F.explode(F.array(F.col("u"), F.col("a"), F.col("b"))).alias("node")
     )
     return corner.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 

@@ -360,11 +360,16 @@ WAV_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+def encode_wav_pcm16(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
     """Minimal RIFF/WAVE writer: PCM16 little-endian, one fmt + one data
     chunk — the layout every WAV encoder emits. Samples are interleaved
-    frames when ``n_channels`` > 1."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    frames when ``n_channels`` > 1. Accepts a list of ints (range-checked
+    by ``struct``) or an int16 numpy array (bulk ``tobytes`` — the batch
+    encoders pass arrays so the per-sample Python loop never runs)."""
+    if hasattr(samples, "dtype"):  # numpy fast path: already validated int16
+        data = samples.astype("<i2", copy=False).tobytes()
+    else:
+        data = struct.pack(f"<{len(samples)}h", *samples)
     byte_rate = sample_rate * n_channels * 2
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
     riff_len = 4 + (8 + len(fmt)) + (8 + len(data))
@@ -381,13 +386,11 @@ def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000, n_channels: in
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Decode a RIFF/WAVE payload — stdlib-only chunk walker (the audio
-    sibling of ``decode_image``): verifies the RIFF/WAVE signature, walks
-    chunks honoring the word-alignment padding rule, parses fmt (PCM16
-    only), and unpacks the data chunk to int samples. Raises ``ValueError``
-    on anything else so batch callers can route failures to an error
-    column."""
+def _decode_wav_raw(payload: bytes) -> tuple[int, int, bytes]:
+    """RIFF/WAVE chunk walk returning (sample_rate, n_channels, pcm_bytes)
+    WITHOUT unpacking samples — the shared parser behind ``decode_wav``
+    (per-sample list, API-compatible) and the vectorized ``audio_features``
+    kernel (which hands the data chunk to numpy in one ``frombuffer``)."""
     payload = bytes(payload)
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -410,6 +413,17 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV format {audio_format}/{bits} (PCM16 only)")
+    return sample_rate, n_channels, data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE payload — stdlib-only chunk walker (the audio
+    sibling of ``decode_image``): verifies the RIFF/WAVE signature, walks
+    chunks honoring the word-alignment padding rule, parses fmt (PCM16
+    only), and unpacks the data chunk to int samples. Raises ``ValueError``
+    on anything else so batch callers can route failures to an error
+    column."""
+    sample_rate, n_channels, data = _decode_wav_raw(payload)
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
     return {
@@ -427,24 +441,31 @@ def audio_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pa
     path; a real pipeline would add FFT features behind the same signature).
     Decode failures land in ``error``. Zero shuffle."""
 
+    import numpy as np
+
     def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    wav = decode_wav(bytes(payload))
-                    s = wav["samples"]
-                    nch = wav["n_channels"]
+                    rate, nch, data = _decode_wav_raw(bytes(payload))
+                    # Vectorized stats (optimization guide §4.2): one
+                    # frombuffer + int64 dot replaces the per-sample Python
+                    # loop. int64 keeps the sums EXACT: |x| <= 2^15 so each
+                    # square <= 2^30 and the dot overflows only past ~2^33
+                    # samples per payload — far beyond any single WAV.
+                    s = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+                    s64 = s.astype(np.int64)
                     n_frames = len(s) // nch
                     rows.append(
                         {
                             "doc_id": doc_id,
-                            "sample_rate": wav["sample_rate"],
+                            "sample_rate": rate,
                             "n_channels": nch,
                             "n_samples": n_frames,
-                            "duration_ms": n_frames * 1000 // wav["sample_rate"],
-                            "sum_sq": sum(x * x for x in s),
-                            "peak_abs": max((abs(x) for x in s), default=0),
+                            "duration_ms": n_frames * 1000 // rate,
+                            "sum_sq": int(np.dot(s64, s64)),
+                            "peak_abs": int(np.abs(s64).max()) if len(s) else 0,
                             "error": None,
                         }
                     )
@@ -476,10 +497,18 @@ def synth_wav_payloads(
     payloads are REAL playable WAV files; the decode path exercises true
     RIFF parsing end-to-end."""
 
+    import numpy as np
+
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # Vectorized sample synthesis (guide §4.2): bytes -> int16 via
+            # numpy; (b - 128) * 256 stays within int16 for any byte b.
             payloads = [
-                encode_wav_pcm16([(b - 128) * 256 for b in t.encode("utf-8")], sample_rate)
+                encode_wav_pcm16(
+                    (np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int16) - 128)
+                    * 256,
+                    sample_rate,
+                )
                 for t in pdf[text_col]
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})

@@ -2194,9 +2194,10 @@ def parts_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", "d")
     )
     tri = triangle_counts(edges, "s", "d", broadcast_closing=True)
+    # explode-not-union: one copy of the edge-derivation subtree in the plan
+    # (see operators/graph.py::triangle_counts for the rationale).
     deg = (
-        edges.select(F.col("s").alias("node"))
-        .unionAll(edges.select(F.col("d").alias("node")))
+        edges.select(F.explode(F.array(F.col("s"), F.col("d"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
