@@ -61,11 +61,19 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     ``word_shingles`` references its input array ~5x (size guard + one
     element_at per gram position), and if that input is the raw
     split-expression each reference re-tokenizes the document — O(words²)
-    regex work per doc (measured 8.4s → 0.5s at sf0.1)."""
+    regex work per doc (measured 8.4s → 0.5s at sf0.1).
+
+    Dedup is row-local — ``array_distinct`` BEFORE the explode — not a
+    DataFrame ``.distinct()`` after: within-doc uniqueness needs no data
+    movement, while the old global distinct was a full shuffle+aggregate of
+    the posting table repeated in EVERY plan copy of this subtree (the
+    similarity-join consumers reference it up to 4x and column pruning
+    blocks ReuseExchange). Identical output for unique ``id_col`` inputs —
+    every caller feeds a primary-key doc table."""
     words = df.select(F.col(id_col), tokens(text_col).alias("words"))
-    return (
-        words.select(F.col(id_col), F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
-        .distinct()
+    return words.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col("words"), n))).alias("shingle"),
     )
 
 
@@ -150,6 +158,7 @@ def jaccard_verify(
     shingles: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    sizes_in_candidates: bool = False,
 ) -> DataFrame:
     """Exact set-Jaccard on candidate pairs via shingle co-count:
     |A∩B| from a join on the shingle key, |A∪B| = |A|+|B|-|A∩B|.
@@ -160,22 +169,38 @@ def jaccard_verify(
     medians tie (~8.2 s incl. shared upstream) but the fat per-pair arrays
     show GC-pressure outliers (28 s worst vs 14 s), so the skinny
     posting-level co-count stays — its intermediates are rows, not
-    duplicated O(doc)-sized arrays per candidate."""
-    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    duplicated O(doc)-sized arrays per candidate.
+
+    ``sizes_in_candidates``: when the candidate generator already knows the
+    exact per-doc set sizes (the prefix-join path carries them as n1/n2),
+    reuse them instead of re-deriving a counts aggregate from ``shingles``
+    — that aggregate is a full extra copy of the shingle pipeline in the
+    plan (scan + tokenize + explode + distinct) plus two joins, and Spark
+    cannot ReuseExchange it because column pruning specializes each copy."""
     s1 = shingles.select(F.col(id_col).alias("id1"), "shingle")
     s2 = shingles.select(F.col(id_col).alias("id2"), "shingle")
-    inter = (
-        candidates.join(s1, "id1")
-        .join(s2, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    c1 = counts.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
-    c2 = counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    if sizes_in_candidates:
+        # (n1, n2) are functionally dependent on (id1, id2): grouping by
+        # them too yields the identical groups, no extra shuffle width.
+        paired = (
+            candidates.join(s1, "id1")
+            .join(s2, ["id2", "shingle"])
+            .groupBy("id1", "id2", "n1", "n2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        inter = (
+            candidates.join(s1, "id1")
+            .join(s2, ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        c1 = counts.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+        c2 = counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+        paired = inter.join(c1, "id1").join(c2, "id2")
     return (
-        inter.join(c1, "id1")
-        .join(c2, "id2")
-        .withColumn(
+        paired.withColumn(
             "jaccard",
             XM.ratio_round(
                 F.col("n_inter"), F.col("n1") + F.col("n2") - F.col("n_inter"), 6

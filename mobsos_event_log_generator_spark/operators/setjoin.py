@@ -148,7 +148,11 @@ def prefix_filter_candidates(
             + F.least(F.col("n1") - F.col("i_last"), F.col("n2") - F.col("j_last"))
             >= F.expr(f"({num} * (n1 + n2) + {num} + {den} - 1) div ({num} + {den})")
         )
-        .select("id1", "id2")
+        # n1/n2 (exact distinct-shingle counts, carried from the prefix
+        # window) ride along so the verify step can skip re-deriving a
+        # per-doc counts aggregate — one whole copy of the shingle
+        # pipeline plus two joins saved in every consumer plan.
+        .select("id1", "id2", "n1", "n2")
     )
 
 
@@ -166,7 +170,7 @@ def prefix_filter_jaccard_join(
     sh = doc_shingles(df, id_col, text_col, n)
     pref = prefix_postings(sh, id_col, threshold)
     cand = prefix_filter_candidates(pref, id_col, threshold)
-    return jaccard_verify(cand, sh, id_col, threshold)
+    return jaccard_verify(cand, sh, id_col, threshold, sizes_in_candidates=True)
 
 
 def _deletion_variants_expr(col: str, radius: int) -> str:

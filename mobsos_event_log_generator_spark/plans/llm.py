@@ -6849,23 +6849,48 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at(X.tokens("text"), 1), F.lit("<empty>")).alias("head"),
     )
     fields = ("lang", "source", "band", "head")
-    nn = feats.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w = nn
-    for f in fields:
-        s_f = (
-            feats.groupBy(f)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            # n²-order accumulator (r8 audit second pass): a dominant field
-            # value (e.g. one language holding most of the corpus) makes
-            # cnt² overflow int64 at ~3.2e9 docs — ride decimal(38,0)
-            # (headroom ~1e19), HUGEINT in the oracle.
-            .agg(
-                F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
-                .cast("decimal(38,0)")
-                .alias(f"s_{f}")
+    # ONE scan for all field statistics: explode each row into its four
+    # (field, value) observations, histogram once, then fold the four
+    # sum(cnt²) accumulators and N out of the tiny histogram with
+    # conditional aggregation. The former shape — count(*) plus one
+    # groupBy-aggregate per field, crossJoined — put FIVE full copies of
+    # the feats subtree (documents scan + tokenizer) in the plan; column
+    # pruning specializes each copy's scan so ReuseExchange never fires.
+    # Values are compared as strings: injective for the long band and
+    # identity for the string fields, so group counts are unchanged.
+    fvals = feats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("f"), F.col(f).cast("string").alias("val")
+                    )
+                    for f in fields
+                ]
             )
-        )
-        w = w.crossJoin(s_f)
+        ).alias("x")
+    ).select("x.f", "x.val")
+    hist = fvals.groupBy("f", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    # n²-order accumulator (r8 audit second pass): a dominant field
+    # value (e.g. one language holding most of the corpus) makes
+    # cnt² overflow int64 at ~3.2e9 docs — ride decimal(38,0)
+    # (headroom ~1e19), HUGEINT in the oracle.
+    w = hist.agg(
+        F.sum(F.when(F.col("f") == fields[0], F.col("cnt")))
+        .cast("long")
+        .alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("f") == f,
+                    F.col("cnt").cast("decimal(38,0)") * F.col("cnt"),
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"s_{f}")
+            for f in fields
+        ],
+    )
     w = w.selectExpr(
         *[
             e
