@@ -630,11 +630,11 @@ def hits_fixed_point(
             )
             .localCheckpoint(eager=True)
         )
-    nodes = (
-        e.select(F.col("e_src").alias("node"))
-        .union(e.select(F.col("e_dst").alias("node")))
-        .distinct()
-    )
+    # explode-not-union: one pass over the checkpointed edge list instead of
+    # two scans unioned (see triangle_counts — same plan-dedup rationale).
+    nodes = e.select(
+        F.explode(F.array(F.col("e_src"), F.col("e_dst"))).alias("node")
+    ).distinct()
     return (
         nodes.join(hubs, "node", "left")
         .join(auth, "node", "left")

@@ -8145,60 +8145,60 @@ def parts_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("p1", "p2")
     )
-    g = (
-        pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .localCheckpoint(eager=True)
+    # Canonical u<v edges, NOT the symmetric double: the old union evaluated
+    # the whole lineitem-self-join subtree TWICE inside the base checkpoint
+    # job, and every round then shuffled 2m rows where m suffice. Degrees
+    # and node counts come off one explode of both endpoints instead.
+    g = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).localCheckpoint(
+        eager=True
     )
-    out = None
+    # Round fusion (r11): the former shape computed the SAME 1-row (m2, n)
+    # aggregate TWICE per round (once for the stats union, once crossJoined
+    # under the peel filter) and assembled best-round flags through two more
+    # crossJoins — ~3 extra jobs per round on the checkpointed edge list.
+    # The per-round stats are a bounded 1-row aggregate (the same class of
+    # driver-side round control every fixed-point operator here uses), so
+    # collect it once per round and inline (m2, n) as literals in the peel
+    # predicate; the 7-row report plus the exact-integer best-round flags
+    # are then pure Python over those collected ints — identical values,
+    # `div` and `//` agree on the non-negative counts involved.
+    rows: list[tuple[int, int, int, int | None]] = []
     for k in range(0, _DS_ROUNDS + 1):
-        stats_k = g.agg(
-            F.count(F.lit(1)).cast("long").alias("m2"),
-            F.countDistinct("src").cast("long").alias("n"),
-        ).selectExpr(
-            f"CAST({k} AS BIGINT) AS round",
-            "n AS n_nodes",
-            "CAST(m2 div 2 AS BIGINT) AS m_edges",
-            "CAST((m2 div 2) * 1000000 div NULLIF(n, 0) AS BIGINT) AS density_ppm",
+        ends = g.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
         )
-        out = stats_k if out is None else out.unionByName(stats_k)
+        m2, n = ends.agg(
+            F.count(F.lit(1)).cast("long").alias("m2"),
+            F.countDistinct("node").cast("long").alias("n"),
+        ).first()
+        rows.append((k, n, m2 // 2, (m2 // 2) * 1_000_000 // n if n else None))
         if k == _DS_ROUNDS:
             break
-        deg = g.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("deg")
-        )
-        tot = g.agg(
-            F.count(F.lit(1)).cast("long").alias("m2"),
-            F.countDistinct("src").cast("long").alias("n"),
-        )
-        keep = (
-            deg.crossJoin(tot)
-            .filter(F.col("deg") * F.col("n") > F.col("m2"))
-            .select("node")
-        )
+        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") * F.lit(n) > F.lit(m2)).select("node")
         g = (
             g.join(keep.withColumnRenamed("node", "src"), "src")
             .join(keep.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-    bd = out.agg(F.max("density_ppm").alias("best_d"))
-    br = (
-        out.crossJoin(bd)
-        .filter(F.col("density_ppm") == F.col("best_d"))
-        .agg(F.min("round").alias("best_r"))
+    densities = [r[3] for r in rows if r[3] is not None]
+    best_d = max(densities) if densities else None
+    best_r = (
+        min(r[0] for r in rows if r[3] == best_d) if best_d is not None else None
     )
-    return (
-        out.crossJoin(bd)
-        .crossJoin(br)
-        .selectExpr(
-            "round",
-            "n_nodes",
-            "m_edges",
-            "density_ppm",
-            "CAST(CASE WHEN density_ppm = best_d AND round = best_r THEN 1 ELSE 0 END"
-            " AS BIGINT) AS is_best",
+    data = [
+        (
+            r[0],
+            r[1],
+            r[2],
+            r[3],
+            1 if best_d is not None and r[3] == best_d and r[0] == best_r else 0,
         )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        data, "round long, n_nodes long, m_edges long, density_ppm long, is_best long"
     )
 
 
