@@ -6691,8 +6691,13 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = dt.groupBy(F.col("actual").alias("lang"), "tok").agg(
         F.sum("n").cast("long").alias("c")
     )
-    lsum = lt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
-    vocab = lt.agg(F.countDistinct("tok").cast("long").alias("v"))
+    # lsum/vocab fold straight off dt — same values (Σc per lang ≡ Σn per
+    # lang; lt's token set ≡ dt's token set) without dragging lt's
+    # (lang, tok) hash-aggregate layer into two more plan copies.
+    lsum = dt.groupBy(F.col("actual").alias("lang")).agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    vocab = dt.agg(F.countDistinct("tok").cast("long").alias("v"))
     pri = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
     nd_tot = docs.agg(F.count(F.lit(1)).cast("long").alias("nd_tot"))
     ll = lt.select(
@@ -6719,8 +6724,13 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lden_micro"),
         )
     )
+    # Class alphabet for the fan-out: the cheapest superset subtree. The
+    # old langconst.select("lang") executed the ENTIRE prior/likelihood
+    # tree just to list ≤5 langs; docs.select(lang).distinct() is a pruned
+    # one-column scan. Extra langs it may add (token-less or NULL) drop in
+    # the inner langconst join below, so the output is identical.
     sums = (
-        dt.crossJoin(langconst.select("lang"))
+        dt.crossJoin(docs.select("lang").distinct())
         .join(ll, ["lang", "tok"], "left")
         .groupBy("doc_id", "actual", "lang")
         .agg(
