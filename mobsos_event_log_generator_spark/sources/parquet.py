@@ -64,6 +64,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ("128MB", "4194304b", plain bytes)."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    num = raw
+    mult = 1
+    for suffix, m in (("kb", units["k"]), ("mb", units["m"]), ("gb", units["g"]),
+                      ("tb", units["t"]), ("b", 1),
+                      ("k", units["k"]), ("m", units["m"]), ("g", units["g"]),
+                      ("t", units["t"])):
+        if raw.endswith(suffix):
+            num, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(float(num) * mult)
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the file-source scan's partition count from file sizes using
+    Spark's own split formula (FilePartition.maxSplitBytes — public code):
+    maxSplit = min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)),
+    partitions ≈ Σ ceil(size / maxSplit). Local-filesystem paths only
+    (returns None otherwise). The point: the exact probe
+    (``df.rdd.getNumPartitions()``) forces a full plan→RDD conversion —
+    measured 0.12–1.0 s of driver time PER CALL, and the similarity/
+    retrieval plans call this helper at 120+ sites — where stat'ing the
+    files costs ~5 ms. Estimate error only shifts the repartition
+    heuristic, never results (every operator is partition-count
+    insensitive by the exactness contracts)."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+        sizes = []
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("", "file"):
+                return None
+            sizes.append(_os.path.getsize(parsed.path))
+    except Exception:  # noqa: BLE001 — any surprise → exact probe fallback
+        return None
+    if not sizes:
+        return 0
+    spark = df.sparkSession
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    cores = spark.sparkContext.defaultParallelism
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_pb, max(open_cost, total // max(cores, 1)))
+    return sum(-(-s // max(max_split, 1)) for s in sizes)
+
+
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Guard against pathological input layout (one giant/few files): if the
     scan yields fewer partitions than requested, round-robin repartition so
@@ -71,7 +126,10 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     well-laid-out lake tables (thousands of splits), so it costs nothing at
     100 TB but un-serializes small local fixtures."""
     min_partitions = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    current = _estimated_scan_partitions(df)
+    if current is None:  # non-local or non-file-scan input: exact probe
+        current = df.rdd.getNumPartitions()
+    if current < min_partitions:
         return df.repartition(min_partitions)
     return df
 
