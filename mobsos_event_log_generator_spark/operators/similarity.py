@@ -551,21 +551,25 @@ def cosine_topk_arrow(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
-def multitable_codes(vec: Column, num_tables: int = 16, bits: int = 4, dim: int = 64) -> Column:
+def multitable_codes(vec_col: str, num_tables: int = 16, bits: int = 4, dim: int = 64) -> Column:
     """Array of (table, code) structs: table l's code packs the sign bits of
     dims [l*bits, l*bits+bits) (wrapping mod dim) — L independent fixed-axis
     hash tables. Classic multi-table LSH: a true neighbor is found if it
-    agrees with the query in ANY table."""
+    agrees with the query in ANY table.
+
+    Assembled as ONE parsed SQL expression: the nested-Column form issued
+    ~400 Py4J round trips per call (seconds of driver latency across the
+    ANN plans); the parsed tree — integer CASE sums cast to BIGINT inside
+    named_struct — is identical, so codes are unchanged."""
     tables = []
     for l in range(num_tables):
-        code = F.lit(0).cast("long")
-        for j in range(bits):
-            d = (l * bits + j) % dim
-            code = code + F.when(F.element_at(vec, d + 1) >= 0, F.lit(2**j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        tables.append(F.struct(F.lit(l).alias("tbl"), code.alias("code")))
-    return F.array(*tables)
+        terms = " + ".join(
+            f"(CASE WHEN element_at(`{vec_col}`, {(l * bits + j) % dim + 1}) >= 0"
+            f" THEN {2**j} ELSE 0 END)"
+            for j in range(bits)
+        )
+        tables.append(f"named_struct('tbl', {l}, 'code', CAST({terms} AS BIGINT))")
+    return F.expr("array(" + ", ".join(tables) + ")")
 
 
 def multitable_ann_topk(
@@ -590,12 +594,12 @@ def multitable_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(multitable_codes(F.col(vec_col), num_tables, bits)).alias("tc"),
+        F.explode(multitable_codes(vec_col, num_tables, bits)).alias("tc"),
     ).select("query_id", "q_vec", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(multitable_codes(F.col(vec_col), num_tables, bits)).alias("tc"),
+        F.explode(multitable_codes(vec_col, num_tables, bits)).alias("tc"),
     ).select("neighbor_id", "c_vec", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
     cand = (
         c.join(F.broadcast(q), on=["tbl", "code"])
@@ -633,7 +637,7 @@ def multitable_write_index(
     the bounded candidate set only."""
     coded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.explode(multitable_codes(F.col(vec_col), num_tables, bits, dim)).alias("tc"),
+        F.explode(multitable_codes(vec_col, num_tables, bits, dim)).alias("tc"),
     ).select("neighbor_id", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
     coded.write.mode("overwrite").partitionBy("tbl", "code").parquet(f"{path}/postings")
     corpus.select(
@@ -662,7 +666,7 @@ def multitable_query_index(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(multitable_codes(F.col(vec_col), num_tables, bits)).alias("tc"),
+        F.explode(multitable_codes(vec_col, num_tables, bits)).alias("tc"),
     ).select("query_id", "q_vec", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
     postings = spark.read.parquet(f"{path}/postings")
     cand = (
@@ -1293,22 +1297,32 @@ def srp_signatures(
     interpreted (ENGINEERING_NOTES pitfall 2, measured in probe_round6c)."""
     zq = corpus.select(id_col, quantize_int8(F.col(vec_col)).alias("__q"))
     el = zq.select(id_col, F.posexplode("__q").alias("pos", "z"))
+    # The projection aggregates and the bit packer are assembled as SQL
+    # strings (one F.expr per plane / one for the packer) instead of nested
+    # Column operators: the operator form issued ~13k Py4J round trips
+    # (64 lits x 32 planes plus per-op calls) = 2.3 s of driver time per
+    # call, where the parsed strings are ~35 calls. Identical expression
+    # trees after parsing — integer literals, element_at, CASE — so the
+    # signature stays bit-exact.
     projs = el.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.col("z")
-                * F.element_at(F.array(*[F.lit(s) for s in row]), F.col("pos") + 1)
+            F.expr(
+                "sum(z * element_at(array("
+                + ",".join(str(s) for s in row)
+                + "), pos + 1))"
             ).alias(f"__p{j}")
             for j, row in enumerate(signs)
         ]
     )
-    return projs.select(
-        id_col,
-        sum(
-            F.when(F.col(f"__p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    packer = (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN __p{j} >= 0 THEN {1 << j} ELSE 0 END)"
             for j in range(len(signs))
-        ).cast("long").alias("sig"),
+        )
+        + " AS BIGINT)"
     )
+    return projs.select(id_col, F.expr(packer).alias("sig"))
 
 
 def knn_hard_negatives(

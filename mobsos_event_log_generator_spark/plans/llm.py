@@ -5439,11 +5439,18 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     zq = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+    # One parsed SQL expression per output dim instead of 64 chained Column
+    # ops x 16 dims (~3k Py4J round trips of pure driver latency); the
+    # parsed tree is the identical signed element_at sum.
     cols = [
-        sum(
-            (F.element_at("q", i + 1) if s > 0 else -F.element_at("q", i + 1))
-            for i, s in enumerate(row)
-        ).cast("long").alias(f"p{j}")
+        F.expr(
+            "CAST("
+            + " + ".join(
+                (f"element_at(q, {i + 1})" if s > 0 else f"- element_at(q, {i + 1})")
+                for i, s in enumerate(row)
+            )
+            + " AS BIGINT)"
+        ).alias(f"p{j}")
         for j, row in enumerate(_RP_SIGNS)
     ]
     return zq.select("vec_id", *cols)
