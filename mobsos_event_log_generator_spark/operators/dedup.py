@@ -85,7 +85,7 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: 
     (doc, partition), not per shingle.
     """
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.expr(f"min(md5(concat('s{i}|', shingle)))").alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -283,15 +283,23 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     hashed = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).select(
         id_col, F.md5("w").alias("h")
     )
+    # Parsed SQL per bit instead of nested Column ops (~450 Py4J round trips
+    # of driver latency per call — guide §1/§4 driver-boundary class); the
+    # parsed trees are the identical conditional sums, so signatures are
+    # bit-exact.
+    in_high = "IN ({})".format(",".join(f"'{c}'" for c in high))
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.substring("h", j + 1, 1).isin(*high), 1).otherwise(-1)).alias(f"v{j}")
+            F.expr(
+                f"sum(CASE WHEN substring(h, {j + 1}, 1) {in_high} THEN 1 ELSE -1 END)"
+            ).alias(f"v{j}")
             for j in range(bits)
         ]
     )
-    sig = sum(
-        (F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")) for j in range(bits)),
-        start=F.lit(0).cast("long"),
+    sig = F.expr(
+        "CAST("
+        + " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
+        + " AS BIGINT)"
     )
     sigs = votes.select(F.col(id_col), sig.alias("simhash"))
     return df.select(id_col).join(sigs, id_col, "left").select(

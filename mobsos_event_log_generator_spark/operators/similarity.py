@@ -884,16 +884,23 @@ def ivf_train(
     cents = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
     for _ in range(iters):
         assigned = assign_fn(corpus, cents, 1, id_col, vec_col)
+        # Parsed SQL per dimension (identical round/avg/element_at tree)
+        # instead of ~500 Py4J round trips of nested Column assembly.
         cents = (
             corpus.join(assigned, id_col)
             .groupBy("cid")
             .agg(
                 *[
-                    F.round(F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), 6).alias(f"m{i}")
+                    F.expr(
+                        f"round(avg(CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)), 6)"
+                    ).alias(f"m{i}")
                     for i in range(dim)
                 ]
             )
-            .select("cid", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"))
+            .select(
+                "cid",
+                F.expr("array(" + ",".join(f"m{i}" for i in range(dim)) + ")").alias("cvec"),
+            )
         )
     return cents
 
@@ -1885,12 +1892,17 @@ def kmeans_convergence(
                 .groupBy("cid")
                 .agg(
                     *[
-                        F.round(
-                            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), 6
+                        F.expr(
+                            f"round(avg(CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE)), 6)"
                         ).alias(f"m{i}")
                         for i in range(dim)
                     ]
                 )
-                .select("cid", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"))
+                .select(
+                    "cid",
+                    F.expr(
+                        "array(" + ",".join(f"m{i}" for i in range(dim)) + ")"
+                    ).alias("cvec"),
+                )
             )
     return out

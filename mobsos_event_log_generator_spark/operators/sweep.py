@@ -102,12 +102,24 @@ def value_ordered_running_sum(
         ).first()
         bounds = list(row["b"] or [])
     uniq = sorted({float(b) for b in bounds})
-    bucket: Column = F.lit(0)
-    for b in uniq:
-        # Count boundaries already passed in sort direction: bucket 0 holds
-        # the rows that sort FIRST, so bucket order == global order.
-        passed = (v < F.lit(b)) if descending else (v > F.lit(b))
-        bucket = bucket + passed.cast("int")
+    # Count boundaries already passed in sort direction: bucket 0 holds the
+    # rows that sort FIRST, so bucket order == global order. Assembled as one
+    # parsed SQL expression (the ~31-term chained Column form cost ~150 Py4J
+    # round trips per call); boundary literals go through CAST(string AS
+    # DOUBLE) so they round-trip bit-exactly (repr -> parseDouble), and the
+    # parsed tree is the identical comparison chain.
+    cmp_op = "<" if descending else ">"
+    vsql = f"CAST(`{order_col}` AS DOUBLE)"
+    if uniq:
+        bucket: Column = F.expr(
+            "0 + "
+            + " + ".join(
+                f"CAST(({vsql} {cmp_op} CAST('{b!r}' AS DOUBLE)) AS INT)"
+                for b in uniq
+            )
+        )
+    else:
+        bucket = F.lit(0)
     # Pin the bucket NON-NULLABLE (order_col is non-null by contract, so the
     # coalesce never fires): a nullable offsets-join key makes
     # InferFiltersFromConstraints push isnotnull(<whole chain>) below the
