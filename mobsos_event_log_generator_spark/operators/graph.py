@@ -210,16 +210,19 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                ).alias("pagerank_fp"),
-            )
-            .localCheckpoint(eager=True)
+        # No per-round checkpoint: ranks is referenced ONCE per round (the
+        # contrib join), so the unrolled plan grows LINEARLY in the fixed
+        # iteration count — 3 chained join+agg stages off the checkpointed
+        # edge list, executed as ONE job at the caller's action instead of
+        # one blocking driver job per round (measured ~2.4 s -> see bench;
+        # at cluster scale the same shuffles happen either way, minus the
+        # per-round result materializations).
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).alias("pagerank_fp"),
         )
     return ranks
 
