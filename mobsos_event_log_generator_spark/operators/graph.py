@@ -607,31 +607,38 @@ def hits_fixed_point(
     hubs = e.select(F.col("e_src").alias("node")).distinct().withColumn(
         "h", F.lit(scale).cast("long")
     )
+    # Checkpoint the HALF-STEP AGGREGATES and collect each max as a bounded
+    # 1-row driver scalar (the parts_densest_subgraph pattern) instead of
+    # crossJoining every score row against its own max aggregate: the
+    # crossJoin form references the raw table twice per half-step, so the
+    # per-round eager checkpoint recomputed the e-join-agg subtree 4x (and
+    # the final action re-ran a whole half-step). Now every join+agg runs
+    # exactly once, the max probe is a free 1-row read off the checkpoint,
+    # and normalization is a literal-div projection — same integer math,
+    # bit-identical scores.
     auth = None
     for _ in range(iterations):
         a_raw = (
             e.join(hubs, F.col("e_src") == F.col("node"))
             .groupBy(F.col("e_dst").alias("a_node"))
             .agg(F.sum("h").alias("a_raw"))
+            .localCheckpoint(eager=True)
         )
-        ma = a_raw.agg(F.max("a_raw").alias("m"))
-        auth = a_raw.crossJoin(F.broadcast(ma)).select(
+        m_a = a_raw.agg(F.max("a_raw")).first()[0] or 1  # bounded: one long
+        auth = a_raw.select(
             F.col("a_node").alias("node"),
-            F.expr(f"(a_raw * {scale}L) div m").alias("a"),
+            F.expr(f"(a_raw * {scale}L) div {m_a}L").alias("a"),
         )
         h_raw = (
             e.join(auth, F.col("e_dst") == F.col("node"))
             .groupBy(F.col("e_src").alias("h_node"))
             .agg(F.sum("a").alias("h_raw"))
-        )
-        mh = h_raw.agg(F.max("h_raw").alias("m"))
-        hubs = (
-            h_raw.crossJoin(F.broadcast(mh))
-            .select(
-                F.col("h_node").alias("node"),
-                F.expr(f"(h_raw * {scale}L) div m").alias("h"),
-            )
             .localCheckpoint(eager=True)
+        )
+        m_h = h_raw.agg(F.max("h_raw")).first()[0] or 1  # bounded: one long
+        hubs = h_raw.select(
+            F.col("h_node").alias("node"),
+            F.expr(f"(h_raw * {scale}L) div {m_h}L").alias("h"),
         )
     # explode-not-union: one pass over the checkpointed edge list instead of
     # two scans unioned (see triangle_counts — same plan-dedup rationale).
