@@ -4846,31 +4846,38 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # dlen rides INSIDE the tf aggregate: it is functionally dependent on
+    # doc_id (size(tokens) projected before the explode), so grouping by it
+    # too yields identical groups at no extra shuffle width — the
+    # sizes_in_candidates trick from jaccard_verify. This deletes the
+    # separate dl join from the scoring pipeline and one full tokenize pass
+    # (the plan ran 5; guide §2.2 shuffle-fewer-bytes / §1 duplicated
+    # subtrees). Zero-token docs never reach tf (explode of an empty array
+    # emits nothing), exactly matching the old dlen > 0 contract.
     tf = (
-        docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
-        .groupBy("doc_id", "tok")
+        docs.select("doc_id", F.size(X.tokens()).cast("long").alias("dlen"),
+                    F.explode(X.tokens()).alias("tok"))
+        .groupBy("doc_id", "dlen", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # dlen = Σ tf over the doc = size(tokens) straight off the scan — a
-    # map-side projection instead of re-shuffling the posting table by doc.
-    # The dlen > 0 filter keeps the old contract exactly: zero-token docs
-    # never reached tf, so they were absent from dl (and from n_docs).
     dl = docs.select(
         "doc_id", F.size(X.tokens()).cast("long").alias("dlen")
     ).filter(F.col("dlen") > 0)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # avgdl rides in the idf broadcast (constant per row), so the scoring
+    # pipeline's separate crossJoin(stats) — one more full dl/tokenize copy
+    # in the plan — disappears; same values reach the same expression.
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "tok",
         F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
+        "avgdl",
     )
     q = _demo_queries(tf, "doc_id").select(F.col("doc_id").alias("query_id"), "tok")
     scored = (
         q.join(tf, "tok")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(idf, "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .groupBy(F.col("query_id"), F.col("doc_id").alias("result_id"))
         .agg(
             F.round(
@@ -6113,15 +6120,17 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # Same two plan cuts as search_bm25_topk: dlen rides inside the tf
+    # aggregate (functionally dependent on doc_id — identical groups, no
+    # extra shuffle width; zero-token docs still never reach tf) and avgdl
+    # rides in the idf broadcast, deleting the dl join + stats crossJoin
+    # from BOTH bm25_scores stages.
     tf = (
-        docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
-        .groupBy("doc_id", "tok")
+        docs.select("doc_id", F.size(X.tokens()).cast("long").alias("dlen"),
+                    F.explode(X.tokens()).alias("tok"))
+        .groupBy("doc_id", "dlen", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # dlen = Σ tf over the doc = size(tokens) straight off the scan — a
-    # map-side projection instead of re-shuffling the posting table by doc.
-    # The dlen > 0 filter keeps the old contract exactly: zero-token docs
-    # never reached tf, so they were absent from dl (and from n_docs).
     dl = docs.select(
         "doc_id", F.size(X.tokens()).cast("long").alias("dlen")
     ).filter(F.col("dlen") > 0)
@@ -6130,6 +6139,7 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = df_t.crossJoin(F.broadcast(stats)).select(
         "tok",
         F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
+        "avgdl",
     )
     q = _demo_queries(tf, "doc_id").select(F.col("doc_id").alias("query_id"), "tok")
 
@@ -6139,8 +6149,6 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             qterms.join(tf, "tok")
             .filter(F.col("doc_id") != F.col("query_id"))
             .join(idf, "tok")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
             .groupBy("query_id", F.col("doc_id").alias("result_id"))
             .agg(
                 F.round(
