@@ -693,11 +693,30 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _sqdist_unrolled(a_col: str, b_col: str, dim: int) -> Column:
+    """``_sqdist`` for a STATICALLY KNOWN dim, unrolled into one parsed
+    literal-index expression chain. aggregate/zip_with are HigherOrderFunctions
+    — interpreted per row, outside whole-stage codegen (ENGINEERING_NOTES
+    pitfall 2) — which makes the broadcast assignment stages N x k
+    interpreted folds; the unrolled chain codegens. Bit-identical to the
+    fold: `+` parses left-associative so the association matches the fold's
+    acc order exactly (the leading 0.0 + t1 == t1 for every IEEE double, and
+    squared terms are never -0.0), and each (x-y)*(x-y) term is the same
+    doubled subtree the fold's lambda builds."""
+    t = " + ".join(
+        f"((CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - CAST(element_at(`{b_col}`, {i}) AS DOUBLE))"
+        f" * (CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - CAST(element_at(`{b_col}`, {i}) AS DOUBLE)))"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(f"({t})")
+
+
 def kcenter_select(
     corpus: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Greedy k-center coreset selection (Gonzalez 1985, the 2-approximation
     behind data-efficient subset selection): seed with the smallest id, then
@@ -724,7 +743,7 @@ def kcenter_select(
     for rnd in range(2, k + 1):
         sel_ids = [s[0] for s in sel]
         sel_df = spark.createDataFrame(sel_vecs, "sid long, sv array<double>")
-        d = F.floor(_sqdist(F.col("v"), F.col("sv")) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        d = F.floor(_sqdist_unrolled("v", "sv", dim) * F.lit(1e6) + F.lit(0.5)).cast("long")
         best = (
             pts.filter(~F.col("vec_id").isin(sel_ids))
             .crossJoin(F.broadcast(sel_df))
@@ -775,14 +794,20 @@ def ivf_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Nearest-centroid assignment (``nprobe`` = 1) or probe lists
     (``nprobe`` > 1): broadcast nested-loop against the tiny centroid table,
     rank by rounded squared-L2 distance with cid tie-break. The corpus never
-    shuffles — one codegen'd pass computes all k distances per row."""
+    shuffles — one codegen'd pass computes all k distances per row
+    (``_sqdist_unrolled``: the HOF fold ran interpreted)."""
     scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(centroids)).withColumn(
-        "dist", F.round(_sqdist(F.col(vec_col), F.col("cvec")), 6)
+        "dist", F.round(_sqdist_unrolled(vec_col, "cvec", dim), 6)
     )
+    # NOTE (r11): a min(struct(dist, cid)) group-by was A/B'd as a map-side
+    # replacement for this window — struct-typed min compiles to
+    # SortAggregate (no codegen'd hash-agg for non-primitive buffers), which
+    # re-sorts the k-expanded table and measured no faster. Window retained.
     w = Window.partitionBy(id_col).orderBy("dist", "cid")
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -797,6 +822,7 @@ def ivf_assign_arrow(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,  # interface symmetry with ivf_assign; the kernel reads real lengths
 ) -> DataFrame:
     """Arrow/BLAS twin of ``ivf_assign`` — the assignment-stage scale path.
 
@@ -883,7 +909,7 @@ def ivf_train(
     assign_fn = assign or ivf_assign
     cents = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_fn(corpus, cents, 1, id_col, vec_col)
+        assigned = assign_fn(corpus, cents, 1, id_col, vec_col, dim)
         # Parsed SQL per dimension (identical round/avg/element_at tree)
         # instead of ~500 Py4J round trips of nested Column assembly.
         cents = (
@@ -930,14 +956,14 @@ def ivf_ann_topk(
     space and probing the actual neighborhood."""
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
     inv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
-        ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+        ivf_assign(corpus, cents, 1, id_col, vec_col, dim).select(
             F.col(id_col).alias("neighbor_id"), "cid"
         ),
         "neighbor_id",
     )
     probes = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
         F.broadcast(
-            ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+            ivf_assign(queries, cents, nprobe, id_col, vec_col, dim).select(
                 F.col(id_col).alias("query_id"), "cid"
             )
         ),
@@ -987,7 +1013,7 @@ def semdedup(
     hot-bucket cap."""
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
     assigned = corpus.select(id_col, vec_col).join(
-        ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
+        ivf_assign(corpus, cents, 1, id_col, vec_col, dim), id_col
     )
     # The assignment feeds BOTH sides of the pair self-join plus the final
     # projection; expensive subtrees referenced across join branches
@@ -1064,7 +1090,7 @@ def semdedup_arrow(
     assign_fn = ivf_assign_arrow if arrow_assign else ivf_assign
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim, assign=assign_fn)
     assigned = corpus.select(id_col, vec_col).join(
-        assign_fn(corpus, cents, 1, id_col, vec_col), id_col
+        assign_fn(corpus, cents, 1, id_col, vec_col, dim), id_col
     )
     if max_cell_size is not None:
         sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
@@ -1138,7 +1164,7 @@ def _ivf_cell_knn(
     lineage-truncation rule)."""
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
     assigned = corpus.select(id_col, vec_col).join(
-        ivf_assign(corpus, cents, 1, id_col, vec_col), id_col
+        ivf_assign(corpus, cents, 1, id_col, vec_col, dim), id_col
     )
     assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select("cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
@@ -1539,7 +1565,7 @@ def ivf_write_index(
     of scanning the corpus — the scan itself becomes the index probe."""
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col, dim)
     (
         corpus.join(assigned, id_col)
         .write.mode("overwrite")
@@ -1566,7 +1592,7 @@ def ivf_probe_and_score(
     inside the probed cells."""
     probes = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
         F.broadcast(
-            ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+            ivf_assign(queries, cents, nprobe, id_col, vec_col, dim).select(
                 F.col(id_col).alias("query_id"), "cid"
             )
         ),
@@ -1625,12 +1651,14 @@ def _pq_subvectors(
     )
 
 
-def _pq_assign(sub: DataFrame, codebook: DataFrame, out_id: str, code_col: str) -> DataFrame:
+def _pq_assign(
+    sub: DataFrame, codebook: DataFrame, out_id: str, code_col: str, sub_dim: int = 16
+) -> DataFrame:
     """Nearest codebook entry per (vector, subspace): broadcast join against
     the tiny (m, cid, cvec) table, rank by 6-dp-rounded squared L2 with cid
     tie-break — the PQ analogue of ``ivf_assign``."""
     scored = sub.join(F.broadcast(codebook), "m").withColumn(
-        "dist", F.round(_sqdist(F.col("sub"), F.col("cvec")), 6)
+        "dist", F.round(_sqdist_unrolled("sub", "cvec", sub_dim), 6)
     )
     w = Window.partitionBy(out_id, "m").orderBy("dist", "cid")
     return (
@@ -1667,7 +1695,7 @@ def pq_train(
         .select("m", "cid", F.expr(f"slice(v, m * {sub_dim} + 1, {sub_dim})").alias("cvec"))
     )
     sub = _pq_subvectors(corpus, "nid", m_subspaces, sub_dim, id_col, vec_col)
-    a0 = _pq_assign(sub, cb0, "nid", "cid")
+    a0 = _pq_assign(sub, cb0, "nid", "cid", sub_dim)
     return (
         sub.join(a0, ["nid", "m"])
         .groupBy("m", "cid")
@@ -1712,13 +1740,13 @@ def pq_ann_topk(
 
     cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col)
     sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
-    codes = _pq_assign(sub, cb, "neighbor_id", "code")
+    codes = _pq_assign(sub, cb, "neighbor_id", "code", sub_dim)
     qsub = _pq_subvectors(queries, "query_id", m_subspaces, sub_dim, id_col, vec_col)
     dtab = qsub.join(F.broadcast(cb), "m").select(
         "query_id",
         "m",
         "cid",
-        XM.int_units_long(_sqdist(F.col("sub"), F.col("cvec")), 6).alias("d_micro"),
+        XM.int_units_long(_sqdist_unrolled("sub", "cvec", sub_dim), 6).alias("d_micro"),
     )
     adc = (
         codes.join(
@@ -1778,13 +1806,13 @@ def ivfpq_ann_topk(
     from mobsos_event_log_generator_spark.operators import exactmath as XM
 
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
-    cells = ivf_assign(corpus, cents, 1, id_col, vec_col).select(
+    cells = ivf_assign(corpus, cents, 1, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
     )
     cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col)
     sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
-    codes = _pq_assign(sub, cb, "neighbor_id", "code").join(cells, "neighbor_id")
-    probes = ivf_assign(queries, cents, nprobe, id_col, vec_col).select(
+    codes = _pq_assign(sub, cb, "neighbor_id", "code", sub_dim).join(cells, "neighbor_id")
+    probes = ivf_assign(queries, cents, nprobe, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col("cid").alias("cell")
     )
     qsub = _pq_subvectors(queries, "query_id", m_subspaces, sub_dim, id_col, vec_col)
@@ -1792,7 +1820,7 @@ def ivfpq_ann_topk(
         "query_id",
         "m",
         "cid",
-        XM.int_units_long(_sqdist(F.col("sub"), F.col("cvec")), 6).alias("d_micro"),
+        XM.int_units_long(_sqdist_unrolled("sub", "cvec", sub_dim), 6).alias("d_micro"),
     )
     # a neighbor lives in exactly one cell and a query's nprobe cells are
     # distinct, so the cell join matches each (query, neighbor) at most once
@@ -1862,9 +1890,9 @@ def kmeans_convergence(
         scored = (
             corpus.select(F.col(id_col), F.col(vec_col))
             .crossJoin(F.broadcast(cents))
-            .withColumn("d_rank", F.round(_sqdist(F.col(vec_col), F.col("cvec")), 6))
+            .withColumn("d_rank", F.round(_sqdist_unrolled(vec_col, "cvec", dim), 6))
             .withColumn(
-                "d_micro", XM.int_units_long(_sqdist(F.col(vec_col), F.col("cvec")), 6)
+                "d_micro", XM.int_units_long(_sqdist_unrolled(vec_col, "cvec", dim), 6)
             )
         )
         w = Window.partitionBy(id_col).orderBy("d_rank", "cid")

@@ -4049,12 +4049,15 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiles to TakeOrderedAndProject (per-partition top-k, no full sort)."""
     from pyspark.sql.window import Window as _W
 
-    from mobsos_event_log_generator_spark.operators.similarity import _sqdist, ivf_train
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        _sqdist_unrolled,
+        ivf_train,
+    )
 
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     cents = ivf_train(emb, num_centroids=8, iters=1)
     scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)).withColumn(
-        "dist", F.round(_sqdist(F.col("embedding"), F.col("cvec")), 6)
+        "dist", F.round(_sqdist_unrolled("embedding", "cvec", 64), 6)
     )
     w = _W.partitionBy("vec_id").orderBy("dist", "cid")
     nearest = (

@@ -228,7 +228,7 @@ def test_ivf_train_shapes(spark):
     cents = S.ivf_train(df, num_centroids=4, iters=1, dim=8).collect()
     assert 1 <= len(cents) <= 4
     assert all(len(r["cvec"]) == 8 for r in cents)
-    assigned = S.ivf_assign(df, S.ivf_train(df, 4, 1, dim=8), nprobe=1)
+    assigned = S.ivf_assign(df, S.ivf_train(df, 4, 1, dim=8), nprobe=1, dim=8)
     assert assigned.count() == 30  # every vector lands in exactly one cell
 
 
@@ -947,7 +947,7 @@ def test_kcenter_picks_one_per_cluster(spark):
         for j in range(3):
             pts.append((ci * 10 + j, [cx + 0.01 * j, cy - 0.01 * j]))
     df = spark.createDataFrame(pts, ["vec_id", "embedding"])
-    out = sorted(kcenter_select(df, k=4).collect(), key=lambda r: r["sel_round"])
+    out = sorted(kcenter_select(df, k=4, dim=2).collect(), key=lambda r: r["sel_round"])
     assert [r["sel_round"] for r in out] == [1, 2, 3, 4]
     assert out[0]["vec_id"] == 0 and out[0]["dmax_micro"] == 0  # smallest-id seed
     clusters = {r["vec_id"] // 10 for r in out}

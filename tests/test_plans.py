@@ -442,7 +442,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/similarity.py", "qv"): (2, "caller-provided query vectors (API contract: bounded workload)"),
     (
         "operators/similarity.py",
-        'ivf_assign(queries, cents, nprobe, id_col, vec_col).select( F.col(id_col).alias("query_id"), "cid" )',
+        'ivf_assign(queries, cents, nprobe, id_col, vec_col, dim).select( F.col(id_col).alias("query_id"), "cid" )',
     ): (2, "queries x nprobe assignment rows"),
     ("operators/retrieval_index.py", "stats"): (3, "1-row (n_docs, avgdl) index stats"),
     ("operators/skyline.py", "offsets"): (1, "per-bucket offsets, fixed bucket count"),
