@@ -42,6 +42,31 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+def cosine_unrolled(a_col: str, b_col: str, dim: int) -> Column:
+    """``cosine`` for a STATICALLY KNOWN dim, unrolled into one parsed
+    literal-index expression (aggregate/zip_with folds are interpreted per
+    row — ENGINEERING_NOTES pitfall 2 — so candidate scoring paid
+    3 interpreted 64-step folds per pair). Bit-identical to the fold form:
+    every chain keeps the fold's leading 0.0 accumulator explicitly, so
+    the association — including the 0.0 + (-0.0) edge on dot products —
+    matches term for term, and each cast/multiply is the same subtree the
+    lambdas build."""
+    zero = "CAST(0.0 AS DOUBLE)"
+    dot = zero + " + " + " + ".join(
+        f"(CAST(element_at(`{a_col}`, {i}) AS DOUBLE) * CAST(element_at(`{b_col}`, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    na = zero + " + " + " + ".join(
+        f"(CAST(element_at(`{a_col}`, {i}) AS DOUBLE) * CAST(element_at(`{a_col}`, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    nb = zero + " + " + " + ".join(
+        f"(CAST(element_at(`{b_col}`, {i}) AS DOUBLE) * CAST(element_at(`{b_col}`, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)")
+
+
 #: Hard cap on rows the Arrow kernels will collect driver-side. The "queries
 #: are a broadcast-dim" assumption is now ENFORCED, not assumed: at 64 floats
 #: per vector this bounds driver memory to ~35 MB of vectors.
@@ -95,14 +120,16 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact top-k neighbors per query (query_id, neighbor_id, cosine, rank);
-    self-matches excluded. The query side is broadcast — corpus never shuffles."""
+    self-matches excluded. The query side is broadcast — corpus never shuffles.
+    ``dim`` must state the vector length (codegen'd unrolled cosine)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -333,6 +360,7 @@ def bucketed_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = CODE_BITS,
+    dim: int = 64,
 ) -> DataFrame:
     """ANN top-k probing only the query's hypercube bucket (recall < 1 by
     design; bucket equi-join instead of cross product)."""
@@ -349,7 +377,7 @@ def bucketed_ann_topk(
     scored = (
         c.join(F.broadcast(q), on="code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -366,6 +394,7 @@ def multiprobe_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = CODE_BITS,
+    dim: int = 64,
 ) -> DataFrame:
     """Multi-probe ANN top-k: each query probes its own hypercube bucket PLUS
     every Hamming-distance-1 neighbor bucket (flip one sign bit) — the classic
@@ -393,7 +422,7 @@ def multiprobe_ann_topk(
     scored = (
         c.join(F.broadcast(q), on="code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -408,6 +437,7 @@ def multiprobe_hq_ann_topk(
     vec_col: str = "embedding",
     bits: int = CODE_BITS,
     probes: int = 64,
+    dim: int = 64,
 ) -> DataFrame:
     """High-recall multi-probe ANN: the query-directed probing SEQUENCE
     (Lv et al., "Multi-Probe LSH", VLDB'07) instead of a fixed Hamming
@@ -468,7 +498,7 @@ def multiprobe_hq_ann_topk(
     scored = (
         c.join(F.broadcast(q), on="code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -580,6 +610,7 @@ def multitable_ann_topk(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Multi-table ANN top-k: candidates = union over L tables of same-bucket
     rows, deduped, then exact cosine + top-k.
@@ -609,7 +640,7 @@ def multitable_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
     )
-    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec"))).select(
+    scored = cand.withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim)).select(
         "query_id", "neighbor_id", "cosine"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -974,7 +1005,7 @@ def ivf_ann_topk(
     scored = (
         inv.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -1039,7 +1070,7 @@ def semdedup(
     dup_of = (
         a.join(b, "cid")
         .filter(F.col("b_id") < F.col("a_id"))
-        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .withColumn("cos", cosine_unrolled("a_vec", "b_vec", dim))
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .groupBy("a_id")
         .agg(F.min("b_id").alias("dup_of"))
@@ -1173,7 +1204,7 @@ def _ivf_cell_knn(
     return (
         a.join(b, "cid")
         .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .withColumn("cos", cosine_unrolled("a_vec", "b_vec", dim))
         .select("a_id", "b_id", "cos")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -1602,7 +1633,7 @@ def ivf_probe_and_score(
     scored = (
         inv.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -1842,7 +1873,7 @@ def ivfpq_ann_topk(
     reranked = (
         short.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -537,7 +537,7 @@ def similarity_truncated_dim_audit(spark: SparkSession, sf_dir: str) -> DataFram
     sliced vectors, so fold order matches the SQL's 16-term sum."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     trunc = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
-    t5 = S.cosine_topk(trunc, _demo_queries(trunc), k=5).select(
+    t5 = S.cosine_topk(trunc, _demo_queries(trunc), k=5, dim=16).select(
         "query_id", "neighbor_id", F.col("cosine").alias("cos_trunc"), F.col("rank")
     )
     queries = _demo_queries(emb)

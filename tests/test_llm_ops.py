@@ -185,7 +185,7 @@ def test_cosine_topk_exact(spark):
         (4, [-1.0, 0.0, 0.0]),  # opposite of 1
     ]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
-    out = S.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=3).collect()
+    out = S.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=3, dim=3).collect()
     ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked == [2, 3, 4]
     top = next(r for r in out if r["rank"] == 1)
@@ -208,7 +208,7 @@ def test_ivf_full_probe_matches_bruteforce(spark):
     vecs = [(i, [math.sin(i * 7 + j) + (1.5 if i % 3 == 0 else -1.5) for j in range(8)]) for i in range(40)]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     q = df.filter(F.col("vec_id") % 10 == 0)
-    brute = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in S.cosine_topk(df, q, k=3).collect()}
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in S.cosine_topk(df, q, k=3, dim=8).collect()}
     # probing every cell degenerates IVF to an exact scan
     full = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
@@ -217,7 +217,7 @@ def test_ivf_full_probe_matches_bruteforce(spark):
     assert full == brute
     # partial probe returns a subset whose cosines agree with the exact path
     part = S.ivf_ann_topk(df, q, k=3, num_centroids=4, nprobe=1, iters=1, dim=8).collect()
-    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in S.cosine_topk(df, q, k=40).collect()}
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in S.cosine_topk(df, q, k=40, dim=8).collect()}
     assert 0 < len(part) <= len(brute)
     assert all(exact[(r["query_id"], r["neighbor_id"])] == r["cosine"] for r in part)
 
@@ -1356,7 +1356,7 @@ def test_quantized_topk_recall_vs_float(spark):
     q = df.filter(F.col("vec_id") % 20 == 0)
     fp = {
         (r["query_id"], r["neighbor_id"])
-        for r in S.cosine_topk(df, q, k=5).collect()
+        for r in S.cosine_topk(df, q, k=5, dim=8).collect()
     }
     qz = {
         (r["query_id"], r["neighbor_id"])
@@ -1554,7 +1554,7 @@ def test_truncated_dim_audit_consistency(spark):
     full = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(df, q, k=5).collect()}
     trunc = df.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     tq = trunc.filter(F.col("vec_id") % 20 == 0)
-    t = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(trunc, tq, k=5).collect()}
+    t = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(trunc, tq, k=5, dim=16).collect()}
     assert len(t & full) / len(full) >= 0.8
 
 
