@@ -4849,43 +4849,43 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    # dlen rides INSIDE the tf aggregate: it is functionally dependent on
-    # doc_id (size(tokens) projected before the explode), so grouping by it
-    # too yields identical groups at no extra shuffle width — the
-    # sizes_in_candidates trick from jaccard_verify. This deletes the
-    # separate dl join from the scoring pipeline and one full tokenize pass
-    # (the plan ran 5; guide §2.2 shuffle-fewer-bytes / §1 duplicated
-    # subtrees). Zero-token docs never reach tf (explode of an empty array
-    # emits nothing), exactly matching the old dlen > 0 contract.
+    # ONE corpus tokenize for the whole scoring pipeline (guide §2.3/§2.4).
+    # The plan previously ran THREE full tokenize+aggregate copies — the
+    # postings build, the df_t/idf subtree, and the query-token set (pruned
+    # copies never hit ReuseExchange). Now: df rides ON the postings rows
+    # via a count window over tok (the same shuffle key as the idf equi-join
+    # it replaces — identical per-tok count, so the idf double is computed
+    # from the same longs), dlen rides inside the tf aggregate as before,
+    # and the ≤40-query token set derives straight from the
+    # doc_id-pushdown-filtered documents scan (explode(array_distinct) ==
+    # the distinct (doc, tok) pairs the tf-derived set produced) instead of
+    # re-tokenizing the corpus. avgdl/n_docs arrive as a 1-row broadcast.
     tf = (
         docs.select("doc_id", F.size(X.tokens()).cast("long").alias("dlen"),
                     F.explode(X.tokens()).alias("tok"))
         .groupBy("doc_id", "dlen", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
     )
     dl = docs.select(
         "doc_id", F.size(X.tokens()).cast("long").alias("dlen")
     ).filter(F.col("dlen") > 0)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # avgdl rides in the idf broadcast (constant per row), so the scoring
-    # pipeline's separate crossJoin(stats) — one more full dl/tokenize copy
-    # in the plan — disappears; same values reach the same expression.
-    idf = df_t.crossJoin(F.broadcast(stats)).select(
-        "tok",
-        F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
-        "avgdl",
+    q = (
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < DEMO_QUERY_CAP))
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.array_distinct(X.tokens())).alias("tok"))
     )
-    q = _demo_queries(tf, "doc_id").select(F.col("doc_id").alias("query_id"), "tok")
     scored = (
         q.join(tf, "tok")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(idf, "tok")
+        .crossJoin(F.broadcast(stats))
         .groupBy(F.col("query_id"), F.col("doc_id").alias("result_id"))
         .agg(
             F.round(
                 F.sum(
-                    F.col("idf")
+                    F.log(((F.col("n_docs") - F.col("df") + 0.5)
+                           / (F.col("df") + 0.5)) + 1.0)
                     * (F.col("tf") * (_BM25_K1 + 1.0))
                     / (
                         F.col("tf")
@@ -6123,41 +6123,43 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    # Same two plan cuts as search_bm25_topk: dlen rides inside the tf
-    # aggregate (functionally dependent on doc_id — identical groups, no
-    # extra shuffle width; zero-token docs still never reach tf) and avgdl
-    # rides in the idf broadcast, deleting the dl join + stats crossJoin
-    # from BOTH bm25_scores stages.
+    # Same one-tokenize restructure as search_bm25_topk (guide §2.3/§2.4):
+    # df rides on the postings rows via a count window over tok (replacing
+    # the df_t aggregate — a full tokenize copy — plus the idf equi-join in
+    # EVERY bm25_scores stage and in the feedback-term stage), dlen rides
+    # inside the tf aggregate, the ≤40-query token set comes from the
+    # doc_id-pushdown-filtered documents scan, and n_docs/avgdl arrive as a
+    # 1-row broadcast wherever idf is folded.
     tf = (
         docs.select("doc_id", F.size(X.tokens()).cast("long").alias("dlen"),
                     F.explode(X.tokens()).alias("tok"))
         .groupBy("doc_id", "dlen", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
     )
     dl = docs.select(
         "doc_id", F.size(X.tokens()).cast("long").alias("dlen")
     ).filter(F.col("dlen") > 0)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl"))
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.crossJoin(F.broadcast(stats)).select(
-        "tok",
-        F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0).alias("idf"),
-        "avgdl",
+    _idf = F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0)
+    q = (
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < DEMO_QUERY_CAP))
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode(F.array_distinct(X.tokens())).alias("tok"))
     )
-    q = _demo_queries(tf, "doc_id").select(F.col("doc_id").alias("query_id"), "tok")
 
     def bm25_scores(qterms: DataFrame, score_name: str) -> DataFrame:
         wq = F.col("wq") if "wq" in qterms.columns else F.lit(1.0)
         return (
             qterms.join(tf, "tok")
             .filter(F.col("doc_id") != F.col("query_id"))
-            .join(idf, "tok")
+            .crossJoin(F.broadcast(stats))
             .groupBy("query_id", F.col("doc_id").alias("result_id"))
             .agg(
                 F.round(
                     F.sum(
                         wq
-                        * F.col("idf")
+                        * _idf
                         * (F.col("tf") * (_BM25_K1 + 1.0))
                         / (
                             F.col("tf")
@@ -6182,9 +6184,9 @@ def search_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         fb.join(tf, fb["result_id"] == tf["doc_id"])
-        .join(idf, "tok")
+        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "tok")
-        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("w"))
+        .agg(F.round(F.sum(F.col("tf") * _idf), 6).alias("w"))
     )
     topexp = (
         cand.withColumn(
