@@ -1613,6 +1613,7 @@ def ivf_probe_and_score(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Probe-and-score core shared by every persisted-index reader (batch
     `ivf_query_index` and the streaming-maintained index): compute each
@@ -1648,6 +1649,7 @@ def ivf_query_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Query a persisted IVF index (`ivf_write_index` layout): identical
     semantics (and unit-asserted identical results) to the in-memory
@@ -1655,7 +1657,7 @@ def ivf_query_index(
     ``ivf_probe_and_score`` for the pruning argument."""
     cents = spark.read.parquet(f"{path}/centroids")
     lists = spark.read.parquet(f"{path}/lists")
-    return ivf_probe_and_score(cents, lists, queries, k, nprobe, id_col, vec_col)
+    return ivf_probe_and_score(cents, lists, queries, k, nprobe, id_col, vec_col, dim)
 
 
 # ---------------------------------------------------------------------------

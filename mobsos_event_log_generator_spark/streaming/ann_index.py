@@ -120,10 +120,11 @@ def query_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Query the streaming-maintained index — same probe-and-score core as
     the batch ``ivf_query_index``."""
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     return ivf_probe_and_score(
-        cents, read_lists(spark, index_dir), queries, k, nprobe, id_col, vec_col
+        cents, read_lists(spark, index_dir), queries, k, nprobe, id_col, vec_col, dim
     )
