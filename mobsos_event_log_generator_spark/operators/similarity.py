@@ -1771,7 +1771,13 @@ def pq_ann_topk(
     (query_id, neighbor_id, adc_micro, cosine, rank)."""
     from mobsos_event_log_generator_spark.operators import exactmath as XM
 
-    cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col)
+    # The trained codebook is m×num_codes rows but its lineage is two full
+    # corpus passes (seed assign + Lloyd mean); it feeds BOTH the encode
+    # join and the ADC table, so an eager checkpoint halves the corpus
+    # passes (hits_fixed_point pattern) with byte-identical entries.
+    cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
     codes = _pq_assign(sub, cb, "neighbor_id", "code", sub_dim)
     qsub = _pq_subvectors(queries, "query_id", m_subspaces, sub_dim, id_col, vec_col)
@@ -1838,11 +1844,19 @@ def ivfpq_ann_topk(
     (query_id, neighbor_id, adc_micro, cosine, rank)."""
     from mobsos_event_log_generator_spark.operators import exactmath as XM
 
-    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    # cents (num_centroids rows) feeds the corpus cell assignment AND the
+    # query probes; cb (m×num_codes rows) feeds encode AND the ADC table.
+    # Each carries full corpus-pass lineage — checkpoint both (see
+    # pq_ann_topk / hits_fixed_point).
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim).localCheckpoint(
+        eager=True
+    )
     cells = ivf_assign(corpus, cents, 1, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
     )
-    cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col)
+    cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
     codes = _pq_assign(sub, cb, "neighbor_id", "code", sub_dim).join(cells, "neighbor_id")
     probes = ivf_assign(queries, cents, nprobe, id_col, vec_col, dim).select(
@@ -1908,10 +1922,10 @@ def kmeans_convergence(
     sums and cell sizes are exact integers. Inertia accumulates in decimal(38,0) — per-row micro
     distances are ~1e6-1e9, so a long sum would wrap near 1e12 rows.
 
-    Scale shape: iteration i replays assignments 0..i (operators stay
-    persist-free), so cost is O(iters²) broadcast-scan passes over the
-    corpus — fine for the 2-3 iterations a quantizer needs; localCheckpoint
-    the centroid lineage (graph.py pattern) before pushing iters higher.
+    Scale shape: each Lloyd update is localCheckpointed (num_centroids
+    rows — the graph.py pattern), so iteration i's assignment pass runs
+    exactly once instead of replaying assignments 0..i-1 (the old
+    persist-free form paid O(iters²) broadcast-scan passes).
     The corpus never shuffles for assignment (centroids broadcast); the
     only shuffles are the k-row mean/stat aggregations, map-side combined.
     """
@@ -1948,6 +1962,12 @@ def kmeans_convergence(
         out = summary if out is None else out.unionByName(summary)
         if it < iters:
             assigned = a.select(id_col, "cid")
+            # Checkpoint each Lloyd update (num_centroids rows): without it
+            # iteration i's centroid lineage replays assignments 0..i-1, so
+            # the audit pays O(iters²) broadcast-scan passes over the corpus
+            # (the docstring's own caveat). With the checkpoint each
+            # assignment pass runs exactly once — same hits_fixed_point
+            # pattern, byte-identical centroids.
             cents = (
                 corpus.join(assigned, id_col)
                 .groupBy("cid")
@@ -1965,5 +1985,6 @@ def kmeans_convergence(
                         "array(" + ",".join(f"m{i}" for i in range(dim)) + ")"
                     ).alias("cvec"),
                 )
+                .localCheckpoint(eager=True)
             )
     return out

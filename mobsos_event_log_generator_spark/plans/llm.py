@@ -6392,9 +6392,24 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") + 1).alias("j"),
         F.floor(F.col("v").cast("double") * 1_000_000).cast("decimal(38,0)").alias("u"),
     )
-    dims = e.groupBy("j").agg(
-        F.sum("u").cast("decimal(38,0)").alias("sj"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    # Each half-step aggregate is eagerly checkpointed and its renormalizer
+    # collected as a bounded 1-row driver scalar (the graph.py
+    # hits_fixed_point pattern): the crossJoin-of-own-max form referenced
+    # every aggregate twice AND re-derived the full upstream lineage per
+    # reference, compounding across the 4 matrix-vector products into a
+    # 270-Exchange plan that re-scanned + re-aggregated the corpus per
+    # half-step. Same truncating-div integer math, bit-identical output.
+    def _renorm_scalar(df: DataFrame, col: str):
+        m = df.agg(F.max(F.abs(F.col(col)))).first()[0]
+        return m if m else 1  # greatest(max|.|, 1): degenerate corpus guard
+
+    dims = (
+        e.groupBy("j")
+        .agg(
+            F.sum("u").cast("decimal(38,0)").alias("sj"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        )
+        .localCheckpoint(eager=True)  # 64 rows: one corpus aggregate, not four
     )
     yc = e.join(F.broadcast(dims), "j").select(
         "vec_id", "j", (F.col("n") * F.col("u") - F.col("sj")).alias("y")
@@ -6402,39 +6417,46 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration 1: v0 = all-ones at the 1e6 grid (deterministic start);
     # the raw per-vector score renormalizes to the 1e6 grid BEFORE feeding
     # Y^T s, keeping every accumulator O(n^2) (overflow contract above)
-    s1r = yc.groupBy("vec_id").agg(F.sum(F.col("y") * F.lit(1_000_000)).alias("sr"))
-    ms1 = s1r.agg(F.greatest(F.max(F.abs(F.col("sr"))), F.lit(1).cast("decimal(38,0)")).alias("ms"))
-    s1 = s1r.crossJoin(F.broadcast(ms1)).select(
-        "vec_id", F.expr("(sr * 1000000) div ms").alias("score")
+    s1r = (
+        yc.groupBy("vec_id")
+        .agg(F.sum(F.col("y") * F.lit(1_000_000)).alias("sr"))
+        .localCheckpoint(eager=True)
+    )
+    ms1 = _renorm_scalar(s1r, "sr")
+    s1 = s1r.select(
+        "vec_id", F.expr(f"(sr * 1000000) div CAST('{ms1}' AS DECIMAL(38,0))").alias("score")
     )
     w1 = (
         yc.join(s1, "vec_id")
         .groupBy("j")
         .agg(F.sum(F.col("y") * F.col("score")).alias("w"))
+        .localCheckpoint(eager=True)
     )
-    m1 = w1.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("decimal(38,0)")).alias("m"))
-    v1 = w1.crossJoin(F.broadcast(m1)).select(
-        "j", F.expr("(w * 1000000) div m").alias("v")
+    m1 = _renorm_scalar(w1, "w")
+    v1 = w1.select(
+        "j", F.expr(f"(w * 1000000) div CAST('{m1}' AS DECIMAL(38,0))").alias("v")
     )
     # iteration 2: same shape with the renormalized v1 broadcast back in
     s2r = (
         yc.join(F.broadcast(v1), "j")
         .groupBy("vec_id")
         .agg(F.sum(F.col("y") * F.col("v")).alias("sr"))
+        .localCheckpoint(eager=True)
     )
-    ms2 = s2r.agg(F.greatest(F.max(F.abs(F.col("sr"))), F.lit(1).cast("decimal(38,0)")).alias("ms"))
-    s2 = s2r.crossJoin(F.broadcast(ms2)).select(
-        "vec_id", F.expr("(sr * 1000000) div ms").alias("score")
+    ms2 = _renorm_scalar(s2r, "sr")
+    s2 = s2r.select(
+        "vec_id", F.expr(f"(sr * 1000000) div CAST('{ms2}' AS DECIMAL(38,0))").alias("score")
     )
     w2 = (
         yc.join(s2, "vec_id")
         .groupBy("j")
         .agg(F.sum(F.col("y") * F.col("score")).alias("w"))
+        .localCheckpoint(eager=True)
     )
-    m2 = w2.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("decimal(38,0)")).alias("m"))
-    return w2.crossJoin(F.broadcast(m2)).select(
+    m2 = _renorm_scalar(w2, "w")
+    return w2.select(
         F.col("j").cast("long").alias("dim"),
-        F.expr("(w * 1000000) div m").cast("long").alias("v_fp"),
+        F.expr(f"(w * 1000000) div CAST('{m2}' AS DECIMAL(38,0))").cast("long").alias("v_fp"),
     )
 
 
