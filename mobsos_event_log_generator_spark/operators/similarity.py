@@ -670,7 +670,17 @@ def multitable_write_index(
         F.col(id_col).alias("neighbor_id"),
         F.explode(multitable_codes(vec_col, num_tables, bits, dim)).alias("tc"),
     ).select("neighbor_id", F.col("tc.tbl").alias("tbl"), F.col("tc.code").alias("code"))
-    coded.write.mode("overwrite").partitionBy("tbl", "code").parquet(f"{path}/postings")
+    # Cluster by the partition columns before the partitioned write:
+    # without it every scan task opens a file in every bucket directory it
+    # touches — up to tasks x L x 2^bits tiny files whose open/commit
+    # overhead dominates the write (8k files for a 500-doc fixture). After
+    # the repartition each bucket is one task's rows -> one file per
+    # directory; sign-bit buckets are near-uniform so the shuffle is
+    # skew-free, and AQE coalesces the post-shuffle partitions at small
+    # scale.
+    coded.repartition("tbl", "code").write.mode("overwrite").partitionBy(
+        "tbl", "code"
+    ).parquet(f"{path}/postings")
     corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).write.mode("overwrite").parquet(f"{path}/vectors")
@@ -724,6 +734,20 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _sqdist_to_literal(a_col: str, vec: list, dim: int) -> str:
+    """``_sqdist_unrolled`` against a DRIVER-KNOWN vector: the selected
+    point's coordinates are embedded as exact double literals (``repr``
+    round-trips every finite double; the ``D`` suffix parses via
+    Double.parseDouble, so the literal IS the original IEEE value). Term
+    shape and left-associative order match ``_sqdist_unrolled`` exactly —
+    bit-identical distances."""
+    return "(" + " + ".join(
+        f"((CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - {vec[i - 1]!r}D)"
+        f" * (CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - {vec[i - 1]!r}D))"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
 def _sqdist_unrolled(a_col: str, b_col: str, dim: int) -> Column:
     """``_sqdist`` for a STATICALLY KNOWN dim, unrolled into one parsed
     literal-index expression chain. aggregate/zip_with are HigherOrderFunctions
@@ -756,13 +780,18 @@ def kcenter_select(
     micro-units from the identical left-to-right fold both engines compute,
     and ties break on vec_id — fully deterministic.
 
-    Scale shape: each round is ONE corpus scan — a broadcast join against a
-    driver-built literal of the ≤k selected vectors (k·dim floats of driver
-    state, the IVF-seed class), a per-point min, and a TakeOrdered(1) — so
-    the whole selection is k scans with no corpus shuffle (the algorithm's
-    inherent pass structure). Returns (vec_id, sel_round, dmax_micro);
-    dmax_micro is the max-min distance when the point was chosen (0 for the
-    seed) — the covering-radius curve."""
+    Scale shape: each round is ONE corpus scan with ZERO exchanges — the
+    ≤k selected vectors are driver state, so the per-point min distance is
+    a single codegen'd least() PROJECTION over literal-embedded selected
+    coordinates (``_sqdist_to_literal``), and the round winner comes off a
+    TakeOrdered(1). The former shape crossJoined a broadcast of the
+    selection and then groupBy(vec_id)-shuffled the corpus WITH its
+    vector payloads once per round — k full-corpus shuffles the projection
+    form never pays. Distances are the same per-pair floor-quantized
+    values min-folded in the same order — bit-identical selections.
+    Returns (vec_id, sel_round, dmax_micro); dmax_micro is the max-min
+    distance when the point was chosen (0 for the seed) — the
+    covering-radius curve."""
     pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     seed = pts.orderBy("vec_id").limit(1).first()
     schema = "vec_id long, sel_round long, dmax_micro long"
@@ -770,17 +799,17 @@ def kcenter_select(
     if seed is None:
         return spark.createDataFrame([], schema)
     sel: list[tuple[int, int, int]] = [(int(seed["vec_id"]), 1, 0)]
-    sel_vecs: list[tuple[int, list[float]]] = [(int(seed["vec_id"]), [float(x) for x in seed["v"]])]
+    sel_vecs: list[list[float]] = [[float(x) for x in seed["v"]]]
     for rnd in range(2, k + 1):
         sel_ids = [s[0] for s in sel]
-        sel_df = spark.createDataFrame(sel_vecs, "sid long, sv array<double>")
-        d = F.floor(_sqdist_unrolled("v", "sv", dim) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        dists = [
+            f"CAST(floor({_sqdist_to_literal('v', sv, dim)} * 1000000.0D + 0.5D) AS BIGINT)"
+            for sv in sel_vecs
+        ]
+        dmin = dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
         best = (
             pts.filter(~F.col("vec_id").isin(sel_ids))
-            .crossJoin(F.broadcast(sel_df))
-            .select("vec_id", "v", d.alias("d"))
-            .groupBy("vec_id")
-            .agg(F.min("d").alias("dmin_micro"), F.first("v").alias("v"))
+            .select("vec_id", "v", F.expr(dmin).alias("dmin_micro"))
             .orderBy(F.col("dmin_micro").desc(), F.col("vec_id"))
             .limit(1)
             .first()
@@ -788,7 +817,7 @@ def kcenter_select(
         if best is None:
             break
         sel.append((int(best["vec_id"]), rnd, int(best["dmin_micro"])))
-        sel_vecs.append((int(best["vec_id"]), [float(x) for x in best["v"]]))
+        sel_vecs.append([float(x) for x in best["v"]])
     return spark.createDataFrame(sel, schema)
 
 

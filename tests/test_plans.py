@@ -433,7 +433,6 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("operators/sampling.py", "tot"): (1, "1-row total-weight aggregate"),
     ("operators/similarity.py", "q"): (8, "caller-provided query set (API contract: bounded workload)"),
     ("operators/similarity.py", "centroids"): (1, "num_centroids-bounded"),
-    ("operators/similarity.py", "sel_df"): (1, "k-center selected set (<= k rows)"),
     ("operators/similarity.py", "probes"): (3, "queries x nprobe routing rows"),
     ("operators/similarity.py", "small"): (3, "cell ids below max_cell_size (num_centroids-bounded)"),
     ("operators/similarity.py", "codebook"): (1, "PQ codebook: m_subspaces x num_codes rows"),
@@ -461,9 +460,7 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "b"): (2, "1-row bounds"),
     ("plans/analytics.py", "norder"): (2, "1-row order count (basket pairs + association rules)"),
     ("operators/graph.py", "dang"): (1, "1-row dangling-mass aggregate (markov stationary)"),
-    ("operators/graph.py", "ma"): (1, "1-row max-abs renormalizer (HITS authorities)"),
     ("streaming/mg_maintain.py", "thr"): (1, "1-row (k+1)-th-largest threshold"),
-    ("operators/graph.py", "mh"): (1, "1-row max-abs renormalizer (HITS hubs)"),
     ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
     ("plans/analytics.py", "types"): (1, "event-type alphabet"),
     ("plans/analytics.py", "n_ref_row"): (1, "1-row scalar"),
@@ -478,13 +475,9 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/llm.py", "cents"): (1, "num_centroids-bounded"),
     ("plans/llm.py", "t"): (1, "1-row bigram total"),
     ("plans/llm.py", "v"): (1, "1-row vocab size"),
-    ("plans/llm.py", "stats"): (4, "1-row (n_docs, avgdl)"),
+    ("plans/llm.py", "stats"): (3, "1-row (n_docs, avgdl)"),
     ("plans/llm.py", "dj"): (1, "64-row dimension stats (dim-bounded)"),
     ("plans/llm.py", "dims"): (1, "64-row dimension stats (dim-bounded, PCA centering)"),
-    ("plans/llm.py", "m1"): (1, "1-row max-abs renormalizer"),
-    ("plans/llm.py", "m2"): (1, "1-row max-abs renormalizer"),
-    ("plans/llm.py", "ms1"): (1, "1-row max-abs score renormalizer (PCA overflow contract, find #5)"),
-    ("plans/llm.py", "ms2"): (1, "1-row max-abs score renormalizer (PCA overflow contract, find #5)"),
     ("plans/llm.py", "v1"): (1, "64-row iterate vector (dim-bounded)"),
     ("plans/llm.py", "q"): (1, "3-row split-quota literal dim (stratified allocation)"),
     ("plans/llm.py", "rem"): (1, "per-language remainders (alphabet-bounded)"),
