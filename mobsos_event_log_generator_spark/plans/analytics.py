@@ -8164,17 +8164,26 @@ def parts_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `div` and `//` agree on the non-negative counts involved.
     rows: list[tuple[int, int, int, int | None]] = []
     for k in range(0, _DS_ROUNDS + 1):
-        ends = g.select(
-            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        # ONE pass over g per round: the degree aggregate subsumes the old
+        # separate (count, countDistinct) stats job — m2 = Σdeg and
+        # n = |deg| come off the node-sized degree table for free, and the
+        # peel filter reuses the same checkpointed degrees instead of
+        # re-aggregating the edge list.
+        deg = (
+            g.select(F.explode(F.array(F.col("src"), F.col("dst"))).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
         )
-        m2, n = ends.agg(
-            F.count(F.lit(1)).cast("long").alias("m2"),
-            F.countDistinct("node").cast("long").alias("n"),
+        if k < _DS_ROUNDS:
+            deg = deg.localCheckpoint(eager=True)
+        m2, n = deg.agg(
+            F.sum("deg").cast("long").alias("m2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
         ).first()
+        m2, n = (int(m2) if m2 is not None else 0), int(n)
         rows.append((k, n, m2 // 2, (m2 // 2) * 1_000_000 // n if n else None))
         if k == _DS_ROUNDS:
             break
-        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") * F.lit(n) > F.lit(m2)).select("node")
         g = (
             g.join(keep.withColumnRenamed("node", "src"), "src")
