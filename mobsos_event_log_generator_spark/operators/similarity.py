@@ -223,44 +223,50 @@ def mmr_rerank(
             cosine_micro(F.col("c_vec"), F.col("o_vec")).alias("sim_micro"),
         )
     )
-    cand = cand_v.drop("c_vec")
-    sel_w = Window.partitionBy("query_id").orderBy(
-        F.col("mmr_score_micro").desc(), F.col("doc_id")
+    # Greedy selection over COLLECTED bounded state (the kcenter_select
+    # pattern): the pool is ≤|queries|×pool rows and the pair matrix
+    # ≤|queries|×pool² rows — both bounded by the MAX_COLLECTED_QUERY_ROWS
+    # query contract times pool hyperparameters, never corpus-scaled. The
+    # relevance and pair similarities stay JVM-computed exact integer
+    # micro-units (cosine_micro, the oracle contract); only the k-round
+    # argmax — pure int compares with (desc score, asc doc_id) ties — runs
+    # driver-side. The old DataFrame-recursive form re-executed O(k²)
+    # window/aggregate stages over the checkpointed pool plus one full
+    # replay in the final union: ~7 s of tiny-stage scheduling for 400
+    # rows at sf0.1, now one collect each for pool and pairs.
+    spark = corpus.sparkSession
+    pool_rows = cand_v.select("query_id", "doc_id", "rel_micro").collect()
+    pair_rows = pairs.collect()
+    by_q: dict = {}
+    for r in pool_rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["rel_micro"]))
+    sim: dict = {}
+    for r in pair_rows:
+        sim[(r["query_id"], r["doc_id"], r["other_id"])] = r["sim_micro"]
+    sel: list[tuple[int, int, int, int, int]] = []
+    for qid in by_q:
+        cands = sorted(by_q[qid])  # doc_id asc => strict > keeps min-id ties
+        chosen: list[int] = []
+        for rank in range(1, k + 1):
+            best = None
+            for doc_id, rel in cands:
+                if doc_id in chosen:
+                    continue
+                pen = max(
+                    (sim[(qid, doc_id, o)] for o in chosen if (qid, doc_id, o) in sim),
+                    default=0,
+                )
+                score = rel - pen if chosen else rel
+                if best is None or score > best[1]:
+                    best = (doc_id, score, rel)
+            if best is None:
+                break
+            chosen.append(best[0])
+            sel.append((qid, best[0], best[2], best[1], rank))
+    return spark.createDataFrame(
+        sel,
+        "query_id long, doc_id long, rel_micro long, mmr_score_micro long, mmr_rank long",
     )
-    first = (
-        cand.withColumn("mmr_score_micro", F.col("rel_micro"))
-        .withColumn("rn", F.row_number().over(sel_w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "doc_id", "rel_micro", "mmr_score_micro")
-        .withColumn("mmr_rank", F.lit(1).cast("long"))
-    )
-    selected = [first]
-    for i in range(2, k + 1):
-        sel_ids = selected[0].select("query_id", "doc_id")
-        for s in selected[1:]:
-            sel_ids = sel_ids.unionByName(s.select("query_id", "doc_id"))
-        pen = (
-            pairs.join(sel_ids.withColumnRenamed("doc_id", "other_id"), ["query_id", "other_id"])
-            .groupBy("query_id", "doc_id")
-            .agg(F.max("sim_micro").alias("maxsim_micro"))
-        )
-        nxt = (
-            cand.join(sel_ids, ["query_id", "doc_id"], "left_anti")
-            .join(pen, ["query_id", "doc_id"], "left")
-            .withColumn(
-                "mmr_score_micro",
-                F.col("rel_micro") - F.coalesce(F.col("maxsim_micro"), F.lit(0)),
-            )
-            .withColumn("rn", F.row_number().over(sel_w))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "doc_id", "rel_micro", "mmr_score_micro")
-            .withColumn("mmr_rank", F.lit(i).cast("long"))
-        )
-        selected.append(nxt)
-    out = selected[0]
-    for s in selected[1:]:
-        out = out.unionByName(s)
-    return out
 
 
 def mmr_rerank_arrow(
