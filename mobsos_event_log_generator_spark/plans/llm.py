@@ -7387,6 +7387,12 @@ FROM par2"""
             F.col("doc_id").alias("id2"),
             *[F.col(f).alias(f"b_{f}") for f in _FS_FIELDS],
         )
+        # The whole row-scaled pipeline (PPJoin candidates + two FK joins)
+        # collapses into this <= 2^4-row aggregate, but its lineage was
+        # re-evaluated by every downstream reference — each EM iteration,
+        # n_pairs, and all four output crossJoins replayed the candidate
+        # join (~10 full PPJoin executions per run). Checkpoint the 16
+        # rows; the EM below runs over the checkpoint exactly once.
         pats = (
             pairs.join(a, "id1")
             .join(b, "id2")
@@ -7398,6 +7404,7 @@ FROM par2"""
             )
             .groupBy(*[f"g_{f}" for f in _FS_FIELDS])
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=True)
         )
         par = pats.sparkSession.range(1).selectExpr(
             "CAST(500000 AS BIGINT) AS pr",
@@ -7437,18 +7444,20 @@ FROM par2"""
                     for f in _FS_FIELDS
                 ],
             )
-        n_pairs = pats.agg(F.sum("n").cast("long").alias("n_pairs"))
-        out = None
-        for f in _FS_FIELDS:
-            row = par.crossJoin(n_pairs).selectExpr(
-                f"'{f}' AS field",
-                "pr AS p_match_ppm",
-                f"m_{f} AS m_ppm",
-                f"u_{f} AS u_ppm",
-                "n_pairs",
-            )
-            out = row if out is None else out.unionByName(row)
-        return out
+        # Both results are bounded 1-row aggregates over the 16-row
+        # checkpoint: collect them and emit the 4-row report directly —
+        # the crossJoin-per-field form re-executed the EM chain four times.
+        pr_row = par.first()
+        n_pairs_raw = pats.agg(F.sum("n").cast("long")).first()[0]
+        n_pairs = int(n_pairs_raw) if n_pairs_raw is not None else None
+        data = [
+            (f, pr_row["pr"], pr_row[f"m_{f}"], pr_row[f"u_{f}"], n_pairs)
+            for f in _FS_FIELDS
+        ]
+        return pats.sparkSession.createDataFrame(
+            data,
+            "field string, p_match_ppm long, m_ppm long, u_ppm long, n_pairs long",
+        )
 
 
 _register_fs_em()
