@@ -1020,7 +1020,12 @@ def ivf_ann_topk(
     data distribution via the Lloyd refinement — on clustered real-world
     embeddings that is the difference between probing a fixed 1/2^bits of
     space and probing the actual neighborhood."""
-    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    # cents (num_centroids rows, full corpus-pass lineage) feeds both the
+    # list assignment and the query probes - checkpoint it so the train
+    # runs once (hits_fixed_point pattern; same as ivfpq_ann_topk).
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim).localCheckpoint(
+        eager=True
+    )
     inv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
         ivf_assign(corpus, cents, 1, id_col, vec_col, dim).select(
             F.col(id_col).alias("neighbor_id"), "cid"
@@ -1629,7 +1634,10 @@ def ivf_write_index(
     parquet, a query that probes `nprobe` cells reads ONLY those
     directories (dynamic partition pruning against the probe list) instead
     of scanning the corpus — the scan itself becomes the index probe."""
-    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    # Checkpoint before the double reference (written out + list assign).
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim).localCheckpoint(
+        eager=True
+    )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = ivf_assign(corpus, cents, 1, id_col, vec_col, dim)
     (

@@ -2675,12 +2675,18 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     pairs = D.minhash_lsh_dedup(docs, threshold=0.8).select("id1", "id2")
     comp = connected_components_star(pairs)
+    # members is referenced three times (golden election, the golden-source
+    # lookup, and the final join) - without the checkpoint each reference
+    # re-ran the docs scan + the component-union tail over the CC
+    # checkpoint. Bounded by the linked-docs row count (the CC output
+    # scale the edge checkpoint inside connected_components_star already
+    # materializes).
     members = comp.join(docs.select("doc_id", "source"), comp["node"] == F.col("doc_id")).select(
         "doc_id",
         "component",
         "source",
         F.regexp_extract("source", r"([0-9]+)$", 1).cast("long").alias("src_rank"),
-    )
+    ).localCheckpoint(eager=True)
     golden = members.groupBy("component").agg(
         F.min(F.struct("src_rank", "doc_id")).alias("__g")
     ).select("component", F.col("__g.doc_id").alias("golden_id"))

@@ -36,15 +36,18 @@ MG_SCHEMA = "key BIGINT, cnt BIGINT"
 
 def _reduce_mg(merged: DataFrame, k: int) -> DataFrame:
     """Drop to <= k counters: subtract the (k+1)-th largest count (0 when
-    fewer than k+1 keys) and keep the strictly positive remainder."""
-    top = merged.orderBy(F.col("cnt").desc(), F.col("key")).limit(k + 1)
-    thr = top.agg(
-        F.when(F.count(F.lit(1)) == k + 1, F.min("cnt")).otherwise(0).alias("t")
-    )
-    return (
-        merged.crossJoin(F.broadcast(thr))
-        .select("key", (F.col("cnt") - F.col("t")).alias("cnt"))
-        .filter(F.col("cnt") > 0)
+    fewer than k+1 keys) and keep the strictly positive remainder.
+
+    The merged (state ∪ batch) aggregate is checkpointed so it computes
+    once per micro-batch — the crossJoin-of-own-threshold form re-ran it
+    for the top-(k+1), the threshold, and the subtraction; the threshold
+    itself is k+1 collected rows (bounded by the sketch size), folded in
+    as a literal."""
+    merged = merged.localCheckpoint(eager=True)
+    top = merged.orderBy(F.col("cnt").desc(), F.col("key")).limit(k + 1).collect()
+    t = min(r["cnt"] for r in top) if len(top) == k + 1 else 0
+    return merged.select("key", (F.col("cnt") - F.lit(t)).alias("cnt")).filter(
+        F.col("cnt") > 0
     )
 
 
