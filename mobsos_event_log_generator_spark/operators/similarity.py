@@ -1640,8 +1640,12 @@ def ivf_write_index(
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = ivf_assign(corpus, cents, 1, id_col, vec_col, dim)
+    # Cluster by the partition column before the partitioned write (see
+    # multitable_write_index): unclustered, every task opens a file in
+    # every cell directory it touches — tasks x num_centroids tiny files.
     (
         corpus.join(assigned, id_col)
+        .repartition("cid")
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(f"{path}/lists")

@@ -68,8 +68,12 @@ def make_ivf_batch_processor(
             cents.write.mode("overwrite").parquet(cent_dir)
         cents = spark.read.parquet(cent_dir)
         assigned = ivf_assign(batch, cents, 1, id_col, vec_col)
+        # Cluster by cell before the partitioned write (see
+        # multitable_write_index): unclustered, each batch emitted
+        # tasks x num_centroids tiny files.
         (
             batch.join(assigned, id_col)
+            .repartition("cid")
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(os.path.join(index_dir, "lists", f"batch={batch_id}"))
