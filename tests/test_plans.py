@@ -460,7 +460,6 @@ _BROADCAST_HINT_ALLOWLIST = {
     ("plans/analytics.py", "b"): (2, "1-row bounds"),
     ("plans/analytics.py", "norder"): (2, "1-row order count (basket pairs + association rules)"),
     ("operators/graph.py", "dang"): (1, "1-row dangling-mass aggregate (markov stationary)"),
-    ("streaming/mg_maintain.py", "thr"): (1, "1-row (k+1)-th-largest threshold"),
     ("plans/analytics.py", "q"): (1, "per-event-type quantile cuts (alphabet-bounded)"),
     ("plans/analytics.py", "types"): (1, "event-type alphabet"),
     ("plans/analytics.py", "n_ref_row"): (1, "1-row scalar"),
