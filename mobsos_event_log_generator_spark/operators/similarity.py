@@ -124,12 +124,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (query_id, neighbor_id, cosine, rank);
     self-matches excluded. The query side is broadcast — corpus never shuffles.
-    ``dim`` must state the vector length (codegen'd unrolled cosine)."""
+    ``dim`` is kept for interface symmetry; the cosine here is the HOF fold:
+    an r12 alternating A/B on the sf0.1 BNLJ shape (80k pairs) measured the
+    fold at 0.59–0.86 s warm vs 0.84–1.21 s for ``cosine_unrolled`` — the
+    unrolled chain regresses inside the BroadcastNestedLoopJoin consume
+    (same class as the r11 rerank-lane revert), results proven identical."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -642,11 +646,21 @@ def multitable_ann_topk(
         c.join(F.broadcast(q), on=["tbl", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         # a pair can collide in several tables; surviving duplicates carry
-        # identical vector payloads so dropDuplicates on the ids is exact
+        # identical vector payloads so dropDuplicates on the ids is exact.
+        # An ids-only dedup (attach vectors after, guide §8) was A/B'd in
+        # r12 and REVERTED at this scale: the re-attach joins cost more
+        # than the payload shuffle saves (new 1.6-2.1 s vs old 0.9-1.4 s
+        # warm at sf0.1). At 100 TB the ids-only shape is the right one —
+        # and it is exactly what the persisted-index reader
+        # (multitable_query_index) does; repeated-batch deployments route
+        # there (similarity_topk_ann_multitable_indexed).
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "q_vec", "neighbor_id", "c_vec")
     )
-    scored = cand.withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim)).select(
+    # HOF-fold cosine, not cosine_unrolled: r12 alternating A/B on this
+    # shortlist-consume shape measured the fold faster (0.93-1.4 vs
+    # 1.27-1.67 s warm) — same class as the r11 rerank-lane revert.
+    scored = cand.withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec"))).select(
         "query_id", "neighbor_id", "cosine"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -861,12 +875,19 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (``nprobe`` = 1) or probe lists
     (``nprobe`` > 1): broadcast nested-loop against the tiny centroid table,
     rank by rounded squared-L2 distance with cid tie-break. The corpus never
     shuffles — one codegen'd pass computes all k distances per row
-    (``_sqdist_unrolled``: the HOF fold ran interpreted)."""
+    (``_sqdist_unrolled``: the HOF fold ran interpreted).
+
+    ``carry_vec`` keeps the vector column on the output rows (it is already
+    present in the ranked table), so consumers that need (id, vec, cid) skip
+    the corpus self-join they previously paid to re-attach it (r12,
+    guide §2.4 — the values are the same row's vector, so results are
+    unchanged by construction)."""
     scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(centroids)).withColumn(
         "dist", F.round(_sqdist_unrolled(vec_col, "cvec", dim), 6)
     )
@@ -875,10 +896,11 @@ def ivf_assign(
     # SortAggregate (no codegen'd hash-agg for non-primitive buffers), which
     # re-sorts the k-expanded table and measured no faster. Window retained.
     w = Window.partitionBy(id_col).orderBy("dist", "cid")
+    cols = [id_col, vec_col, "cid"] if carry_vec else [id_col, "cid"]
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= nprobe)
-        .select(id_col, "cid")
+        .select(*cols)
     )
 
 
@@ -889,6 +911,7 @@ def ivf_assign_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,  # interface symmetry with ivf_assign; the kernel reads real lengths
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Arrow/BLAS twin of ``ivf_assign`` — the assignment-stage scale path.
 
@@ -928,9 +951,14 @@ def ivf_assign_arrow(
     cids = np.array([r["cid"] for r in cents], dtype=np.int64)
     cmat = np.array([list(r["cvec"]) for r in cents], dtype=np.float64)
     npb = int(nprobe)
-    out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType()), T.StructField("cid", T.LongType())]
-    )
+    fields = [T.StructField(id_col, T.LongType())]
+    if carry_vec:
+        # carry the input vector through VERBATIM (same Arrow values in,
+        # same out — no recompute, no cast), so consumers skip the corpus
+        # self-join that re-attached it (r12, guide §2.4).
+        fields.append(T.StructField(vec_col, df.schema[vec_col].dataType))
+    fields.append(T.StructField("cid", T.LongType()))
+    out_schema = T.StructType(fields)
 
     def assign(batches):
         for pdf in batches:
@@ -945,12 +973,22 @@ def ivf_assign_arrow(
             dist = _round_half_up(acc)
             if npb == 1:
                 j = np.argmin(dist, axis=1)  # first occurrence = smallest cid
-                yield pd.DataFrame({id_col: ids, "cid": cids[j]})
+                out = {id_col: ids, "cid": cids[j]}
+                if carry_vec:
+                    out = {id_col: ids, vec_col: pdf[vec_col], "cid": cids[j]}
             else:
                 order = np.argsort(dist, axis=1, kind="stable")[:, :npb]
-                yield pd.DataFrame(
-                    {id_col: np.repeat(ids, order.shape[1]), "cid": cids[order].ravel()}
-                )
+                out = {
+                    id_col: np.repeat(ids, order.shape[1]),
+                    "cid": cids[order].ravel(),
+                }
+                if carry_vec:
+                    out = {
+                        id_col: np.repeat(ids, order.shape[1]),
+                        vec_col: pdf[vec_col].repeat(order.shape[1]).reset_index(drop=True),
+                        "cid": cids[order].ravel(),
+                    }
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
@@ -975,11 +1013,14 @@ def ivf_train(
     assign_fn = assign or ivf_assign
     cents = ivf_seed_centroids(corpus, num_centroids, id_col, vec_col)
     for _ in range(iters):
-        assigned = assign_fn(corpus, cents, 1, id_col, vec_col, dim)
+        # carry_vec: the Lloyd update reads (vec, cid) straight off the
+        # assignment — the corpus self-join that re-attached the vector is
+        # gone (r12, guide §2.4; identical rows, so identical means).
+        assigned = assign_fn(corpus, cents, 1, id_col, vec_col, dim, carry_vec=True)
         # Parsed SQL per dimension (identical round/avg/element_at tree)
         # instead of ~500 Py4J round trips of nested Column assembly.
         cents = (
-            corpus.join(assigned, id_col)
+            assigned
             .groupBy("cid")
             .agg(
                 *[
@@ -1083,9 +1124,9 @@ def semdedup(
     flagged via dup_of = NULL — the same conservative skip as the LSH
     hot-bucket cap."""
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
-    assigned = corpus.select(id_col, vec_col).join(
-        ivf_assign(corpus, cents, 1, id_col, vec_col, dim), id_col
-    )
+    # carry_vec keeps the vector on the assignment output — no corpus
+    # self-join to re-attach it (r12, guide §2.4; rows identical).
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col, dim, carry_vec=True)
     # The assignment feeds BOTH sides of the pair self-join plus the final
     # projection; expensive subtrees referenced across join branches
     # re-evaluate per branch (ENGINEERING_NOTES pitfall 2c) — without the
@@ -1160,9 +1201,10 @@ def semdedup_arrow(
 
     assign_fn = ivf_assign_arrow if arrow_assign else ivf_assign
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim, assign=assign_fn)
-    assigned = corpus.select(id_col, vec_col).join(
-        assign_fn(corpus, cents, 1, id_col, vec_col, dim), id_col
-    )
+    # carry_vec: the assignment kernel keeps the vector on its output rows,
+    # deleting the corpus self-join that re-attached it (r12, guide §2.4 —
+    # one exchange + one corpus scan less per plan; rows identical).
+    assigned = assign_fn(corpus, cents, 1, id_col, vec_col, dim, carry_vec=True)
     if max_cell_size is not None:
         sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
         small = sizes.filter(F.col("_n") <= max_cell_size).select("cid")
@@ -1427,6 +1469,52 @@ def srp_signatures(
         + " AS BIGINT)"
     )
     return projs.select(id_col, F.expr(packer).alias("sig"))
+
+
+def srp_signatures_arrow(
+    corpus: DataFrame,
+    signs: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS twin of ``srp_signatures`` — the signature-build scale
+    path (guide §4.2). The JVM form pays a posexplode (64 rows/vector), a
+    groupBy with 32 constant-array-lookup sums, and the exchange between
+    them — measured 3.7 s WholeStageCodegen + 1.2 s shuffle-write of
+    executor time at sf0.1 for 2 000 vectors. Here each partition streams
+    through ONE ``mapInPandas`` pass: int8 quantization is the identical
+    IEEE float64 op sequence (min, max, div, mul, add, floor — elementwise,
+    so bit-equal to ``quantize_int8`` by construction), and the projections
+    and bit packing are EXACT int64 arithmetic (associative — no float
+    determinism question at all, the same argument that lets the JVM form
+    pick its plan shape). Equality is unit-gated against the JVM form
+    (``test_srp_signatures_arrow_matches_jvm``). Nothing corpus-sized is
+    collected or broadcast; the corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    smat = np.array(signs, dtype=np.int64)  # (planes, dim)
+    weights = (np.int64(1) << np.arange(smat.shape[0], dtype=np.int64))
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("sig", T.LongType())]
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # quantize_int8, op for op: least(c,x) -> greatest(-c,.) -> /c
+            # -> *127 -> +0.5 -> floor (c = 1.0)
+            z = np.floor(
+                np.maximum(-1.0, np.minimum(1.0, mat)) / 1.0 * 127.0 + 0.5
+            ).astype(np.int64)
+            proj = z @ smat.T  # exact int64: |proj| <= dim * 127
+            sig = ((proj >= 0) * weights).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
+
+    return corpus.select(id_col, vec_col).mapInPandas(pack, out_schema)
 
 
 def knn_hard_negatives(

@@ -5548,8 +5548,14 @@ def similarity_srp_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    sig = S.srp_signatures(emb, _SRP_SIGNS)
-    q = _demo_queries(sig).select(
+    # Arrow signature kernel (r12, guide §4.2): the JVM posexplode + 32-sum
+    # aggregate cost 3.7 s codegen + 1.2 s shuffle-write of executor time at
+    # sf0.1; the int64-exact mapInPandas pass is one corpus scan with no
+    # exchange. Signatures are bit-equal (unit-gated). The query side
+    # filters the EMBEDDINGS scan first (predicate pushdown — a filter
+    # cannot push through the opaque Python map), then signs the ≤40 rows.
+    sig = S.srp_signatures_arrow(emb, _SRP_SIGNS)
+    q = S.srp_signatures_arrow(_demo_queries(emb), _SRP_SIGNS).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
     )
     c = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("c_sig"))

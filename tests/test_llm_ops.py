@@ -1746,6 +1746,33 @@ def test_dim_correlation_matches_numpy(spark):
         assert abs(r["corr2_ppm"] / 1e6 - true_r2) < 3e-3
 
 
+def test_srp_signatures_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow SRP signature kernel must be BIT-EQUAL to the JVM
+    posexplode+aggregate form: identical int8 quantization (same IEEE op
+    sequence), exact int64 projections, same sign-bit packing — on the
+    fixture embeddings AND a synthetic set with exact quantization
+    midpoints (v = k/127 hits the floor(x+0.5) boundary)."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        srp_signatures,
+        srp_signatures_arrow,
+    )
+    from mobsos_event_log_generator_spark.plans.llm import _SRP_SIGNS
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    jvm = sorted(map(tuple, srp_signatures(emb, _SRP_SIGNS).collect()))
+    arrow = sorted(map(tuple, srp_signatures_arrow(emb, _SRP_SIGNS).collect()))
+    assert jvm == arrow and len(jvm) > 0
+
+    edge = spark.createDataFrame(
+        [(i, [((i + j) % 255 - 127) / 127.0 for j in range(64)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    jvm_e = sorted(map(tuple, srp_signatures(edge, _SRP_SIGNS).collect()))
+    arrow_e = sorted(map(tuple, srp_signatures_arrow(edge, _SRP_SIGNS).collect()))
+    assert jvm_e == arrow_e
+
+
 def test_ivf_assign_arrow_matches_jvm(spark, sf_dir):
     """The Arrow assignment kernel must be BIT-EQUAL to the JVM crossJoin
     fold: per-dimension fold-order accumulation + HALF_UP 6dp rounding +
