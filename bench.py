@@ -169,6 +169,15 @@ HEADLINE = [
 WARM_REGRESSION_PCT = 30.0
 
 
+def _cpus() -> int:
+    """The core count this bench runs at (the driver also runs an 8-cpu
+    scaling lane; see _deltas_vs_prev)."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
 def _prev_bench() -> tuple[str, dict] | None:
     """Latest BENCH_r{N}.json in the repo root, if any."""
     import re
@@ -226,6 +235,16 @@ def _deltas_vs_prev(timings: dict, warm: dict) -> tuple[dict, list[str]] | None:
     if prev is None:
         return None
     prev_name, prev_rec = prev
+    # Core-count guard (r11 verdict #6 "BENCH_DETAIL trap"): the driver also
+    # runs bench at a LOWER core count for the scaling block, and an 8-cpu
+    # sidecar once overwrote BENCH_DETAIL.json — its warm_regressions list
+    # compared 8-core walls against 32-core history. Never trend across
+    # mismatched core counts; records without a cpus field predate the
+    # guard and are assumed 32.
+    prev_cpus = int(prev_rec.get("cpus", 32))
+    if prev_cpus != _cpus():
+        return {"vs": prev_name,
+                "skipped": f"cpu mismatch (prev {prev_cpus}, now {_cpus()})"}, []
     prev_cold = prev_rec.get("queries", {})
     prev_warm = prev_rec.get("queries_warm", {})
     deltas: dict[str, dict] = {"vs": prev_name}
@@ -364,6 +383,7 @@ def main() -> None:
         "sf": float(sf),
         "value_warm": round(sum(warm.values()), 3),
         "calib": calib,
+        "cpus": _cpus(),
     }
     detail = dict(record, queries=timings, queries_warm=warm,
                   detail_sidecar=True, load_at_start=load_at_start,

@@ -110,8 +110,10 @@ def bpe_merges_df(docs: DataFrame, text_col: str = "text", num_merges: int = 20)
     spark = docs.sparkSession
     rows = bpe_train(docs, text_col, num_merges)
     schema = "rank int, left string, right string, merged string, pair_freq long"
-    return spark.createDataFrame(
-        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in rows], schema
+    from mobsos_event_log_generator_spark.driver_rows import driver_rows_df
+
+    return driver_rows_df(
+        spark, [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in rows], schema
     )
 
 

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mobsos_event_log_generator_spark.driver_rows import driver_rows_df
+
 CODE_BITS = 8
 
 
@@ -207,7 +209,13 @@ def mmr_rerank(
     (one pass, no corpus shuffle); everything after is bounded — pool²
     candidate-pair sims and k unrolled argmax rounds over ≤pool rows per
     query — so diversification cost is independent of corpus size. Returns
-    (query_id, doc_id, rel_micro, mmr_score_micro, mmr_rank)."""
+    (query_id, doc_id, rel_micro, mmr_score_micro, mmr_rank).
+
+    ID-TYPE CONTRACT (r11 ADVICE): ids must be integral — the collected
+    greedy state is rebuilt through an explicit ``long`` schema (consistent
+    with ``kcenter_select``). String/other id columns would fail or coerce
+    at the final createDataFrame; wrap non-long ids with a surrogate key
+    before calling."""
     cand_v = _mmr_candidates(corpus, queries, pool, id_col, vec_col)
     pairs = (
         cand_v.select("query_id", "doc_id", "c_vec")
@@ -267,7 +275,8 @@ def mmr_rerank(
                 break
             chosen.append(best[0])
             sel.append((qid, best[0], best[2], best[1], rank))
-    return spark.createDataFrame(
+    return driver_rows_df(
+        spark,
         sel,
         "query_id long, doc_id long, rel_micro long, mmr_score_micro long, mmr_rank long",
     )
@@ -768,6 +777,17 @@ def _sqdist_to_literal(a_col: str, vec: list, dim: int) -> str:
     ) + ")"
 
 
+def _sqdist_unrolled_sql(a_col: str, b_col: str, dim: int) -> str:
+    """The SQL text of ``_sqdist_unrolled`` (shared so callers can embed it
+    inside larger parsed expressions)."""
+    t = " + ".join(
+        f"((CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - CAST(element_at(`{b_col}`, {i}) AS DOUBLE))"
+        f" * (CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - CAST(element_at(`{b_col}`, {i}) AS DOUBLE)))"
+        for i in range(1, dim + 1)
+    )
+    return f"({t})"
+
+
 def _sqdist_unrolled(a_col: str, b_col: str, dim: int) -> Column:
     """``_sqdist`` for a STATICALLY KNOWN dim, unrolled into one parsed
     literal-index expression chain. aggregate/zip_with are HigherOrderFunctions
@@ -778,12 +798,17 @@ def _sqdist_unrolled(a_col: str, b_col: str, dim: int) -> Column:
     acc order exactly (the leading 0.0 + t1 == t1 for every IEEE double, and
     squared terms are never -0.0), and each (x-y)*(x-y) term is the same
     doubled subtree the fold's lambda builds."""
-    t = " + ".join(
-        f"((CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - CAST(element_at(`{b_col}`, {i}) AS DOUBLE))"
-        f" * (CAST(element_at(`{a_col}`, {i}) AS DOUBLE) - CAST(element_at(`{b_col}`, {i}) AS DOUBLE)))"
-        for i in range(1, dim + 1)
-    )
-    return F.expr(f"({t})")
+    return F.expr(_sqdist_unrolled_sql(a_col, b_col, dim))
+
+
+#: Codegen budget for kcenter's literal-embedded least() chain: the round-r
+#: projection inlines (r-1)*dim squared-diff terms into ONE generated method,
+#: and this repo has measured Janino's 64 KB method limit blowing at ~641
+#: inlined terms (r10 zorder note; er_golden_records r11) with a silent 2-7x
+#: interpreted fallback. 512 keeps the default k=8/dim=64 lanes (≤448 terms)
+#: on the literal path and routes anything larger to the bit-identical
+#: broadcast-join form below.
+_KCENTER_TERM_BUDGET = 512
 
 
 def kcenter_select(
@@ -792,6 +817,7 @@ def kcenter_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    term_budget: int | None = None,
 ) -> DataFrame:
     """Greedy k-center coreset selection (Gonzalez 1985, the 2-approximation
     behind data-efficient subset selection): seed with the smallest id, then
@@ -811,7 +837,16 @@ def kcenter_select(
     values min-folded in the same order — bit-identical selections.
     Returns (vec_id, sel_round, dmax_micro); dmax_micro is the max-min
     distance when the point was chosen (0 for the seed) — the
-    covering-radius curve."""
+    covering-radius curve.
+
+    Codegen guard (r11 ADVICE / r12): rounds whose literal chain would
+    exceed ``term_budget`` ((n_selected)·dim squared-diff terms, default
+    ``_KCENTER_TERM_BUDGET``) switch to a broadcast-join of the selected
+    set + min aggregate — the same floor-quantized per-pair longs
+    min-folded (min ≡ least over the same values), so selections are
+    bit-identical; only the plan shape changes. Unit-gated by
+    ``test_kcenter_join_fallback_matches_literal``."""
+    budget = _KCENTER_TERM_BUDGET if term_budget is None else term_budget
     pts = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     seed = pts.orderBy("vec_id").limit(1).first()
     schema = "vec_id long, sel_round long, dmax_micro long"
@@ -822,23 +857,46 @@ def kcenter_select(
     sel_vecs: list[list[float]] = [[float(x) for x in seed["v"]]]
     for rnd in range(2, k + 1):
         sel_ids = [s[0] for s in sel]
-        dists = [
-            f"CAST(floor({_sqdist_to_literal('v', sv, dim)} * 1000000.0D + 0.5D) AS BIGINT)"
-            for sv in sel_vecs
-        ]
-        dmin = dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+        cand = pts.filter(~F.col("vec_id").isin(sel_ids))
+        if len(sel_vecs) * dim <= budget:
+            dists = [
+                f"CAST(floor({_sqdist_to_literal('v', sv, dim)} * 1000000.0D + 0.5D) AS BIGINT)"
+                for sv in sel_vecs
+            ]
+            dmin = dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+            scored = cand.select("vec_id", "v", F.expr(dmin).alias("dmin_micro"))
+        else:
+            # Broadcast-join fallback: the same per-pair quantized distance
+            # (createDataFrame round-trips the collected doubles exactly,
+            # and _sqdist_unrolled builds the identical term chain the
+            # literal form inlines), min-aggregated instead of least()'d.
+            sel_df = spark.createDataFrame(
+                [(sv,) for sv in sel_vecs], "sv array<double>"
+            )
+            pair_d = F.expr(
+                f"CAST(floor({_sqdist_unrolled_sql('v', 'sv', dim)} "
+                "* 1000000.0D + 0.5D) AS BIGINT)"
+            )
+            scored = (
+                cand.crossJoin(F.broadcast(sel_df))
+                .select("vec_id", pair_d.alias("d_micro"))
+                .groupBy("vec_id")
+                .agg(F.min("d_micro").alias("dmin_micro"))
+            )
         best = (
-            pts.filter(~F.col("vec_id").isin(sel_ids))
-            .select("vec_id", "v", F.expr(dmin).alias("dmin_micro"))
-            .orderBy(F.col("dmin_micro").desc(), F.col("vec_id"))
+            scored.orderBy(F.col("dmin_micro").desc(), F.col("vec_id"))
             .limit(1)
             .first()
         )
         if best is None:
             break
+        if "v" in best.asDict():
+            best_v = best["v"]
+        else:  # join fallback: fetch the winner's vector (1-row lookup)
+            best_v = pts.filter(F.col("vec_id") == int(best["vec_id"])).first()["v"]
         sel.append((int(best["vec_id"]), rnd, int(best["dmin_micro"])))
-        sel_vecs.append([float(x) for x in best["v"]])
-    return spark.createDataFrame(sel, schema)
+        sel_vecs.append([float(x) for x in best_v])
+    return driver_rows_df(spark, sel, schema)
 
 
 def ivf_seed_centroids(
@@ -1776,6 +1834,19 @@ def ivf_probe_and_score(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
+def index_dim_from_centroids(cents: DataFrame) -> int:
+    """The index's vector dimensionality IS persisted metadata: every
+    centroid row carries the full-dim ``cvec``. Reading it back (one tiny
+    1-row probe of the already-loaded centroid table) closes the r11 ADVICE
+    gap — a reader passing no ``dim`` previously fell back to a silent 64
+    and computed cosine over only the first 64 components of a wider
+    index."""
+    row = cents.select("cvec").first()
+    if row is None:
+        raise ValueError("IVF index has no centroids — cannot derive dim")
+    return len(row["cvec"])
+
+
 def ivf_query_index(
     spark,
     path: str,
@@ -1784,14 +1855,18 @@ def ivf_query_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index (`ivf_write_index` layout): identical
     semantics (and unit-asserted identical results) to the in-memory
     `ivf_ann_topk` given the same trained centroids; see
-    ``ivf_probe_and_score`` for the pruning argument."""
+    ``ivf_probe_and_score`` for the pruning argument. ``dim`` defaults to
+    the dimensionality persisted with the index (the centroid vectors) —
+    see ``index_dim_from_centroids``."""
     cents = spark.read.parquet(f"{path}/centroids")
     lists = spark.read.parquet(f"{path}/lists")
+    if dim is None:
+        dim = index_dim_from_centroids(cents)
     return ivf_probe_and_score(cents, lists, queries, k, nprobe, id_col, vec_col, dim)
 
 

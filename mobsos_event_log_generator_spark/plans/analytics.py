@@ -8166,7 +8166,7 @@ def parts_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job, and every round then shuffled 2m rows where m suffice. Degrees
     # and node counts come off one explode of both endpoints instead.
     g = pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).localCheckpoint(
-        eager=True
+        eager=False  # materialized by round 0's stats job (see below)
     )
     # Round fusion (r11): the former shape computed the SAME 1-row (m2, n)
     # aggregate TWICE per round (once for the stats union, once crossJoined
@@ -8191,7 +8191,12 @@ def parts_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         if k < _DS_ROUNDS:
-            deg = deg.localCheckpoint(eager=True)
+            # LAZY checkpoint (r12, verdict #5): the 1-row stats action
+            # below materializes deg AND the lazily-checkpointed g of this
+            # round in the same job — one job per round instead of three
+            # (deg checkpoint, stats, g checkpoint). The full aggregate
+            # scans every partition, so both checkpoints complete here.
+            deg = deg.localCheckpoint(eager=False)
         m2, n = deg.agg(
             F.sum("deg").cast("long").alias("m2"),
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -8205,7 +8210,7 @@ def parts_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.join(keep.withColumnRenamed("node", "src"), "src")
             .join(keep.withColumnRenamed("node", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     densities = [r[3] for r in rows if r[3] is not None]
     best_d = max(densities) if densities else None
@@ -8222,8 +8227,10 @@ def parts_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in rows
     ]
-    return spark.createDataFrame(
-        data, "round long, n_nodes long, m_edges long, density_ppm long, is_best long"
+    from mobsos_event_log_generator_spark.driver_rows import driver_rows_df
+
+    return driver_rows_df(
+        spark, data, "round long, n_nodes long, m_edges long, density_ppm long, is_best long"
     )
 
 

@@ -7466,7 +7466,10 @@ FROM par2"""
             (f, pr_row["pr"], pr_row[f"m_{f}"], pr_row[f"u_{f}"], n_pairs)
             for f in _FS_FIELDS
         ]
-        return pats.sparkSession.createDataFrame(
+        from mobsos_event_log_generator_spark.driver_rows import driver_rows_df
+
+        return driver_rows_df(
+            pats.sparkSession,
             data,
             "field string, p_match_ppm long, m_ppm long, u_ppm long, n_pairs long",
         )

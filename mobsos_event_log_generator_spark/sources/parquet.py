@@ -29,6 +29,18 @@ KNOWN_TABLES = (
 )
 
 
+#: Logical-PLAN memo for ``load_table`` (r12, guide §1/§5 driver boundary).
+#: ``spark.read.parquet`` re-reads the footer schema on EVERY call (~80 ms
+#: driver latency) and the NTZ projection assembly adds 20–90 ms more —
+#: measured 95–170 ms per call, and a bench pass issues 100+ calls (~6–8 s
+#: of the cold lane). A DataFrame is an immutable LAZY plan: memoizing it
+#: caches no data and no results — every action still scans the parquet
+#: files — so this is a schema/plan cache, not result caching. Keyed by
+#: (applicationId, absolute path, mtime, size): a new session or a changed
+#: file misses, the dict dies with the process.
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
@@ -45,10 +57,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # NTZ→LTZ cast interprets the wall clock in the session timezone; pin UTC
     # so the interpretation is deterministic and matches the DuckDB oracle.
+    # (Set on every call — memo hits must behave identically for callers
+    # that rely on the loader establishing these confs.)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:  # non-local path: no memo
+        key = None
+    if key is not None and key in _PLAN_MEMO:
+        return _PLAN_MEMO[key]
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # Integer div: epoch-nanos (~1.7e18) exceeds double's exact range.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -61,6 +88,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 for f in df.schema.fields
             ]
         )
+    if key is not None:
+        _PLAN_MEMO[key] = df
     return df
 
 

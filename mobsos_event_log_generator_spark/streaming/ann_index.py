@@ -67,7 +67,10 @@ def make_ivf_batch_processor(
             cents = ivf_train(batch, num_centroids, iters, id_col, vec_col, dim)
             cents.write.mode("overwrite").parquet(cent_dir)
         cents = spark.read.parquet(cent_dir)
-        assigned = ivf_assign(batch, cents, 1, id_col, vec_col)
+        # dim must reach the assignment kernel (it sizes the unrolled
+        # distance chain) — omitting it silently assigned over the first
+        # 64 components of a wider index (r11 ADVICE class).
+        assigned = ivf_assign(batch, cents, 1, id_col, vec_col, dim)
         # Cluster by cell before the partitioned write (see
         # multitable_write_index): unclustered, each batch emitted
         # tasks x num_centroids tiny files.
@@ -124,11 +127,18 @@ def query_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Query the streaming-maintained index — same probe-and-score core as
-    the batch ``ivf_query_index``."""
+    the batch ``ivf_query_index``. ``dim`` defaults to the dimensionality
+    persisted with the index (derived from the centroid vectors)."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        index_dim_from_centroids,
+    )
+
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    if dim is None:
+        dim = index_dim_from_centroids(cents)
     return ivf_probe_and_score(
         cents, read_lists(spark, index_dir), queries, k, nprobe, id_col, vec_col, dim
     )

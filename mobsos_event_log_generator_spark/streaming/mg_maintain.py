@@ -42,7 +42,16 @@ def _reduce_mg(merged: DataFrame, k: int) -> DataFrame:
     once per micro-batch — the crossJoin-of-own-threshold form re-ran it
     for the top-(k+1), the threshold, and the subtraction; the threshold
     itself is k+1 collected rows (bounded by the sketch size), folded in
-    as a literal."""
+    as a literal.
+
+    Fault-tolerance note (r11 ADVICE): ``localCheckpoint`` blocks live in
+    executor storage only — they are NOT fault-tolerant, so an executor
+    loss mid-batch fails the streaming query instead of recomputing
+    lineage. Acceptable in local mode (this engine's test posture); on a
+    cluster the exactly-once contract still holds because foreachBatch
+    replays the failed batch from the stream checkpoint, at the cost of a
+    restart. Use a reliable ``checkpoint()`` on durable storage if batch
+    restarts are too expensive at your scale."""
     merged = merged.localCheckpoint(eager=True)
     top = merged.orderBy(F.col("cnt").desc(), F.col("key")).limit(k + 1).collect()
     t = min(r["cnt"] for r in top) if len(top) == k + 1 else 0

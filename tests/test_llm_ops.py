@@ -1746,6 +1746,28 @@ def test_dim_correlation_matches_numpy(spark):
         assert abs(r["corr2_ppm"] / 1e6 - true_r2) < 3e-3
 
 
+def test_kcenter_join_fallback_matches_literal(spark, sf_dir):
+    """kcenter_select's codegen-budget fallback (broadcast-join + min agg)
+    must select the identical (id, round, dmax) sequence as the literal
+    least() path — min over the same floor-quantized longs (r11 ADVICE /
+    r12 verdict #7 guard)."""
+    from mobsos_event_log_generator_spark.operators.similarity import kcenter_select
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit = sorted(map(tuple, kcenter_select(emb, k=6).collect()))
+    jn = sorted(map(tuple, kcenter_select(emb, k=6, term_budget=1).collect()))
+    assert lit == jn and len(lit) == 6
+
+    # mid-run path switch: rounds under the budget stay literal, later
+    # rounds cross it and must continue the identical selection.
+    vecs = [(i, [((i * 7 + j * 3) % 17) / 8.0 - 1.0 for j in range(8)]) for i in range(60)]
+    df = emb.sparkSession.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    ref = sorted(map(tuple, kcenter_select(df, k=10, dim=8, term_budget=10**9).collect()))
+    mix = sorted(map(tuple, kcenter_select(df, k=10, dim=8, term_budget=16).collect()))
+    assert ref == mix and len(ref) == 10
+
+
 def test_srp_signatures_arrow_matches_jvm(spark, sf_dir):
     """The Arrow SRP signature kernel must be BIT-EQUAL to the JVM
     posexplode+aggregate form: identical int8 quantization (same IEEE op
