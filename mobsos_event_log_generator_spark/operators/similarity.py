@@ -1911,6 +1911,78 @@ def _pq_assign(
     )
 
 
+def pq_assign_arrow(
+    df: DataFrame,
+    codebook: DataFrame,
+    out_id: str,
+    code_col: str,
+    m_subspaces: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_sub: bool = False,
+) -> DataFrame:
+    """Arrow twin of ``_pq_assign`` fused with ``_pq_subvectors`` — the
+    encode-stage scale path (r12, guide §4.2/§2.4). The JVM form pays, per
+    encode, an explode (m rows/vector), a broadcast join against the
+    codebook, and a row_number window whose Exchange re-shuffles the
+    subvector table (~0.5 s wall twice per pq_adc run at sf0.1). Here the
+    codebook (bounded m×num_codes rows, already checkpointed by callers)
+    is collected and each corpus partition streams through ONE
+    ``mapInPandas`` pass: subspace slicing, per-dimension fold-order
+    distance accumulation (the identical op sequence ``_sqdist_unrolled``
+    evaluates), ``_round_half_up`` 6-dp rounding, argmin with smallest-cid
+    ties — the exact ``ivf_assign_arrow`` equality contract, unit-gated by
+    ``test_pq_assign_arrow_matches_jvm``. ``carry_sub`` keeps the subvector
+    on the output rows so the Lloyd mean skips the (id, m) self-join. The
+    corpus never shuffles; nothing corpus-sized is collected."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = sorted(
+        codebook.select("m", "cid", "cvec").collect(),  # bounded: m×codes
+        key=lambda r: (r["m"], r["cid"]),
+    )
+    by_m: dict[int, tuple] = {}
+    for m in range(m_subspaces):
+        ent = [r for r in rows if r["m"] == m]
+        by_m[m] = (
+            np.array([r["cid"] for r in ent], dtype=np.int64),
+            np.array([list(r["cvec"]) for r in ent], dtype=np.float64),
+        )
+    fields = [T.StructField(out_id, T.LongType()), T.StructField("m", T.IntegerType())]
+    if carry_sub:
+        fields.append(T.StructField("sub", T.ArrayType(T.DoubleType())))
+    fields.append(T.StructField(code_col, T.LongType()))
+    out_schema = T.StructType(fields)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            outs = []
+            for m in range(m_subspaces):
+                cids, cmat = by_m[m]
+                sub = mat[:, m * sub_dim : (m + 1) * sub_dim]
+                acc = np.zeros((len(ids), cmat.shape[0]))
+                for d in range(sub_dim):  # fold-order accumulation
+                    diff = sub[:, d, None] - cmat[None, :, d]
+                    acc = acc + diff * diff
+                dist = _round_half_up(acc)
+                j = np.argmin(dist, axis=1)  # first occurrence = smallest cid
+                out = {out_id: ids, "m": np.full(len(ids), m, dtype=np.int32)}
+                if carry_sub:
+                    out["sub"] = list(sub)
+                out[code_col] = cids[j]
+                outs.append(pd.DataFrame(out))
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
 def pq_train(
     corpus: DataFrame,
     m_subspaces: int = 4,
@@ -1937,10 +2009,15 @@ def pq_train(
         )
         .select("m", "cid", F.expr(f"slice(v, m * {sub_dim} + 1, {sub_dim})").alias("cvec"))
     )
-    sub = _pq_subvectors(corpus, "nid", m_subspaces, sub_dim, id_col, vec_col)
-    a0 = _pq_assign(sub, cb0, "nid", "cid", sub_dim)
+    # Arrow assign with carry_sub (r12): one fused pass replaces the
+    # explode + broadcast-join + window Exchange AND the (nid, m) self-join
+    # the Lloyd mean paid to re-attach the subvector (pq_assign_arrow
+    # equality contract, unit-gated).
+    a0 = pq_assign_arrow(
+        corpus, cb0, "nid", "cid", m_subspaces, sub_dim, id_col, vec_col, carry_sub=True
+    )
     return (
-        sub.join(a0, ["nid", "m"])
+        a0
         .groupBy("m", "cid")
         .agg(
             *[
@@ -1988,8 +2065,9 @@ def pq_ann_topk(
     cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col).localCheckpoint(
         eager=True
     )
-    sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
-    codes = _pq_assign(sub, cb, "neighbor_id", "code", sub_dim)
+    codes = pq_assign_arrow(
+        corpus, cb, "neighbor_id", "code", m_subspaces, sub_dim, id_col, vec_col
+    )
     qsub = _pq_subvectors(queries, "query_id", m_subspaces, sub_dim, id_col, vec_col)
     dtab = qsub.join(F.broadcast(cb), "m").select(
         "query_id",
@@ -2067,8 +2145,9 @@ def ivfpq_ann_topk(
     cb = pq_train(corpus, m_subspaces, sub_dim, num_codes, id_col, vec_col).localCheckpoint(
         eager=True
     )
-    sub = _pq_subvectors(corpus, "neighbor_id", m_subspaces, sub_dim, id_col, vec_col)
-    codes = _pq_assign(sub, cb, "neighbor_id", "code", sub_dim).join(cells, "neighbor_id")
+    codes = pq_assign_arrow(
+        corpus, cb, "neighbor_id", "code", m_subspaces, sub_dim, id_col, vec_col
+    ).join(cells, "neighbor_id")
     probes = ivf_assign(queries, cents, nprobe, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col("cid").alias("cell")
     )

@@ -1746,6 +1746,30 @@ def test_dim_correlation_matches_numpy(spark):
         assert abs(r["corr2_ppm"] / 1e6 - true_r2) < 3e-3
 
 
+def test_pq_assign_arrow_matches_jvm(spark, sf_dir):
+    """The fused Arrow PQ assignment must be BIT-EQUAL to the JVM
+    explode + broadcast-join + window form: same fold-order accumulation,
+    same HALF_UP 6-dp rounding, same smallest-cid ties (the
+    ivf_assign_arrow equality contract applied per subspace)."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        _pq_assign,
+        _pq_subvectors,
+        pq_assign_arrow,
+        pq_train,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, 4, 16, 16)
+    sub = _pq_subvectors(emb, "nid", 4, 16)
+    jvm = sorted(map(tuple, _pq_assign(sub, cb, "nid", "code", 16).collect()))
+    arrow = sorted(
+        map(tuple, pq_assign_arrow(emb, cb, "nid", "code", 4, 16).select(
+            "nid", "m", "code").collect())
+    )
+    assert jvm == arrow and len(jvm) > 0
+
+
 def test_kcenter_join_fallback_matches_literal(spark, sf_dir):
     """kcenter_select's codegen-budget fallback (broadcast-join + min agg)
     must select the identical (id, round, dmax) sequence as the literal
