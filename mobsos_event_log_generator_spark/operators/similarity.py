@@ -1575,6 +1575,60 @@ def srp_signatures_arrow(
     return corpus.select(id_col, vec_col).mapInPandas(pack, out_schema)
 
 
+def gram_partials(
+    quantized: DataFrame,
+    dim: int,
+    arr_col: str = "uarr",
+) -> DataFrame:
+    """Per-partition Gram/sum partials over PRE-QUANTIZED int64 vectors —
+    the Arrow BLAS path the dim-correlation docstring reserves for large
+    corpora (r12). Input rows carry ``arr_col`` = array<long> (micro-unit
+    quantization happens in JVM codegen, so there is NO float rounding in
+    this kernel — every value is exact int64 and int64 sums are
+    associative: bit-identical on any partitioning by construction).
+
+    Emits, per input partition: rows (kind='s', j, k, val) with the upper
+    triangle (j ≤ k) of U^T·U, (kind='d', j, 0, val) with the per-dimension
+    sums, and ('n', 0, 0, count). Callers sum the partials in a tiny
+    (dim²/2)-row JVM aggregate — the corpus-scaled pair explode/self-join
+    never exists. int64 headroom: |u| ≤ ~2^21 micro units for unit-scale
+    embeddings, so Σ u·u stays < 2^53 up to ~10^9 rows per partition."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    ju, ku = np.triu_indices(dim)
+
+    def partials(batches):
+        g = np.zeros((dim, dim), dtype=np.int64)
+        s = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = np.array([np.asarray(v, dtype=np.int64) for v in pdf[arr_col]])
+            g += u.T @ u
+            s += u.sum(axis=0)
+            n += len(pdf)
+        rows = {
+            "kind": ["s"] * len(ju) + ["d"] * dim + ["n"],
+            "j": np.concatenate([ju + 1, np.arange(1, dim + 1), [0]]).astype(np.int32),
+            "k": np.concatenate([ku + 1, np.zeros(dim, dtype=np.int64), [0]]).astype(np.int32),
+            "val": np.concatenate([g[ju, ku], s, [n]]),
+        }
+        yield pd.DataFrame(rows)
+
+    return quantized.select(arr_col).mapInPandas(partials, out_schema)
+
+
 def knn_hard_negatives(
     corpus: DataFrame,
     k: int = 5,

@@ -6280,24 +6280,47 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora swap the pair explode for a mapInPandas Gram partial-sum
     (the Arrow BLAS path) feeding the same 2080-row algebra."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    e = emb.select(
-        "vec_id", F.posexplode("embedding").alias("p", "v")
-    ).select(
-        "vec_id",
-        (F.col("p") + 1).alias("j"),
-        (F.col("v").cast("decimal(18,6)") * 1_000_000).cast("decimal(38,0)").alias("u"),
+    # Arrow Gram path (r12 — the scale path this docstring always reserved):
+    # quantization to exact int64 micro units stays in JVM CODEGEN (the
+    # identical decimal(18,6) HALF_UP cast as before, unrolled per element
+    # — no float rounding ever enters the kernel), then ONE mapInPandas
+    # pass per partition computes the integer U^T·U / Σu partials, and a
+    # (dim²/2)-row aggregate sums them. The 4M-row per-vector dim-pair
+    # self-join + 128k-row posexplode (16 s of aggregate time at sf0.1)
+    # never exists; int64 sums are associative, so the aggregated partials
+    # equal the old per-row sums bit for bit.
+    _dim = 64
+    uarr = emb.select(
+        F.expr(
+            "array("
+            + ",".join(
+                f"CAST(CAST(element_at(embedding, {j}) AS DECIMAL(18,6)) * 1000000 AS LONG)"
+                for j in range(1, _dim + 1)
+            )
+            + ")"
+        ).alias("uarr")
     )
-    a = e.select("vec_id", F.col("j").alias("aj"), F.col("u").alias("au"))
-    b = e.select("vec_id", F.col("j").alias("bj"), F.col("u").alias("bu"))
-    pair_s = (
-        a.join(b, "vec_id")
-        .filter(F.col("bj") >= F.col("aj"))
-        .groupBy(F.col("aj").alias("j"), F.col("bj").alias("k"))
-        .agg(F.sum(F.col("au") * F.col("bu")).cast("decimal(38,0)").alias("s"))
+    # One aggregate over the partials, checkpointed (≤ dim²/2 + dim + 1
+    # rows — bounded): its three consumers (pair sums, dim sums, n) would
+    # otherwise each replay the corpus kernel pass.
+    parts = (
+        S.gram_partials(uarr, _dim)
+        # decimal accumulator: per-partition partials are int64-safe, but
+        # their TOTAL keeps the old decimal(38,0) overflow headroom.
+        .groupBy("kind", "j", "k")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
+        .localCheckpoint(eager=True)
     )
-    dims = e.groupBy("j").agg(
-        F.sum("u").cast("decimal(38,0)").alias("sj"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    pair_s = parts.filter(F.col("kind") == "s").select(
+        "j", "k", F.col("val").cast("decimal(38,0)").alias("s")
+    )
+    nrow = parts.filter(F.col("kind") == "n").select(
+        F.col("val").cast("decimal(38,0)").alias("n")
+    )
+    dims = (
+        parts.filter(F.col("kind") == "d")
+        .select("j", F.col("val").cast("decimal(38,0)").alias("sj"))
+        .crossJoin(F.broadcast(nrow))
     )
     diag = pair_s.filter(F.col("j") == F.col("k")).select("j", F.col("s").alias("sjj"))
     dimstats = dims.join(diag, "j")
@@ -7554,23 +7577,49 @@ def embedding_cka_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim table joins are AQE-broadcast. Reference analog: none
     (beyond-reference representation-analysis op)."""
     emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
-    e = emb.select("vec_id", F.posexplode("embedding").alias("p", "val")).select(
-        "vec_id",
-        (F.col("p") + 1).alias("j"),
-        F.floor(F.col("val").cast("double") * 1_000_000)
-        .cast("decimal(38,0)")
-        .alias("u"),
+    # Arrow Gram path (r12, the dim_correlation treatment): quantization
+    # stays in JVM codegen (the identical floor(v·1e6) per element — pure
+    # IEEE multiply+floor, no rounding-mode question), one mapInPandas pass
+    # computes exact-int64 U^T·U / Σu partials per partition, a bounded
+    # aggregate sums them (decimal accumulator for the old headroom), and
+    # the symmetric 64×64 cell grid is rebuilt from the upper triangle
+    # (p(j,k) = p(k,j) — per-vector u_j·u_k is commutative). The
+    # vec×64×64 = 8.2M-row self-join never exists.
+    _dim = 64
+    uarr = emb.select(
+        F.expr(
+            "array("
+            + ",".join(
+                f"CAST(floor(CAST(element_at(embedding, {j}) AS DOUBLE) * 1000000.0D) AS LONG)"
+                for j in range(1, _dim + 1)
+            )
+            + ")"
+        ).alias("uarr")
     )
-    dims = e.groupBy("j").agg(
-        F.sum("u").cast("decimal(38,0)").alias("sj"),
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    parts = (
+        S.gram_partials(uarr, _dim)
+        .groupBy("kind", "j", "k")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
+        .localCheckpoint(eager=True)
     )
-    a = e.select("vec_id", F.col("j").alias("ja"), F.col("u").alias("ua"))
-    b = e.select("vec_id", F.col("j").alias("jb"), F.col("u").alias("ub"))
+    nrow = parts.filter(F.col("kind") == "n").select(
+        F.col("val").cast("decimal(38,0)").alias("n")
+    )
+    dims = (
+        parts.filter(F.col("kind") == "d")
+        .select("j", F.col("val").cast("decimal(38,0)").alias("sj"))
+        .crossJoin(F.broadcast(nrow))
+    )
+    tri = parts.filter(F.col("kind") == "s").select(
+        "j", "k", F.col("val").cast("decimal(38,0)").alias("p")
+    )
     cells = (
-        a.join(b, "vec_id")
-        .groupBy("ja", "jb")
-        .agg(F.sum(F.col("ua") * F.col("ub")).cast("decimal(38,0)").alias("p"))
+        tri.select(F.col("j").alias("ja"), F.col("k").alias("jb"), "p")
+        .unionByName(
+            tri.filter(F.col("j") < F.col("k")).select(
+                F.col("k").alias("ja"), F.col("j").alias("jb"), "p"
+            )
+        )
         .join(dims.select(F.col("j").alias("ja"), F.col("sj").alias("sa"), "n"), "ja")
         .join(dims.select(F.col("j").alias("jb"), F.col("sj").alias("sb")), "jb")
         # Spark's `div` narrows to BIGINT (≤ v²·1e12 per term here — safe);
