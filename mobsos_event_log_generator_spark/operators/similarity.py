@@ -48,7 +48,16 @@ def cosine_unrolled(a_col: str, b_col: str, dim: int) -> Column:
     """``cosine`` for a STATICALLY KNOWN dim, unrolled into one parsed
     literal-index expression (aggregate/zip_with folds are interpreted per
     row — ENGINEERING_NOTES pitfall 2 — so candidate scoring paid
-    3 interpreted 64-step folds per pair). Bit-identical to the fold form:
+    3 interpreted 64-step folds per pair).
+
+    PLACEMENT (r12): every join-consume call site moved BACK to the fold —
+    the 192-term chain inside a BroadcastHashJoin consume is consistently
+    SLOWER than the interpreted fold (alternating A/Bs: bruteforce
+    0.84-1.21 s unrolled vs 0.59-0.86 s fold) and blew Janino's 64 KB
+    method limit inside embedding_knn_clusters' pair-join consume (r12
+    sweep codegen log). Kept for scan-side projections where the chain is
+    the whole stage (the assignment crossJoins use ``_sqdist_unrolled``).
+    Bit-identical to the fold form:
     every chain keeps the fold's leading 0.0 accumulator explicitly, so
     the association — including the 0.0 + (-0.0) edge on dot products —
     matches term for term, and each cast/multiply is the same subtree the
@@ -396,7 +405,7 @@ def bucketed_ann_topk(
     scored = (
         c.join(F.broadcast(q), on="code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -441,7 +450,7 @@ def multiprobe_ann_topk(
     scored = (
         c.join(F.broadcast(q), on="code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -517,7 +526,7 @@ def multiprobe_hq_ann_topk(
     scored = (
         c.join(F.broadcast(q), on="code")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -1144,7 +1153,7 @@ def ivf_ann_topk(
     scored = (
         inv.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -1209,7 +1218,7 @@ def semdedup(
     dup_of = (
         a.join(b, "cid")
         .filter(F.col("b_id") < F.col("a_id"))
-        .withColumn("cos", cosine_unrolled("a_vec", "b_vec", dim))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .groupBy("a_id")
         .agg(F.min("b_id").alias("dup_of"))
@@ -1317,6 +1326,40 @@ def semdedup_arrow(
     return swept.unionByName(passthrough) if passthrough is not None else swept
 
 
+def _ivf_cell_knn_jvm(
+    corpus: DataFrame,
+    k: int,
+    num_centroids: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """The JVM pair-join form of ``_ivf_cell_knn`` — kept as the equality
+    reference for the Arrow kernel's unit gate
+    (``test_ivf_cell_knn_arrow_matches_jvm``). Not a production path: the
+    cell self-join caps parallelism at num_centroids tasks and scores
+    cell² pairs with three interpreted 64-step folds each (r12 measured
+    ~29 s at sf0.1 for embedding_knn_clusters; the unrolled-chain variant
+    blew Janino's 64 KB method limit inside the BHJ consume and fell back
+    interpreted anyway — the r12 sweep codegen log's only two events)."""
+    cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col, dim, carry_vec=True)
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select("cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = assigned.select("cid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .select("a_id", "b_id", "cos")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a_id", "b_id", "cos", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def _ivf_cell_knn(
     corpus: DataFrame,
     k: int,
@@ -1329,26 +1372,69 @@ def _ivf_cell_knn(
     """Directed within-cell kNN edges (a_id, b_id, cos, rk): IVF-assign the
     corpus with the shared deterministic quantizer, then per vector keep the
     top-k cell-mates by (6-dp cosine desc, id). Shared by the mutual-kNN
-    clustering, the kNN label audit, and the k-dist outlier score — their
-    oracles replay this exact edge set, so it MUST be one block. The
-    assignment feeds both sides of the pair join (the semdedup
-    lineage-truncation rule)."""
+    clustering, the kNN label audit, the k-dist outlier score and the
+    hard-negative miner — their oracles replay this exact edge set, so it
+    MUST be one block.
+
+    r12: the per-cell scoring is the semdedup_arrow ``applyInPandas``
+    kernel shape — ONE pass per cell where dot products and square norms
+    ACCUMULATE PER-DIMENSION in fold order (a rank-1 update per dim: the
+    identical left-associative add sequence the JVM ``cosine`` fold
+    evaluates, so the pre-round doubles are bit-identical by
+    construction), then ``_round_half_up`` (the standard gated HALF_UP
+    emulation) and a per-row (cos desc, id) top-k. The JVM pair-join form
+    this replaces ran three interpreted 64-step folds on cell² pairs with
+    parallelism capped at num_centroids tasks (~29 s at sf0.1); unit gate:
+    ``test_ivf_cell_knn_arrow_matches_jvm``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     cents = ivf_train(corpus, num_centroids, iters, id_col, vec_col, dim)
-    assigned = corpus.select(id_col, vec_col).join(
-        ivf_assign(corpus, cents, 1, id_col, vec_col, dim), id_col
+    assigned = ivf_assign(corpus, cents, 1, id_col, vec_col, dim, carry_vec=True)
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rk", T.LongType()),
+        ]
     )
-    assigned = assigned.localCheckpoint(eager=True)
-    a = assigned.select("cid", F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = assigned.select("cid", F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
-    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
-    return (
-        a.join(b, "cid")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("cos", cosine_unrolled("a_vec", "b_vec", dim))
-        .select("a_id", "b_id", "cos")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("a_id", "b_id", "cos", F.col("rk").cast("long").alias("rk"))
+    kk = int(k)
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": [], "rk": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos": "float64", "rk": "int64"}
+            )
+        # b_id ascending so stable sort keeps the id tiebreak
+        pdf = pdf.sort_values(by=pdf.columns[0]).reset_index(drop=True)
+        ids = pdf.iloc[:, 0].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+        dot = np.zeros((n, n))
+        sq = np.zeros(n)
+        for d in range(mat.shape[1]):  # fold-order accumulation
+            col = mat[:, d]
+            dot = dot + col[:, None] * col[None, :]
+            sq = sq + col * col
+        nrm = np.sqrt(sq)
+        cos = _round_half_up(dot / (nrm[:, None] * nrm[None, :]))
+        rows_a, rows_b, rows_c, rows_r = [], [], [], []
+        for i in range(n):
+            order = np.argsort(-cos[i], kind="stable")  # ids asc breaks ties
+            order = order[order != i][:kk]
+            rows_a.extend([ids[i]] * len(order))
+            rows_b.extend(ids[order])
+            rows_c.extend(cos[i, order])
+            rows_r.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {"a_id": rows_a, "b_id": rows_b, "cos": rows_c,
+             "rk": np.array(rows_r, dtype=np.int64)}
+        )
+
+    return assigned.select(id_col, vec_col, "cid").groupBy("cid").applyInPandas(
+        cell_knn, out_schema
     )
 
 
@@ -1881,7 +1967,7 @@ def ivf_probe_and_score(
     scored = (
         inv.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -2232,7 +2318,7 @@ def ivfpq_ann_topk(
     reranked = (
         short.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("cosine", cosine_unrolled("q_vec", "c_vec", dim))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

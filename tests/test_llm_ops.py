@@ -1746,6 +1746,23 @@ def test_dim_correlation_matches_numpy(spark):
         assert abs(r["corr2_ppm"] / 1e6 - true_r2) < 3e-3
 
 
+def test_ivf_cell_knn_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow per-cell kNN kernel must be BIT-EQUAL to the JVM pair-join
+    form: fold-order dot/norm accumulation, HALF_UP 6-dp rounding, and the
+    (cos desc, id) tie order — on the fixture embeddings at two k values."""
+    from mobsos_event_log_generator_spark.operators.similarity import (
+        _ivf_cell_knn,
+        _ivf_cell_knn_jvm,
+    )
+    from mobsos_event_log_generator_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for k in (3, 5):
+        jvm = sorted(map(tuple, _ivf_cell_knn_jvm(emb, k, 8, 1, "vec_id", "embedding", 64).collect()))
+        arrow = sorted(map(tuple, _ivf_cell_knn(emb, k, 8, 1, "vec_id", "embedding", 64).collect()))
+        assert jvm == arrow and len(jvm) > 0, k
+
+
 def test_pq_assign_arrow_matches_jvm(spark, sf_dir):
     """The fused Arrow PQ assignment must be BIT-EQUAL to the JVM
     explode + broadcast-join + window form: same fold-order accumulation,
