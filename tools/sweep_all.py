@@ -147,13 +147,27 @@ def main() -> int:
     if args.plain:
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        # SQL semantics stay vanilla (that is what --plain verifies — the
+        # driver-session mirror); driver MEMORY is harness capacity, not a
+        # query conf: a 710-cell marathon accumulates localCheckpoint
+        # blocks faster than the ContextCleaner drops them and OOM'd the
+        # 1g default heap mid-sf0.1 in r12 (every failing query passes
+        # standalone on a 1g vanilla session — the driver never runs
+        # marathons this long in one process).
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_SWEEP_PLAIN_MEM", "4g"))
+            .getOrCreate()
+        )
     else:
         spark = get_spark("sweep-all")
     spark.sparkContext.setLogLevel("ERROR")
 
     started = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     t0 = time.perf_counter()
+    import gc
+
     failures: dict[str, dict[str, str]] = {}
     passed = 0
     total = 0
@@ -161,6 +175,11 @@ def main() -> int:
         con = duck_connection(sf_dir)
         for name in names:
             total += 1
+            if total % 25 == 0:
+                # Release dropped DataFrames promptly so the ContextCleaner
+                # can evict their localCheckpoint blocks — marathon heap
+                # hygiene (see the --plain memory note above).
+                gc.collect()
             tq = time.perf_counter()
             reason = check_one(
                 spark, con, name,
